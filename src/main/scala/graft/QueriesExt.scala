@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Extension-operator query registry: dedup, similarity search, text
+  * analysis, multimodal — the 100 TB training-data-pipeline surface
+  * (SURVEY §7.2 slice 3), run over the `documents` / `embeddings`
+  * fixtures.
+  *
+  * Oracle discipline is the same as [[Queries]]: every SQL-expressible
+  * operator carries the DuckDB twin (hash/regex primitives restricted to
+  * the cross-engine set: md5, RE2∩Java regex, integer-derived doubles).
+  * Hash-family-dependent operators (xxhash64 signatures, seeded LSH) are
+  * not SQL-reproducible → registered without oracle (driver records the
+  * weaker rows-only check); their semantics are covered by unit tests.
+  */
+object QueriesExt {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String) = Tables(s, dir, name)
+
+  /** floor(x*1e4+0.5)/1e4 — see [[Queries]] float-compare discipline. */
+  private def round4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  // DuckDB token list, identical semantics to Dedup.tokens.
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val all: Seq[QueryCase] = Seq(
+
+    // ------------------------------------------------------------ dedup
+    QueryCase("q_dedup_exact",
+      (s, dir) => Dedup.keepFirstPerKey(t(s, dir, "documents"),
+          keys = Seq("text"), orderCols = Seq("doc_id"))
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin)),
+
+    QueryCase("q_dedup_fingerprint",
+      (s, dir) => Dedup.fingerprintDedup(t(s, dir, "documents"),
+          "text", "doc_id")
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin)),
+
+    // MinHash+LSH near-dedup: xxhash64 signature family is engine-local →
+    // rows-only check; semantics unit-tested in DedupSpec.
+    QueryCase("q_dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashDupPairs(t(s, dir, "documents"),
+          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
+          shingle = 3)
+        .withColumn("est_jaccard", round4(col("est_jaccard"))),
+      None),
+
+    QueryCase("q_dedup_minhash",
+      (s, dir) => Dedup.minhashDedup(t(s, dir, "documents"),
+          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
+          shingle = 3)
+        .select("doc_id"),
+      None),
+
+    QueryCase("q_dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashDupPairs(t(s, dir, "documents"),
+          "text", "doc_id", maxHamming = 3),
+      None),
+
+    // Exact n-gram Jaccard pairs ARE SQL-expressible: the shared-gram
+    // blocking is lossless for threshold > 0, so the oracle can brute-force
+    // the full pair space at sf scale and must agree exactly.
+    QueryCase("q_dedup_ngram_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.1)
+        .withColumn("jaccard", round4(col("jaccard"))),
+      Some(s"""WITH g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           for i in range(1, greatest(len(toks)-1, 1))]) AS grams
+        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000
+        |    AS jaccard
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1""".stripMargin)),
+
+    QueryCase("q_dedup_embedding_pairs",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        // Scale-aware plane count: ~32 rows per bucket regardless of
+        // corpus size, so Σ bucket² stays bounded as sf grows.
+        val n = embs.count()
+        val planes = math.max(4, (math.log(n / 32.0) / math.log(2)).ceil.toInt)
+        Dedup.embeddingDupPairs(embs, "embedding", "vec_id",
+            threshold = 0.4, planes = planes, tables = 8, dim = 64)
+          .withColumn("cos", round4(col("cos")))
+      },
+      None),
+
+    // ----------------------------------------------------- text analysis
+    QueryCase("q_text_tokens",
+      (s, dir) => TextStats.tokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "n_bpe"),
+      Some(s"""SELECT doc_id,
+        | CAST(len($sqlToks) AS INTEGER) AS n_words,
+        | CAST(len(regexp_extract_all(text,
+        |   '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+')) AS INTEGER) AS n_bpe
+        |FROM documents""".stripMargin)),
+
+    QueryCase("q_text_langid",
+      (s, dir) => TextStats.languageId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang_id"),
+      Some {
+        val lists = TextStats.Stopwords.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        }
+        val scores = lists.map { case (l, arr) =>
+          s"len(list_filter($sqlToks, t -> list_contains($arr, t))) AS s_$l"
+        }.mkString(",\n  ")
+        val m = lists.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = lists.map { case (l, _) =>
+          s"WHEN s_$l = $m AND $m > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_id
+           |FROM (SELECT doc_id, text, $scores FROM documents)""".stripMargin
+      }),
+
+    QueryCase("q_text_quality",
+      (s, dir) => TextStats.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round4(col("quality")).as("quality")),
+      Some {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           | floor((least(n_words / 100.0, 1.0) * 0.25
+           |   + (CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0.0 END) * 0.25
+           |   + (CASE WHEN n_words > 0 THEN least(n_stops / n_words * 3.0, 1.0) ELSE 0.0 END) * 0.25
+           |   + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25
+           |  ) * 10000 + 0.5) / 10000 AS quality
+           |FROM (SELECT doc_id,
+           |  CAST(len(toks) AS DOUBLE) AS n_words,
+           |  CAST(length(text) AS DOUBLE) AS n_chars,
+           |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE) AS n_alnum,
+           |  CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE) AS n_stops,
+           |  CASE WHEN len(toks) > 0
+           |    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           |    ELSE 0.0 END AS mean_wlen
+           |  FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))""".stripMargin
+      }),
+
+    QueryCase("q_text_fingerprint",
+      (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fingerprint"),
+      Some(s"""SELECT doc_id,
+        | CASE WHEN len(grams) > 0
+        |   THEN list_aggregate(list_transform(grams, g -> md5(g)), 'min')
+        |   ELSE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        | END AS fingerprint
+        |FROM (SELECT doc_id, text,
+        |        list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, greatest(len(toks)-1, 1))]) AS grams
+        |      FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))""".stripMargin)),
+
+    // ------------------------------------------------- similarity search
+    QueryCase("q_similarity_brute",
+      (s, dir) => Similarity.topKForId(t(s, dir, "embeddings"),
+          "embedding", "vec_id", queryId = 0L, k = 10)
+        .select("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings),
+        |     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id FROM e, q
+        |WHERE vec_id <> 0
+        |ORDER BY list_dot_product(v, qv) /
+        |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+        |  vec_id
+        |LIMIT 10""".stripMargin)),
+
+    QueryCase("q_similarity_lsh",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.lshTopK(embs, "embedding", "vec_id", q, k = 10,
+          planes = 6, tables = 8)
+      },
+      None),
+
+    QueryCase("q_similarity_ivf",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val cents = Similarity.sampleCentroids(embs, "embedding", "vec_id", 16)
+        Similarity.ivfTopK(embs, "embedding", "vec_id", q, k = 10,
+          cents, nprobe = 4)
+      },
+      None),
+
+    // ------------------------------------------------------- multimodal
+    QueryCase("q_multimodal_decode",
+      (s, dir) => Multimodal.resizePlan(
+          Multimodal.decode(s, Multimodal.mediaFromDocuments(
+            t(s, dir, "documents"))).toDF(),
+          maxSide = 512)
+        .select("media_id", "n_bytes", "width", "height", "channels",
+          "out_width", "out_height"),
+      Some("""SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 1024 + 64 AS INTEGER) AS width,
+        | CAST(octet_length(encode(text)) % 768 + 48 AS INTEGER) AS height,
+        | 3 AS channels,
+        | CAST(floor((octet_length(encode(text)) % 1024 + 64) *
+        |   least(512.0 / (octet_length(encode(text)) % 1024 + 64),
+        |         512.0 / (octet_length(encode(text)) % 768 + 48), 1.0)) AS INTEGER)
+        |   AS out_width,
+        | CAST(floor((octet_length(encode(text)) % 768 + 48) *
+        |   least(512.0 / (octet_length(encode(text)) % 1024 + 64),
+        |         512.0 / (octet_length(encode(text)) % 768 + 48), 1.0)) AS INTEGER)
+        |   AS out_height
+        |FROM documents""".stripMargin)),
+
+    QueryCase("q_multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              col("n_chars").cast("double").as("duration_sec")),
+          fps = 1, stride = 7)
+        .select("media_id", "frame_index", "ts_sec"),
+      Some("""SELECT doc_id AS media_id,
+        | unnest(generate_series(0, greatest(n_chars - 1, 0), 7)) AS frame_index,
+        | CAST(unnest(generate_series(0, greatest(n_chars - 1, 0), 7)) AS DOUBLE)
+        |   AS ts_sec
+        |FROM documents""".stripMargin)),
+
+    QueryCase("q_multimodal_features",
+      (s, dir) => Multimodal.featureExtract(s,
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), dim = 8)
+        .select(col("media_id"), concat_ws(",",
+          transform(col("features"), f => round4(f).cast("string")))
+          .as("features_csv")),
+      None)
+  )
+}

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension). Three tiers:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     One scan + `TakeOrderedAndProject` (Spark's top-k physical operator:
+  *     per-partition heaps, k rows to the driver — no full sort, no
+  *     shuffle of the corpus).
+  *   - [[lshTopK]]: random-hyperplane LSH — the scale path. The corpus is
+  *     bucketed once (write-side, amortized over queries); a query probes
+  *     only its own buckets across `tables` sketch tables, so the scan is
+  *     |matching buckets| instead of |corpus|. With partition-or-bucket
+  *     layout on `bucket` the probe becomes partition pruning at 100 TB.
+  *   - [[ivfTopK]]: inverted-file index — coarse-quantize the corpus to
+  *     `nlist` centroid cells (broadcast argmin assignment, one scan);
+  *     queries probe the `nprobe` nearest cells. Centroids here are a
+  *     deterministic corpus sample; a production build would k-means them
+  *     (same plan shape — only centroid quality changes).
+  */
+object Similarity {
+
+  private def asDoubleLit(v: Array[Float]): Column =
+    array(v.map(x => lit(x.toDouble)): _*)
+
+  /** Exact cosine top-k against a literal query vector. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int): DataFrame = df
+    .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+    .select(col(idCol), col("score"))
+    .orderBy(col("score").desc, col(idCol))
+    .limit(k)
+
+  /** Exact cosine top-k where the query is a row of the corpus itself
+    * (self-search excludes the query row). Broadcasts the single query row
+    * — no corpus shuffle. */
+  def topKForId(df: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", Vectors.cosine(col(vecCol), col("__qvec")))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN top-k: search only corpus rows sharing a sign-bucket
+    * with the query in at least one of `tables` hyperplane tables.
+    * Approximate — recall tunes with `tables`/`planes`. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, planes: Int = 10, tables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
+    // Query buckets are plain Scala: evaluate the same sign sketch on the
+    // literal query vector at plan time.
+    val qBuckets: Seq[(Int, Long)] = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        val proj = (0 until dim).map(d => query(d).toDouble * hyper(t)(p)(d)).sum
+        if (proj > 0) 1L << p else 0L
+      }.sum
+      (t, bucket)
+    }
+    // A row is a candidate if its sketch matches the query's in any table.
+    val isCandidate = qBuckets.map { case (t, bq) =>
+      Vectors.signBucket(col(vecCol), hyper, t) === lit(bq)
+    }.reduce(_ || _)
+    df.filter(isCandidate)
+      .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Assign every corpus row to its nearest centroid cell (broadcast
+    * argmax over `centroids`, evaluated as one fused projection — the
+    * IVF build pass). Returns df + `cell` column. */
+  def ivfAssign(df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(Vectors.cosine(col(vecCol), asDoubleLit(cvec)).as("s"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("cell", greatest(scored: _*).getField("cid"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` cells whose centroids are nearest
+    * the query; exact cosine within the probed cells only. `centroids` is
+    * small (nlist entries) and rides the closure/broadcast — the corpus is
+    * never shuffled; with the corpus bucketed by `cell` on disk the probe
+    * prunes to nprobe/nlist of the data. */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, centroids: Array[(Int, Array[Float])],
+      nprobe: Int = 4): DataFrame = {
+    val probeCells: Seq[Int] = centroids.map { case (cid, cvec) =>
+      val dot = cvec.indices.map(d => cvec(d).toDouble * query(d).toDouble).sum
+      val n = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+      (cid, dot / n)
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    ivfAssign(df, vecCol, centroids)
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic centroid sample for IVF: the first `nlist` rows by id.
+    * (Stands in for k-means; driver-side but bounded by nlist, not corpus
+    * size.) */
+  def sampleCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int): Array[(Int, Array[Float])] =
+    df.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared dense-vector expression kernels for the embedding operators.
+  *
+  * All math is built-in higher-order functions over `array` columns,
+  * computed in double precision with deterministic left folds — no UDFs,
+  * no driver round-trips; evaluates inside the scan/project stage.
+  *
+  * Literal matrices (LSH hyperplanes, centroids) enter the plan as ARRAY
+  * LITERALS folded with `aggregate`/`zip_with`, NOT as unrolled
+  * per-component arithmetic: an unrolled `planes × dim` sum compiles to
+  * tens of thousands of generated-Java lines, fails janino, and falls back
+  * to per-expression interpretation (observed 100× slowdown). The compact
+  * fold keeps the generated code size O(1) in `dim`.
+  */
+object Vectors {
+
+  /** Deterministic left-fold dot product in double precision. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity; NaN-free for zero vectors is the caller's concern
+    * (fixture embeddings are non-zero). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** `tables × planes × dim` Gaussian hyperplane components, derived
+    * deterministically from `seed` — the LSH "random" projection basis is
+    * part of the plan, so runs are reproducible and the query side can
+    * recompute the identical buckets. */
+  def hyperplanes(seed: Long, tables: Int, planes: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit sketch bucket of `vec` for hyperplane table `t`: bit p set
+    * iff <vec, plane_p> > 0. A `planes`-bit integer bucket key. */
+  def signBucket(vec: Column, hyper: Array[Array[Array[Double]]],
+      t: Int): Column = {
+    val planes = hyper(t).length
+    val planesLit: Column = typedLit(hyper(t).map(_.toSeq).toSeq)
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc + when(dot(vec, element_at(planesLit, p + 1)) > 0,
+        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.ext.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("keepFirstPerKey keeps the min-order row per key") {
+    val got = Dedup.keepFirstPerKey(
+      docs((3L, "a"), (1L, "a"), (2L, "b")).withColumn("k", col("text")),
+      Seq("k"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("fingerprintDedup collapses case/punctuation/whitespace variants") {
+    val d = docs(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO-WORLD"),
+      (4L, "goodbye world"))
+    val kept = Dedup.fingerprintDedup(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("minhash: identical token sets → identical signatures, est_jaccard 1.0") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
+    val pairs = Dedup.minhashDupPairs(d, "text", "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("minhash: disjoint docs never pair at a high threshold") {
+    val d = docs((1L, "aa bb cc dd ee ff"), (2L, "gg hh ii jj kk ll"))
+    assert(Dedup.minhashDupPairs(d, "text", "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5).count() == 0)
+  }
+
+  test("minhashDedup drops the higher-id near-duplicate") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely different words entirely here now"))
+    val kept = Dedup.minhashDedup(d, "text", "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: identical text → identical fingerprint; near text → small hamming") {
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word30", "changed")
+    val d = docs((1L, base), (2L, base), (3L, near))
+    val pairs = Dedup.simhashDupPairs(d, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on shared-gram candidates") {
+    // 5 tokens → 3-grams: d1 {abc,bcd,cde}, d2 {abc,bcd,cdx} → J = 2/4
+    val d = docs((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"))
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 0.5) < 1e-12)
+  }
+
+  test("embeddingDupPairs: parallel vectors pair, orthogonal don't") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),     // same direction → cosine 1
+      (3L, Array(0f, 1f, 0f, 0f)))     // orthogonal → cosine 0
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(d, "embedding", "vec_id",
+      threshold = 0.99, planes = 4, tables = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hot blocking keys are capped (skew guard drops oversized buckets)") {
+    // 4 identical docs: bucket size 4 > maxBucket 3 → no pairs emitted
+    val d = docs((1L, "x y z"), (2L, "x y z"), (3L, "x y z"), (4L, "x y z"))
+    assert(Dedup.minhashDupPairs(d, "text", "doc_id", numHashes = 16,
+      bands = 4, threshold = 0.1, maxBucket = 3).count() == 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextStats
+
+class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenCounts: word and BPE-ish piece counts") {
+    val r = TextStats.tokenCounts(docs((1L, "Hello, world! It's 42.")), "text").head()
+    assert(r.getAs[Int]("n_words") == 5) // hello, world, it, s, 42
+    // pieces: "Hello" "," " world" "!" " It" "'s" " 42" "." → 8
+    assert(r.getAs[Int]("n_bpe") == 8)
+  }
+
+  test("languageId picks the stopword-dominant language, und when none") {
+    val d = docs(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos que no se van"),
+      (3L, "der hund und die katze ist nicht mit mir"),
+      (4L, "le chien et les chats dans la maison pour une vie"),
+      (5L, "zzz qqq 12345"))
+    val got = TextStats.languageId(d, "text")
+      .select("doc_id", "lang_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es")
+    assert(got(3L) == "de"); assert(got(4L) == "fr")
+    assert(got(5L) == "und")
+  }
+
+  test("qualityScore in [0,1]; clean prose beats symbol noise") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away into the woods"),
+      (2L, "@@@@ #### !!!! %%%% ^^^^ &&&&"))
+    val got = TextStats.qualityScore(d, "text")
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("fingerprint stable under formatting, changes with content; short-doc fallback") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "ALPHA beta!! gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "tiny doc"))
+    val fp = TextStats.fingerprint(d, "text")
+      .select("doc_id", "fingerprint").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(4L).nonEmpty)
+  }
+}
