@@ -133,29 +133,39 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = 1000, shingle: Int = 1): DataFrame = {
-    // Persist the signature table: it feeds both sides of the self-join
-    // (and the bucket-count guard) — without a materialization barrier
-    // Spark would recompute the signatures per branch.
+    // Persist the signature table: it feeds the band explode AND the two
+    // signature-attach joins — without a barrier Spark recomputes it per
+    // branch.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingle)
-      .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
       .persist()
 
-    val bucketCounts = sigs.groupBy("band", "bucket").count()
+    // Candidate generation carries ONLY (band, bucket, id): the candidate
+    // set before pair-dedup is the explosion point (Σ bucket² rows × bands
+    // duplication) — shuffling the signature arrays through it was 5×
+    // slower than this ids-only join at sf0.1. Signatures are re-attached
+    // per DISTINCT pair afterwards (two joins against the small persisted
+    // signature table — broadcast at test scale, shuffle-hash at corpus
+    // scale).
+    val buckets = sigs
+      .select(col("id"), explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+
+    val bucketCounts = buckets.groupBy("band", "bucket").count()
       .filter(col("count") <= maxBucket)
-    val bounded = sigs.join(bucketCounts.select("band", "bucket"),
+    val bounded = buckets.join(bucketCounts.select("band", "bucket"),
       Seq("band", "bucket"))
 
-    val a = bounded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bounded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val pairs = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
 
-    pairs.withColumn("est_jaccard",
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= threshold)
@@ -256,31 +266,41 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs, `jaccard ≥ threshold`.
-    * Blocking on shared n-grams (lossless for threshold > 0: any pair with
-    * positive Jaccard shares ≥1 n-gram), with a document-frequency cap on
-    * blocking n-grams — at corpus scale stopword-ish n-grams are hot keys;
-    * capping df keeps Σ bucket² bounded while staying lossless as long as
-    * every true near-dup pair shares at least one sub-cap n-gram. */
+    *
+    * Count-based set-similarity join: J(a,b) = c / (|a| + |b| − c) where c
+    * is the number of shared distinct n-grams — so the exact Jaccard needs
+    * only the CO-OCCURRENCE COUNT per pair, never the gram arrays. The
+    * plan is: explode distinct grams (with each doc's gram count attached)
+    * → self-join on the gram (hash Exchange on a string key) → count rows
+    * per (id_a, id_b) — a codegen'd partial+final HashAggregate. An earlier
+    * version shuffled both docs' gram ARRAYS to every candidate pair and
+    * verified with interpreted array_intersect: 50× slower at sf0.1.
+    *
+    * Blocking on shared n-grams is lossless for threshold > 0 (a pair with
+    * positive Jaccard shares ≥ 1 gram). `maxDf` caps hot blocking grams —
+    * at corpus scale boilerplate n-grams are quadratic hot keys; note a
+    * dropped gram still counts in |a|,|b| but not in c, so pairs whose
+    * ONLY shared grams are capped may slip below threshold (documented
+    * recall/cost knob; maxDf=∞ is fully exact). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.2, maxDf: Int = 1000): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        wordNgrams(col(textCol), n).as("grams"))
-      .persist() // feeds the blocking explode AND both verify joins
-    val exploded = grams.withColumn("g", explode(col("grams")))
+    val exploded = df
+      .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+      .select(col("id"), size(col("grams")).as("nsz"),
+        explode(col("grams")).as("g"))
+      .persist() // feeds the df-cap aggregate and both join sides
+
     val rare = exploded.groupBy("g").count().filter(col("count") <= maxDf)
     val blocked = exploded.join(rare.select("g"), Seq("g"))
 
-    val cand = blocked.select(col("g"), col("id").as("id_a"))
-      .join(blocked.select(col("g"), col("id").as("id_b")), Seq("g"))
+    val a = blocked.select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+    val b = blocked.select(col("g"), col("id").as("id_b"), col("nsz").as("nb"))
+    a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    cand
-      .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -296,20 +316,27 @@ object Dedup {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
 
-    val withBuckets = df.select(col(idCol).as("id"), col(vecCol))
+    // Same shape as minhashDupPairs: ids-only candidate self-join on the
+    // sketch buckets, vectors re-attached per distinct pair for the exact
+    // cosine verification (don't shuffle 64-float payloads through the
+    // pre-dedup candidate explosion).
+    val vecs = df.select(col(idCol).as("id"), col(vecCol)).persist()
+    val buckets = vecs
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           Vectors.signBucket(col(vecCol), hyper, t).as("bucket"))): _*)))
-      .select(col("id"), col(vecCol), col("tb.t"), col("tb.bucket"))
-      .persist() // feeds both sides of the bucket self-join
+      .select(col("id"), col("tb.t"), col("tb.bucket"))
 
-    val a = withBuckets.select(col("t"), col("bucket"),
-      col("id").as("id_a"), col(vecCol).as("va"))
-    val b = withBuckets.select(col("t"), col("bucket"),
-      col("id").as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("t", "bucket"))
+    val pairs = buckets.select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("t"), col("bucket"), col("id").as("id_b")),
+        Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -83,4 +83,9 @@ object Serving {
     * (`visualizer.py:81-82,114-117,278-283`). */
   def distinctGames(view: DataFrame): DataFrame =
     view.select(col("app_name")).distinct().orderBy(col("app_name"))
+
+  /** F13: metric-name prettify for display labels
+    * (`visualizer.py:210,264`): `A_*` → "Average *", `T_*` → "Total *". */
+  def prettyMetric(metric: String): String =
+    metric.replace("A_", "Average ").replace("T_", "Total ")
 }

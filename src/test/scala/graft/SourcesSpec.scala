@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+import graft.ops.Serving
+
+/** S1 CSV dialect (reference `stream_generator.py:49-50`) + F13. */
+class SourcesSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("headerless CSV with quote/escape dialect and declared schema") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("reviews.csv")
+    // quoted field with embedded comma; backslash-escaped quote inside text
+    Files.writeString(f,
+      "0,10,\"Game, The\",100,english,\"great \\\"game\\\"\",1600000000," +
+        "1600000001,true,1,0,0.5,0,true,false,false,7656,5,2,100.0,10.0,60.0,1.5,0.9\n")
+    val df = Sources.readReviewsCsv(spark, f.toString)
+    val r = df.head()
+    assert(r.getAs[String]("app_name") == "Game, The")
+    assert(r.getAs[String]("review") == "great \"game\"")
+    assert(r.getAs[Long]("timestamp_created") == 1600000000L)
+    assert(r.getAs[String]("recommended") == "true")
+    // file sources force nullable=true; compare names + types
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.Review.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("prettyMetric display labels") {
+    assert(Serving.prettyMetric("A_sentiment") == "Average sentiment")
+    assert(Serving.prettyMetric("T_reviews") == "Total reviews")
+  }
+}
