@@ -207,8 +207,9 @@ object Queries {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (all ++ QueriesExt.all).map(q => q.name -> q.run).toMap
+    (all ++ QueriesExt.all ++ QueriesJoins.all).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (all ++ QueriesExt.all).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (all ++ QueriesExt.all ++ QueriesJoins.all)
+      .flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join-operator registry over the TPC-H-ish fixture star schema.
+  *
+  * The reference surface has no joins (SURVEY §2.4); these demonstrate the
+  * join capability the engine inherits and the physical strategies a
+  * 100 TB deployment leans on:
+  *
+  *   - dimension enrichment → `broadcast()` hash join (no shuffle of the
+  *     fact side; the explicit hint documents intent even where the
+  *     autoBroadcastJoinThreshold would pick it anyway),
+  *   - fact-to-fact → shuffle join on the key (sort-merge / shuffled-hash
+  *     picked by the planner+AQE; both sides hash-partition once),
+  *   - existence checks → left_semi / left_anti (no payload duplication,
+  *     build side reduced to the key set).
+  *
+  * Float discipline: every summed measure is 2-decimal in the fixture, so
+  * sums go through exact DECIMAL and only the final projection converts to
+  * double (same as [[Queries]]).
+  */
+object QueriesJoins {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String) = Tables(s, dir, name)
+
+  private def round4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  val all: Seq[QueryCase] = Seq(
+
+    // Broadcast dimension join: events enriched with the customer dim,
+    // aggregated per market segment.
+    QueryCase("q_join_broadcast",
+      (s, dir) => t(s, dir, "events")
+        .join(broadcast(t(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_v"),
+          count(lit(1)).as("n_events"))
+        .select(col("c_mktsegment"), round4(col("sum_v")).as("sum_value"),
+          col("n_events")),
+      Some("""SELECT c_mktsegment,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |   AS sum_value,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)),
+
+    // Fact-to-fact shuffle join: lineitem x orders, revenue per priority.
+    QueryCase("q_join_fact",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(20, 2)) *
+            (lit(1).cast(DecimalType(3, 2)) -
+              col("l_discount").cast(DecimalType(3, 2)))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(col("o_orderpriority"), round4(col("revenue")).as("revenue"),
+          col("n_items")),
+      Some("""SELECT o_orderpriority,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |   AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Multi-way broadcast chain up the dimension hierarchy.
+    QueryCase("q_join_snowflake",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(20, 2))).cast("double")
+            .as("sum_bal"))
+        .select(col("r_name"), col("n_customers"),
+          round4(col("sum_bal")).as("sum_acctbal")),
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        | floor(CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |   AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)),
+
+    // Existence joins: customers with / without event activity.
+    QueryCase("q_join_semi",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "events"), col("c_custkey") === col("user_id"),
+          "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT user_id FROM events)""".stripMargin)),
+
+    QueryCase("q_join_anti",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "events"), col("c_custkey") === col("user_id"),
+          "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events)""".stripMargin))
+  )
+}
