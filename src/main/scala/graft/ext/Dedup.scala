@@ -337,7 +337,7 @@ object Dedup {
     pairs
       .join(vecs.select(col("id").as("id_a"), col(vecCol).as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
-      .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
+      .withColumn("cos", Vectors.cosineNative(df.sparkSession, col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

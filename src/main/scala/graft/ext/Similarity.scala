@@ -29,7 +29,7 @@ object Similarity {
   /** Exact cosine top-k against a literal query vector. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int): DataFrame = df
-    .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+    .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(query)))
     .select(col(idCol), col("score"))
     .orderBy(col("score").desc, col(idCol))
     .limit(k)
@@ -43,7 +43,7 @@ object Similarity {
       .select(col(vecCol).as("__qvec"))
     df.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
-      .withColumn("score", Vectors.cosine(col(vecCol), col("__qvec")))
+      .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), col("__qvec")))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -71,7 +71,7 @@ object Similarity {
       Vectors.signBucket(col(vecCol), hyper, t) === lit(bq)
     }.reduce(_ || _)
     df.filter(isCandidate)
-      .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+      .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -83,7 +83,7 @@ object Similarity {
   def ivfAssign(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame = {
     val scored = centroids.map { case (cid, cvec) =>
-      struct(Vectors.cosine(col(vecCol), asDoubleLit(cvec)).as("s"),
+      struct(Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(cvec)).as("s"),
         lit(cid).as("cid"))
     }
     df.withColumn("cell", greatest(scored: _*).getField("cid"))
@@ -105,7 +105,7 @@ object Similarity {
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     ivfAssign(df, vecCol, centroids)
       .filter(col("cell").isin(probeCells: _*))
-      .withColumn("score", Vectors.cosine(col(vecCol), asDoubleLit(query)))
+      .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -30,6 +30,15 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarityExpr]]):
+    * bit-identical to [[cosine]], one fused loop instead of interpreted
+    * HOF folds. Needs a session to self-register the function. */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.GraftFunctions.CosineName, a, b)
+  }
+
   /** `tables × planes × dim` Gaussian hyperplane components, derived
     * deterministically from `seed` — the LSH "random" projection basis is
     * part of the plan, so runs are reproducible and the query side can

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two numeric array columns.
+  *
+  * The portable implementation ([[graft.ext.Vectors.cosine]]) folds with
+  * `aggregate`/`zip_with` — higher-order functions evaluate interpreted
+  * (one closure call per element, boxed lambda variables). This expression
+  * compiles to a single fused Java loop accumulating dot product and both
+  * norms in one pass over the arrays — no allocation, JIT-vectorizable —
+  * and is the preferred kernel for corpus-scale similarity scans (the
+  * custom-`Expression` tier of the build plan, SURVEY §7.3).
+  *
+  * Semantics match [[graft.ext.Vectors.cosine]] BIT-FOR-BIT: every product
+  * is widened to double and every accumulator is a left-to-right double
+  * fold, so swapping kernels cannot flip an oracle hash or a top-k order.
+  * Null if either array is null; arrays shorter than the other are folded
+  * to the common prefix (caller guarantees equal dims, as with the HOF).
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def prettyName: String = GraftFunctions.CosineName
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getR = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.$getL($i);
+         |  double $yi = (double) $b.$getR($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of the graft native functions into a session's
+  * function registry — works on ANY session (including one the caller
+  * built without `SparkSessionExtensions`), so library entry points can
+  * self-register lazily. */
+object GraftFunctions {
+
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
+      registry.registerFunction(
+        FunctionIdentifier(CosineName),
+        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, CosineName),
+        (children: Seq[Expression]) =>
+          CosineSimilarityExpr(children(0), children(1)))
+    }
+  }
+}
