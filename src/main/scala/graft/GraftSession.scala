@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session builder for the graft engine.
+  *
+  * Encodes the configuration the 100 TB design point relies on, so
+  * deployments (and the local harness) start from the same baseline:
+  *
+  *   - AQE on (runtime partition coalescing, skew-join splitting) — the
+  *     runtime half of the skew story ([[graft.ops.Skew]] is the
+  *     aggregation half);
+  *   - shuffle partitions sized to the cluster, not the 200 default;
+  *   - UTC session timezone (timestamp parity with the oracle and the
+  *     reference's epoch math);
+  *   - optional RocksDB state store for large streaming state (the
+  *     reference runs watermark-free — state grows with |games|×|days| —
+  *     the in-memory HDFS-backed store stops fitting long before 100 TB).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      rocksDbState: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture parquet carries TIMESTAMP(NANOS) — see graft.Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (rocksDbState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b
+  }
+
+  /** Local harness session (used by tests/tools): `local[n]` with
+    * shuffle partitions = n. */
+  def local(threads: Int): SparkSession =
+    builder(shufflePartitions = threads)
+      .master(s"local[$threads]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

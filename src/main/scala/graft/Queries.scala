@@ -192,6 +192,29 @@ object Queries {
         t(s, dir, "events").withColumnRenamed("event_type", "app_name")),
       Some("SELECT DISTINCT event_type AS app_name FROM events")),
 
+    // Skew-safe two-phase salted aggregation — must be EXACTLY equivalent
+    // to the plain groupBy (oracle computes the unsalted form). Sums go
+    // through exact DECIMAL so the salt-dependent partial order can't
+    // perturb a double sum.
+    QueryCase("q_skew_salted_agg",
+      (s, dir) => graft.ops.Skew.saltedAggregate(
+          t(s, dir, "events"), Seq("event_type"), saltBuckets = 32,
+          partials = Seq(
+            (count(lit(1)), "p_cnt"),
+            (sum(col("value").cast(DecimalType(20, 2))), "p_sum")),
+          merges = Seq(
+            (sum(col("p_cnt")), "n_events"),
+            (sum(col("p_sum")), "d_sum")))
+        .select(col("event_type"), col("n_events"),
+          round4(col("d_sum").cast("double")).as("sum_value"),
+          round4(col("d_sum").cast("double") / col("n_events")).as("avg_value")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |   AS sum_value,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+        |   AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // P5/P6/F11: raw filter + projection pushed to the parquet scan.
     QueryCase("q_filter_project",
       (s, dir) => t(s, dir, "events")
