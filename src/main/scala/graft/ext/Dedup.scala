@@ -53,6 +53,17 @@ object Dedup {
 
   // ------------------------------------------------------------- tokenize
 
+  /** Spread CPU-heavy per-row stages across the cluster when the scan has
+    * fewer splits than cores (a single small parquet file plans to ONE
+    * task — at sf0.1 the whole signature build ran single-threaded). At
+    * corpus scale inputs already have ≥|cores| splits and this is a no-op;
+    * the guarded repartition only pays one raw-text shuffle when the
+    * source is under-split. */
+  private[ext] def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Lowercase word tokens (distinct not applied). */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
@@ -91,8 +102,9 @@ object Dedup {
     * per-row HOF variant above evaluates interpreted and doesn't.
     * Shingling: word unigrams by default; `shingle > 1` uses word
     * n-gram shingles (order-sensitive — discriminates reordered text). */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+  def minhashSignatures(df0: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingle: Int = 1): DataFrame = {
+    val df = parallelize(df0)
     val units = if (shingle <= 1) array_distinct(tokens(col(textCol)))
       else wordNgrams(col(textCol), shingle)
     // 32-bit masked double hashing: h1 + i*h2 must not overflow a signed
@@ -210,8 +222,9 @@ object Dedup {
     * (±1 vote per bit) → fingerprint assembly. Same scaling argument as
     * [[minhashSignatures]]: whole-stage codegen, map-side partial sums,
     * shuffle bounded by |docs| × 64 longs. */
-  def simhashFingerprints(df: DataFrame, textCol: String,
+  def simhashFingerprints(df0: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    val df = parallelize(df0)
     val exploded = df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
@@ -255,14 +268,22 @@ object Dedup {
 
   // ------------------------------------------- exact n-gram Jaccard pairs
 
-  /** Word n-grams (distinct) of the normalized text. */
+  /** Word n-grams (distinct) of the normalized text.
+    *
+    * The tokenization is BOUND ONCE via a singleton-array lambda
+    * (`transform(array(tokens), toks -> ...)`): higher-order functions
+    * evaluate interpreted, and an expression subtree referenced at every
+    * gram position would re-run the regex split O(positions) times per row
+    * — observed as a single 550 s task at sf0.1. A lambda variable
+    * reference is O(1) against the already-evaluated array. */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i <= size(toks) - n,
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      g => g.isNotNull))
+    val grams = transform(array(tokens(text)), toks =>
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        g => g.isNotNull))
+    array_distinct(element_at(grams, 1))
   }
 
   /** Exact n-gram Jaccard near-dup pairs, `jaccard ≥ threshold`.
@@ -282,8 +303,9 @@ object Dedup {
     * dropped gram still counts in |a|,|b| but not in c, so pairs whose
     * ONLY shared grams are capped may slip below threshold (documented
     * recall/cost knob; maxDf=∞ is fully exact). */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+  def ngramJaccardPairs(df0: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.2, maxDf: Int = 1000): DataFrame = {
+    val df = parallelize(df0)
     val exploded = df
       .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
       .select(col("id"), size(col("grams")).as("nsz"),
