@@ -28,4 +28,17 @@ object Sources {
   /** Generic parquet table scan (the fixture path). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** S3: batch replay of a Kafka topic (the serving tier's consumer loop,
+    * `visualizer.py:49-56`, as a bounded read — e.g. to rebuild the
+    * serving view from the summary topic's full retention). Requires the
+    * spark-sql-kafka connector on the classpath. */
+  def readKafkaBatch(spark: SparkSession, bootstrapServers: String,
+      topic: String): DataFrame = spark
+    .read.format("kafka")
+    .option("kafka.bootstrap.servers", bootstrapServers)
+    .option("subscribe", topic)
+    .option("startingOffsets", "earliest")
+    .option("endingOffsets", "latest")
+    .load()
 }
