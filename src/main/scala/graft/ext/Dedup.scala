@@ -346,7 +346,8 @@ object Dedup {
     val buckets = vecs
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          Vectors.signBucket(col(vecCol), hyper, t).as("bucket"))): _*)))
+          Vectors.signBucketNative(df.sparkSession, col(vecCol), hyper, t)
+            .as("bucket"))): _*)))
       .select(col("id"), col("tb.t"), col("tb.bucket"))
 
     val pairs = buckets.select(col("t"), col("bucket"), col("id").as("id_a"))

@@ -68,7 +68,7 @@ object Similarity {
     }
     // A row is a candidate if its sketch matches the query's in any table.
     val isCandidate = qBuckets.map { case (t, bq) =>
-      Vectors.signBucket(col(vecCol), hyper, t) === lit(bq)
+      Vectors.signBucketNative(df.sparkSession, col(vecCol), hyper, t) === lit(bq)
     }.reduce(_ || _)
     df.filter(isCandidate)
       .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(query)))

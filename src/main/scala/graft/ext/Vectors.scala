@@ -50,7 +50,8 @@ object Vectors {
   }
 
   /** Sign-bit sketch bucket of `vec` for hyperplane table `t`: bit p set
-    * iff <vec, plane_p> > 0. A `planes`-bit integer bucket key. */
+    * iff <vec, plane_p> > 0. A `planes`-bit integer bucket key.
+    * (Portable fold form — prefer [[signBucketNative]] on hot paths.) */
   def signBucket(vec: Column, hyper: Array[Array[Array[Double]]],
       t: Int): Column = {
     val planes = hyper(t).length
@@ -58,5 +59,16 @@ object Vectors {
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => acc + when(dot(vec, element_at(planesLit, p + 1)) > 0,
         call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+  }
+
+  /** Native codegen'd sign bucket ([[graft.functions.SignBucketExpr]]):
+    * bit-identical to [[signBucket]], a fused two-level loop instead of
+    * planes×dim interpreted lambda calls (the difference between ~1 s and
+    * minutes on a corpus scan). */
+  def signBucketNative(spark: org.apache.spark.sql.SparkSession, vec: Column,
+      hyper: Array[Array[Array[Double]]], t: Int): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.GraftFunctions.SignBucketName,
+      vec, typedLit(hyper(t).map(_.toSeq).toSeq))
   }
 }

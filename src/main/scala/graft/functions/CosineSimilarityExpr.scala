@@ -97,6 +97,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 object GraftFunctions {
 
   val CosineName = "graft_cosine"
+  val SignBucketName = "graft_signbucket"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -106,6 +107,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CosineSimilarityExpr].getName, CosineName),
         (children: Seq[Expression]) =>
           CosineSimilarityExpr(children(0), children(1)))
+    }
+    if (!registry.functionExists(FunctionIdentifier(SignBucketName))) {
+      registry.registerFunction(
+        FunctionIdentifier(SignBucketName),
+        new ExpressionInfo(classOf[SignBucketExpr].getName, SignBucketName),
+        (children: Seq[Expression]) =>
+          SignBucketExpr(children(0), children(1)))
     }
   }
 }
