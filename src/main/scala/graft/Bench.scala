@@ -1,14 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: every registered query timed at
   * SPARK_GRAFT_SF_DIR (default sf0.1), one JSON line out.
   *
+  * Output discipline (round-1 driver failed to parse the metric because the
+  * JSON line rode inside sbt's [info] stream next to a plan-truncation
+  * WARN):
+  *   - the JSON is ALSO written to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  *     /root/repo/bench_out.json) so the perf signal survives any stdout
+  *     mangling;
+  *   - per-query failures are RECORDED (`"errors":{name:msg}` + the query
+  *     timing is still present) instead of silently benchmarking a broken
+  *     query as a fast success.
+  *
   * Hygiene: a warmup action first (JIT + codegen + parquet footer cache),
   * and `clearCache()` between queries — several operators persist()
   * intermediate tables (LSH buckets, signature tables); letting those
-  * accumulate across 25 queries in one 8 GiB JVM turns later queries into
+  * accumulate across ~30 queries in one JVM turns later queries into
   * GC/eviction benchmarks instead of query benchmarks (observed 60×
   * inflation on the last-run query).
   */
@@ -16,6 +27,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,17 +36,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables(spark, sfDir, "events").count() // warmup
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+    Files.writeString(Paths.get(outFile), json + "\n")
+    // A blank line before/after gives the driver's line-oriented parser a
+    // clean boundary even when sbt prefixes the stream with [info].
+    println()
+    println(json)
+    println()
     spark.stop()
+    if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.map(_._1).mkString(", ")}")
   }
 }
