@@ -28,6 +28,21 @@ object QueriesExt {
   // DuckDB token list, identical semantics to Dedup.tokens.
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** Brute-force DuckDB oracle for word-3-gram Jaccard pairs at `t`. */
+  private def ngramOracle(t: Double): String =
+    s"""WITH g AS (
+      |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |           for i in range(1, greatest(len(toks)-1, 1))]) AS grams
+      |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000
+      |    AS jaccard
+      |FROM g a, g b
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.grams, b.grams))) >= $t""".stripMargin
+
   val all: Seq[QueryCase] = Seq(
 
     // ------------------------------------------------------------ dedup
@@ -73,23 +88,21 @@ object QueriesExt {
 
     // Exact n-gram Jaccard pairs ARE SQL-expressible: the shared-gram
     // blocking is lossless for threshold > 0, so the oracle can brute-force
-    // the full pair space at sf scale and must agree exactly.
+    // the full pair space at sf scale and must agree exactly. Registered
+    // twice to exercise BOTH physical paths of the threshold-adaptive join
+    // against the same brute-force oracle: direct count-join at t=0.1,
+    // prefix-filtered (All-Pairs) candidate/verify at t=0.5.
     QueryCase("q_dedup_ngram_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           "text", "doc_id", n = 3, threshold = 0.1)
         .withColumn("jaccard", round4(col("jaccard"))),
-      Some(s"""WITH g AS (
-        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |           for i in range(1, greatest(len(toks)-1, 1))]) AS grams
-        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000
-        |    AS jaccard
-        |FROM g a, g b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1""".stripMargin)),
+      Some(ngramOracle(0.1))),
+
+    QueryCase("q_dedup_ngram_pairs_hi",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.5)
+        .withColumn("jaccard", round4(col("jaccard"))),
+      Some(ngramOracle(0.5))),
 
     QueryCase("q_dedup_embedding_pairs",
       (s, dir) => {

@@ -288,39 +288,93 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs, `jaccard ≥ threshold`.
     *
-    * Count-based set-similarity join: J(a,b) = c / (|a| + |b| − c) where c
-    * is the number of shared distinct n-grams — so the exact Jaccard needs
-    * only the CO-OCCURRENCE COUNT per pair, never the gram arrays. The
-    * plan is: explode distinct grams (with each doc's gram count attached)
-    * → self-join on the gram (hash Exchange on a string key) → count rows
-    * per (id_a, id_b) — a codegen'd partial+final HashAggregate. An earlier
-    * version shuffled both docs' gram ARRAYS to every candidate pair and
-    * verified with interpreted array_intersect: 50× slower at sf0.1.
+    * Threshold-adaptive set-similarity join. Both paths are exact and
+    * count-based — J(a,b) = c / (|a| + |b| − c) needs only the shared-gram
+    * COUNT c per pair, never the gram arrays (an earlier version shuffled
+    * gram ARRAYS to every candidate and verified with interpreted
+    * array_intersect: 50× slower at sf0.1). Path choice (`prefixFilter`,
+    * default auto at threshold ≥ 0.3):
     *
-    * Blocking on shared n-grams is lossless for threshold > 0 (a pair with
-    * positive Jaccard shares ≥ 1 gram). `maxDf` caps hot blocking grams —
-    * at corpus scale boilerplate n-grams are quadratic hot keys; note a
-    * dropped gram still counts in |a|,|b| but not in c, so pairs whose
-    * ONLY shared grams are capped may slip below threshold (documented
-    * recall/cost knob; maxDf=∞ is fully exact). */
+    * DIRECT (low thresholds): explode distinct grams, attach each gram's
+    * global doc-frequency with a window count (partitioned by gram — the
+    * self-join on the gram key REUSES that hash partitioning, so the cap
+    * costs no extra Exchange), self-join on the gram, count rows per
+    * (id_a, id_b) — one codegen'd partial+final HashAggregate yields c for
+    * every co-occurring pair directly. At low t nearly every co-occurring
+    * pair must be counted anyway (prefixes are ~(1−t)·|g| long), so a
+    * candidate/verify split would RE-join candidates against the gram
+    * table and cost more than it saves — measured at sf0.1, t=0.1: 941 k
+    * of 941 k co-occurring pairs survive prefix candidacy.
+    *
+    * PREFIX (high thresholds — All-Pairs/PPJoin family): rank each doc's
+    * grams RAREST-FIRST by (global df, gram); candidate generation
+    * self-joins ONLY each doc's prefix — its first |g| − ⌈t·|g|⌉ + 1 grams
+    * in that order. Lossless for J ≥ t: a qualifying pair must share
+    * ≥ ⌈t·|x|⌉ grams, and a set missing all of its prefix can share at
+    * most ⌈t·|x|⌉ − 1. The grams EXCLUDED from prefixes are exactly the
+    * hottest ones, so the Σ df² join blowup collapses superlinearly as t
+    * grows. A min/max length-ratio filter (J ≤ min/max) prunes before
+    * pair-dedup; exact c is then re-derived per candidate by joining back
+    * to the full gram table on id_a then (id_b, gram).
+    *
+    * `maxDf` caps pathological blocking grams (boilerplate spam =
+    * quadratic hot keys). On the prefix path it affects only CANDIDATE
+    * RECALL (capped grams still count in c for surviving candidates); on
+    * the direct path a capped gram is excluded from c too — pairs whose
+    * ONLY shared grams are capped may slip below threshold (recall/cost
+    * knob; maxDf=∞ is fully exact). Float care: prefix length and
+    * length-ratio use ε-conservative ceil/compares so binary-float slop
+    * can only widen the candidate set, never lose a qualifying pair. */
   def ngramJaccardPairs(df0: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 1000,
+      prefixFilter: Option[Boolean] = None): DataFrame = {
+    val usePrefix = prefixFilter.getOrElse(threshold >= 0.3)
     val df = parallelize(df0)
     val exploded = df
       .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
       .select(col("id"), size(col("grams")).as("nsz"),
         explode(col("grams")).as("g"))
-      .persist() // feeds the df-cap aggregate and both join sides
+      .persist() // feeds candidate generation and the verify join sides
+    val withDf = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
 
-    val rare = exploded.groupBy("g").count().filter(col("count") <= maxDf)
-    val blocked = exploded.join(rare.select("g"), Seq("g"))
-
-    val a = blocked.select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
-    val b = blocked.select(col("g"), col("id").as("id_b"), col("nsz").as("nb"))
-    a.join(b, Seq("g"))
+    def pairCounts(blocked: DataFrame): DataFrame = blocked
+      .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(blocked.select(col("g"), col("id").as("id_b"),
+        col("nsz").as("nb")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("c"))
+
+    val counted =
+      if (!usePrefix) pairCounts(withDf.filter(col("df") <= maxDf))
+      else {
+        val prefixLen =
+          col("nsz") - ceil(col("nsz") * lit(threshold) - lit(1e-9)) + 1
+        val prefix = withDf
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("g"))))
+          .filter(col("pos") <= prefixLen && col("df") <= maxDf)
+          .select("g", "id", "nsz")
+        val candidates = prefix
+          .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+          .join(prefix.select(col("g"), col("id").as("id_b"),
+            col("nsz").as("nb")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(least(col("na"), col("nb")) >=
+            greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9))
+          .select("id_a", "id_b")
+          .distinct()
+        candidates
+          .join(exploded.select(col("id").as("id_a"), col("nsz").as("na"),
+            col("g")), Seq("id_a"))
+          .join(exploded.select(col("id").as("id_b"), col("nsz").as("nb"),
+            col("g")), Seq("id_b", "g"))
+          .groupBy("id_a", "id_b", "na", "nb")
+          .agg(count(lit(1)).as("c"))
+      }
+
+    counted
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)

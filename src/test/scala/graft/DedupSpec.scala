@@ -77,6 +77,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 0.5) < 1e-12)
   }
 
+  test("ngramJaccardPairs: prefix-filtered path ≡ direct path (exact)") {
+    // A mix of near-dups, partial overlaps, and length mismatches so the
+    // prefix + length-ratio pruning actually has something to prune.
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "the quick brown fox leaps over the lazy dog today"),
+      (4L, "a completely different sentence with no overlap at all"),
+      (5L, "the quick brown fox"),
+      (6L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+    for (t <- Seq(0.1, 0.3, 0.5, 0.8)) {
+      def run(p: Boolean) = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+          n = 3, threshold = t, prefixFilter = Some(p))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getAs[Double]("jaccard") * 1e9)))
+        .toSet
+      assert(run(true) == run(false), s"paths diverge at threshold $t")
+    }
+  }
+
   test("embeddingDupPairs: parallel vectors pair, orthogonal don't") {
     val s = spark
     import s.implicits._
