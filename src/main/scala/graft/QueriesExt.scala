@@ -28,6 +28,36 @@ object QueriesExt {
   // DuckDB token list, identical semantics to Dedup.tokens.
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** JVM-local materialized intermediates: build once per (key), persist
+    * to a temp parquet, read back for every consumer. The MinHash pairs
+    * table feeds BOTH `q_dedup_minhash_pairs` and `q_dedup_minhash`
+    * (pairs + anti-join) — without this the whole signature+band-join
+    * pipeline runs twice across the two registered queries. This is the
+    * 100 TB shape too: a near-dup pairs table is an expensive corpus-level
+    * artifact you materialize once and derive all downstream views from. */
+  private object Materialized {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, String]()
+    def apply(s: org.apache.spark.sql.SparkSession, key: String)(
+        build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val path = cache.getOrElseUpdate(key, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_mv_").toString
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  /** The shared MinHash near-dup pairs table for `dir` (raw, unrounded). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"minhash_pairs:$dir") {
+      Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
+    }
+
   /** Brute-force DuckDB oracle for word-3-gram Jaccard pairs at `t`. */
   private def ngramOracle(t: Double): String =
     s"""WITH g AS (
@@ -66,18 +96,16 @@ object QueriesExt {
         |  FROM documents) WHERE rn = 1""".stripMargin)),
 
     // MinHash+LSH near-dedup: xxhash64 signature family is engine-local →
-    // rows-only check; semantics unit-tested in DedupSpec.
+    // rows-only check; semantics unit-tested in DedupSpec. Both queries
+    // derive from ONE materialized pairs table (see [[Materialized]]).
     QueryCase("q_dedup_minhash_pairs",
-      (s, dir) => Dedup.minhashDupPairs(t(s, dir, "documents"),
-          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
-          shingle = 3)
+      (s, dir) => minhashPairs(s, dir)
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
       None),
 
     QueryCase("q_dedup_minhash",
-      (s, dir) => Dedup.minhashDedup(t(s, dir, "documents"),
-          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
-          shingle = 3)
+      (s, dir) => Dedup.dedupFromPairs(t(s, dir, "documents"),
+          minhashPairs(s, dir), "doc_id")
         .select("doc_id"),
       None),
 

@@ -189,12 +189,20 @@ object Dedup {
     * single-pass approximation of connected-component dedup). */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      shingle: Int = 1): DataFrame = {
-    val losers = minhashDupPairs(df, textCol, idCol, numHashes, bands,
-        threshold, shingle = shingle)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      shingle: Int = 1): DataFrame =
+    dedupFromPairs(df,
+      minhashDupPairs(df, textCol, idCol, numHashes, bands, threshold,
+        shingle = shingle), idCol)
+
+  /** Dedup from an already-computed near-dup pairs table (id_a < id_b):
+    * one anti-join. At corpus scale the pairs table is the expensive
+    * artifact — materialize it ONCE and derive dedup, connected
+    * components, and audits from it instead of re-running candidate
+    * generation per consumer. */
+  def dedupFromPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   // ------------------------------------------------------------- SimHash
 
