@@ -112,12 +112,48 @@ object Similarity {
   }
 
   /** Deterministic centroid sample for IVF: the first `nlist` rows by id.
-    * (Stands in for k-means; driver-side but bounded by nlist, not corpus
-    * size.) */
+    * (k-means init and the SQL-oracle-reproducible centroid choice;
+    * driver-side but bounded by nlist, not corpus size.) */
   def sampleCentroids(df: DataFrame, vecCol: String, idCol: String,
       nlist: Int): Array[(Int, Array[Float])] =
     df.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+  /** Lloyd k-means centroids for IVF, as DataFrame jobs — the production
+    * centroid builder ([[sampleCentroids]] is the init). Each iteration:
+    * broadcast the current centroids into a fused argmax-assignment
+    * projection ([[ivfAssign]] — no shuffle of the corpus), then
+    * re-compute cell means with posexplode → groupBy(cell, dim) — one hash
+    * Exchange of |corpus| × dim (cell, dim, component) triples with
+    * map-side partial sums; only nlist × dim aggregated rows ever reach
+    * the driver.
+    *
+    * Deterministic by construction: init = first-nlist-by-id, and means
+    * use exact DECIMAL sums (order-independent — double summation would
+    * make centroids vary run-to-run with shuffle order). Empty cells keep
+    * their previous centroid. Similarity metric is cosine throughout,
+    * matching the IVF probe/assignment metric. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iterations: Int = 5): Array[(Int, Array[Float])] = {
+    var cents = sampleCentroids(df, vecCol, idCol, nlist)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    for (_ <- 0 until iterations) {
+      val means = ivfAssign(df, vecCol, cents)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (cell, rows) =>
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getAs[Int]("d")) = r.getAs[Double]("m").toFloat)
+          cell -> v
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
 }

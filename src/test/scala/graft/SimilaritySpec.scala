@@ -51,4 +51,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     val c = Similarity.sampleCentroids(corpus, "embedding", "vec_id", 2)
     assert(c.length == 2 && c(0)._2.head == 1f)
   }
+
+  test("kmeansCentroids converges to the two cluster directions") {
+    val s = spark
+    import s.implicits._
+    // Two tight clusters around x-axis and y-axis; init = first 2 by id
+    // (one from each cluster by construction).
+    val d = Seq(
+      (0L, Array(1f, 0.05f, 0f, 0f)), (1L, Array(0.02f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (4L, Array(0.95f, 0f, 0f, 0f)), (5L, Array(0f, 0.95f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.kmeansCentroids(d, "embedding", "vec_id", 2, 4)
+    assert(c.length == 2)
+    val c0 = c(0)._2; val c1 = c(1)._2
+    assert(c0(0) > c0(1) && c1(1) > c1(0)) // each centroid points at its cluster
+    // deterministic: re-running yields bit-identical centroids
+    val c2 = Similarity.kmeansCentroids(d, "embedding", "vec_id", 2, 4)
+    assert(c.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
+  }
+
+  test("IVF with kmeans centroids: recall vs brute force on the fixture") {
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = embs.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(embs, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cents = Similarity.kmeansCentroids(embs, "embedding", "vec_id", 8, 3)
+    val ivf = Similarity.ivfTopK(embs, "embedding", "vec_id", q, 10,
+      cents, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (ivf=$ivf brute=$brute)")
+  }
 }
