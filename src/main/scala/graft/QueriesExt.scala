@@ -58,6 +58,16 @@ object QueriesExt {
         numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
     }
 
+  /** The shared exact ngram-Jaccard pairs table at t=0.5 — feeds
+    * `q_dedup_ngram_pairs_hi` (prefix-filtered path showcase) and
+    * `q_dedup_cc` (transitive closure over the same edges). */
+  private def ngramPairsHi(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"ngram_pairs_hi:$dir") {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+    }
+
   // ------------------------------------------------ embedding-tier oracles
   //
   // The LSH hyperplane families are deterministic from their seed, so the
@@ -143,6 +153,20 @@ object QueriesExt {
        |ORDER BY ${cosSql("cells.e", "q.qe")} DESC, cells.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Recursive-CTE oracle for connected-components labeling over the
+    * ngram-Jaccard pairs graph at threshold `t`: component(doc) = min
+    * doc_id whose pair-chain reaches doc; singletons label themselves. */
+  private def ccOracle(t: Double): String =
+    s"""WITH RECURSIVE
+      |pairs AS (${ngramOracle(t).replace("\n", "\n|")}),
+      |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+      |SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s""".stripMargin
+
   /** Brute-force DuckDB oracle for word-3-gram Jaccard pairs at `t`. */
   private def ngramOracle(t: Double): String =
     s"""WITH g AS (
@@ -212,10 +236,18 @@ object QueriesExt {
       Some(ngramOracle(0.1))),
 
     QueryCase("q_dedup_ngram_pairs_hi",
-      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "text", "doc_id", n = 3, threshold = 0.5)
+      (s, dir) => ngramPairsHi(s, dir)
         .withColumn("jaccard", round4(col("jaccard"))),
       Some(ngramOracle(0.5))),
+
+    // Transitive (connected-components) dedup labeling over the t=0.5
+    // ngram pairs graph: component = min doc_id reachable through any
+    // near-dup chain. Oracle = DuckDB recursive CTE transitive closure
+    // over the same brute-forced edge set.
+    QueryCase("q_dedup_cc",
+      (s, dir) => Dedup.assignComponents(t(s, dir, "documents"),
+        ngramPairsHi(s, dir), "doc_id"),
+      Some(ccOracle(0.5))),
 
     // Embedding near-dup pairs, ORACLE-CHECKED: the hyperplane family is
     // deterministic from the seed, so the oracle SQL embeds the identical

@@ -204,6 +204,71 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  // ------------------------------------------- connected-components dedup
+
+  /** Connected components of an undirected near-dup pairs graph
+    * (id_a, id_b): returns (id, component) where component = the MINIMUM
+    * id reachable through any chain of pairs — the true duplicate-class
+    * labeling that greedy drop-the-larger-id misses (for a~b, b~c the
+    * greedy pass keeps {a} too, but for a~c, b~c it wrongly keeps b).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); fixpoint in O(diameter)
+    * rounds. Each round is one shuffle join + partial-min aggregate;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N−1. Duplicate-class diameters are tiny in
+    * practice (spam clusters are dense); for adversarial long chains swap
+    * the propagation step for large-star/small-star (O(log n) rounds,
+    * same per-round shape). `maxIter` bounds the loop; the driver-side
+    * per-round `count()` is the convergence check, not a data collect. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.select(col("src").as("id"), col("dst"))
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")),
+          Seq("dst"))
+        .groupBy("id").agg(min("nbrComp").as("nbrComp"))
+      val newLabels = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = newLabels
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") < col("old")).count()
+      labels = newLabels
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Component label for EVERY row of `df`: nodes absent from the pairs
+    * graph are their own singleton component. */
+  def assignComponents(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    df.select(col(idCol))
+      .join(connectedComponents(pairs).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+
+  /** Transitive dedup: keep one representative (the min id) per duplicate
+    * CLASS — the closure of the pairs relation — rather than per pair. */
+  def ccDedupFromPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    df.join(assignComponents(df, pairs, idCol)
+        .filter(col(idCol) =!= col("component"))
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the word-token multiset: per token a 64-bit hash

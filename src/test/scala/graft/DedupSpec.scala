@@ -98,6 +98,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("connectedComponents: chain a~b~c (a≁c) collapses to one class") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs6 = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f"))
+    val kept = Dedup.ccDedupFromPairs(docs6, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // one rep per class + untouched singleton
+    val labeled = Dedup.assignComponents(docs6, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled(4L) == 4L && labeled(6L) == 5L)
+  }
+
   test("embeddingDupPairs: parallel vectors pair, orthogonal don't") {
     val s = spark
     import s.implicits._
