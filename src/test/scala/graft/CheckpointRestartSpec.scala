@@ -13,7 +13,12 @@ import graft.streaming.Pipeline
   * `/tmp/spark_checkpoint_sentiment` (`summarizer.py:110`) and must resume
   * window state across restarts. Stop the query mid-stream, restart from
   * the same checkpoint, and assert the window aggregate CONTINUES (a
-  * re-emission with the merged count) rather than restarting from zero. */
+  * re-emission with the merged count) rather than restarting from zero.
+  *
+  * Run twice: under the default (HDFS-backed in-memory) state store and
+  * under RocksDB — the 100 TB streaming-state path ([[GraftSession]]'s
+  * `rocksDbState` knob; watermark-free reference semantics grow state
+  * without bound, which only RocksDB survives at scale). */
 class CheckpointRestartSpec extends AnyFunSuite with SparkTestSupport {
 
   private def review(ts: Long, sentiment: Float): String =
@@ -22,7 +27,7 @@ class CheckpointRestartSpec extends AnyFunSuite with SparkTestSupport {
        |"sentiment":$sentiment,"author_playtime_at_review":60.0}"""
       .stripMargin.replaceAll("\n", "")
 
-  test("window state survives a stop/restart from checkpoint") {
+  private def runRestartScenario(): Unit = {
     val s = spark
     import s.implicits._
     implicit val sql = s.sqlContext
@@ -59,5 +64,21 @@ class CheckpointRestartSpec extends AnyFunSuite with SparkTestSupport {
     } finally q2.stop()
     assert(emissions.last == ((2L, 1L)),
       s"state did not resume across restart: $emissions")
+  }
+
+  test("window state survives a stop/restart from checkpoint") {
+    runRestartScenario()
+  }
+
+  test("window state survives restart under the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runRestartScenario()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
