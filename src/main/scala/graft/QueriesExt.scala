@@ -392,10 +392,14 @@ object QueriesExt {
       None),
 
     // ------------------------------------------------------- multimodal
+    // Metadata-only decode rides the codegen'd expression fast-path
+    // (decodeMeta — fused into the scan, no object serialization); the
+    // partition-batched Dataset path (decode) stays the real-codec
+    // plumbing and is asserted identical in MultimodalSpec.
     QueryCase("q_multimodal_decode",
       (s, dir) => Multimodal.resizePlan(
-          Multimodal.decode(s, Multimodal.mediaFromDocuments(
-            t(s, dir, "documents"))).toDF(),
+          Multimodal.decodeMeta(Multimodal.mediaFromDocuments(
+            t(s, dir, "documents"))),
           maxSide = 512)
         .select("media_id", "n_bytes", "width", "height", "channels",
           "out_width", "out_height"),

@@ -48,6 +48,23 @@ object Multimodal {
     (width, height, 3)
   }
 
+  /** Expression fast-path for METADATA-ONLY decode: the stub's dimension
+    * math is pure byte-length arithmetic, so it can run as a codegen'd
+    * projection fused into the scan — no Dataset object serialization, no
+    * mapPartitions. Bit-identical output schema/values to [[decode]]
+    * (asserted in MultimodalSpec). Use this when only metadata is needed;
+    * use [[decode]] when a real codec must touch the bytes (its
+    * partition-batched shape is the codec-amortization point). */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val n = length(col("content")).cast("long")
+    media.select(
+      col("media_id"), col("kind"),
+      n.as("n_bytes"),
+      (n % 1024L + 64L).cast("int").as("width"),
+      (n % 768L + 48L).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
   /** Partition-wise batched "decode": binary blobs → typed metadata rows.
     * `mapPartitions` processes each partition's iterator in one pass —
     * per-partition (not per-row) setup cost, the JVM twin of a pandas-UDF

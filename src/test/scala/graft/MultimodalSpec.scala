@@ -23,6 +23,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(metas(2L).n_bytes == 2000L)
   }
 
+  test("decodeMeta expression fast-path ≡ partition-batched decode") {
+    val viaExpr = Multimodal.decodeMeta(media).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val viaBatch = Multimodal.decode(spark, media).collect()
+      .map(m => (m.media_id, m.kind, m.n_bytes, m.width, m.height,
+        m.channels)).toSet
+    assert(viaExpr == viaBatch)
+  }
+
   test("resizePlan preserves aspect and never upscales") {
     val s = spark
     import s.implicits._
