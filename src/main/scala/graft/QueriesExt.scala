@@ -153,6 +153,89 @@ object QueriesExt {
        |ORDER BY ${cosSql("cells.e", "q.qe")} DESC, cells.vec_id
        |LIMIT 10""".stripMargin
 
+  // -------------------------------------- portable-hash pipeline oracles
+  //
+  // DuckDB twin of Dedup.hex32 / hex60: first N md5 hex chars as integer.
+  private def sqlHex32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+  private def sqlHex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Full MinHash+LSH pipeline oracle (portable md5 hash family,
+    * shingle=3, value-equality band keys): shingles → double-hash mins →
+    * band buckets → bounded self-join → exact signature-match estimate.
+    * Mirrors Dedup.minhashDupPairsPortable clause for clause. */
+  private def minhashPortableOracle(numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): String = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |        for i in range(1, greatest(len(toks)-1, 1))]) AS grams FROM toks),
+      |u AS (SELECT doc_id, unnest(grams) AS u FROM g),
+      |h AS (SELECT doc_id, ${sqlHex32("u")} AS h1,
+      |             ${sqlHex32("u || '|'")} AS h2 FROM u),
+      |sig AS (SELECT doc_id,
+      |  $minCols
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |$bandRows
+      |),
+      |bc AS (SELECT band, bucket, count(*) AS c FROM bands GROUP BY 1, 2),
+      |bounded AS (SELECT bands.doc_id, bands.band, bands.bucket FROM bands
+      |            JOIN bc USING (band, bucket) WHERE bc.c <= $maxBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bounded a JOIN bounded b USING (band, bucket)
+      |         WHERE a.doc_id < b.doc_id),
+      |est AS (SELECT id_a, id_b, ($matches) / $numHashes.0 AS est_jaccard
+      |        FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+      |                  JOIN sig sb ON cand.id_b = sb.doc_id)
+      |SELECT id_a, id_b,
+      |  floor(est_jaccard * 10000 + 0.5) / 10000 AS est_jaccard
+      |FROM est WHERE est_jaccard >= $threshold""".stripMargin
+  }
+
+  /** Full SimHash pipeline oracle (portable 60-bit md5 hash): token votes
+    * → fingerprint → pigeonhole chunk join → bit_count(xor) verify.
+    * Mirrors Dedup.simhashDupPairsPortable clause for clause. */
+  private def simhashPortableOracle(maxHamming: Int): String = {
+    val bits = 60
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val voteCols = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val fpExpr = (0 until bits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkRows = (0 until chunks).map { c =>
+      s"SELECT doc_id, fp, $c AS ci, (fp >> ${c * width}) & $mask AS cv FROM fp"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+      |h AS (SELECT doc_id, ${sqlHex60("t")} AS h FROM tk),
+      |v AS (SELECT doc_id,
+      |  $voteCols
+      |  FROM h GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $fpExpr AS fp FROM v),
+      |ch AS (
+      |$chunkRows
+      |),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a,
+      |                b.doc_id AS id_b, b.fp AS fp_b
+      |         FROM ch a JOIN ch b USING (ci, cv)
+      |         WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming""".stripMargin
+  }
+
   /** Recursive-CTE oracle for connected-components labeling over the
     * ngram-Jaccard pairs graph at threshold `t`: component(doc) = min
     * doc_id whose pair-chain reaches doc; singletons label themselves. */
@@ -222,6 +305,24 @@ object QueriesExt {
       (s, dir) => Dedup.simhashDupPairs(t(s, dir, "documents"),
           "text", "doc_id", maxHamming = 3),
       None),
+
+    // Portable-hash twins of the MinHash and SimHash pipelines: the md5-
+    // derived hash families (Dedup.hex32/hex60) are reproducible in
+    // DuckDB, so the ENTIRE approximate pipeline — signatures/votes,
+    // banding/chunking, bounded candidate join, estimate/verify — is
+    // hash-checked end-to-end, not just unit-tested. The xxhash64
+    // defaults stay the perf path (~2× cheaper hashing).
+    QueryCase("q_dedup_minhash_portable",
+      (s, dir) => Dedup.minhashDupPairsPortable(t(s, dir, "documents"),
+          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
+          shingle = 3)
+        .withColumn("est_jaccard", round4(col("est_jaccard"))),
+      Some(minhashPortableOracle(32, 8, 0.5, 1000))),
+
+    QueryCase("q_dedup_simhash_portable",
+      (s, dir) => Dedup.simhashDupPairsPortable(t(s, dir, "documents"),
+          "text", "doc_id", maxHamming = 3),
+      Some(simhashPortableOracle(3))),
 
     // Exact n-gram Jaccard pairs ARE SQL-expressible: the shared-gram
     // blocking is lossless for threshold > 0, so the oracle can brute-force

@@ -144,22 +144,33 @@ object Dedup {
     * buckets instead of letting one key quadratically dominate a task). */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxBucket: Int = 1000, shingle: Int = 1): DataFrame = {
+      maxBucket: Int = 1000, shingle: Int = 1): DataFrame =
+    bandedSigPairs(
+      minhashSignatures(df, textCol, idCol, numHashes, shingle),
+      numHashes, bands, threshold, maxBucket,
+      sig => lshBandKeys(sig, numHashes, bands))
+
+  /** Shared MinHash+LSH candidate machinery over a signature table
+    * (`id`, `sig: array<long>`): band-explode with `bandKeys`, bounded
+    * self-join, exact signature-match estimate per distinct pair.
+    *
+    * Candidate generation carries ONLY (band, bucket, id): the candidate
+    * set before pair-dedup is the explosion point (Σ bucket² rows × bands
+    * duplication) — shuffling the signature arrays through it was 5×
+    * slower than this ids-only join at sf0.1. Signatures are re-attached
+    * per DISTINCT pair afterwards (two joins against the persisted
+    * signature table — broadcast at test scale, shuffle-hash at corpus
+    * scale). */
+  private def bandedSigPairs(sigTable: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, maxBucket: Int,
+      bandKeys: Column => Column): DataFrame = {
     // Persist the signature table: it feeds the band explode AND the two
     // signature-attach joins — without a barrier Spark recomputes it per
     // branch.
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingle)
-      .persist()
+    val sigs = sigTable.persist()
 
-    // Candidate generation carries ONLY (band, bucket, id): the candidate
-    // set before pair-dedup is the explosion point (Σ bucket² rows × bands
-    // duplication) — shuffling the signature arrays through it was 5×
-    // slower than this ids-only join at sf0.1. Signatures are re-attached
-    // per DISTINCT pair afterwards (two joins against the small persisted
-    // signature table — broadcast at test scale, shuffle-hash at corpus
-    // scale).
     val buckets = sigs
-      .select(col("id"), explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
 
     val bucketCounts = buckets.groupBy("band", "bucket").count()
@@ -182,6 +193,64 @@ object Dedup {
           m => m)).cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ------------------------------------ portable (cross-engine) variants
+  //
+  // The default pipelines hash with xxhash64 (fastest codegen'd hash in
+  // Spark) — engine-local, so the driver's DuckDB oracle can't recompute
+  // them. These variants swap ONLY the hash family for one any md5-capable
+  // engine reproduces bit-for-bit, making the whole approximate pipeline
+  // oracle-checkable end-to-end:
+  //
+  //   h32(u)  = first 8 md5 hex chars as an integer
+  //             Spark:  conv(substring(md5(u), 1, 8), 16, 10)::long
+  //             DuckDB: ('0x' || substr(md5(u), 1, 8))::BIGINT
+  //
+  // Band keys use the raw signature-slice VALUES (portable equality)
+  // instead of an engine hash of the slice. Same plan shapes, same scale
+  // arguments; md5 costs ~2× xxhash64, so the default stays xxhash64.
+
+  /** First 32 bits of md5 as a long (cross-engine reproducible hash). */
+  def hex32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** [[minhashSignatures]] with the portable md5-derived double-hash
+    * family: h1 = hex32(u), h2 = hex32(u || "|"). */
+  def minhashSignaturesPortable(df0: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, shingle: Int = 1): DataFrame = {
+    val df = parallelize(df0)
+    val units = if (shingle <= 1) array_distinct(tokens(col(textCol)))
+      else wordNgrams(col(textCol), shingle)
+    val exploded = df.select(col(idCol).as("id"), explode(units).as("u"))
+      .select(col("id"),
+        hex32(col("u")).as("h1"),
+        hex32(concat(col("u"), lit("|"))).as("h2"))
+    val mins = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** [[minhashDupPairs]] with the portable hash family and value-equality
+    * band keys (bucket = comma-joined signature slice — no engine hash in
+    * the blocking key, so an external engine derives identical candidate
+    * sets, not just collision-equivalent ones). */
+  def minhashDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 1000, shingle: Int = 1): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    bandedSigPairs(
+      minhashSignaturesPortable(df, textCol, idCol, numHashes, shingle),
+      numHashes, bands, threshold, maxBucket,
+      sig => transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws(",",
+            transform(slice(sig, b * lit(r) + 1, lit(r)),
+              v => v.cast("string"))).as("bucket"))))
   }
 
   /** MinHash dedup: drop every doc that is a near-duplicate of a
@@ -312,15 +381,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
-    * Blocking by the pigeonhole principle: split the 64-bit fingerprint
-    * into `maxHamming+1` chunks — any pair within distance k agrees on at
-    * least one chunk, so the self-join on (chunk index, chunk value) is
-    * lossless. Verification = `bit_count(a XOR b)`. */
+    * Blocking by the pigeonhole principle: split the `bits`-wide
+    * fingerprint into `maxHamming+1` chunks — any pair within distance k
+    * agrees on at least one chunk, so the self-join on (chunk index,
+    * chunk value) is lossless. Verification = `bit_count(a XOR b)`. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashFingerprints(df, textCol, idCol), 64, maxHamming)
+
+  /** Pigeonhole chunk-join over a fingerprint table (`id`, `fp`). */
+  private def hammingPairs(fpTable: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val fps = simhashFingerprints(df, textCol, idCol)
+    val width = bits / chunks
+    val fps = fpTable
       .persist()
       .withColumn("chunk", explode(transform(
         sequence(lit(0), lit(chunks - 1)),
@@ -338,6 +412,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** First 60 bits of md5 as a long (15 hex chars — stays inside the
+    * signed-long budget both engines share; see [[hex32]]). */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[simhashFingerprints]] with the portable md5-derived 60-bit hash:
+    * identical explode → 60 conditional-sum aggregates → fingerprint
+    * assembly, reproducible in any md5-capable engine. */
+  def simhashFingerprintsPortable(df0: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val df = parallelize(df0)
+    val exploded = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), hex60(col("t")).as("h"))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j"))
+    val fp = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    exploded.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("fp"))
+  }
+
+  /** [[simhashDupPairs]] over the portable 60-bit fingerprint family
+    * (4 pigeonhole chunks of 15 bits at the default maxHamming=3). */
+  def simhashDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashFingerprintsPortable(df, textCol, idCol), 60,
+      maxHamming)
 
   // ------------------------------------------- exact n-gram Jaccard pairs
 
