@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Decontam, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
   * analysis, multimodal — the 100 TB training-data-pipeline surface
@@ -428,6 +429,113 @@ object QueriesExt {
         |        list_distinct([array_to_string(toks[i:i+2], ' ')
         |          for i in range(1, greatest(len(toks)-1, 1))]) AS grams
         |      FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))""".stripMargin)),
+
+    // Gopher-style repetition metrics: duplicate-line fraction + top
+    // word-bigram token fraction, brute-forced in the oracle with list
+    // comprehensions over the same tokenization.
+    QueryCase("q_text_repetition",
+      (s, dir) => TextStats.repetitionStats(t(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          round4(col("dup_line_frac")).as("dup_line_frac"),
+          round4(col("top_bigram_frac")).as("top_bigram_frac")),
+      Some(s"""SELECT doc_id,
+        | floor((CASE WHEN len(ls) > 0
+        |   THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |   ELSE 0.0 END) * 10000 + 0.5) / 10000 AS dup_line_frac,
+        | floor((CASE WHEN len(gs) > 0
+        |   THEN CAST(list_max(list_transform(list_distinct(gs),
+        |          g -> len(list_filter(gs, x -> x = g)))) AS DOUBLE) / len(gs)
+        |   ELSE 0.0 END) * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |FROM (SELECT doc_id,
+        |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+        |  [array_to_string(toks[i:i+1], ' ')
+        |     for i in range(1, greatest(len(toks), 1))] AS gs
+        |  FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))""".stripMargin)),
+
+    // PII scrub: counts + redaction with Java∩RE2 patterns shared
+    // verbatim with the oracle.
+    QueryCase("q_text_pii",
+      (s, dir) => TextStats.piiScrub(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_urls", "n_emails", "n_phones", "redacted"),
+      Some {
+        // DuckDB string literals are standard-SQL (no backslash escapes) —
+        // the Java pattern strings pass through verbatim.
+        val u = TextStats.UrlPattern.replace("'", "''")
+        val e = TextStats.EmailPattern.replace("'", "''")
+        val p = TextStats.PhonePattern.replace("'", "''")
+        s"""SELECT doc_id,
+           | CAST(len(regexp_extract_all(text, '$u')) AS INTEGER) AS n_urls,
+           | CAST(len(regexp_extract_all(text, '$e')) AS INTEGER) AS n_emails,
+           | CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_phones,
+           | regexp_replace(regexp_replace(regexp_replace(text,
+           |   '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g')
+           |   AS redacted
+           |FROM documents""".stripMargin
+      }),
+
+    // Deterministic hash sampling (plain + stratified): membership =
+    // md5-derived key hash under the rate threshold, bit-identical in the
+    // oracle — no RNG, stable under repartitioning.
+    QueryCase("q_sample_hash",
+      (s, dir) => Sampling.hashSample(t(s, dir, "documents"),
+          "doc_id", rate = 0.5)
+        .select("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
+        |      < CAST(floor(0.5 * 4294967296.0) AS BIGINT)""".stripMargin)),
+
+    QueryCase("q_sample_stratified",
+      (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          rates = scala.collection.immutable.ListMap("en" -> 0.9, "es" -> 0.2),
+          defaultRate = 0.5)
+        .select("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
+        |      < CAST(floor((CASE WHEN lang = 'en' THEN 0.9
+        |                         WHEN lang = 'es' THEN 0.2
+        |                         ELSE 0.5 END) * 4294967296.0) AS BIGINT)""".stripMargin)),
+
+    // Eval-set decontamination: held-out set stand-in = every 97th doc;
+    // n_hits = distinct shared 5-grams per training doc.
+    QueryCase("q_decontam",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontam.contaminationHits(
+          docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 5)
+      },
+      Some(s"""WITH g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |           for i in range(1, greatest(len(toks)-3, 1))]) AS grams
+        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS g FROM g
+        |               WHERE doc_id % 97 <> 0) dg
+        |         JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT g.doc_id AS id, coalesce(hits.n_hits, 0) AS n_hits
+        |FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 97 <> 0""".stripMargin)),
+
+    // Sequence packing: per-source streaming pack into 1000-token bins
+    // (bin = exclusive-cumsum ÷ budget), exact integer window both sides.
+    QueryCase("q_pack",
+      (s, dir) => Packing.packByOrder(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+          "n_tokens", "doc_id", "source", budget = 1000L)
+        .select("doc_id", "source", "n_tokens", "bin", "bin_offset"),
+      Some(s"""SELECT doc_id, source, n_tokens,
+        | CAST(floor(cum / 1000.0) AS BIGINT) AS bin,
+        | CAST(cum - CAST(floor(cum / 1000.0) AS BIGINT) * 1000 AS BIGINT)
+        |   AS bin_offset
+        |FROM (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum
+        |      FROM (SELECT doc_id, source,
+        |              CAST(len($sqlToks) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin)),
 
     // ------------------------------------------------- similarity search
     QueryCase("q_similarity_brute",

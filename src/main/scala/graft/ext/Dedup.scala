@@ -446,6 +446,18 @@ object Dedup {
 
   // ------------------------------------------- exact n-gram Jaccard pairs
 
+  /** Word n-grams of the normalized text WITH multiplicity (repetition
+    * metrics need duplicate grams; [[wordNgrams]] is the distinct form). */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val grams = transform(array(tokens(text)), toks =>
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        g => g.isNotNull))
+    element_at(grams, 1)
+  }
+
   /** Word n-grams (distinct) of the normalized text.
     *
     * The tokenization is BOUND ONCE via a singleton-array lambda

@@ -80,6 +80,58 @@ object TextStats {
         stopTerm * lit(0.25) + wlenTerm * lit(0.25))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 family),
+    * per-row and shuffle-free:
+    *
+    *   - `dup_line_frac`: 1 − |distinct non-empty lines| / |non-empty
+    *     lines| — boilerplate/template detector.
+    *   - `top_bigram_frac`: occurrences of the most frequent word 2-gram
+    *     / total 2-grams — loop/spam detector. Mode count is an O(d²)
+    *     HOF over DISTINCT grams within the row (d ≤ tokens; fine for
+    *     document-sized rows — a corpus-wide variant would explode +
+    *     groupBy instead).
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val dupLineFrac = when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double"))
+      .otherwise(lit(0.0))
+    val grams = Dedup.wordNgramsAll(col(textCol), 2)
+    val topCount = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    val topBigramFrac = when(size(grams) > 0,
+      topCount.cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+    df.withColumn("dup_line_frac", dupLineFrac)
+      .withColumn("top_bigram_frac", topBigramFrac)
+  }
+
+  /** Cross-engine-safe PII patterns (Java∩RE2, no lookaround; literal
+    * space instead of \s inside classes so both engines agree). */
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ().-]{7,}[0-9]"
+
+  /** PII scrubbing: counts + redaction of URLs, emails, and phone-shaped
+    * numbers. Pure regex projections (codegen'd, scan-fused). Redaction
+    * order URL → email → phone so an email inside a URL is counted once
+    * as URL. Counts are taken BEFORE redaction; the patterns are
+    * non-overlapping enough for training-data hygiene, not a compliance
+    * tool — swap in a proper PII model for that. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_urls", size(regexp_extract_all(text, lit(UrlPattern), lit(0))))
+      .withColumn("n_emails", size(regexp_extract_all(text, lit(EmailPattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, UrlPattern, "<URL>"),
+            EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+  }
+
   /** Document fingerprint: minimum MD5 over word 3-gram hashes (a
     * winnowing-style content signature, stable under reordering of
     * surrounding documents; MD5 so the oracle can recompute it). Falls

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Decontam, TextStats}
+import graft.ops.{Packing, Sampling}
+
+/** Training-pipeline hygiene operators: repetition metrics, PII scrub,
+  * deterministic sampling, decontamination, sequence packing. */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionStats: duplicate lines and looping bigrams score high") {
+    val d = docs(
+      (1L, "spam line\nspam line\nspam line\nunique line"),
+      (2L, "buy now buy now buy now"),
+      (3L, "all lines here are different\nsecond line"))
+    val got = TextStats.repetitionStats(d, "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("dup_line_frac"), r.getAs[Double]("top_bigram_frac"))))
+      .toMap
+    assert(math.abs(got(1L)._1 - 0.5) < 1e-12)       // 2 of 4 lines dup
+    assert(got(2L)._2 > 0.5)                          // "buy now" loop
+    assert(got(3L)._1 == 0.0 && got(3L)._2 <= 0.2)
+  }
+
+  test("piiScrub counts and redacts urls, emails, phones") {
+    val d = docs(
+      (1L, "mail me at a.user@example.com or see https://example.com/x?q=1 now"),
+      (2L, "call +1 (415) 555-0199 today"),
+      (3L, "nothing sensitive here"))
+    val got = TextStats.piiScrub(d, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_emails") == 1)
+    assert(got(1L).getAs[Int]("n_urls") == 1)
+    val red1 = got(1L).getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<URL>"))
+    assert(!red1.contains("example.com"))
+    assert(got(2L).getAs[Int]("n_phones") == 1)
+    assert(got(2L).getAs[String]("redacted").contains("<PHONE>"))
+    assert(got(3L).getAs[String]("redacted") == "nothing sensitive here")
+  }
+
+  test("hashSample: deterministic, partition-independent, ≈rate") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 2000L).toDF("id")
+    val kept1 = Sampling.hashSample(d, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.hashSample(d.repartition(7), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2)                            // stable under repartition
+    assert(math.abs(kept1.size / 2000.0 - 0.3) < 0.05)
+    // nested property: a 0.1 sample is a subset of the 0.3 sample
+    val kept01 = Sampling.hashSample(d, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(kept01.subsetOf(kept1))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(d, "id", "stratum",
+      Map("keep" -> 1.0, "drop" -> 0.0), defaultRate = 0.5)
+      .collect().map(_.getLong(0))
+    assert(kept.length == 500 && kept.forall(_ % 2 == 0))
+  }
+
+  test("contaminationHits counts distinct shared n-grams, 0 for clean") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training text with other words"))
+    val eval = docs((100L, "quick brown fox jumps over something"))
+    val got = Decontam.contaminationHits(train, "text", "doc_id",
+        eval, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L) // "quick brown fox jumps over" is the shared 5-gram
+    assert(got(2L) == 0L)
+  }
+
+  test("packByOrder: bins advance at the budget boundary, per shard") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a", 400L), (2L, "a", 500L), (3L, "a", 300L), (4L, "a", 900L),
+      (5L, "b", 950L), (6L, "b", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Packing.packByOrder(d, "n_tokens", "doc_id", "source", 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"))))
+      .toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 400L)))
+    assert(got(3L) == ((0L, 900L)))   // starts at 900, overflows bin 0
+    assert(got(4L) == ((1L, 200L)))   // cum 1200 → bin 1
+    assert(got(5L) == ((0L, 0L)))     // shard b packs independently
+    assert(got(6L) == ((0L, 950L)))
+  }
+}
