@@ -105,6 +105,30 @@ object QueriesJoins {
           "left_anti")
         .select("c_custkey", "c_name"),
       Some("""SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT user_id FROM events)""".stripMargin))
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events)""".stripMargin)),
+
+    // As-of join (union-window form, ops/AsOfJoin): every order annotated
+    // with the same customer's most recent STRICTLY-PRIOR order total —
+    // one Exchange + one sort, no key-group² candidate explosion. The
+    // oracle brute-forces the asof semantics with a correlated subquery.
+    // asof_o_totalprice carries parquet values verbatim (no arithmetic),
+    // so raw doubles compare exactly.
+    QueryCase("q_join_asof",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        graft.ops.AsOfJoin.asofJoin(
+          o.select("o_orderkey", "o_custkey", "o_orderdate"),
+          o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+          keys = Seq("o_custkey"),
+          leftTime = "o_orderdate", rightTime = "o_orderdate",
+          valueCols = Seq("o_totalprice"), tieBreak = "o_orderkey",
+          strict = true)
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |  (SELECT p.o_totalprice FROM orders p
+        |   WHERE p.o_custkey = o.o_custkey AND p.o_orderdate < o.o_orderdate
+        |   ORDER BY p.o_orderdate DESC, p.o_orderkey DESC LIMIT 1)
+        |    AS asof_o_totalprice
+        |FROM orders o""".stripMargin))
   )
 }
