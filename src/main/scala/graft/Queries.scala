@@ -230,9 +230,10 @@ object Queries {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (all ++ QueriesExt.all ++ QueriesJoins.all).map(q => q.name -> q.run).toMap
+    (all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all)
+      .map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (all ++ QueriesExt.all ++ QueriesJoins.all)
+    (all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all)
       .flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
