@@ -60,8 +60,25 @@ object Bench {
     val errJson = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Round-over-round comparability: the registry GROWS each round (31
+    // queries in r1, 40+ now), so the all-queries total inflates even when
+    // nothing regressed. `r1_total` sums only the queries that existed in
+    // round 1 — compare THAT against BENCH_r01's 259 s.
+    val r1Names = Set(
+      "q_daily_summary", "q_dedup_embedding_pairs", "q_dedup_exact",
+      "q_dedup_fingerprint", "q_dedup_minhash", "q_dedup_minhash_pairs",
+      "q_dedup_ngram_pairs", "q_dedup_simhash_pairs", "q_distinct_dims",
+      "q_filter_project", "q_join_anti", "q_join_broadcast", "q_join_fact",
+      "q_join_semi", "q_join_snowflake", "q_multimodal_decode",
+      "q_multimodal_features", "q_multimodal_frames", "q_serving_ranking",
+      "q_serving_ranking_avg", "q_serving_timeseries",
+      "q_serving_timeseries_weighted", "q_similarity_brute",
+      "q_similarity_ivf", "q_similarity_lsh", "q_skew_salted_agg",
+      "q_text_fingerprint", "q_text_langid", "q_text_quality",
+      "q_text_tokens", "q_upsert_latest")
+    val r1Total = results.collect { case (k, v) if r1Names(k) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // A blank line before/after gives the driver's line-oriented parser a
     // clean boundary even when sbt prefixes the stream with [info].

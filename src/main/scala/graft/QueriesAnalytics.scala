@@ -84,6 +84,27 @@ object QueriesAnalytics {
         |        sum(CAST(value AS DECIMAL(20,2))) AS day_dec
         |      FROM events GROUP BY 1, 2)
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: both sort and linearly interpolate, and the 2-
+    // decimal fixture values make the interpolation arithmetic identical).
+    // The approximate-sketch variant for 100 TB is approx_percentile /
+    // approx_count_distinct — demonstrated in AnalyticsSpec, not oracle-
+    // comparable across engines by construction.
+    QueryCase("q_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), round4(col("p50")).as("p50"),
+          round4(col("p90")).as("p90"), col("n")),
+      Some("""SELECT event_type,
+        | floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin))
   )
 }
