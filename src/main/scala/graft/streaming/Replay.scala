@@ -28,24 +28,37 @@ object Replay {
   def encodeSlice(slice: DataFrame): DataFrame =
     JsonCodec.encode(slice, col("review_id"))
 
-  /** Replay `csvPath` to `out` in `slices` event-time-ordered batches,
-    * sleeping `sliceMillis` between slices (0 = full-speed backfill). */
-  def run(spark: SparkSession, csvPath: String, out: KafkaEndpoint,
+  /** Core replay loop with a pluggable slice sink: slice the corpus by
+    * event-time residue, emit encoded slices in order, optionally paced.
+    * The sink indirection exists because the Kafka writer jar is absent in
+    * the test container — [[ReplaySpec]] drives THIS loop with a
+    * collecting sink, so the slicing/ordering/once-each logic is tested
+    * even though the wire write isn't. */
+  def runWith(spark: SparkSession, csvPath: String,
+      writeSlice: (DataFrame, Int) => Unit,
       slices: Int = 100, sliceMillis: Long = 0L): Unit = {
     val reviews = Sources.readReviewsCsv(spark, csvPath)
       .withColumn("__slice", pmod(col("timestamp_created"), lit(slices)))
       .persist()
     try {
       (0 until slices).foreach { s =>
-        encodeSlice(reviews.filter(col("__slice") === s).drop("__slice"))
-          .write.format("kafka")
-          .option("kafka.bootstrap.servers", out.bootstrapServers)
-          .option("topic", out.topic)
-          .save()
+        writeSlice(
+          encodeSlice(reviews.filter(col("__slice") === s).drop("__slice")), s)
         if (sliceMillis > 0) Thread.sleep(sliceMillis)
       }
     } finally reviews.unpersist()
   }
+
+  /** Replay `csvPath` to `out` in `slices` event-time-ordered batches,
+    * sleeping `sliceMillis` between slices (0 = full-speed backfill). */
+  def run(spark: SparkSession, csvPath: String, out: KafkaEndpoint,
+      slices: Int = 100, sliceMillis: Long = 0L): Unit =
+    runWith(spark, csvPath, (slice, _) =>
+      slice.write.format("kafka")
+        .option("kafka.bootstrap.servers", out.bootstrapServers)
+        .option("topic", out.topic)
+        .save(),
+      slices, sliceMillis)
 
   def main(args: Array[String]): Unit = {
     val Array(csvPath, bootstrap, topic) = args.take(3)
