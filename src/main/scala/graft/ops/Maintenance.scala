@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operators. The chronic 100 TB disease is SMALL FILES:
+  * streaming micro-batches and fine-grained partitions leave millions of
+  * KB-scale parquet files, and every downstream scan pays a task + footer
+  * read per file. Compaction rewrites a dataset at a target file size —
+  * run it on cold partitions on a schedule. */
+object Maintenance {
+
+  /** Total on-disk bytes of the parquet files under `dir` (driver-side FS
+    * listing — metadata-only, same cost class as
+    * [[graft.sources.ParquetMeta]]). */
+  def parquetBytes(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (fs.getFileStatus(root).isFile) fs.getFileStatus(root).getLen
+    else fs.listStatus(root).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+  }
+
+  /** Rewrite `inDir` to `outDir` in ⌈bytes / targetFileBytes⌉ files.
+    * Returns the output file count. `repartition` (round-robin) balances
+    * rows across writers; pass `sortCols` to instead range-sort the
+    * rewrite (repartitionByRange + sortWithinPartitions) so min/max
+    * row-group stats turn later range filters into skips. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    val nFiles = math.max(1L,
+      (parquetBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles,
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    shaped.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Maintenance
+
+class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("compactParquet collapses a small-files dataset, preserving rows") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft-smallfiles").toString
+    val out = Files.createTempDirectory("graft-compacted").toString
+    (1L to 10000L).map(i => (i, s"row $i")).toDF("id", "payload")
+      .repartition(20).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 20)
+    val total = Maintenance.parquetBytes(s, in)
+    val planned = Maintenance.compactParquet(s, in, out,
+      targetFileBytes = (total + 1) / 2)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(planned == 2 && outFiles == 2, s"planned=$planned files=$outFiles")
+    assert(s.read.parquet(out).count() == 10000L)
+  }
+
+  test("sorted compaction lays rows out by range for stats pruning") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft-unsorted").toString
+    val out = Files.createTempDirectory("graft-sorted").toString
+    (1L to 1000L).reverse.map(i => (i, i % 7)).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(in)
+    Maintenance.compactParquet(s, in, out,
+      targetFileBytes = Maintenance.parquetBytes(s, in) / 2,
+      sortCols = Seq("id"))
+    // each output file covers a disjoint id range → per-file min/max spans
+    // don't overlap
+    val spans = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val d = s.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min("id"),
+            org.apache.spark.sql.functions.max("id")).head()
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    assert(spans.length >= 2)
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping ranges: ${spans.mkString(",")}")
+    }
+  }
+}
