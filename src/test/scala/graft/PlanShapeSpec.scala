@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression locks for the flagship queries: the scale
+  * claims in SURVEY (§ scale design) are properties of the PLAN, not the
+  * output — assert them so a refactor that silently de-optimizes (drops a
+  * pushdown, loses a broadcast, sorts the full corpus for a top-k) fails
+  * CI, not a 100 TB run. Uses the sf0.001 fixture. */
+class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_serving_timeseries pushes its equality filter into the scan") {
+    val plan = formatted("q_serving_timeseries")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(event_type"), plan.take(2000))
+  }
+
+  test("q_join_broadcast broadcasts the dimension side") {
+    val plan = formatted("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q_similarity_brute plans top-k, not a full sort") {
+    val plan = formatted("q_similarity_brute")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("GlobalSort"), plan.take(2000))
+  }
+
+  test("q_sample_hash is a single pruned scan — no shuffle, no join") {
+    val plan = formatted("q_sample_hash")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan.take(2000))
+  }
+
+  test("q_decontam broadcasts the eval grams, never shuffles the corpus grams") {
+    val plan = formatted("q_decontam")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q_multimodal_decode reads only the projected columns") {
+    val plan = formatted("q_multimodal_decode")
+    // expression fast-path: no DeserializeToObject / mapPartitions stage
+    assert(!plan.contains("DeserializeToObject"), plan.take(2000))
+  }
+}
