@@ -77,8 +77,15 @@ object Bench {
       "q_text_fingerprint", "q_text_langid", "q_text_quality",
       "q_text_tokens", "q_upsert_latest")
     val r1Total = results.collect { case (k, v) if r1Names(k) => v }.sum
+    // The box is a shared VM with 10-100× run-to-run swings on identical
+    // code; record the load average so a slow total can be read against
+    // host interference instead of blamed on the engine.
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // A blank line before/after gives the driver's line-oriented parser a
     // clean boundary even when sbt prefixes the stream with [info].

@@ -29,6 +29,32 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSONL ingest with corrupt-record QUARANTINE: at corpus scale some
+    * fraction of a crawl/export is always malformed, and the two default
+    * behaviors are both wrong (FAILFAST kills a 10-hour job on row
+    * 9 billion; silent PERMISSIVE nulls corrupt the dataset invisibly).
+    * This reads PERMISSIVE with a `_corrupt_record` capture column and
+    * splits the result: `good` (clean rows, capture column dropped) and
+    * `bad` (the raw offending lines, for a quarantine sink + reprocessing).
+    * The declared schema avoids an inference pass, same as the CSV path. */
+  def readJsonlWithQuarantine(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires caching/materialization before referencing only the
+      // corrupt column (the parser short-circuits otherwise).
+      .cache()
+    val good = raw.filter(raw("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(raw("_corrupt_record").isNotNull)
+      .select(raw("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** S3: batch replay of a Kafka topic (the serving tier's consumer loop,
     * `visualizer.py:49-56`, as a bounded read — e.g. to rebuild the
     * serving view from the summary topic's full retention). Requires the

@@ -27,6 +27,25 @@ class SourcesSpec extends AnyFunSuite with SparkTestSupport {
       graft.model.Review.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("jsonl quarantine splits clean rows from corrupt lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "text": "good row"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "another good row"}
+        |not json at all""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, bad) = Sources.readJsonlWithQuarantine(spark, schema, f.toString)
+    assert(good.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length == 2)
+    assert(badLines.exists(_.contains("missing comma")) &&
+      badLines.contains("not json at all"))
+  }
+
   test("prettyMetric display labels") {
     assert(Serving.prettyMetric("A_sentiment") == "Average sentiment")
     assert(Serving.prettyMetric("T_reviews") == "Total reviews")
