@@ -229,11 +229,13 @@ object Queries {
         |FROM events WHERE event_type = 'purchase' AND value > 8.0""".stripMargin))
   )
 
+  private def registry: Seq[QueryCase] =
+    all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all ++
+      QueriesRelational.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all)
-      .map(q => q.name -> q.run).toMap
+    registry.map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all)
-      .flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

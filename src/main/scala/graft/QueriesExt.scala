@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontam, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Chunking, Decontam, Dedup, Multimodal, Similarity, TextStats, Vectors}
 import graft.ops.{Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
@@ -516,6 +516,67 @@ object QueriesExt {
         |         JOIN ev USING (g) GROUP BY doc_id)
         |SELECT g.doc_id AS id, coalesce(hits.n_hits, 0) AS n_hits
         |FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 97 <> 0""".stripMargin)),
+
+    // Overlapping token-window chunking (context-length training examples):
+    // size=40, stride=30 → 10-token overlap; short docs yield one chunk.
+    // All-narrow plan (explode + slice fused into the scan, no shuffle).
+    QueryCase("q_chunk",
+      (s, dir) => Chunking.chunkByTokens(t(s, dir, "documents"),
+        "text", "doc_id", size = 40, stride = 30),
+      Some(s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        unnest(generate_series(0,
+        |          greatest(CAST(floor((len(toks) - 11.0) / 30) AS INTEGER), 0)))
+        |          AS chunk_id
+        |      FROM tk)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(40, n - chunk_id * 30) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+        |    AS chunk_text
+        |FROM c""".stripMargin)),
+
+    // Corpus vocabulary top-k by total frequency (tf), ties broken by
+    // token — the vocab-selection pass of a tokenizer build. df = exact
+    // document frequency.
+    QueryCase("q_vocab_topk",
+      (s, dir) => TextStats.vocabulary(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy(col("tf").desc, col("token"))
+        .limit(50),
+      Some(s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
+
+    // Symmetric int8 embedding quantization (4× storage cut; candidate
+    // format for ANN with exact re-rank on dequantized top hits). Pure
+    // arithmetic — floor(x+0.5) half-up, no engine round() — so DuckDB
+    // reproduces every quantized component exactly; arrays compare as CSV
+    // strings (engine array renderings differ, values must not).
+    QueryCase("q_embed_quantize",
+      (s, dir) => {
+        // NB the raw scale column must NOT share the output alias "scale":
+        // lateral column alias resolution would bind the quantizer's
+        // reference to the ROUNDED sibling alias (off-by-one at half-step
+        // boundaries — observed at sf0.001 vec 351).
+        val e = t(s, dir, "embeddings")
+          .withColumn("__scale", Vectors.maxAbs(col("embedding")))
+        e.select(col("vec_id"), round4(col("__scale")).as("scale"),
+          concat_ws(",",
+            transform(Vectors.quantizeInt8(col("embedding"), col("__scale")),
+              _.cast("string"))).as("q_csv"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+        |      FROM e)
+        |SELECT vec_id, floor(scale * 10000 + 0.5) / 10000 AS scale,
+        |  array_to_string(list_transform(v, x ->
+        |    CAST(CASE WHEN scale = 0 THEN 0
+        |              ELSE floor(x / scale * 127 + 0.5) END AS INTEGER)), ',')
+        |    AS q_csv
+        |FROM s""".stripMargin)),
 
     // Sequence packing: per-source streaming pack into 1000-token bins
     // (bin = exclusive-cumsum ÷ budget), exact integer window both sides.

@@ -107,6 +107,29 @@ object QueriesJoins {
       Some("""SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT user_id FROM events)""".stripMargin)),
 
+    // Skew-safe salted join (ops/Skew.saltedJoin): the big side is salted,
+    // the dim replicated ×32, the join runs on (key, salt) — the hot key's
+    // rows spread over 32 reduce tasks instead of one. Must be EXACTLY the
+    // plain join (oracle computes the unsalted form); aggregation goes
+    // through exact DECIMAL so salt-dependent partial order can't perturb
+    // the double sum.
+    QueryCase("q_join_salted",
+      (s, dir) => graft.ops.Skew.saltedJoin(
+          t(s, dir, "events"),
+          t(s, dir, "customer").withColumnRenamed("c_custkey", "user_id"),
+          keys = Seq("user_id"), saltBuckets = 32)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_v"),
+          count(lit(1)).as("n_events"))
+        .select(col("c_mktsegment"), round4(col("sum_v")).as("sum_value"),
+          col("n_events")),
+      Some("""SELECT c_mktsegment,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |   AS sum_value,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)),
+
     // As-of join (union-window form, ops/AsOfJoin): every order annotated
     // with the same customer's most recent STRICTLY-PRIOR order total —
     // one Exchange + one sort, no key-group² candidate explosion. The

@@ -28,6 +28,19 @@ object TextStats {
     .withColumn("n_bpe", size(regexp_extract_all(col(textCol),
       lit(BpePattern), lit(0))))
 
+  /** Corpus vocabulary statistics: per-token total frequency (tf) and
+    * document frequency (df). One explode + one hash aggregation —
+    * map-side combine collapses each partition's counts before the
+    * shuffle, so shuffle volume is |local vocab| per partition, not
+    * |tokens|. df uses exact count_distinct; at 100 TB swap in
+    * `approx_count_distinct` if ±2% df error is acceptable (tf drives
+    * BPE/vocab selection; df only feeds idf-style weighting). */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("__doc")).as("df"))
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small: language ID at corpus scale is a
     * scan-local scoring pass; precision comes from the caller swapping in

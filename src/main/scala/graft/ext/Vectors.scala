@@ -39,6 +39,26 @@ object Vectors {
     call_function(graft.functions.GraftFunctions.CosineName, a, b)
   }
 
+  /** Per-vector symmetric quantization scale: max |component| in double.
+    * Zero for the all-zero vector (see [[quantizeInt8]]). */
+  def maxAbs(e: Column): Column =
+    coalesce(array_max(transform(e, x => abs(x.cast("double")))), lit(0.0))
+
+  /** Symmetric int8 quantization of a float/double vector under `scale`
+    * (= [[maxAbs]] of the vector): q_i = round_half_up(x_i / scale · 127),
+    * so q ∈ [-127, 127]. 4× smaller than float32 — the standard storage /
+    * ANN-candidate format at corpus scale; exact re-ranking dequantizes
+    * only the top candidates. Pure arithmetic (floor(v + 0.5) half-up, no
+    * engine `round`), so any engine reproduces it bit-for-bit. */
+  def quantizeInt8(e: Column, scale: Column): Column =
+    transform(e, x => when(scale === 0, lit(0))
+      .otherwise(floor(x.cast("double") / scale * 127 + lit(0.5)).cast("int")))
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = q_i · scale / 127. Max abs error
+    * ≤ scale/254 per component (half a quantization step). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale / 127)
+
   /** `tables × planes × dim` Gaussian hyperplane components, derived
     * deterministically from `seed` — the LSH "random" projection basis is
     * part of the plan, so runs are reproducible and the query side can

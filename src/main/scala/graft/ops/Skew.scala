@@ -43,6 +43,36 @@ object Skew {
         merges.tail.map { case (c, a) => c.as(a) }: _*)
   }
 
+  /** Skew-safe equi-join: salt the big (skewed) side, replicate the small
+    * side once per salt bucket, join on (keys, salt).
+    *
+    * Exactly equivalent to `big.join(small, keys)` (inner): every big row
+    * carries ONE salt value and the small side carries ALL of them, so each
+    * matching (big, small) pair meets in exactly one bucket. The hot key's
+    * rows now spread across `saltBuckets` reduce tasks instead of one.
+    *
+    * When to reach for this instead of the built-ins, in order:
+    *  1. `broadcast(small)` — if the small side fits an executor, skew is
+    *     moot; always prefer it.
+    *  2. AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`) — splits
+    *     oversized SORT-MERGE partitions at runtime; covers most cases.
+    *  3. This helper — when the join must shuffle (small side too big to
+    *     broadcast) AND the downstream plan re-uses the join's partitioning
+    *     (AQE skew-split is disabled when the output partitioning is
+    *     required by a parent, e.g. a following groupBy on the same key),
+    *     or on engines/configs without AQE. Cost: |small| × saltBuckets
+    *     replication — size saltBuckets accordingly.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 32): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+
   /** The common case pre-packaged: per-key count, sum and avg of
     * `valueCol` — avg decomposed as Σsum/Σcount (exact, not
     * mean-of-means). */

@@ -43,4 +43,36 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
       .select("__salt").distinct().count()
     assert(phase1Groups > 1, "hot key not split")
   }
+
+  test("saltedJoin equals the plain inner join, row for row") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq(("hot", "H"), ("warm", "W"), ("never", "N"))
+      .toDF("k", "label") // 'cold' missing → inner join drops it
+    val expect = skewed.join(dim, Seq("k"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Skew.saltedJoin(skewed, dim, Seq("k"), buckets)
+        .select("k", "v", "label")
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(got.length == expect.length, s"buckets=$buckets")
+      assert(got.toSeq == expect.toSeq, s"buckets=$buckets")
+    }
+  }
+
+  test("saltedJoin spreads a hot key's rows across salt buckets") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    val bigS = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(16))
+        .cast("int"))
+    val saltsUsed = bigS.filter(col("k") === "hot")
+      .select("__salt").distinct().count()
+    assert(saltsUsed > 1, "hot key rows all carry one salt")
+    // and the replicated dim covers every bucket
+    val dimS = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(15))))
+    assert(dimS.count() == 16L)
+  }
 }
