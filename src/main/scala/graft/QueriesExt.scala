@@ -251,6 +251,21 @@ object QueriesExt {
       |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
       |SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s""".stripMargin
 
+  /** Shared oracle for both decontamination paths (exact and
+    * bloom-pre-filtered — identical answers by construction). */
+  private def decontamOracle: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+      |           for i in range(1, greatest(len(toks)-3, 1))]) AS grams
+      |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hits
+      |         FROM (SELECT doc_id, unnest(grams) AS g FROM g
+      |               WHERE doc_id % 97 <> 0) dg
+      |         JOIN ev USING (g) GROUP BY doc_id)
+      |SELECT g.doc_id AS id, coalesce(hits.n_hits, 0) AS n_hits
+      |FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 97 <> 0""".stripMargin
+
   /** Brute-force DuckDB oracle for word-3-gram Jaccard pairs at `t`. */
   private def ngramOracle(t: Double): String =
     s"""WITH g AS (
@@ -505,17 +520,20 @@ object QueriesExt {
           docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
           docs.filter(col("doc_id") % 97 === 0), "text", n = 5)
       },
-      Some(s"""WITH g AS (
-        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
-        |           for i in range(1, greatest(len(toks)-3, 1))]) AS grams
-        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
-        |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
-        |hits AS (SELECT doc_id, count(*) AS n_hits
-        |         FROM (SELECT doc_id, unnest(grams) AS g FROM g
-        |               WHERE doc_id % 97 <> 0) dg
-        |         JOIN ev USING (g) GROUP BY doc_id)
-        |SELECT g.doc_id AS id, coalesce(hits.n_hits, 0) AS n_hits
-        |FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 97 <> 0""".stripMargin)),
+      Some(decontamOracle)),
+
+    // The bloom-pre-filtered path MUST return the identical answer (the
+    // bloom only admits candidates; exact verify kills false positives),
+    // so it shares the exact path's oracle — hash-checking the whole
+    // registered-internal-expression machinery end-to-end.
+    QueryCase("q_decontam_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontam.contaminationHitsBloom(s,
+          docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 5)
+      },
+      Some(decontamOracle)),
 
     // Overlapping token-window chunking (context-length training examples):
     // size=40, stride=30 → 10-token overlap; short docs yield one chunk.
@@ -577,6 +595,76 @@ object QueriesExt {
         |              ELSE floor(x / scale * 127 + 0.5) END AS INTEGER)), ',')
         |    AS q_csv
         |FROM s""".stripMargin)),
+
+    // Domain-mix weights: per-source token share → the sampling rate that
+    // moves the mixture toward uniform-across-sources, capped at 1 (no
+    // upsampling). rate = min(1, target_share / observed_share) =
+    // min(1, total / (n_sources · tok)). All arithmetic is doubles derived
+    // from exact integer aggregates — portable bit-for-bit. The whole-table
+    // window runs over n_sources rows (post-aggregation), not the corpus.
+    QueryCase("q_mix_weights",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok"))
+          .withColumn("total", sum("tok").over(w))
+          .withColumn("nsrc", count(lit(1)).over(w))
+          .select(col("source"), col("n_docs"),
+            round4(col("tok").cast("double") / col("total")).as("tok_share"),
+            round4(least(lit(1.0), col("total").cast("double") /
+              (col("nsrc") * col("tok")))).as("rate"))
+      },
+      Some(s"""SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        | floor(CAST(tok AS DOUBLE) / total * 10000 + 0.5) / 10000 AS tok_share,
+        | floor(least(1.0, CAST(total AS DOUBLE) / (nsrc * tok))
+        |   * 10000 + 0.5) / 10000 AS rate
+        |FROM (SELECT source, n_docs, tok,
+        |        CAST(sum(tok) OVER () AS BIGINT) AS total,
+        |        CAST(count(*) OVER () AS BIGINT) AS nsrc
+        |      FROM (SELECT source, count(*) AS n_docs,
+        |              CAST(sum(len($sqlToks)) AS BIGINT) AS tok
+        |            FROM documents GROUP BY source))""".stripMargin)),
+
+    // Curriculum/difficulty binning: exact quartiles (ntile) over the
+    // quality score with a deterministic total order. NOTE ntile's global
+    // rank forces a single-partition sort — fine for a per-corpus stats
+    // pass; at 100 TB assign bins by comparing against approx_percentile
+    // boundaries instead (one scan, no global sort) when exact equal-size
+    // bins aren't required.
+    QueryCase("q_ntile_difficulty",
+      (s, dir) => TextStats.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round4(col("quality")).as("quality"))
+        .withColumn("bucket", ntile(4).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("quality").desc, col("doc_id")))),
+      Some {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        // ntile ORDER BY uses the ROUNDED score on both sides: rounding
+        // collapses near-ties, and the two engines must collapse them the
+        // same way before the deterministic doc_id tie-break applies.
+        s"""SELECT doc_id, quality,
+           | CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS INTEGER) AS bucket
+           |FROM (SELECT doc_id, floor(q * 10000 + 0.5) / 10000 AS quality
+           |FROM (SELECT doc_id,
+           |  (least(n_words / 100.0, 1.0) * 0.25
+           |   + (CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0.0 END) * 0.25
+           |   + (CASE WHEN n_words > 0 THEN least(n_stops / n_words * 3.0, 1.0) ELSE 0.0 END) * 0.25
+           |   + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25) AS q
+           |FROM (SELECT doc_id,
+           |  CAST(len(toks) AS DOUBLE) AS n_words,
+           |  CAST(length(text) AS DOUBLE) AS n_chars,
+           |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE) AS n_alnum,
+           |  CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE) AS n_stops,
+           |  CASE WHEN len(toks) > 0
+           |    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           |    ELSE 0.0 END AS mean_wlen
+           |  FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))))""".stripMargin
+      }),
 
     // Sequence packing: per-source streaming pack into 1000-token bins
     // (bin = exclusive-cumsum ÷ budget), exact integer window both sides.

@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Benchmark/eval-set decontamination: flag training documents that share
   * word n-grams with a held-out evaluation corpus (the standard n-gram
@@ -26,6 +28,48 @@ object Decontam {
     val evalGrams = evalDocs
       .select(explode(Dedup.wordNgrams(col(evalTextCol), n)).as("g"))
       .distinct()
+    val hits = docGrams
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** [[contaminationHits]] with an explicit bloom-filter pre-filter on the
+    * corpus side — same exact answer (the bloom only ADMITS candidates;
+    * the broadcast-join verify kills its false positives), different cost
+    * shape: corpus grams are probed against a ~KB–MB bitset AT SCAN SPEED
+    * (codegen'd `might_contain`), so only matching grams + fpp noise ever
+    * reach the join. With a clean corpus (the common case — contamination
+    * is rare) that's ~0 rows into the join instead of every gram of 100 TB.
+    *
+    * The bloom is built in one aggregation over the (small) eval side and
+    * enters the plan as a binary LITERAL — the same shape Catalyst's
+    * InjectRuntimeFilter produces, but available when the filter set is a
+    * fixed artifact rather than a join side. `estimatedItems`/`numBits`
+    * size the filter (defaults: 1M items / 8M bits ≈ 3% fpp — fpp only
+    * costs verify-join volume, never correctness). */
+  def contaminationHitsBloom(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, evalDocs: DataFrame,
+      evalTextCol: String, n: Int, estimatedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    GraftFunctions.register(spark)
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordNgrams(col(evalTextCol), n)).as("g"))
+      .distinct()
+    val bloom = evalGrams
+      .agg(call_function(GraftFunctions.BloomAggName, xxhash64(col("g")),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloom == null) { // empty eval set → nothing can be contaminated
+      return docs.select(col(idCol).as("id"), lit(0L).as("n_hits"))
+    }
+    val docGrams = docs
+      .select(col(idCol).as("id"),
+        explode(Dedup.wordNgrams(col(textCol), n)).as("g"))
+      .filter(call_function(GraftFunctions.BloomProbeName, lit(bloom),
+        xxhash64(col("g"))))
     val hits = docGrams
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("n_hits"))

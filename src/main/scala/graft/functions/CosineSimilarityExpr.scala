@@ -99,6 +99,18 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val SignBucketName = "graft_signbucket"
 
+  /** Spark's bloom-filter build/probe expressions (the machinery behind
+    * Catalyst's runtime-filter injection) exposed as callable functions:
+    * they are implemented and codegen'd in Spark but not registered in the
+    * public FunctionRegistry, so library code that wants an EXPLICIT bloom
+    * pre-filter (e.g. decontamination against a fixed eval set) registers
+    * them here under graft names. Arguments follow the internal contract:
+    * agg(xxhash64(key), estimatedItems, numBits) → binary;
+    * probe(bloomBinary, xxhash64(key)) → boolean. The probe's bloom
+    * argument must be foldable (a literal) or a scalar subquery. */
+  val BloomAggName = "graft_bloom_agg"
+  val BloomProbeName = "graft_might_contain"
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(CosineName))) {
@@ -114,6 +126,26 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SignBucketExpr].getName, SignBucketName),
         (children: Seq[Expression]) =>
           SignBucketExpr(children(0), children(1)))
+    }
+    if (!registry.functionExists(FunctionIdentifier(BloomAggName))) {
+      registry.registerFunction(
+        FunctionIdentifier(BloomAggName),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          BloomAggName),
+        (children: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            children(0), children(1), children(2)))
+    }
+    if (!registry.functionExists(FunctionIdentifier(BloomProbeName))) {
+      registry.registerFunction(
+        FunctionIdentifier(BloomProbeName),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          BloomProbeName),
+        (children: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children(0), children(1)))
     }
   }
 }
