@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of re-logging each line
+// with an "[info] " prefix: the round driver tails the last 2000 chars of
+// the run log and parses the Bench metric line out of it — the sbt logger
+// prefix (and its interleaving with WARN lines) broke that parse in rounds
+// 1 and 2 (BENCH parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,10 +87,29 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), json + "\n")
+    // The driver captures only the LAST 2000 chars of the run log and parses
+    // the metric line out of that tail. The full-precision line above grew
+    // past 2000 chars at 58 queries (BENCH_r01/r02 both came back
+    // `parsed:null` with the tail starting mid-line). stdout therefore gets a
+    // char-BUDGETED companion: times at 2 decimals, slowest queries first,
+    // the remainder aggregated into other_sum/other_n. Full per-query
+    // precision lives in bench_out.json (committed with the repo).
+    def r2(v: Double): String = f"$v%.2f"
+    val sorted = results.toSeq.sortBy(-_._2)
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    val budget = 1500 - prefix.length
+    val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
+    var used = 0
+    val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val rest = sorted.drop(kept.size)
+    val tailJson =
+      s"""},"other_sum":${r2(rest.map(_._2).sum)},"other_n":${rest.size}}"""
+    val compact = prefix + kept.mkString(",") + tailJson
+    require(compact.length < 1800, s"bench line too long: ${compact.length}")
     // A blank line before/after gives the driver's line-oriented parser a
     // clean boundary even when sbt prefixes the stream with [info].
     println()
-    println(json)
+    println(compact)
     println()
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.map(_._1).mkString(", ")}")
