@@ -154,6 +154,37 @@ object QueriesExt {
        |ORDER BY ${cosSql("cells.e", "q.qe")} DESC, cells.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Shared CTE chain for the SemDeDup oracles: first-16 centroids (same
+    * derivation as [[ivfTopKOracle]]), argmax cell assignment, cell-size
+    * cap, within-cell pair join with exact cosine. */
+  private def semanticPairsCte(nlist: Int, maxCell: Int,
+      threshold: Double): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+       |         FROM v ORDER BY vec_id LIMIT $nlist),
+       |assign AS (SELECT vec_id, e, cid,
+       |             row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY cos DESC, cid DESC) AS rn
+       |           FROM (SELECT v.vec_id, v.e, c.cid,
+       |                   ${cosSql("v.e", "c.ce")} AS cos
+       |                 FROM v, cent c)),
+       |cells AS (SELECT vec_id, e, cid AS cell FROM assign WHERE rn = 1),
+       |ok AS (SELECT cell FROM cells GROUP BY cell HAVING count(*) <= $maxCell),
+       |bd AS (SELECT cells.* FROM cells JOIN ok USING (cell)),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${cosSql("a.e", "b.e")} AS cos
+       |      FROM bd a JOIN bd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.e", "b.e")} >= $threshold)""".stripMargin
+
+  private def semanticPairsOracle: String =
+    s"""${semanticPairsCte(16, 10000, 0.4)}
+       |SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cos FROM p""".stripMargin
+
+  private def semanticDedupOracle: String =
+    s"""${semanticPairsCte(16, 10000, 0.4)}
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id_b FROM p)""".stripMargin
+
   // -------------------------------------- portable-hash pipeline oracles
   //
   // DuckDB twin of Dedup.hex32 / hex60: first N md5 hex chars as integer.
@@ -381,6 +412,30 @@ object QueriesExt {
         .withColumn("cos", round4(col("cos"))),
       Some(embeddingPairsOracle)),
 
+    // Semantic dedup (SemDeDup): centroid cells as the blocking key,
+    // within-cell exact cosine. Centroids are the SQL-derivable first-16
+    // (same contract as q_similarity_ivf), so the whole pipeline —
+    // assignment argmax, cell cap, pair join, verify — is oracle-checked.
+    QueryCase("q_dedup_semantic_pairs",
+      (s, dir) => Dedup.semanticDupPairs(t(s, dir, "embeddings"),
+          "embedding", "vec_id",
+          Similarity.sampleCentroids(t(s, dir, "embeddings"),
+            "embedding", "vec_id", 16),
+          threshold = 0.4)
+        .withColumn("cos", round4(col("cos"))),
+      Some(semanticPairsOracle)),
+
+    QueryCase("q_dedup_semantic",
+      (s, dir) => Dedup.dedupFromPairs(t(s, dir, "embeddings"),
+          Dedup.semanticDupPairs(t(s, dir, "embeddings"),
+            "embedding", "vec_id",
+            Similarity.sampleCentroids(t(s, dir, "embeddings"),
+              "embedding", "vec_id", 16),
+            threshold = 0.4),
+          "vec_id")
+        .select("vec_id"),
+      Some(semanticDedupOracle)),
+
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
       (s, dir) => TextStats.tokenCounts(t(s, dir, "documents"), "text")
@@ -430,6 +485,42 @@ object QueriesExt {
            |    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
            |    ELSE 0.0 END AS mean_wlen
            |  FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents))""".stripMargin
+      }),
+
+    // Hard quality GATE (Gopher-rule family) as distinct from the
+    // continuous score above: keep/drop + the comma-joined failed-rule
+    // list, every rule a ratio of per-row integer counts (scan-fused).
+    QueryCase("q_filter_rules",
+      (s, dir) => TextStats.ruleFilter(t(s, dir, "documents"), "text")
+        .select("doc_id", "keep", "reasons"),
+      Some {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id, reasons, reasons = '' AS keep
+           |FROM (SELECT doc_id, concat_ws(',',
+           |    CASE WHEN n_words < 20 THEN 'too_short' END,
+           |    CASE WHEN n_words > 10000 THEN 'too_long' END,
+           |    CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'mean_wlen' END,
+           |    CASE WHEN alnum_frac < 0.6 THEN 'low_alnum' END,
+           |    CASE WHEN n_stops < 2 THEN 'no_stopwords' END,
+           |    CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END) AS reasons
+           |  FROM (SELECT doc_id,
+           |    len(toks) AS n_words,
+           |    CASE WHEN len(toks) > 0
+           |      THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           |      ELSE 0.0 END AS mean_wlen,
+           |    CASE WHEN length(text) > 0
+           |      THEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+           |           / length(text)
+           |      ELSE 0.0 END AS alnum_frac,
+           |    len(list_filter(toks, t -> list_contains($en, t))) AS n_stops,
+           |    CASE WHEN len(lines) > 0
+           |      THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+           |      ELSE 0.0 END AS dup_line_frac
+           |    FROM (SELECT doc_id, text, $sqlToks AS toks,
+           |            list_filter(string_split(text, chr(10)),
+           |                        l -> len(trim(l)) > 0) AS lines
+           |          FROM documents)))""".stripMargin
       }),
 
     QueryCase("q_text_fingerprint",
@@ -498,6 +589,20 @@ object QueriesExt {
       Some(s"""SELECT doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
         |      < CAST(floor(0.5 * 4294967296.0) AS BIGINT)""".stripMargin)),
+
+    // Deterministic global corpus shuffle: pos = rank of md5(seed | id).
+    // The naive encoding is a single-partition global window; the operator
+    // computes the identical permutation with a range repartition + a
+    // per-range census + intra-range ranks (ops/Shuffling).
+    QueryCase("q_shuffle_rank",
+      (s, dir) => graft.ops.Shuffling.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id", seed = "epoch0", partitions = 8)
+        .select("doc_id", "pos"),
+      Some("""SELECT doc_id,
+        | CAST(row_number() OVER (
+        |   ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS pos
+        |FROM documents""".stripMargin)),
 
     QueryCase("q_sample_stratified",
       (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
@@ -789,12 +894,29 @@ object QueriesExt {
         |   AS ts_sec
         |FROM documents""".stripMargin)),
 
+    // The stub encoder's byte-fold is modular integer arithmetic
+    // (Multimodal.FeatureMod), so DuckDB reproduces the mapPartitions
+    // path bit-for-bit: hex-expand the blob, list_reduce the same
+    // recurrence. CSV rides the integer folds (features × 1000 — exact).
     QueryCase("q_multimodal_features",
       (s, dir) => Multimodal.featureExtract(s,
           Multimodal.mediaFromDocuments(t(s, dir, "documents")), dim = 8)
         .select(col("media_id"), concat_ws(",",
-          transform(col("features"), f => round4(f).cast("string")))
+          transform(col("features"),
+            f => floor(f * 1000 + 0.5).cast("long").cast("string")))
           .as("features_csv")),
-      None)
+      Some(s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h
+        |            FROM documents),
+        |b AS (SELECT media_id,
+        |        [('0x' || substr(h, 2*i - 1, 2))::BIGINT
+        |         for i in range(1, len(h)//2 + 1)] AS bytes
+        |      FROM m)
+        |SELECT media_id, array_to_string([
+        |    list_reduce(
+        |      list_prepend((1125899906842597 + d) % ${Multimodal.FeatureMod},
+        |                   bytes),
+        |      (a, x) -> (a * 31 + x) % ${Multimodal.FeatureMod}) % 1000
+        |    for d in range(0, 8)], ',') AS features_csv
+        |FROM b""".stripMargin))
   )
 }

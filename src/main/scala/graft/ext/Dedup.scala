@@ -608,4 +608,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Semantic near-dup pairs (SemDeDup family, Abbas et al. 2023):
+    * cluster the embedding space coarsely, then compare pairs ONLY within
+    * a cluster — the clustering is the blocking key, exactly as LSH bands
+    * are for [[minhashDupPairs]]. Returns (id_a, id_b, cos), id_a < id_b,
+    * cosine ≥ `threshold`, for pairs assigned to the same centroid cell.
+    *
+    * Scale shape: one broadcast-argmax assignment pass (no shuffle — see
+    * [[Similarity.ivfAssign]]), then a self-join on `cell` → cost is
+    * Σ cell², controlled by the centroid count; `maxCell` drops
+    * pathological mega-cells (near-constant embedding collapse) instead of
+    * letting one cell quadratically dominate. Unlike the banded pipelines
+    * a row lands in exactly ONE cell, so pairs need no dedup and the
+    * vectors ride the single cell join directly (one shuffle of the
+    * corpus, keyed by cell).
+    *
+    * Approximation note: same-cluster blocking can miss cross-cell
+    * neighbors near cell boundaries — the standard SemDeDup trade; raise
+    * recall with more-overlapping clustering (or [[embeddingDupPairs]]'s
+    * multi-table LSH) when boundary pairs matter. */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[(Int, Array[Float])], threshold: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val cells = Similarity.ivfAssign(df, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+      .persist() // feeds the cell-size census and both join sides
+    val okCells = cells.groupBy("cell").count()
+      .filter(col("count") <= maxCell).select("cell")
+    val bounded = cells.join(okCells, Seq("cell"))
+    bounded.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(bounded.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.cosineNative(df.sparkSession, col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

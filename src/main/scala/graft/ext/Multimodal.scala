@@ -104,10 +104,19 @@ object Multimodal {
         lit(stride.toLong))))
     .withColumn("ts_sec", col("frame_index") / lit(fps.toDouble))
 
+  /** Feature-fold modulus: a prime below 2^31 keeps `acc * 31 + byte`
+    * inside exact signed-64 range, so the SAME fold is computable in any
+    * engine with plain BIGINT arithmetic (wrapping 2^64 arithmetic — the
+    * previous form — is NOT: strict engines raise on overflow). */
+  val FeatureMod = 1000000007L
+
   /** Deterministic fake feature vector (STUB for an image/audio encoder):
-    * `dim` doubles derived from the blob bytes by position-salted xxhash —
-    * exercises the real plumbing (binary in, fixed-width vector out,
-    * partition-batched). */
+    * `dim` doubles derived from the blob bytes by a position-salted
+    * modular byte-fold — exercises the real plumbing (binary in,
+    * fixed-width vector out, partition-batched). The fold is pure integer
+    * arithmetic over unsigned byte values mod [[FeatureMod]], so the
+    * DuckDB oracle reproduces it bit-for-bit (hex-expand the blob,
+    * list_reduce the same recurrence). */
   def featureExtract(spark: SparkSession, media: DataFrame,
       dim: Int = 8): DataFrame = {
     import spark.implicits._
@@ -117,9 +126,12 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val vec = Array.tabulate(dim) { d =>
             // cheap deterministic byte-fold; a real encoder goes here
-            var acc = 1125899906842597L + d
+            var acc = (1125899906842597L + d) % FeatureMod
             var i = 0
-            while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
+            while (i < bytes.length) {
+              acc = (acc * 31L + (bytes(i) & 0xFF)) % FeatureMod
+              i += 1
+            }
             (acc % 1000L).toDouble / 1000.0
           }
           (id, vec)

@@ -145,6 +145,52 @@ object TextStats {
           PhonePattern, "<PHONE>"))
   }
 
+  /** Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1
+    * family): hard pass/fail per document plus the list of failed rules —
+    * the form a curation pipeline actually consumes (the continuous
+    * [[qualityScore]] is for ranking/curriculum; this is the gate).
+    *
+    * Rules (all ratios of per-row integer counts → cross-engine
+    * deterministic, scan-fused, zero shuffle):
+    *   too_short      word count < 20
+    *   too_long       word count > 10 000
+    *   mean_wlen      mean word length outside [3, 10]
+    *   low_alnum      alphanumeric-character fraction < 0.6
+    *   no_stopwords   < 2 English-stopword hits
+    *   dup_lines      duplicate-line fraction > 0.30
+    *
+    * Output: `keep` boolean + `reasons` (comma-joined failed rules in the
+    * fixed order above; empty string when kept). Reasons ride as ONE
+    * string, not an array — cheap to store at corpus scale and directly
+    * groupBy-able for rejection-rate dashboards. */
+  def ruleFilter(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = wordTokens(text)
+    val nWords = size(toks)
+    val nChars = length(text).cast("double")
+    val nAlnum = (nChars - length(regexp_replace(text, "[A-Za-z0-9]", "")))
+    val meanWlen = when(nWords > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+        / nWords.cast("double")).otherwise(lit(0.0))
+    val alnumFrac = when(nChars > 0, nAlnum / nChars).otherwise(lit(0.0))
+    val nStops = langScore(toks, Stopwords.head._2)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val dupLineFrac = when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double")).otherwise(lit(0.0))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (nWords < 20),
+      "too_long" -> (nWords > 10000),
+      "mean_wlen" -> (meanWlen < 3.0 || meanWlen > 10.0),
+      "low_alnum" -> (alnumFrac < 0.6),
+      "no_stopwords" -> (nStops < 2),
+      "dup_lines" -> (dupLineFrac > 0.30))
+    val reasons = concat_ws(",",
+      rules.map { case (name, fail) => when(fail, lit(name)) }: _*)
+    df.withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === "")
+  }
+
   /** Document fingerprint: minimum MD5 over word 3-gram hashes (a
     * winnowing-style content signature, stable under reordering of
     * surrounding documents; MD5 so the oracle can recompute it). Falls

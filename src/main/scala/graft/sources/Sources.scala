@@ -55,6 +55,21 @@ object Sources {
     (good, bad)
   }
 
+  /** ORC table scan (ORC ships inside spark-sql — same pushdown/pruning
+    * contract as parquet: predicate pushdown into stripe/row-group skips,
+    * column pruning from the declared projection). Offered because mixed
+    * lakehouses commonly land Hive-era tables as ORC next to new parquet;
+    * the engine reads both through one declared-schema discipline.
+    * (Avro is NOT offered: the spark-avro module is a separate artifact,
+    * absent from this container's classpath.) */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC write with zlib compression (the ORC-ecosystem default; parquet
+    * sinks elsewhere use snappy — see [[graft.ops.Maintenance]]). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
   /** S3: batch replay of a Kafka topic (the serving tier's consumer loop,
     * `visualizer.py:49-56`, as a bounded read — e.g. to rebuild the
     * serving view from the summary topic's full retention). Requires the

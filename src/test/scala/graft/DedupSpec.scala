@@ -129,6 +129,34 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDupPairs: pairs within a cell; cross-cell neighbors blocked") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Array(1f, 0.1f, 0f, 0f)),   // cell 0
+      (2L, Array(1f, 0.05f, 0f, 0f)),  // cell 0 — near-dup of 1
+      (3L, Array(0.05f, 1f, 0f, 0f)),  // cell 1
+      (4L, Array(0f, 0f, 1f, 0f)))     // cell 0 or 1 but orthogonal to both
+      .toDF("vec_id", "embedding")
+    val cents = Array(0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f))
+    val pairs = Dedup.semanticDupPairs(d, "embedding", "vec_id", cents,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("semanticDupPairs: mega-cells are capped (skew guard)") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 5L).map(i => (i, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(0 -> Array(1f, 0f), 1 -> Array(0f, 1f))
+    assert(Dedup.semanticDupPairs(d, "embedding", "vec_id", cents,
+      threshold = 0.5, maxCell = 4).count() == 0)
+    assert(Dedup.semanticDupPairs(d, "embedding", "vec_id", cents,
+      threshold = 0.5, maxCell = 5).count() == 10)
+  }
+
   test("hot blocking keys are capped (skew guard drops oversized buckets)") {
     // 4 identical docs: bucket size 4 > maxBucket 3 → no pairs emitted
     val d = docs((1L, "x y z"), (2L, "x y z"), (3L, "x y z"), (4L, "x y z"))

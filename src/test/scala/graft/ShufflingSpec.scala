@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Shuffling
+
+class ShufflingSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def docs(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+  }
+
+  test("deterministicShuffle emits a permutation of [0, n)") {
+    val pos = Shuffling.deterministicShuffle(docs(100), "doc_id", "e0", 4)
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 100L))
+  }
+
+  test("positions equal the single-partition global rank, for any partition count") {
+    val d = docs(100)
+    val expected = d
+      .withColumn("k", md5(concat_ws("|", lit("e0"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k", "doc_id")) - 1)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Shuffling.deterministicShuffle(d, "doc_id", "e0", parts)
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("different seeds give different permutations (epoch re-keying)") {
+    val d = docs(50)
+    val a = Shuffling.deterministicShuffle(d, "doc_id", "e0", 4)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Shuffling.deterministicShuffle(d, "doc_id", "e1", 4)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a != b)
+  }
+}

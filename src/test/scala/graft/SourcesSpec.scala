@@ -27,6 +27,29 @@ class SourcesSpec extends AnyFunSuite with SparkTestSupport {
       graft.model.Review.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("ORC round-trip preserves schema and values (incl. binary)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("t").toString
+    val df = Seq(
+      (1L, "alpha", Array[Byte](1, 2, 3), 0.5),
+      (2L, "beta", Array[Byte](), -1.0))
+      .toDF("id", "name", "blob", "score")
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 3))
+    // ORC pushes the predicate to stripe level — plan must carry it
+    val filtered = Sources.readOrc(spark, dir).filter($"id" === 2L)
+    assert(filtered.count() == 1)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") || scan.contains("pushedFilters"),
+      s"expected ORC pushdown in plan:\n$scan")
+  }
+
   test("jsonl quarantine splits clean rows from corrupt lines") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-jsonl")

@@ -45,6 +45,24 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(1L) > got(2L))
   }
 
+  test("ruleFilter: clean prose passes; each rule fires with its reason") {
+    val clean = "the quick brown fox jumps over the lazy dog and it runs far " +
+      "away into the deep dark woods where the old owl is watching for the " +
+      "small grey mice that hide in the leaves near the river bank"
+    val d = docs(
+      (1L, clean),
+      (2L, "short text"),                          // too_short (+no_stopwords)
+      (3L, clean + "\nsame line\nsame line\nsame line\nsame line"), // dup_lines
+      (4L, ("@#$% " * 40) + clean))                // low_alnum
+    val got = TextStats.ruleFilter(d, "text")
+      .select("doc_id", "keep", "reasons").collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) == (true, ""))
+    assert(!got(2L)._1 && got(2L)._2.contains("too_short"))
+    assert(!got(3L)._1 && got(3L)._2 == "dup_lines")
+    assert(!got(4L)._1 && got(4L)._2 == "low_alnum")
+  }
+
   test("fingerprint stable under formatting, changes with content; short-doc fallback") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon"),
