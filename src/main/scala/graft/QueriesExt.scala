@@ -523,6 +523,59 @@ object QueriesExt {
            |          FROM documents)))""".stripMargin
       }),
 
+    // Hashed-linear-model inference: exact integer weight fold per row,
+    // one float division at the end — the score-100-TB-in-one-pass shape.
+    QueryCase("q_score_classifier",
+      (s, dir) => TextStats.hashClassifierScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round4(col("score")).as("score")),
+      Some(s"""SELECT doc_id,
+        | CASE WHEN len(toks) > 0
+        |   THEN floor(CAST(list_sum(list_transform(toks,
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000))
+        |        AS DOUBLE) / (len(toks) * 1000.0) * 10000 + 0.5) / 10000
+        |   ELSE 0.0 END AS score
+        |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)""".stripMargin)),
+
+    // Token-budget corpus selection: best-quality-first prefix of the
+    // corpus under a global token budget, via the distributed two-phase
+    // prefix sum (ops/Budget) instead of a single-partition window.
+    QueryCase("q_select_budget",
+      (s, dir) => graft.ops.Budget.selectByBudget(
+          TextStats.qualityScore(t(s, dir, "documents"), "text")
+            .select(col("doc_id"), col("quality"),
+              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+          "n_tokens", col("quality").desc, "doc_id",
+          budget = 10000L, partitions = 8)
+        .select("doc_id", "cum_tokens"),
+      Some {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id, cum_tokens FROM (
+           |  SELECT doc_id,
+           |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM (
+           |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |      least(len(toks) / 100.0, 1.0) * 0.25
+           |      + (CASE WHEN length(text) > 0
+           |           THEN CAST(length(text) - length(regexp_replace(text,
+           |                  '[A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |           THEN least(CAST(len(list_filter(toks,
+           |                  t -> list_contains($en, t))) AS DOUBLE)
+           |                / len(toks) * 3.0, 1.0)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) >= 3
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) <= 10
+           |           THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
+           |    FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)))
+           |WHERE cum_tokens <= 10000""".stripMargin
+      }),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

@@ -191,6 +191,28 @@ object TextStats {
       .withColumn("keep", col("reasons") === "")
   }
 
+  /** Linear bag-of-words classifier INFERENCE at scan time (the
+    * fasttext-style quality-classifier shape): score = Σ_t w(t) / (1000·n)
+    * over tokens WITH multiplicity — one per-row fold, no shuffle, no UDF;
+    * scoring 100 TB is exactly one pass fused into the scan.
+    *
+    * Weights are derived from the token's md5 ([[Dedup.hex32]] mod 2001,
+    * centered): a deterministic, cross-engine-reproducible stand-in for a
+    * learned weight table, keeping the whole path oracle-checkable. A
+    * production model swaps in a broadcast weight map (or a resource file
+    * opened per partition) — the plan shape is identical. The fold is
+    * INTEGER (exact, order-independent); the single final division is the
+    * only float op. */
+  def hashClassifierScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L),
+      (a, t) => a + (Dedup.hex32(t) % 2001L - 1000L))
+    df.withColumn("score",
+      when(size(toks) > 0,
+        wsum.cast("double") / (size(toks).cast("double") * 1000.0))
+        .otherwise(lit(0.0)))
+  }
+
   /** Document fingerprint: minimum MD5 over word 3-gram hashes (a
     * winnowing-style content signature, stable under reordering of
     * surrounding documents; MD5 so the oracle can recompute it). Falls

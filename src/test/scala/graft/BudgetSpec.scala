@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Budget
+
+class BudgetSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    // quality descends with id so the expected selection is a prefix by id
+    (0 until n).map(i => (i.toLong, 1.0 - i / 100.0, 10L + i % 3))
+      .toDF("doc_id", "quality", "n_tokens")
+  }
+
+  test("selectByBudget keeps the best-quality prefix within the budget") {
+    val d = corpus(50) // tokens 10/11/12 cycling, ~550 total
+    val got = Budget.selectByBudget(d, "n_tokens", col("quality").desc,
+      "doc_id", budget = 100L, partitions = 4)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ids 0..8: 10+11+12+10+11+12+10+11+12 = 99 ≤ 100; id 9 would cross
+    assert(got.keySet == (0L to 8L).toSet)
+    assert(got(8L) == 99L)
+  }
+
+  test("matches the single-partition global window for any partition count") {
+    val d = corpus(80)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 300L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Budget.selectByBudget(d, "n_tokens", col("quality").desc,
+        "doc_id", budget = 300L, partitions = parts)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("a budget under the first row's tokens selects nothing") {
+    assert(Budget.selectByBudget(corpus(10), "n_tokens",
+      col("quality").desc, "doc_id", budget = 5L, partitions = 2)
+      .count() == 0)
+  }
+}

@@ -63,6 +63,21 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     assert(!got(4L)._1 && got(4L)._2 == "low_alnum")
   }
 
+  test("hashClassifierScore: bounded, deterministic, empty-doc zero") {
+    val d = docs(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),   // same text → same score
+      (3L, "completely different words here"),
+      (4L, "!!!"))                   // no tokens → 0.0
+    val got = TextStats.hashClassifierScore(d, "text")
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.values.forall(s => s >= -1.0 && s <= 1.0))
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got(4L) == 0.0)
+  }
+
   test("fingerprint stable under formatting, changes with content; short-doc fallback") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon"),
