@@ -185,6 +185,38 @@ object QueriesExt {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id_b FROM p)""".stripMargin
 
+  /** DuckDB twin of [[TextStats.ruleFilter]]'s failed-rule list:
+    * `passCols` + `reasons` per document (shared by the gate and the
+    * rejection-report oracles). */
+  private def ruleReasonsSql(passCols: String): String = {
+    val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""SELECT $passCols, concat_ws(',',
+       |    CASE WHEN n_words < 20 THEN 'too_short' END,
+       |    CASE WHEN n_words > 10000 THEN 'too_long' END,
+       |    CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'mean_wlen' END,
+       |    CASE WHEN alnum_frac < 0.6 THEN 'low_alnum' END,
+       |    CASE WHEN n_stops < 2 THEN 'no_stopwords' END,
+       |    CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END) AS reasons
+       |  FROM (SELECT $passCols,
+       |    len(toks) AS n_words,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+       |      ELSE 0.0 END AS mean_wlen,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text)
+       |      ELSE 0.0 END AS alnum_frac,
+       |    len(list_filter(toks, t -> list_contains($en, t))) AS n_stops,
+       |    CASE WHEN len(lines) > 0
+       |      THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       |      ELSE 0.0 END AS dup_line_frac
+       |    FROM (SELECT doc_id, source, text, $sqlToks AS toks,
+       |            list_filter(string_split(text, chr(10)),
+       |                        l -> len(trim(l)) > 0) AS lines
+       |          FROM documents))""".stripMargin
+  }
+
   // -------------------------------------- portable-hash pipeline oracles
   //
   // DuckDB twin of Dedup.hex32 / hex60: first N md5 hex chars as integer.
@@ -493,35 +525,23 @@ object QueriesExt {
     QueryCase("q_filter_rules",
       (s, dir) => TextStats.ruleFilter(t(s, dir, "documents"), "text")
         .select("doc_id", "keep", "reasons"),
-      Some {
-        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""SELECT doc_id, reasons, reasons = '' AS keep
-           |FROM (SELECT doc_id, concat_ws(',',
-           |    CASE WHEN n_words < 20 THEN 'too_short' END,
-           |    CASE WHEN n_words > 10000 THEN 'too_long' END,
-           |    CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'mean_wlen' END,
-           |    CASE WHEN alnum_frac < 0.6 THEN 'low_alnum' END,
-           |    CASE WHEN n_stops < 2 THEN 'no_stopwords' END,
-           |    CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END) AS reasons
-           |  FROM (SELECT doc_id,
-           |    len(toks) AS n_words,
-           |    CASE WHEN len(toks) > 0
-           |      THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-           |      ELSE 0.0 END AS mean_wlen,
-           |    CASE WHEN length(text) > 0
-           |      THEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
-           |           / length(text)
-           |      ELSE 0.0 END AS alnum_frac,
-           |    len(list_filter(toks, t -> list_contains($en, t))) AS n_stops,
-           |    CASE WHEN len(lines) > 0
-           |      THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
-           |      ELSE 0.0 END AS dup_line_frac
-           |    FROM (SELECT doc_id, text, $sqlToks AS toks,
-           |            list_filter(string_split(text, chr(10)),
-           |                        l -> len(trim(l)) > 0) AS lines
-           |          FROM documents)))""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, reasons, reasons = '' AS keep
+        |FROM (${ruleReasonsSql("doc_id")})""".stripMargin)),
+
+    // Rejection-rate dashboard over the gate: (source, failed rule) →
+    // count. One explode + one aggregate over the already-scan-fused
+    // reasons column — the monitoring view a curation pipeline watches.
+    QueryCase("q_curation_report",
+      (s, dir) => TextStats.ruleFilter(t(s, dir, "documents"), "text")
+        .filter(!col("keep"))
+        .select(col("source"), explode(split(col("reasons"), ",")).as("reason"))
+        .groupBy("source", "reason")
+        .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT source, reason, count(*) AS n
+        |FROM (SELECT source, unnest(string_split(reasons, ',')) AS reason
+        |      FROM (${ruleReasonsSql("source")})
+        |      WHERE reasons <> '')
+        |GROUP BY source, reason""".stripMargin)),
 
     // Hashed-linear-model inference: exact integer weight fold per row,
     // one float division at the end — the score-100-TB-in-one-pass shape.
