@@ -50,4 +50,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     // expression fast-path: no DeserializeToObject / mapPartitions stage
     assert(!plan.contains("DeserializeToObject"), plan.take(2000))
   }
+
+  test("q_shuffle_rank ranks per range — the corpus never sees a global window") {
+    val plan = formatted("q_shuffle_rank")
+    // corpus path: range repartition by the shuffle key, rank window
+    // partitioned by the range id (a partition-less window over the
+    // corpus would be the single-task plan this operator exists to avoid)
+    assert(plan.contains("rangepartitioning(__k"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+  }
+
+  test("q_select_budget: distributed prefix sum, range-partitioned by preference") {
+    val plan = formatted("q_select_budget")
+    assert(plan.contains("rangepartitioning(quality"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+  }
+
+  test("q_score_classifier is a single pruned scan — no shuffle") {
+    val plan = formatted("q_score_classifier")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(2000))
+  }
 }
