@@ -223,23 +223,12 @@ object QueriesExt {
   private def sqlHex32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
   private def sqlHex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Full MinHash+LSH pipeline oracle (portable md5 hash family,
-    * shingle=3, value-equality band keys): shingles → double-hash mins →
-    * band buckets → bounded self-join → exact signature-match estimate.
-    * Mirrors Dedup.minhashDupPairsPortable clause for clause. */
-  private def minhashPortableOracle(numHashes: Int, bands: Int,
-      threshold: Double, maxBucket: Int): String = {
-    val r = numHashes / bands
+  /** Shared CTE chain for the portable-MinHash oracles: 3-gram shingles →
+    * md5 double-hash → per-doc signature columns m0..m{n−1}. */
+  private def minhashSigCte(numHashes: Int): String = {
     val minCols = (0 until numHashes)
       .map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
-    val bandRows = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
-    }.mkString("\nUNION ALL\n")
-    val matches = (0 until numHashes)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    s"""toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
       |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
       |        for i in range(1, greatest(len(toks)-1, 1))]) AS grams FROM toks),
       |u AS (SELECT doc_id, unnest(grams) AS u FROM g),
@@ -247,7 +236,48 @@ object QueriesExt {
       |             ${sqlHex32("u || '|'")} AS h2 FROM u),
       |sig AS (SELECT doc_id,
       |  $minCols
-      |  FROM h GROUP BY doc_id),
+      |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Point-probe oracle: the query row's signature joined (cross, 1 row)
+    * against every other signature; candidacy = any full band slice
+    * equal; estimate = signature-match fraction. Mirrors
+    * Dedup.minhashProbePortable clause for clause. */
+  private def minhashProbeOracle(numHashes: Int, bands: Int,
+      threshold: Double, queryId: Long): String = {
+    val r = numHashes / bands
+    val bandMatch = (0 until bands).map { b =>
+      (b * r until (b + 1) * r).map(i => s"s.m$i = q.m$i")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n   OR ")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN s.m$i = q.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashSigCte(numHashes)},
+      |q AS (SELECT * FROM sig WHERE doc_id = $queryId)
+      |SELECT s.doc_id,
+      |  floor(($matches) / $numHashes.0 * 10000 + 0.5) / 10000 AS est_jaccard
+      |FROM sig s, q
+      |WHERE s.doc_id <> $queryId
+      |  AND ($bandMatch)
+      |  AND ($matches) / $numHashes.0 >= $threshold""".stripMargin
+  }
+
+  /** Full MinHash+LSH pipeline oracle (portable md5 hash family,
+    * shingle=3, value-equality band keys): shingles → double-hash mins →
+    * band buckets → bounded self-join → exact signature-match estimate.
+    * Mirrors Dedup.minhashDupPairsPortable clause for clause. */
+  private def minhashPortableOracle(numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): String = {
+    val r = numHashes / bands
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashSigCte(numHashes)},
       |bands AS (
       |$bandRows
       |),
@@ -402,6 +432,16 @@ object QueriesExt {
       (s, dir) => Dedup.simhashDupPairsPortable(t(s, dir, "documents"),
           "text", "doc_id", maxHamming = 3),
       Some(simhashPortableOracle(3))),
+
+    // Point probe: near-duplicates of ONE document (serving-path dual of
+    // the corpus-wide pairs join) — band slices of the query signature
+    // become literal scan predicates; no self-join, no shuffle.
+    QueryCase("q_dedup_probe",
+      (s, dir) => Dedup.minhashProbePortable(t(s, dir, "documents"),
+          "text", "doc_id", queryId = 8L, numHashes = 32, bands = 8,
+          threshold = 0.25, shingle = 3)
+        .withColumn("est_jaccard", round4(col("est_jaccard"))),
+      Some(minhashProbeOracle(32, 8, 0.25, 8L))),
 
     // Exact n-gram Jaccard pairs ARE SQL-expressible: the shared-gram
     // blocking is lossless for threshold > 0, so the oracle can brute-force

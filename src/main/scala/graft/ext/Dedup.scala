@@ -253,6 +253,41 @@ object Dedup {
               v => v.cast("string"))).as("bucket"))))
   }
 
+  /** MinHash point PROBE: all near-duplicates of ONE document — the
+    * serving-path dual of the corpus-wide [[minhashDupPairsPortable]]
+    * (answering "what duplicates THIS doc" without a self-join). The
+    * query row's signature is collected (one bounded row), its band
+    * slices become literal predicates, and candidacy is a scan-fused
+    * FILTER over the signature table — no join, no shuffle; with the
+    * signature table bucketed/partitioned by leading band values the
+    * probe prunes to matching buckets at 100 TB. Portable md5 hash
+    * family throughout, so the whole probe is oracle-reproducible.
+    * Returns (doc_id, est_jaccard) for candidates with signature-match
+    * estimate ≥ `threshold`, query row excluded. */
+  def minhashProbePortable(df: DataFrame, textCol: String, idCol: String,
+      queryId: Long, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.25, shingle: Int = 1): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
+      shingle)
+    val q = sigs.filter(col("id") === queryId)
+      .select("sig").head().getSeq[Long](0)
+    val anyBandMatches = (0 until bands).map { b =>
+      (0 until r).map(i =>
+        element_at(col("sig"), b * r + i + 1) === lit(q(b * r + i)))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val qLit = array(q.map(lit): _*)
+    sigs.filter(col("id") =!= queryId)
+      .filter(anyBandMatches)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), qLit, (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("est_jaccard"))
+  }
+
   /** MinHash dedup: drop every doc that is a near-duplicate of a
     * smaller-id doc (greedy representative-by-min-id; the standard
     * single-pass approximation of connected-component dedup). */

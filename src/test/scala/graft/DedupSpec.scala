@@ -129,6 +129,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhashProbePortable finds the near-dup of the query doc, excludes self") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // near-dup of 1
+      (3L, "completely unrelated words about other topics entirely"))
+    val got = Dedup.minhashProbePortable(d, "text", "doc_id", queryId = 1L,
+      numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
   test("semanticDupPairs: pairs within a cell; cross-cell neighbors blocked") {
     val s = spark
     import s.implicits._
