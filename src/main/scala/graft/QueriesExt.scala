@@ -154,6 +154,49 @@ object QueriesExt {
        |ORDER BY ${cosSql("cells.e", "q.qe")} DESC, cells.vec_id
        |LIMIT 10""".stripMargin
 
+  /** IVF-with-k-means oracle: the Lloyd iterations UNROLLED as CTE blocks.
+    * Reproducible because every step is either exact integer/DECIMAL
+    * arithmetic or a single deterministic IEEE operation: assignment =
+    * argmax of list_dot_product cosines (bit-identical to the native
+    * kernel), cell means = exact DECIMAL sum → one cast to double → exact
+    * double÷int division, centroid storage = float truncation (CAST to
+    * FLOAT and back). Mirrors [[Similarity.kmeansCentroids]] +
+    * [[Similarity.ivfTopK]] clause for clause. */
+  private def ivfKmeansOracle(nlist: Int, iterations: Int, nprobe: Int,
+      k: Int, dim: Int): String = {
+    def assign(cents: String, tag: String) =
+      s"""assign$tag AS (SELECT vec_id, e, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid DESC) AS rn
+         |  FROM (SELECT v.vec_id, v.e, c.cid, ${cosSql("v.e", "c.ce")} AS cos
+         |        FROM v, $cents c)),
+         |cells$tag AS (SELECT vec_id, e, cid AS cell FROM assign$tag WHERE rn = 1)""".stripMargin
+    val iterCtes = (0 until iterations).map { i =>
+      s"""${assign(s"cent$i", s"_k$i")},
+         |dims_k$i AS (SELECT cell, i AS d,
+         |    CAST(sum(CAST(e[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM cells_k$i, range(1, ${dim + 1}) t(i) GROUP BY cell, i),
+         |cent${i + 1} AS (SELECT c.cid,
+         |    CASE WHEN d.ce IS NULL THEN c.ce ELSE d.ce END AS ce
+         |  FROM cent$i c LEFT JOIN (
+         |    SELECT cell AS cid,
+         |      list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY d) AS ce
+         |    FROM dims_k$i GROUP BY cell) d ON c.cid = d.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+       |          FROM v ORDER BY vec_id LIMIT $nlist),
+       |$iterCtes,
+       |${assign(s"cent$iterations", "F")},
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |probe AS (SELECT c.cid FROM cent$iterations c, q
+       |          ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid LIMIT $nprobe)
+       |SELECT cellsF.vec_id FROM cellsF, q
+       |WHERE cell IN (SELECT cid FROM probe)
+       |ORDER BY ${cosSql("cellsF.e", "q.qe")} DESC, cellsF.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Shared CTE chain for the SemDeDup oracles: first-16 centroids (same
     * derivation as [[ivfTopKOracle]]), argmax cell assignment, cell-size
     * cap, within-cell pair join with exact cosine. */
@@ -951,9 +994,10 @@ object QueriesExt {
       Some(ivfTopKOracle)),
 
     // IVF with Lloyd k-means centroids — the production centroid builder.
-    // No oracle (iterative decimal-mean centroids are not practically
-    // SQL-reproducible); recall vs brute force is asserted in
-    // SimilaritySpec.
+    // Oracle-checked end-to-end: the iterations unroll as SQL CTE blocks
+    // (see ivfKmeansOracle — every step is exact-integer/DECIMAL or one
+    // deterministic IEEE op). Recall vs brute force additionally asserted
+    // in SimilaritySpec.
     QueryCase("q_similarity_ivf_kmeans",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
@@ -965,7 +1009,8 @@ object QueriesExt {
             cents, nprobe = 4)
           .select("vec_id")
       },
-      None),
+      Some(ivfKmeansOracle(nlist = 16, iterations = 3, nprobe = 4,
+        k = 10, dim = 64))),
 
     // ------------------------------------------------------- multimodal
     // Metadata-only decode rides the codegen'd expression fast-path

@@ -134,7 +134,13 @@ object Similarity {
     * use exact DECIMAL sums (order-independent — double summation would
     * make centroids vary run-to-run with shuffle order). Empty cells keep
     * their previous centroid. Similarity metric is cosine throughout,
-    * matching the IVF probe/assignment metric. */
+    * matching the IVF probe/assignment metric.
+    *
+    * Mean form: the DECIMAL sum is cast to double BEFORE the division by
+    * count (sum_decimal→double is a single deterministic rounding; the
+    * double÷int division is exact IEEE) — decimal DIVISION result
+    * scale/rounding is engine-specific, this form is not, which is what
+    * lets the DuckDB oracle replay the Lloyd iterations bit-for-bit. */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
       nlist: Int, iterations: Int = 5): Array[(Int, Array[Float])] = {
     var cents = sampleCentroids(df, vecCol, idCol, nlist)
@@ -143,8 +149,8 @@ object Similarity {
       val means = ivfAssign(df, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
         .groupBy("cell", "d")
-        .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("m"))
         .collect()
         .groupBy(_.getAs[Int]("cell"))
         .map { case (cell, rows) =>
