@@ -111,41 +111,52 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val BloomProbeName = "graft_might_contain"
 
+  /** The function table, shared by the lazy runtime path ([[register]])
+    * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, CosineName),
+      (children: Seq[Expression]) =>
+        CosineSimilarityExpr(children(0), children(1))),
+    (FunctionIdentifier(SignBucketName),
+      new ExpressionInfo(classOf[SignBucketExpr].getName, SignBucketName),
+      (children: Seq[Expression]) =>
+        SignBucketExpr(children(0), children(1))),
+    (FunctionIdentifier(BloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        BloomAggName),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier(BloomProbeName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        BloomProbeName),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
-      registry.registerFunction(
-        FunctionIdentifier(CosineName),
-        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, CosineName),
-        (children: Seq[Expression]) =>
-          CosineSimilarityExpr(children(0), children(1)))
-    }
-    if (!registry.functionExists(FunctionIdentifier(SignBucketName))) {
-      registry.registerFunction(
-        FunctionIdentifier(SignBucketName),
-        new ExpressionInfo(classOf[SignBucketExpr].getName, SignBucketName),
-        (children: Seq[Expression]) =>
-          SignBucketExpr(children(0), children(1)))
-    }
-    if (!registry.functionExists(FunctionIdentifier(BloomAggName))) {
-      registry.registerFunction(
-        FunctionIdentifier(BloomAggName),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-          BloomAggName),
-        (children: Seq[Expression]) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            children(0), children(1), children(2)))
-    }
-    if (!registry.functionExists(FunctionIdentifier(BloomProbeName))) {
-      registry.registerFunction(
-        FunctionIdentifier(BloomProbeName),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-          BloomProbeName),
-        (children: Seq[Expression]) =>
-          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            children(0), children(1)))
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
     }
   }
+}
+
+/** The `spark.sql.extensions` entry point: deploy the graft native
+  * functions cluster-wide with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), making
+  * `graft_cosine` / `graft_signbucket` / the bloom pair first-class SQL
+  * functions in every session the cluster serves — no library call
+  * needed. The lazy [[GraftFunctions.register]] path stays for sessions
+  * built without extension configs; both install the same table. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

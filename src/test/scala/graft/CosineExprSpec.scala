@@ -57,4 +57,25 @@ class CosineExprSpec extends AnyFunSuite with SparkTestSupport {
     val r = df.select(Vectors.cosineNative(spark, col("a"), col("b"))).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("GraftExtensions injects the same function table (spark.sql.extensions path)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.GraftExtensionsTestAccess
+      .buildRegistry(ext,
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    GraftFunctions.all.foreach { case (ident, _, _) =>
+      assert(registry.functionExists(ident), ident.funcName)
+    }
+    // the injected builder produces the real expression
+    val e = registry.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.CosineName),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    assert(e.isInstanceOf[graft.functions.CosineSimilarityExpr])
+  }
 }
