@@ -64,8 +64,23 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Lowercase word tokens (distinct not applied). */
-  def tokens(c: Column): Column =
+  /** Lowercase word tokens (distinct not applied).
+    *
+    * Pure codegen'd builtins: strip leading/trailing separator runs, then
+    * split — interior runs collapse to single separators so no empty
+    * tokens remain, and the empty/pure-punctuation case short-circuits to
+    * []. Bit-identical to the HOF form [[tokensHof]] (asserted in
+    * `NGramsExprSpec`) but keeps every projection that tokenizes inside
+    * WholeStageCodegen — `filter(…, lambda)` is a `CodegenFallback`
+    * expression and would kick the WHOLE projection out of codegen. */
+  def tokens(c: Column): Column = {
+    val cleaned = regexp_replace(lower(c), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+    when(length(cleaned) === 0, typedLit(Seq.empty[String]))
+      .otherwise(split(cleaned, "[^a-z0-9]+"))
+  }
+
+  /** HOF reference form of [[tokens]] (kept for the bit-identity spec). */
+  def tokensHof(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Distinct character k-shingles of the normalized text (alternative
@@ -481,19 +496,35 @@ object Dedup {
 
   // ------------------------------------------- exact n-gram Jaccard pairs
 
-  /** Word n-grams of the normalized text WITH multiplicity (repetition
-    * metrics need duplicate grams; [[wordNgrams]] is the distinct form). */
-  def wordNgramsAll(text: Column, n: Int): Column = {
-    val grams = transform(array(tokens(text)), toks =>
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i <= size(toks) - n,
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        g => g.isNotNull))
-    element_at(grams, 1)
+  /** Wrap the native [[graft.functions.NGramsExpr]] kernel as a Column
+    * (no session/registry needed — the expression rides the plan
+    * directly). */
+  private def ngramsNative(text: Column, n: Int, distinct: Boolean): Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    // coalesce: the HOF reference form yields [] (not NULL) for null text
+    // (greatest() drops the null size inside the lambda) — preserve that
+    // contract exactly so kernels are interchangeable.
+    coalesce(
+      shim.column(graft.functions.NGramsExpr(
+        shim.expression(tokens(text)), shim.expression(lit(n)), distinct)),
+      typedLit(Seq.empty[String]))
   }
 
-  /** Word n-grams (distinct) of the normalized text.
+  /** Word n-grams of the normalized text WITH multiplicity (repetition
+    * metrics need duplicate grams; [[wordNgrams]] is the distinct form). */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    ngramsNative(text, n, distinct = false)
+
+  /** Word n-grams (distinct) of the normalized text: native compiled
+    * kernel ([[graft.functions.NGramsExpr]] — one loop per row).
+    * [[wordNgramsHof]] is the built-in-HOF reference form; the kernel is
+    * asserted bit-identical to it in `NGramsExprSpec`, and every n-gram
+    * pipeline's DuckDB oracle locks the semantics end-to-end. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsNative(text, n, distinct = true)
+
+  /** Reference HOF form of [[wordNgrams]] (kept for the bit-identity
+    * spec; interpreted — ~2.5× slower per gram-explode pass at sf0.1).
     *
     * The tokenization is BOUND ONCE via a singleton-array lambda
     * (`transform(array(tokens), toks -> ...)`): higher-order functions
@@ -501,14 +532,15 @@ object Dedup {
     * gram position would re-run the regex split O(positions) times per row
     * — observed as a single 550 s task at sf0.1. A lambda variable
     * reference is O(1) against the already-evaluated array. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgramsHof(text: Column, n: Int, distinct: Boolean = true): Column = {
     val grams = transform(array(tokens(text)), toks =>
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => when(i <= size(toks) - n,
             concat_ws(" ", slice(toks, i + 1, lit(n))))),
         g => g.isNotNull))
-    array_distinct(element_at(grams, 1))
+    if (distinct) array_distinct(element_at(grams, 1))
+    else element_at(grams, 1)
   }
 
   /** Exact n-gram Jaccard near-dup pairs, `jaccard ≥ threshold`.

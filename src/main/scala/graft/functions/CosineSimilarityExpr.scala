@@ -110,6 +110,8 @@ object GraftFunctions {
     * argument must be foldable (a literal) or a scalar subquery. */
   val BloomAggName = "graft_bloom_agg"
   val BloomProbeName = "graft_might_contain"
+  val NGramsName = "graft_ngrams"
+  val NGramsAllName = "graft_ngrams_all"
 
   /** The function table, shared by the lazy runtime path ([[register]])
     * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
@@ -136,7 +138,15 @@ object GraftFunctions {
         BloomProbeName),
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+          children(0), children(1))),
+    (FunctionIdentifier(NGramsName),
+      new ExpressionInfo(classOf[NGramsExpr].getName, NGramsName),
+      (children: Seq[Expression]) =>
+        NGramsExpr(children(0), children(1), distinct = true)),
+    (FunctionIdentifier(NGramsAllName),
+      new ExpressionInfo(classOf[NGramsExpr].getName, NGramsAllName),
+      (children: Seq[Expression]) =>
+        NGramsExpr(children(0), children(1), distinct = false)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

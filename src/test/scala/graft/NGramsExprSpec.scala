@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+/** Native n-gram kernel: bit-identical to the built-in-HOF reference form
+  * on every edge the HOF handles. */
+class NGramsExprSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b a b"),              // heavy duplicate grams
+      (3L, "one two"),                       // shorter than n=3
+      (4L, "solo"),                          // single token
+      (5L, ""),                              // no tokens
+      (6L, "Mixed CASE, punct!! and   spacing\nnewlines too"),
+      (7L, null.asInstanceOf[String]))       // null text
+      .toDF("doc_id", "text")
+  }
+
+  test("native ≡ HOF reference, distinct and with-multiplicity, n = 1..4") {
+    for (n <- 1 to 4; distinct <- Seq(true, false)) {
+      val native =
+        if (distinct) Dedup.wordNgrams(col("text"), n)
+        else Dedup.wordNgramsAll(col("text"), n)
+      val hof = Dedup.wordNgramsHof(col("text"), n, distinct)
+      val rows = docs.select(col("doc_id"), native.as("a"), hof.as("b"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2),
+          s"null mismatch n=$n distinct=$distinct doc=${r.getLong(0)}")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"n=$n distinct=$distinct doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("builtin tokens ≡ HOF tokens on edge texts") {
+    val rows = docs.select(col("doc_id"),
+      Dedup.tokens(col("text")).as("a"),
+      Dedup.tokensHof(col("text")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null doc=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"doc=${r.getLong(0)}")
+    }
+  }
+
+  test("distinct keeps first-occurrence order") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(Tuple1("x y x y z x y"))
+      .toDF("text")
+      .select(Dedup.wordNgrams(col("text"), 2))
+      .head().getSeq[String](0)
+    assert(got == Seq("x y", "y x", "y z", "z x"))
+  }
+
+  test("projection over the kernel stays in a whole-stage codegen span") {
+    // repartition defeats ConvertToLocalRelation so a real plan forms;
+    // collect first so AQE finalizes the stages it actually compiled
+    val df = docs.repartition(2)
+      .select(size(Dedup.wordNgrams(col("text"), 3)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in tree strings
+    assert(plan.contains("*(1) Project"), plan.take(1500))
+  }
+}
