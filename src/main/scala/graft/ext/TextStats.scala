@@ -51,9 +51,17 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "zu"),
     "fr" -> Seq("le", "les", "de", "et", "des", "une", "est", "dans", "pour", "que"))
 
-  /** Per-language stopword hit count (with multiplicity). */
+  /** Per-language stopword hit count (with multiplicity).
+    *
+    * Pure builtins: count(w in toks) = |toks| − |array_remove(toks, w)|,
+    * summed over the (distinct) word list — equivalent to the obvious
+    * `size(filter(toks, isin(words)))` but that lambda filter is a
+    * `CodegenFallback` and would kick every scoring projection
+    * (languageId, qualityScore, ruleFilter, budget selection) out of
+    * WholeStageCodegen. */
   def langScore(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
+    words.map(w => size(toks) - size(array_remove(toks, w)))
+      .reduce(_ + _)
 
   /** Language ID: argmax of stopword hit counts, first-listed language
     * wins ties, `und` when no list scores > 0. */
