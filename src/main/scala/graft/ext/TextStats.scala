@@ -89,7 +89,9 @@ object TextStats {
     val nAlnum = (nChars - length(regexp_replace(text, "[A-Za-z0-9]", "")))
     val nStops = langScore(toks, Stopwords.head._2).cast("double")
     val meanWlen = when(size(toks) > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nWords)
+      // Σ token lengths as a builtin (array_join concatenation) — the
+      // aggregate() lambda fold is CodegenFallback, see langScore
+      length(array_join(toks, "")).cast("double") / nWords)
       .otherwise(lit(0.0))
     val lengthTerm = least(nWords / lit(100.0), lit(1.0))
     val alnumTerm = when(nChars > 0, nAlnum / nChars).otherwise(lit(0.0))
@@ -178,7 +180,7 @@ object TextStats {
     val nChars = length(text).cast("double")
     val nAlnum = (nChars - length(regexp_replace(text, "[A-Za-z0-9]", "")))
     val meanWlen = when(nWords > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+      length(array_join(toks, "")).cast("double")
         / nWords.cast("double")).otherwise(lit(0.0))
     val alnumFrac = when(nChars > 0, nAlnum / nChars).otherwise(lit(0.0))
     val nStops = langScore(toks, Stopwords.head._2)
