@@ -63,6 +63,40 @@ class NGramsExprSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == Seq("x y", "y x", "y z", "z x"))
   }
 
+  test("property: native ≡ HOF on random texts (tokens and n-grams)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('!', ',', '\n', '.', 'é', '_'),
+      1 -> Gen.const("  ").map(_.charAt(0)))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val caseGen = for {
+      texts <- Gen.nonEmptyListOf(textGen)
+      n <- Gen.choose(1, 4)
+      distinct <- Gen.oneOf(true, false)
+    } yield (texts.take(8), n, distinct)
+    val prop = Prop.forAll(caseGen) { case (texts, n, distinct) =>
+      val s = spark
+      import s.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nat = if (distinct) Dedup.wordNgrams(col("text"), n)
+        else Dedup.wordNgramsAll(col("text"), n)
+      val rows = d.select(
+        Dedup.tokens(col("text")).as("t1"),
+        Dedup.tokensHof(col("text")).as("t2"),
+        nat.as("g1"),
+        Dedup.wordNgramsHof(col("text"), n, distinct).as("g2")).collect()
+      rows.forall { r =>
+        r.getSeq[String](0) == r.getSeq[String](1) &&
+          r.getSeq[String](2) == r.getSeq[String](3)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("projection over the kernel stays in a whole-stage codegen span") {
     // repartition defeats ConvertToLocalRelation so a real plan forms;
     // collect first so AQE finalizes the stages it actually compiled
