@@ -162,17 +162,22 @@ object QueriesExt {
     * double÷int division, centroid storage = float truncation (CAST to
     * FLOAT and back). Mirrors [[Similarity.kmeansCentroids]] +
     * [[Similarity.ivfTopK]] clause for clause. */
-  private def ivfKmeansOracle(nlist: Int, iterations: Int, nprobe: Int,
-      k: Int, dim: Int): String = {
-    def assign(cents: String, tag: String) =
-      s"""assign$tag AS (SELECT vec_id, e, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos DESC, cid DESC) AS rn
-         |  FROM (SELECT v.vec_id, v.e, c.cid, ${cosSql("v.e", "c.ce")} AS cos
-         |        FROM v, $cents c)),
-         |cells$tag AS (SELECT vec_id, e, cid AS cell FROM assign$tag WHERE rn = 1)""".stripMargin
+  /** Cell-assignment CTE pair (argmax over `cents`) under tag `tag`. */
+  private def kmAssignCte(cents: String, tag: String): String =
+    s"""assign$tag AS (SELECT vec_id, e, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cid DESC) AS rn
+       |  FROM (SELECT v.vec_id, v.e, c.cid, ${cosSql("v.e", "c.ce")} AS cos
+       |        FROM v, $cents c)),
+       |cells$tag AS (SELECT vec_id, e, cid AS cell FROM assign$tag WHERE rn = 1)""".stripMargin
+
+  /** The Lloyd iterations as CTE blocks: `v` (double-cast embeddings) +
+    * cent0 (first-nlist) + `iterations` rounds, ending at
+    * cent{iterations}. Shared by the IVF-k-means and SemDeDup-k-means
+    * oracles. */
+  private def kmCentroidCtes(nlist: Int, iterations: Int, dim: Int): String = {
     val iterCtes = (0 until iterations).map { i =>
-      s"""${assign(s"cent$i", s"_k$i")},
+      s"""${kmAssignCte(s"cent$i", s"_k$i")},
          |dims_k$i AS (SELECT cell, i AS d,
          |    CAST(sum(CAST(e[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
          |  FROM cells_k$i, range(1, ${dim + 1}) t(i) GROUP BY cell, i),
@@ -183,11 +188,16 @@ object QueriesExt {
          |      list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY d) AS ce
          |    FROM dims_k$i GROUP BY cell) d ON c.cid = d.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
        |          FROM v ORDER BY vec_id LIMIT $nlist),
-       |$iterCtes,
-       |${assign(s"cent$iterations", "F")},
+       |$iterCtes""".stripMargin
+  }
+
+  private def ivfKmeansOracle(nlist: Int, iterations: Int, nprobe: Int,
+      k: Int, dim: Int): String =
+    s"""WITH ${kmCentroidCtes(nlist, iterations, dim)},
+       |${kmAssignCte(s"cent$iterations", "F")},
        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
        |probe AS (SELECT c.cid FROM cent$iterations c, q
        |          ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid LIMIT $nprobe)
@@ -195,7 +205,20 @@ object QueriesExt {
        |WHERE cell IN (SELECT cid FROM probe)
        |ORDER BY ${cosSql("cellsF.e", "q.qe")} DESC, cellsF.vec_id
        |LIMIT $k""".stripMargin
-  }
+
+  /** SemDeDup over k-means cells (the production clustering): Lloyd
+    * centroid CTEs + final assignment + capped within-cell pair join. */
+  private def semanticKmeansOracle(nlist: Int, iterations: Int, dim: Int,
+      maxCell: Int, threshold: Double): String =
+    s"""WITH ${kmCentroidCtes(nlist, iterations, dim)},
+       |${kmAssignCte(s"cent$iterations", "F")},
+       |ok AS (SELECT cell FROM cellsF GROUP BY cell HAVING count(*) <= $maxCell),
+       |bd AS (SELECT cellsF.* FROM cellsF JOIN ok USING (cell)),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${cosSql("a.e", "b.e")} AS cos
+       |      FROM bd a JOIN bd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.e", "b.e")} >= $threshold)
+       |SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cos FROM p""".stripMargin
 
   /** Shared CTE chain for the SemDeDup oracles: first-16 centroids (same
     * derivation as [[ivfTopKOracle]]), argmax cell assignment, cell-size
@@ -550,6 +573,19 @@ object QueriesExt {
           "vec_id")
         .select("vec_id"),
       Some(semanticDedupOracle)),
+
+    // SemDeDup over Lloyd k-means cells — the production clustering for
+    // the blocking key; the oracle replays the iterations as CTE blocks
+    // (same machinery as q_similarity_ivf_kmeans).
+    QueryCase("q_dedup_semantic_kmeans",
+      (s, dir) => Dedup.semanticDupPairs(t(s, dir, "embeddings"),
+          "embedding", "vec_id",
+          Similarity.kmeansCentroids(t(s, dir, "embeddings"),
+            "embedding", "vec_id", nlist = 16, iterations = 3),
+          threshold = 0.4)
+        .withColumn("cos", round4(col("cos"))),
+      Some(semanticKmeansOracle(nlist = 16, iterations = 3, dim = 64,
+        maxCell = 10000, threshold = 0.4))),
 
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
