@@ -152,6 +152,29 @@ object QueriesJoins {
         |   WHERE p.o_custkey = o.o_custkey AND p.o_orderdate < o.o_orderdate
         |   ORDER BY p.o_orderdate DESC, p.o_orderkey DESC LIMIT 1)
         |    AS asof_o_totalprice
-        |FROM orders o""".stripMargin))
+        |FROM orders o""".stripMargin)),
+
+    // Point-in-interval (range) join: bucketized time turns the theta
+    // join Spark would nested-loop into an equi join on the bucket key
+    // (ops/RangeJoin). Intervals = 2-hour windows opened by every 199th
+    // event; half-open [start, end).
+    QueryCase("q_join_range",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val iv = events.filter(col("event_id") % 199 === 0)
+          .select(col("event_id").as("interval_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+        graft.ops.RangeJoin.intervalJoin(
+            events.select("event_id", "ts"), "ts",
+            iv, "start_ts", "end_ts", bucketSec = 3600L)
+          .select("interval_id", "event_id")
+      },
+      Some("""WITH iv AS (SELECT event_id AS interval_id, ts AS start_ts,
+        |       ts + INTERVAL 2 HOUR AS end_ts
+        |     FROM events WHERE event_id % 199 = 0)
+        |SELECT iv.interval_id, e.event_id
+        |FROM events e JOIN iv
+        |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin))
   )
 }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch point-in-interval (range) join: events with `ts` ∈
+  * [start, end) of an intervals table — sessions, campaigns, incident
+  * windows, validity periods.
+  *
+  * Spark plans a bare theta join (`e.ts >= i.s AND e.ts < i.e`) as
+  * BroadcastNestedLoopJoin — O(|events| × |intervals|) comparisons, the
+  * classic 100 TB cliff. This operator makes the join EQUI by bucketizing
+  * time: an event lives in exactly ONE `bucketSec` bucket, an interval
+  * explodes to every bucket it overlaps, the join runs hash-partitioned
+  * on the bucket key, and the exact predicate filters within bucket
+  * matches. Each qualifying (event, interval) pair meets in exactly one
+  * bucket — no dedup step.
+  *
+  * Cost: shuffle |events| + Σ interval spans/bucketSec; pick `bucketSec`
+  * near the MEDIAN interval length so most intervals explode to ~2 rows.
+  * Long-tail intervals cost span/bucketSec rows each — for heavy-tailed
+  * interval sets, split tiers by length and union two bucketized joins. */
+object RangeJoin {
+
+  /** Inner point-in-interval join, `[startCol, endCol)` half-open.
+    * Column names must not collide between the two inputs (alias first). */
+  def intervalJoin(events: DataFrame, tsCol: String, intervals: DataFrame,
+      startCol: String, endCol: String, bucketSec: Long): DataFrame = {
+    val ev = events.withColumn("__b",
+      floor(col(tsCol).cast("long") / bucketSec).cast("long"))
+    val iv = intervals.withColumn("__b", explode(sequence(
+      floor(col(startCol).cast("long") / bucketSec).cast("long"),
+      floor(col(endCol).cast("long") / bucketSec).cast("long"))))
+    ev.join(iv, Seq("__b"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__b")
+  }
+}
