@@ -679,13 +679,24 @@ object QueriesExt {
     // corpus under a global token budget, via the distributed two-phase
     // prefix sum (ops/Budget) instead of a single-partition window.
     QueryCase("q_select_budget",
-      (s, dir) => graft.ops.Budget.selectByBudget(
-          TextStats.qualityScore(t(s, dir, "documents"), "text")
-            .select(col("doc_id"), col("quality"),
-              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
-          "n_tokens", col("quality").desc, "doc_id",
-          budget = 10000L, partitions = 8)
-        .select("doc_id", "cum_tokens"),
+      (s, dir) => {
+        // tokenize ONCE: the token array gets its own projection (a
+        // non-cheap alias referenced by both quality and n_tokens is a
+        // CollapseProject boundary), so the regex split — the dominant
+        // per-row cost — runs once, not once per consumer. parallelize:
+        // the fixture is ONE parquet split, which would run the scoring
+        // single-threaded in both census passes (at corpus scale the
+        // input is naturally parallel and this is a no-op).
+        val toks = Dedup.parallelize(t(s, dir, "documents"))
+          .select(col("doc_id"), col("text"),
+            Dedup.tokens(col("text")).as("__toks"))
+        val scored = toks.select(col("doc_id"),
+          TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
+          size(col("__toks")).cast("long").as("n_tokens"))
+        graft.ops.Budget.selectByBudget(scored, "n_tokens",
+            col("quality").desc, "doc_id", budget = 10000L, partitions = 8)
+          .select("doc_id", "cum_tokens")
+      },
       Some {
         val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
           .mkString("[", ", ", "]")
@@ -926,18 +937,27 @@ object QueriesExt {
         |              CAST(sum(len($sqlToks)) AS BIGINT) AS tok
         |            FROM documents GROUP BY source))""".stripMargin)),
 
-    // Curriculum/difficulty binning: exact quartiles (ntile) over the
-    // quality score with a deterministic total order. NOTE ntile's global
-    // rank forces a single-partition sort — fine for a per-corpus stats
-    // pass; at 100 TB assign bins by comparing against approx_percentile
-    // boundaries instead (one scan, no global sort) when exact equal-size
-    // bins aren't required.
+    // Curriculum/difficulty binning: exact quartiles (ntile semantics)
+    // over the quality score with a deterministic total order. NOT the
+    // window function — `ntile(4) OVER (ORDER BY …)` plans a single-
+    // partition sort of the whole corpus. The bucket is derived from
+    // Census.prefix's distributed global rank (range-repartition →
+    // per-range census → intra-range rank), identical output, bounded
+    // parallelism. When exact equal-size bins aren't required, binning
+    // against approx_percentile boundaries is cheaper still (one scan).
     QueryCase("q_ntile_difficulty",
-      (s, dir) => TextStats.qualityScore(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), round4(col("quality")).as("quality"))
-        .withColumn("bucket", ntile(4).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("quality").desc, col("doc_id")))),
+      (s, dir) => {
+        // parallelize: see q_select_budget — single-split fixture input
+        val scored = TextStats.qualityScore(
+            Dedup.parallelize(t(s, dir, "documents")), "text")
+          .select(col("doc_id"), round4(col("quality")).as("quality"))
+        graft.ops.Census.prefix(scored,
+            Seq(col("quality").desc, col("doc_id").asc), lit(1L),
+            partitions = 8)
+          .withColumn("bucket", graft.ops.Census.ntileBucket(
+            col("__off") + col("__run"), col("__n"), 4))
+          .select("doc_id", "quality", "bucket")
+      },
       Some {
         val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
           .mkString("[", ", ", "]")

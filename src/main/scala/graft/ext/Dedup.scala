@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,7 +61,7 @@ object Dedup {
     * corpus scale inputs already have ≥|cores| splits and this is a no-op;
     * the guarded repartition only pays one raw-text shuffle when the
     * source is under-split. */
-  private[ext] def parallelize(df: DataFrame): DataFrame = {
+  private[graft] def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -181,8 +183,9 @@ object Dedup {
       bandKeys: Column => Column): DataFrame = {
     // Persist the signature table: it feeds the band explode AND the two
     // signature-attach joins — without a barrier Spark recomputes it per
-    // branch.
-    val sigs = sigTable.persist()
+    // branch. Tracked: callers release via [[graft.ops.Caches.releaseAll]]
+    // once results are materialized.
+    val sigs = graft.ops.Caches.track(sigTable)
 
     val buckets = sigs
       .select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
@@ -444,8 +447,7 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = bits / chunks
-    val fps = fpTable
-      .persist()
+    val fps = graft.ops.Caches.track(fpTable)
       .withColumn("chunk", explode(transform(
         sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),
@@ -591,7 +593,7 @@ object Dedup {
       .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
       .select(col("id"), size(col("grams")).as("nsz"),
         explode(col("grams")).as("g"))
-      .persist() // feeds candidate generation and the verify join sides
+      .pipe(graft.ops.Caches.track) // feeds candidate generation and the verify join sides
     val withDf = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
 
@@ -653,7 +655,8 @@ object Dedup {
     // sketch buckets, vectors re-attached per distinct pair for the exact
     // cosine verification (don't shuffle 64-float payloads through the
     // pre-dedup candidate explosion).
-    val vecs = df.select(col(idCol).as("id"), col(vecCol)).persist()
+    val vecs = graft.ops.Caches.track(
+      df.select(col(idCol).as("id"), col(vecCol)))
     val buckets = vecs
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
@@ -700,7 +703,7 @@ object Dedup {
       maxCell: Int = 10000): DataFrame = {
     val cells = Similarity.ivfAssign(df, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-      .persist() // feeds the cell-size census and both join sides
+      .pipe(graft.ops.Caches.track) // feeds the cell-size census and both join sides
     val okCells = cells.groupBy("cell").count()
       .filter(col("count") <= maxCell).select("cell")
     val bounded = cells.join(okCells, Seq("cell"))

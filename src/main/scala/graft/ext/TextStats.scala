@@ -81,9 +81,17 @@ object TextStats {
   /** Heuristic document quality score in [0,1]: length saturation,
     * alphanumeric ratio, English stopword ratio, mean word length band.
     * All terms are ratios of integer counts → cross-engine deterministic. */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
-    val toks = wordTokens(text)
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality",
+      qualityExpr(col(textCol), wordTokens(col(textCol))))
+
+  /** The quality expression from a PRECOMPUTED token array. Callers that
+    * also need the tokens for other columns (e.g. a token count next to
+    * the score) should project `toks` once in its own select and feed the
+    * column here — Catalyst keeps a non-cheap multiply-referenced alias
+    * as a projection boundary, so the tokenizing regex runs once per row
+    * instead of once per consumer. */
+  def qualityExpr(text: Column, toks: Column): Column = {
     val nWords = size(toks).cast("double")
     val nChars = length(text).cast("double")
     val nAlnum = (nChars - length(regexp_replace(text, "[A-Za-z0-9]", "")))
@@ -98,9 +106,8 @@ object TextStats {
     val stopTerm = when(size(toks) > 0, least(nStops / nWords * lit(3.0), lit(1.0)))
       .otherwise(lit(0.0))
     val wlenTerm = when(meanWlen >= 3 && meanWlen <= 10, lit(1.0)).otherwise(lit(0.0))
-    df.withColumn("quality",
-      lengthTerm * lit(0.25) + alnumTerm * lit(0.25) +
-        stopTerm * lit(0.25) + wlenTerm * lit(0.25))
+    lengthTerm * lit(0.25) + alnumTerm * lit(0.25) +
+      stopTerm * lit(0.25) + wlenTerm * lit(0.25)
   }
 
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 family),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-budget corpus selection: order the corpus by a preference key
@@ -9,21 +8,11 @@ import org.apache.spark.sql.functions._
   * token total stays within `budget` — "give me the best N-token corpus",
   * the selection step between scoring and training.
   *
-  * The running total is a GLOBAL ordered prefix sum, which the naive
-  * window encoding (`sum() OVER (ORDER BY …)`) executes on a single
-  * partition. Same distributed two-phase shape as
-  * [[Shuffling.deterministicShuffle]]:
-  *
-  *   1. range-repartition by the preference order;
-  *   2. census: per-range token SUBTOTALS (one row per range), cumsum to
-  *      exclusive per-range offsets over those few rows;
-  *   3. intra-range running sum (window per range id) + broadcast
-  *      offsets: cum = offset + intra-range running sum.
-  *
-  * Ranges whose offset already exceeds the budget are dropped by the
-  * final filter without their rows contributing further work downstream
-  * (predicate on the joined offset — at 100 TB most of the corpus short-
-  * circuits on the broadcast offset before any window evaluation).
+  * The running total is [[Census.prefix]]'s distributed two-phase prefix
+  * sum, not a single-partition `sum() OVER (ORDER BY …)`. The census gate
+  * drops every range whose broadcast offset already exceeds the budget
+  * BEFORE any per-row window work — at 100 TB most of the corpus
+  * short-circuits on the `partitions`-row census.
   */
 object Budget {
 
@@ -32,26 +21,13 @@ object Budget {
     * `cum_tokens`, the inclusive prefix sum. `idCol` must be unique for a
     * deterministic selection. */
   def selectByBudget(df: DataFrame, tokenCol: String, prefOrder: Column,
-      idCol: String, budget: Long, partitions: Int): DataFrame = {
-    val order = Seq(prefOrder, col(idCol).asc)
-    val parted = df
-      .repartitionByRange(partitions, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist() // census + rank pass must see one physical partitioning
-    val offsets = parted.groupBy("__pid")
-      .agg(sum(col(tokenCol).cast("long")).as("__t"))
-      .withColumn("__off",
-        coalesce(sum("__t").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    parted
-      .join(broadcast(offsets), Seq("__pid"))
-      .filter(col("__off") < budget) // whole-range short-circuit
-      .withColumn("cum_tokens",
-        col("__off") + sum(col(tokenCol).cast("long")).over(
-          Window.partitionBy("__pid").orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      idCol: String, budget: Long, partitions: Int): DataFrame =
+    Census.prefix(df, Seq(prefOrder, col(idCol).asc),
+        col(tokenCol).cast("long"), partitions,
+        // `<=`, not `<`: a range whose exclusive offset equals the budget
+        // exactly can still contribute zero-token rows (cum == budget)
+        gate = off => off <= budget)
+      .withColumn("cum_tokens", col("__off") + col("__run"))
       .filter(col("cum_tokens") <= budget)
-      .drop("__pid", "__off")
-  }
+      .drop("__off", "__run", "__n")
 }

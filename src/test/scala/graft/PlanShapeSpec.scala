@@ -51,19 +51,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!plan.contains("DeserializeToObject"), plan.take(2000))
   }
 
+  // The Census ops' range shuffle sits behind the shared-RDD barrier
+  // (`Scan ExistingRDD` — see graft.ops.Census doc), so the registry
+  // plan shows: barrier scan + per-range windows. The kill condition is
+  // a partition-less window ORDERED BY the corpus sort key — that's the
+  // single-task plan these operators exist to avoid. (The census window
+  // over `__pid` is partition-less too, but it runs over ≤ `partitions`
+  // rows, not the corpus.)
   test("q_shuffle_rank ranks per range — the corpus never sees a global window") {
     val plan = formatted("q_shuffle_rank")
-    // corpus path: range repartition by the shuffle key, rank window
-    // partitioned by the range id (a partition-less window over the
-    // corpus would be the single-task plan this operator exists to avoid)
-    assert(plan.contains("rangepartitioning(__k"), plan.take(3000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
     assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(__k"), plan.take(3000))
   }
 
-  test("q_select_budget: distributed prefix sum, range-partitioned by preference") {
+  test("q_select_budget: distributed prefix sum, no corpus-wide window") {
     val plan = formatted("q_select_budget")
-    assert(plan.contains("rangepartitioning(quality"), plan.take(3000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
     assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(quality"), plan.take(3000))
+  }
+
+  test("q_ntile_difficulty bins from the distributed rank, no global ntile sort") {
+    val plan = formatted("q_ntile_difficulty")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(quality"), plan.take(3000))
+    assert(!plan.contains("ntile("), plan.take(3000))
   }
 
   test("q_score_classifier is a single pruned scan — no shuffle") {
