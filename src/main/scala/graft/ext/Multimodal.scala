@@ -18,10 +18,13 @@ final case class FrameRef(media_id: Long, frame_index: Long, ts_sec: Double)
   * The Spark-side plumbing — schema, partitioning, batched per-partition
   * processing (the JVM analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup), explode-based frame sampling —
-  * is real and tested. The actual byte decoding is a clearly marked
-  * DETERMINISTIC STUB (`decodeDims`): the image/audio codecs are not in
-  * this container. Swapping in a real codec changes only the function
-  * body; every plan shape stays identical.
+  * is real and tested. Dimension decode is REAL for PNG/JPEG containers
+  * ([[imageDims]]: pure-JVM header parse, no codec libraries); blobs
+  * that are not a recognized image container fall back to a clearly
+  * marked DETERMINISTIC STUB (`decodeDims`) so the text-bytes fixture
+  * stays oracle-checkable. Full pixel decoding (and audio/video
+  * probing) would slot into the same partition-batched body; every plan
+  * shape stays identical.
   *
   * Scale notes: binary payloads dominate row size, so these tables want
   * `spark.sql.files.maxPartitionBytes` sized for ~100-row partitions and
@@ -37,23 +40,81 @@ object Multimodal {
       lit("image").as("kind"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** ======== STUB ========
-    * Deterministic fake dimension "decode" from the blob alone: real
-    * decoders (JPEG/PNG headers, ffprobe) are not available in this
-    * container. Formula uses only byte length so the DuckDB oracle can
-    * recompute it. Replace body with a real codec in production. */
+  /** ======== STUB (fallback) ========
+    * Deterministic fake dimension "decode" from the blob length alone,
+    * used when the blob is not a recognized image container (the fixture
+    * adapter feeds text bytes) — the formula is pure byte-length
+    * arithmetic so the DuckDB oracle can recompute it. Recognized PNG /
+    * JPEG blobs take the REAL header parse in [[imageDims]] instead.
+    * Audio/video probing would slot in the same way (container headers),
+    * but no fixture carries those containers. */
   def decodeDims(nBytes: Long): (Int, Int, Int) = {
     val width = (nBytes % 1024L + 64L).toInt
     val height = (nBytes % 768L + 48L).toInt
     (width, height, 3)
   }
 
+  /** REAL image-dimension decode from container headers — pure JVM, no
+    * codec libraries: only the fixed-layout header fields are read, never
+    * pixel data, so this is safe to run inline in a partition-batched
+    * decode at corpus scale (O(header) per blob, no allocation beyond the
+    * result).
+    *
+    *   - PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
+    *     width/height are big-endian u32 at 16/20, channels from the
+    *     color type at 25 (gray=1, gray+alpha=2, RGB/palette=3, RGBA=4).
+    *   - JPEG: walk the marker segments from SOI to the first SOF0-SOF15
+    *     frame header (skipping C4/C8/CC which are not frame markers):
+    *     height/width are big-endian u16 at +5/+7 in the SOF payload,
+    *     channel count at +9.
+    *
+    * Returns None for anything else (caller falls back to the
+    * deterministic stub so fixture text blobs stay oracle-checkable). */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i))
+        && bytes.slice(12, 16).map(_.toChar).mkString == "IHDR") {
+      val channels = u8(25) match {
+        case 0 => 1 // grayscale
+        case 4 => 2 // grayscale + alpha
+        case 6 => 4 // RGBA
+        case _ => 3 // truecolor (2) / palette (3)
+      }
+      Some((u32(16).toInt, u32(20).toInt, channels))
+    } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xFF) return None // desynced — not a marker stream
+        val marker = u8(i + 1)
+        if (marker == 0xFF) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) {
+          i += 2 // standalone marker, no length field
+        } else if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // SOF frame header: [len u16][precision u8][height u16][width u16][ncomp u8]
+          return Some((u16(i + 7), u16(i + 5), u8(i + 9)))
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return None // EOI / start-of-scan without a frame header
+        } else {
+          i += 2 + u16(i + 2) // skip segment payload
+        }
+      }
+      None
+    } else None
+  }
+
   /** Expression fast-path for METADATA-ONLY decode: the stub's dimension
     * math is pure byte-length arithmetic, so it can run as a codegen'd
     * projection fused into the scan — no Dataset object serialization, no
-    * mapPartitions. Bit-identical output schema/values to [[decode]]
-    * (asserted in MultimodalSpec). Use this when only metadata is needed;
-    * use [[decode]] when a real codec must touch the bytes (its
+    * mapPartitions. Bit-identical output schema/values to [[decode]] for
+    * blobs without an image container (asserted in MultimodalSpec; real
+    * PNG/JPEG blobs take [[imageDims]] in `decode`, which a fused
+    * byte-length projection cannot express). Use this when only metadata
+    * is needed; use [[decode]] when the bytes must be touched (its
     * partition-batched shape is the codec-amortization point). */
   def decodeMeta(media: DataFrame): DataFrame = {
     val n = length(col("content")).cast("long")
@@ -74,11 +135,13 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition setup would open the codec once, here — the stub
-        // has none, but the batch shape is the point.
+        // per-partition setup would open a full codec once, here; the
+        // header parse needs none. Real PNG/JPEG blobs get their true
+        // dimensions; anything else falls back to the deterministic stub
+        // (the oracle fixture path feeds text bytes).
         rows.map { case (id, kind, bytes) =>
           val n = bytes.length.toLong
-          val (w, h, c) = decodeDims(n)
+          val (w, h, c) = imageDims(bytes).getOrElse(decodeDims(n))
           MediaMeta(id, kind, n, w, h, c)
         }
       }

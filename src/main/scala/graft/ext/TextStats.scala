@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Fixed-name output columns would silently clobber same-named input
+    * columns (Spark resolves case-insensitively by default) — fail fast
+    * instead; callers rename their column or project it away first. */
+  private def requireFresh(df: DataFrame, out: String*): Unit = {
+    val clash = out.filter(o => df.columns.exists(_.equalsIgnoreCase(o)))
+    require(clash.isEmpty, s"input schema already has column(s) " +
+      s"${clash.mkString(", ")} that this operator would overwrite")
+  }
+
   /** Lowercase alphanumeric word tokens. */
   def wordTokens(c: Column): Column = Dedup.tokens(c)
 
@@ -81,9 +90,11 @@ object TextStats {
   /** Heuristic document quality score in [0,1]: length saturation,
     * alphanumeric ratio, English stopword ratio, mean word length band.
     * All terms are ratios of integer counts → cross-engine deterministic. */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    requireFresh(df, "quality")
     df.withColumn("quality",
       qualityExpr(col(textCol), wordTokens(col(textCol))))
+  }
 
   /** The quality expression from a PRECOMPUTED token array. Callers that
     * also need the tokens for other columns (e.g. a token count next to
@@ -181,6 +192,7 @@ object TextStats {
     * string, not an array — cheap to store at corpus scale and directly
     * groupBy-able for rejection-rate dashboards. */
   def ruleFilter(df: DataFrame, textCol: String): DataFrame = {
+    requireFresh(df, "reasons", "keep")
     val text = col(textCol)
     val toks = wordTokens(text)
     val nWords = size(toks)
@@ -221,6 +233,7 @@ object TextStats {
     * INTEGER (exact, order-independent); the single final division is the
     * only float op. */
   def hashClassifierScore(df: DataFrame, textCol: String): DataFrame = {
+    requireFresh(df, "score")
     val toks = wordTokens(col(textCol))
     val wsum = aggregate(toks, lit(0L),
       (a, t) => a + (Dedup.hex32(t) % 2001L - 1000L))

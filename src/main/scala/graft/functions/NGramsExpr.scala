@@ -28,7 +28,14 @@ case class NGramsExpr(left: Expression, right: Expression,
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.foldable &&
         right.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
+      // n < 1 (or a null literal) would silently diverge from the HOF
+      // reference form (n = 0 emits empty-string grams there) — reject at
+      // analysis so the SQL-registered function fails loudly instead.
+      right.eval() match {
+        case i: Integer if i >= 1 => TypeCheckResult.TypeCheckSuccess
+        case bad => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires n >= 1, got $bad")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<string>, foldable int)")
   }

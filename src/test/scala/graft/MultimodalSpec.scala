@@ -33,6 +33,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(viaExpr == viaBatch)
   }
 
+  // A REAL 69-byte PNG file (5×3, 8-bit RGBA, one zlib-compressed IDAT):
+  // signature + IHDR + IDAT + IEND, CRCs valid.
+  private val realPng: Array[Byte] = Array(
+    0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0x00, 0x00, 0x00, 0x0D,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x05, 0x00, 0x00, 0x00, 0x03,
+    0x08, 0x06, 0x00, 0x00, 0x00, 0x5B, 0x36, 0xC5, 0xF8, 0x00, 0x00, 0x00,
+    0x0C, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9C, 0x63, 0x60, 0xA0, 0x08, 0x00,
+    0x00, 0x00, 0x3F, 0x00, 0x01, 0x1C, 0xD6, 0x77, 0x91, 0x00, 0x00, 0x00,
+    0x00, 0x49, 0x45, 0x4E, 0x44, 0xAE, 0x42, 0x60, 0x82).map(_.toByte)
+
+  // A JPEG header stream: SOI, APP0(JFIF), DQT (skipped segment), then the
+  // SOF0 frame header carrying height=7, width=11, 3 components.
+  private val realJpegHeader: Array[Byte] = (Array(
+    0xFF, 0xD8,
+    0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes.map(_.toInt) ++ Array(
+    0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+    0xFF, 0xDB, 0x00, 0x43, 0x00) ++ Array.fill(64)(0x10) ++ Array(
+    0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x07, 0x00, 0x0B, 0x03,
+    0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+    0xFF, 0xD9)).map(_.toByte)
+
+  test("imageDims parses real PNG and JPEG headers; rejects other blobs") {
+    assert(Multimodal.imageDims(realPng).contains((5, 3, 4)))
+    assert(Multimodal.imageDims(realJpegHeader).contains((11, 7, 3)))
+    assert(Multimodal.imageDims("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
+    // truncated PNG signature only — too short for an IHDR
+    assert(Multimodal.imageDims(realPng.take(12)).isEmpty)
+  }
+
+  test("decode uses the real header parse for image blobs, stub otherwise") {
+    val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      (1L, "image", realPng),
+      (2L, "image", realJpegHeader),
+      (3L, "image", "not an image".getBytes))
+      .toDF("media_id", "kind", "content")
+    val metas = Multimodal.decode(spark, mixed).collect()
+      .map(m => m.media_id -> m).toMap
+    assert((metas(1L).width, metas(1L).height, metas(1L).channels) == ((5, 3, 4)))
+    assert((metas(2L).width, metas(2L).height, metas(2L).channels) == ((11, 7, 3)))
+    val (w, h, c) = Multimodal.decodeDims(12L)
+    assert((metas(3L).width, metas(3L).height, metas(3L).channels) == ((w, h, c)))
+  }
+
   test("resizePlan preserves aspect and never upscales") {
     val s = spark
     import s.implicits._

@@ -23,6 +23,19 @@ class NGramsExprSpec extends AnyFunSuite with SparkTestSupport {
       .toDF("doc_id", "text")
   }
 
+  test("n < 1 (or null n) fails analysis instead of silently returning []") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("ngram_docs")
+    for (badN <- Seq("0", "-1", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_ngrams(graft_tokens, $badN) FROM " +
+          "(SELECT split(text, ' ') AS graft_tokens FROM ngram_docs)")
+          .collect()
+      }
+      assert(e.getMessage.contains("n >= 1"), s"n=$badN: ${e.getMessage}")
+    }
+  }
+
   test("native ≡ HOF reference, distinct and with-multiplicity, n = 1..4") {
     for (n <- 1 to 4; distinct <- Seq(true, false)) {
       val native =

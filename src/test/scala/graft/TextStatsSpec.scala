@@ -12,6 +12,23 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     rows.toDF("doc_id", "text")
   }
 
+  test("fixed-name outputs fail fast on input-column collision") {
+    val s = spark
+    import s.implicits._
+    val hasQuality = Seq((1L, "text", 0.5)).toDF("doc_id", "text", "quality")
+    val hasKeep = Seq((1L, "text", true)).toDF("doc_id", "text", "KEEP")
+    val hasScore = Seq((1L, "text", 0.1)).toDF("doc_id", "text", "score")
+    assert(intercept[IllegalArgumentException] {
+      TextStats.qualityScore(hasQuality, "text")
+    }.getMessage.contains("quality"))
+    assert(intercept[IllegalArgumentException] {
+      TextStats.ruleFilter(hasKeep, "text") // case-insensitive clash
+    }.getMessage.contains("keep"))
+    assert(intercept[IllegalArgumentException] {
+      TextStats.hashClassifierScore(hasScore, "text")
+    }.getMessage.contains("score"))
+  }
+
   test("tokenCounts: word and BPE-ish piece counts") {
     val r = TextStats.tokenCounts(docs((1L, "Hello, world! It's 42.")), "text").head()
     assert(r.getAs[Int]("n_words") == 5) // hello, world, it, s, 42
