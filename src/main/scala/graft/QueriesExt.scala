@@ -52,11 +52,22 @@ object QueriesExt {
   }
 
   /** The shared MinHash near-dup pairs table for `dir` (raw, unrounded). */
+  /** Corpus row count from parquet footers (driver-side, no job) for the
+    * scale-aware blocking caps below. At fixture scale every derived cap
+    * floors to its historical constant, so the oracle SQL that embeds
+    * those constants stays exact; at corpus scale the caps self-tune
+    * (see [[Dedup.scaledCap]] / [[Dedup.cellCap]]). */
+  private def nRows(s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String): Long =
+    graft.sources.ParquetMeta.rowCount(s, s"$dir/$table.parquet")
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Materialized(s, s"minhash_pairs:$dir") {
       Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
+        numHashes = 32, bands = 8, threshold = 0.5,
+        maxBucket = Dedup.scaledCap(1000, nRows(s, dir, "documents")),
+        shingle = 3)
     }
 
   /** The shared exact ngram-Jaccard pairs table at t=0.5 — feeds
@@ -66,7 +77,8 @@ object QueriesExt {
       dir: String): org.apache.spark.sql.DataFrame =
     Materialized(s, s"ngram_pairs_hi:$dir") {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5,
+        maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
     }
 
   // ------------------------------------------------ embedding-tier oracles
@@ -517,7 +529,8 @@ object QueriesExt {
     // prefix-filtered (All-Pairs) candidate/verify at t=0.5.
     QueryCase("q_dedup_ngram_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "text", "doc_id", n = 3, threshold = 0.1)
+          "text", "doc_id", n = 3, threshold = 0.1,
+          maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
         .withColumn("jaccard", round4(col("jaccard"))),
       Some(ngramOracle(0.1))),
 
@@ -559,7 +572,8 @@ object QueriesExt {
           "embedding", "vec_id",
           Similarity.sampleCentroids(t(s, dir, "embeddings"),
             "embedding", "vec_id", 16),
-          threshold = 0.4)
+          threshold = 0.4,
+          maxCell = Dedup.cellCap(10000, nRows(s, dir, "embeddings"), 16))
         .withColumn("cos", round4(col("cos"))),
       Some(semanticPairsOracle)),
 
@@ -582,7 +596,8 @@ object QueriesExt {
           "embedding", "vec_id",
           Similarity.kmeansCentroids(t(s, dir, "embeddings"),
             "embedding", "vec_id", nlist = 16, iterations = 3),
-          threshold = 0.4)
+          threshold = 0.4,
+          maxCell = Dedup.cellCap(10000, nRows(s, dir, "embeddings"), 16))
         .withColumn("cos", round4(col("cos"))),
       Some(semanticKmeansOracle(nlist = 16, iterations = 3, dim = 64,
         maxCell = 10000, threshold = 0.4))),

@@ -66,6 +66,39 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  // ------------------------------------------------ scale-aware cap sizing
+
+  /** Scale-aware default for a HOT-KEY blocking cap (`maxDf`,
+    * `maxBucket`): `base` below `baseN` docs, then sqrt(n/baseN) growth.
+    * Rationale: a cap D bounds candidate-join work at D·Σdf ≈
+    * D·n·keysPerDoc, so a CONSTANT cap keeps total work linear in the
+    * corpus — but as the corpus grows, a constant cap silently drops ever
+    * more honest duplicate clusters (a boilerplate page genuinely occurs
+    * 10⁶ times at 100 TB, and collapsing it is the point of dedup). sqrt
+    * growth is the recall-biased middle: worst-case candidate work
+    * n·sqrt(n) — far from the uncapped n² — and the cap rises 10× per
+    * 100× corpus. Size it from parquet footers
+    * ([[graft.sources.ParquetMeta.rowCount]]; driver-side, no job) and
+    * pass an explicit constant to pin either extreme. */
+  def scaledCap(base: Int, nDocs: Long, baseN: Long = 10000L): Int =
+    if (nDocs <= baseN) base
+    else math.min(base * math.sqrt(nDocs.toDouble / baseN),
+      Int.MaxValue.toDouble).round.toInt
+
+  /** Scale-aware default for a CELL cap (SemDeDup `maxCell`): cells hold
+    * ~n/cells docs on average, so a CONSTANT cap starts rejecting every
+    * cell outright once mean occupancy passes it — the cap must track
+    * occupancy. `slack` × mean, floored at `base` so small corpora keep
+    * the fixture default. (Within-cell work is quadratic; at high
+    * occupancy raise `cells` along with n rather than leaning on slack.) */
+  def cellCap(base: Int, nDocs: Long, cells: Int, slack: Int = 8): Int = {
+    val mean = nDocs / math.max(cells, 1)
+    val scaled = // divide-before-multiply + saturation: no Long overflow
+      if (mean > Int.MaxValue.toLong / slack) Int.MaxValue.toLong
+      else slack.toLong * mean
+    math.max(base.toLong, scaled).min(Int.MaxValue.toLong).toInt
+  }
+
   /** Lowercase word tokens (distinct not applied).
     *
     * Pure codegen'd builtins: strip leading/trailing separator runs, then
