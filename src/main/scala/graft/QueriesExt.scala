@@ -741,6 +741,71 @@ object QueriesExt {
            |WHERE cum_tokens <= 10000""".stripMargin
       }),
 
+    // PER-SOURCE token budget (mixture balancing: "best N tokens from
+    // EACH source"). Contrast with q_select_budget: groups are
+    // independent, so the plain PARTITION BY window IS the scale-correct
+    // plan — one hash shuffle, per-group prefix sums run in parallel; the
+    // census machinery is only for the global (partition-less) order.
+    QueryCase("q_select_budget_per_source",
+      (s, dir) => {
+        val toks = Dedup.parallelize(t(s, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("text"),
+            Dedup.tokens(col("text")).as("__toks"))
+        val scored = toks.select(col("doc_id"), col("source"),
+          TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
+          size(col("__toks")).cast("long").as("n_tokens"))
+        graft.ops.Budget.selectByBudgetPerGroup(scored, "n_tokens",
+            col("quality").desc, "doc_id", "source", budget = 3000L)
+          .select("source", "doc_id", "cum_tokens")
+      },
+      Some {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""SELECT source, doc_id, cum_tokens FROM (
+           |  SELECT source, doc_id,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM (
+           |    SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |      least(len(toks) / 100.0, 1.0) * 0.25
+           |      + (CASE WHEN length(text) > 0
+           |           THEN CAST(length(text) - length(regexp_replace(text,
+           |                  '[A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |           THEN least(CAST(len(list_filter(toks,
+           |                  t -> list_contains($en, t))) AS DOUBLE)
+           |                / len(toks) * 3.0, 1.0)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) >= 3
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) <= 10
+           |           THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
+           |    FROM (SELECT doc_id, source, text, $sqlToks AS toks
+           |          FROM documents)))
+           |WHERE cum_tokens <= 3000""".stripMargin
+      }),
+
+    // EXACT global quantiles (percentile_disc semantics) of a per-doc
+    // metric, read off Census.prefix's distributed rank — no per-group
+    // value collection (percentile()'s memory bound), no single-partition
+    // sort. qs are DYADIC so ceil(q·n) is float-exact in both engines.
+    QueryCase("q_quantiles_global",
+      (s, dir) => graft.ops.Census.quantilesDisc(
+        Dedup.parallelize(t(s, dir, "documents"))
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        "n_chars", col("doc_id").asc,
+        qs = Seq(0.25, 0.5, 0.75, 0.875), partitions = 8),
+      Some("""WITH base AS (SELECT CAST(length(text) AS BIGINT) AS n_chars
+        |              FROM documents)
+        |SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(n_chars, 0.25) AS value FROM base
+        |UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5) FROM base
+        |UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_disc(n_chars, 0.75) FROM base
+        |UNION ALL SELECT CAST(0.875 AS DOUBLE), quantile_disc(n_chars, 0.875) FROM base""".stripMargin)),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

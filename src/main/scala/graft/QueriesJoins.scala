@@ -175,6 +175,39 @@ object QueriesJoins {
         |     FROM events WHERE event_id % 199 = 0)
         |SELECT iv.interval_id, e.event_id
         |FROM events e JOIN iv
+        |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin)),
+
+    // Heavy-tailed interval set through the TIERED bucketized range join
+    // (ops/RangeJoin.intervalJoinTiered): 2-hour session windows (fine
+    // tier, 1-hour buckets) + 3-day campaign windows (coarse tier, 1-day
+    // buckets) — a single fine-bucket join would pay span/bucket ≈ 72
+    // exploded rows per tail interval.
+    QueryCase("q_join_range_tiered",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val iv = events.filter(col("event_id") % 199 === 0)
+          .select(col("event_id").as("interval_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+          .unionByName(events.filter(col("event_id") % 1009 === 0)
+            .select(col("event_id").as("interval_id"),
+              col("ts").as("start_ts"),
+              (col("ts") + expr("INTERVAL 3 DAYS")).as("end_ts")))
+        graft.ops.RangeJoin.intervalJoinTiered(
+            events.select("event_id", "ts"), "ts",
+            iv, "start_ts", "end_ts",
+            bucketSec = 3600L, longBucketSec = 86400L)
+          .select("interval_id", "event_id")
+      },
+      Some("""WITH iv AS (
+        |  SELECT event_id AS interval_id, ts AS start_ts,
+        |         ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_id % 199 = 0
+        |  UNION ALL
+        |  SELECT event_id, ts, ts + INTERVAL 3 DAY
+        |  FROM events WHERE event_id % 1009 = 0)
+        |SELECT iv.interval_id, e.event_id
+        |FROM events e JOIN iv
         |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin))
   )
 }

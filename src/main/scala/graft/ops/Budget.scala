@@ -20,6 +20,24 @@ object Budget {
     * `prefOrder` then `idCol` as tie-break) is ≤ `budget`. Output adds
     * `cum_tokens`, the inclusive prefix sum. `idCol` must be unique for a
     * deterministic selection. */
+  /** PER-GROUP budget selection (e.g. "best 1M tokens from EACH source"
+    * — the mixture-balancing step): keep rows while the group's running
+    * token total stays ≤ `budget`. Unlike the global selection below,
+    * groups are independent, so the plain partitioned window IS the
+    * scale-correct plan — one hash shuffle on `groupCol`, each group's
+    * prefix sum local to its partition; the census machinery would only
+    * add overhead. (Skewed mega-groups bound the tail: one task per
+    * group worst-case, same bound as any per-group aggregation.) */
+  def selectByBudgetPerGroup(df: DataFrame, tokenCol: String,
+      prefOrder: Column, idCol: String, groupCol: String,
+      budget: Long): DataFrame = df
+    .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+        .orderBy(prefOrder, col(idCol).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    .filter(col("cum_tokens") <= budget)
+
   def selectByBudget(df: DataFrame, tokenCol: String, prefOrder: Column,
       idCol: String, budget: Long, partitions: Int): DataFrame =
     Census.prefix(df, Seq(prefOrder, col(idCol).asc),

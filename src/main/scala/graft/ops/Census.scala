@@ -92,6 +92,26 @@ object Census {
   private def idiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** Exact discrete quantiles of `valueCol` — `percentile_disc`
+    * semantics: for each q, the value at global rank ceil(q·n) of the
+    * (`valueCol`, `tieBreak`) ascending order. The classic encodings are
+    * both scale-hostile: `percentile()` collects all values per group,
+    * and a global sort is single-partition; this reads the value off
+    * [[prefix]]'s distributed rank in one pass (the q-explode multiplies
+    * rows only through a fused filter, no extra shuffle).
+    *
+    * Float discipline: pick DYADIC qs (k/2^m — 0.25, 0.5, 0.875, …).
+    * ceil(q·n) is then exact in ANY engine's double arithmetic; a q like
+    * 0.99 can land on either side of an integer boundary depending on
+    * the engine's rounding (0.2·5 = 1.0000000000000002 in IEEE). */
+  def quantilesDisc(df: DataFrame, valueCol: String, tieBreak: Column,
+      qs: Seq[Double], partitions: Int): DataFrame =
+    prefix(df, Seq(col(valueCol).asc, tieBreak), lit(1L), partitions)
+      .withColumn("q", explode(typedLit(qs)))
+      .filter(col("__off") + col("__run") ===
+        ceil(col("q") * col("__n")).cast("long"))
+      .select(col("q"), col(valueCol).as("value"))
+
   /** SQL `ntile(k)` bucket from a global 1-based `rank` and total row
     * count `n`: the first `n % k` buckets hold `n DIV k + 1` rows, the
     * rest `n DIV k` — identical to the window function, computed from

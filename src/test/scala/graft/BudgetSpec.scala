@@ -44,6 +44,23 @@ class BudgetSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("selectByBudgetPerGroup: each group gets its own budgeted prefix") {
+    val s = spark
+    import s.implicits._
+    // two sources: quality descends with id within each
+    val d = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "web" else "book", 1.0 - i / 100.0, 10L)
+    }.toDF("doc_id", "source", "quality", "n_tokens")
+    val got = Budget.selectByBudgetPerGroup(d, "n_tokens",
+        col("quality").desc, "doc_id", "source", budget = 30L)
+      .select("source", "doc_id", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 best rows (30 tokens) per source, independently
+    assert(got == Set(
+      ("web", 0L, 10L), ("web", 2L, 20L), ("web", 4L, 30L),
+      ("book", 1L, 10L), ("book", 3L, 20L), ("book", 5L, 30L)))
+  }
+
   test("a budget under the first row's tokens selects nothing") {
     assert(Budget.selectByBudget(corpus(10), "n_tokens",
       col("quality").desc, "doc_id", budget = 5L, partitions = 2)

@@ -87,6 +87,17 @@ class CensusSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("quantilesDisc equals sorted order statistics at rank ceil(q·n)") {
+    val d = corpus(137) // value column has ties
+    val sortedVals = d.select("v").collect().map(_.getInt(0)).sorted
+    val qs = Seq(0.25, 0.5, 0.875)
+    val got = Census.quantilesDisc(d.select(col("id"), col("v")), "v",
+        col("id").asc, qs, 4)
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    for (q <- qs)
+      assert(got(q) == sortedVals(math.ceil(q * 137).toInt - 1), s"q=$q")
+  }
+
   test("census ops leave no cached RDDs behind (persist-free + releaseAll)") {
     import graft.ops.{Budget, Shuffling}
     spark.sharedState.cacheManager.clearCache()
