@@ -345,6 +345,46 @@ object QueriesExt {
     * shingle=3, value-equality band keys): shingles → double-hash mins →
     * band buckets → bounded self-join → exact signature-match estimate.
     * Mirrors Dedup.minhashDupPairsPortable clause for clause. */
+  /** Cross-corpus twin of [[minhashPortableOracle]]: signatures once over
+    * documents (per-row, corpus-independent), split by the id predicate,
+    * each side's buckets capped independently, A×B candidate join. */
+  private def minhashCrossOracle(numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): String = {
+    val r = numHashes / bands
+    def bandRows(side: String) = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM $side"
+    }.mkString("\nUNION ALL\n")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashSigCte(numHashes)},
+      |sigA AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+      |sigB AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+      |bandsA AS (
+      |${bandRows("sigA")}
+      |),
+      |bandsB AS (
+      |${bandRows("sigB")}
+      |),
+      |bcA AS (SELECT band, bucket, count(*) AS c FROM bandsA GROUP BY 1, 2),
+      |bcB AS (SELECT band, bucket, count(*) AS c FROM bandsB GROUP BY 1, 2),
+      |boundedA AS (SELECT bandsA.doc_id, bandsA.band, bandsA.bucket
+      |             FROM bandsA JOIN bcA USING (band, bucket)
+      |             WHERE bcA.c <= $maxBucket),
+      |boundedB AS (SELECT bandsB.doc_id, bandsB.band, bandsB.bucket
+      |             FROM bandsB JOIN bcB USING (band, bucket)
+      |             WHERE bcB.c <= $maxBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM boundedA a JOIN boundedB b USING (band, bucket)),
+      |est AS (SELECT id_a, id_b, ($matches) / $numHashes.0 AS est_jaccard
+      |        FROM cand JOIN sigA sa ON cand.id_a = sa.doc_id
+      |                  JOIN sigB sb ON cand.id_b = sb.doc_id)
+      |SELECT id_a, id_b,
+      |  floor(est_jaccard * 10000 + 0.5) / 10000 AS est_jaccard
+      |FROM est WHERE est_jaccard >= $threshold""".stripMargin
+  }
+
   private def minhashPortableOracle(numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int): String = {
     val r = numHashes / bands
@@ -499,6 +539,23 @@ object QueriesExt {
     // banding/chunking, bounded candidate join, estimate/verify — is
     // hash-checked end-to-end, not just unit-tested. The xxhash64
     // defaults stay the perf path (~2× cheaper hashing).
+    // CROSS-corpus near-dup: "dedup the incoming slice against the
+    // existing training set" — buckets from each corpus joined A×B
+    // instead of the |A∪B|² self-join. Corpora = the documents table
+    // split 80/20 by id; portable md5 family so the whole cross pipeline
+    // (per-side caps included) is hash-checked against DuckDB.
+    QueryCase("q_dedup_cross",
+      (s, dir) => {
+        val all = t(s, dir, "documents")
+        Dedup.minhashCrossDupPairsPortable(
+            all.filter(col("doc_id") % 5 =!= 0),
+            all.filter(col("doc_id") % 5 === 0),
+            "text", "doc_id",
+            numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
+          .withColumn("est_jaccard", round4(col("est_jaccard")))
+      },
+      Some(minhashCrossOracle(32, 8, 0.5, 1000))),
+
     QueryCase("q_dedup_minhash_portable",
       (s, dir) => Dedup.minhashDupPairsPortable(t(s, dir, "documents"),
           "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,

@@ -213,37 +213,98 @@ object Dedup {
     * scale). */
   private def bandedSigPairs(sigTable: DataFrame, numHashes: Int,
       bands: Int, threshold: Double, maxBucket: Int,
-      bandKeys: Column => Column): DataFrame = {
-    // Persist the signature table: it feeds the band explode AND the two
-    // signature-attach joins — without a barrier Spark recomputes it per
+      bandKeys: Column => Column): DataFrame =
+    bandedSigPairsCross(sigTable, None, numHashes, threshold, maxBucket,
+      bandKeys)
+
+  /** Self- OR cross-corpus banded candidate machinery. `sigsB0 = None` is
+    * the self-join (canonical id_a < id_b pairs); `Some(sigsB0)` joins
+    * corpus A's buckets against corpus B's — the "dedup incoming data
+    * against the existing training set" shape, where A×B join pressure is
+    * Σ cntA·cntB per bucket and each side's bucket count is capped
+    * independently. Signature tables persist via [[graft.ops.Caches]]
+    * (band explode + two signature-attach joins per side). */
+  private def bandedSigPairsCross(sigTableA: DataFrame,
+      sigsB0: Option[DataFrame], numHashes: Int, threshold: Double,
+      maxBucket: Int, bandKeys: Column => Column): DataFrame = {
+    // Persist the signature table(s): each feeds its band explode AND a
+    // signature-attach join — without a barrier Spark recomputes it per
     // branch. Tracked: callers release via [[graft.ops.Caches.releaseAll]]
     // once results are materialized.
-    val sigs = graft.ops.Caches.track(sigTable)
+    val sigsA = graft.ops.Caches.track(sigTableA)
+    def boundedBuckets(sigs: DataFrame): DataFrame = {
+      val buckets = sigs
+        .select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+      val ok = buckets.groupBy("band", "bucket").count()
+        .filter(col("count") <= maxBucket)
+      buckets.join(ok.select("band", "bucket"), Seq("band", "bucket"))
+    }
+    val boundedA = boundedBuckets(sigsA)
+    val (sigsB, boundedB) = sigsB0 match {
+      case None     => (sigsA, boundedA)
+      case Some(b0) =>
+        val sb = graft.ops.Caches.track(b0)
+        (sb, boundedBuckets(sb))
+    }
 
-    val buckets = sigs
-      .select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-
-    val bucketCounts = buckets.groupBy("band", "bucket").count()
-      .filter(col("count") <= maxBucket)
-    val bounded = buckets.join(bucketCounts.select("band", "bucket"),
-      Seq("band", "bucket"))
-
-    val pairs = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")),
+    val joined = boundedA
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(boundedB.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = (if (sigsB0.isEmpty) joined.filter(col("id_a") < col("id_b"))
+      else joined)
       .select("id_a", "id_b")
       .distinct()
 
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** CROSS-CORPUS near-dup pairs: documents in `incoming` whose MinHash
+    * estimate against some `existing` document is ≥ `threshold` — the
+    * "dedup the new crawl against the training set" step, WITHOUT the
+    * |A∪B|² self-join a naive union would pay. Returns (id_a from
+    * `existing`, id_b from `incoming`, est_jaccard); a document present
+    * in both corpora pairs with itself at estimate 1.0. Same hash family
+    * on both sides, so buckets align; blocking/cap/estimate arguments as
+    * [[minhashDupPairs]]. */
+  def minhashCrossDupPairs(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      shingle: Int = 1): DataFrame =
+    bandedSigPairsCross(
+      minhashSignatures(existing, textCol, idCol, numHashes, shingle),
+      Some(minhashSignatures(incoming, textCol, idCol, numHashes, shingle)),
+      numHashes, threshold, maxBucket,
+      sig => lshBandKeys(sig, numHashes, bands))
+
+  /** [[minhashCrossDupPairs]] with the portable md5 hash family and
+    * value-equality band keys (see the portable-variants note below) —
+    * the oracle-checkable twin. */
+  def minhashCrossDupPairsPortable(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      shingle: Int = 1): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val portableKeys = (sig: Column) =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws(",",
+            transform(slice(sig, b * lit(r) + 1, lit(r)),
+              v => v.cast("string"))).as("bucket")))
+    bandedSigPairsCross(
+      minhashSignaturesPortable(existing, textCol, idCol, numHashes, shingle),
+      Some(minhashSignaturesPortable(incoming, textCol, idCol, numHashes,
+        shingle)),
+      numHashes, threshold, maxBucket, portableKeys)
   }
 
   // ------------------------------------ portable (cross-engine) variants

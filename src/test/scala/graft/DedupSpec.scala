@@ -46,6 +46,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
       numHashes = 16, bands = 4, threshold = 0.5).count() == 0)
   }
 
+  test("minhashCrossDupPairs: incoming pairs against existing, never within a side") {
+    val existing = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // within-existing dup: NOT reported
+      (3L, "one two three four five"))
+    val incoming = docs(
+      (10L, "alpha beta gamma delta epsilon"),  // dup of 1 and 2
+      (11L, "totally unrelated text here now"),
+      (12L, "totally unrelated text here now")) // within-incoming dup: NOT reported
+    for (cross <- Seq(
+        Dedup.minhashCrossDupPairs(existing, incoming, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.9),
+        Dedup.minhashCrossDupPairsPortable(existing, incoming, "text",
+          "doc_id", numHashes = 16, bands = 4, threshold = 0.9))) {
+      val pairs = cross.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 10L), (2L, 10L)))
+      assert(pairs.forall(_._3 == 1.0))
+    }
+  }
+
   test("minhashDedup drops the higher-id near-duplicate") {
     val d = docs(
       (1L, "one two three four five six seven eight nine ten"),
