@@ -863,6 +863,34 @@ object QueriesExt {
         |UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_disc(n_chars, 0.75) FROM base
         |UNION ALL SELECT CAST(0.875 AS DOUBLE), quantile_disc(n_chars, 0.875) FROM base""".stripMargin)),
 
+    // Statistical-LM quality score: the corpus's own char-trigram count
+    // table is the (broadcastable, bounded-key-space) model; score = mean
+    // corpus frequency of the doc's trigrams. Model-based filtering with
+    // the exact plan shape of a real trained count table.
+    QueryCase("q_score_lm",
+      (s, dir) => {
+        val docs = Dedup.parallelize(t(s, dir, "documents"))
+        TextStats.lmScore(docs, "text", "doc_id",
+            TextStats.charNgramModel(docs, "text", 3), k = 3)
+          .select(col("doc_id"), col("n_grams"),
+            round4(col("lm_score")).as("lm_score"))
+      },
+      Some("""WITH norm AS (SELECT doc_id,
+        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |      FROM documents),
+        |g AS (SELECT doc_id, unnest([substr(t, i, 3)
+        |        for i in range(1, greatest(length(t) - 2, 0) + 1)]) AS gram
+        |      FROM norm),
+        |m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+        |SELECT d.doc_id, CAST(count(g.gram) AS BIGINT) AS n_grams,
+        |  floor((CASE WHEN count(g.gram) > 0
+        |    THEN CAST(coalesce(sum(m.cnt), 0) AS DOUBLE) / count(g.gram)
+        |    ELSE 0.0 END) * 10000 + 0.5) / 10000 AS lm_score
+        |FROM documents d
+        |LEFT JOIN g ON g.doc_id = d.doc_id
+        |LEFT JOIN m USING (gram)
+        |GROUP BY d.doc_id""".stripMargin)),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

@@ -243,6 +243,51 @@ object TextStats {
         .otherwise(lit(0.0)))
   }
 
+  /** Character k-grams of the normalized text WITH multiplicity (the LM
+    * unit; [[Dedup.charShingles]] is the distinct variant for sketches). */
+  def charNgrams(c: Column, k: Int): Column = {
+    val norm = Dedup.normalizedText(c)
+    coalesce(
+      when(length(norm) < k, typedLit(Seq.empty[String]))
+        .otherwise(transform(sequence(lit(0), length(norm) - k),
+          i => norm.substr(i + 1, lit(k)))),
+      typedLit(Seq.empty[String]))
+  }
+
+  /** Corpus character-k-gram count table — the "language model" for
+    * [[lmScore]]. The normalized alphabet is 37 symbols, so the k-gram
+    * key space is bounded (≤ 37³ ≈ 50k rows at k=3) REGARDLESS of corpus
+    * size: at 100 TB the model is still a broadcast table. One explode +
+    * one hash aggregate with map-side combine (shuffle = |local gram
+    * vocab| per partition). */
+  def charNgramModel(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    df.select(explode(charNgrams(col(textCol), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Statistical-LM quality scoring (the KenLM-perplexity-filter shape):
+    * score = mean corpus frequency of the document's char k-grams —
+    * gibberish and non-language bytes score near zero, fluent text of
+    * the corpus's languages scores high. The model rides a BROADCAST
+    * join (bounded key space, see [[charNgramModel]]), so scoring is
+    * explode → broadcast lookup → per-doc re-aggregate: the corpus is
+    * never shuffled, and the plan is identical with a real trained
+    * count table swapped in. All-integer accumulation (exact,
+    * order-independent); the single division happens per doc. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+      model: DataFrame, k: Int = 3): DataFrame = {
+    requireFresh(df, "n_grams", "lm_score")
+    df.select(col(idCol), explode_outer(charNgrams(col(textCol), k)).as("gram"))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(col("gram")).as("n_grams"),
+        sum(coalesce(col("cnt"), lit(0L))).as("__s"))
+      .withColumn("lm_score",
+        when(col("n_grams") > 0,
+          col("__s").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__s")
+  }
+
   /** Document fingerprint: minimum MD5 over word 3-gram hashes (a
     * winnowing-style content signature, stable under reordering of
     * surrounding documents; MD5 so the oracle can recompute it). Falls

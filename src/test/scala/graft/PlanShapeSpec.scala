@@ -80,6 +80,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!plan.contains("ntile("), plan.take(3000))
   }
 
+  test("q_score_lm broadcasts the gram model — the corpus is never shuffle-joined") {
+    val plan = formatted("q_score_lm")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+  }
+
   test("q_score_classifier is a single pruned scan — no shuffle") {
     val plan = formatted("q_score_classifier")
     assert(!plan.contains("Exchange"), plan.take(2000))

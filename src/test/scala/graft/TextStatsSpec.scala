@@ -29,6 +29,24 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     }.getMessage.contains("score"))
   }
 
+  test("lmScore: fluent corpus text outranks gibberish; empty doc scores 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"),
+      (3L, "zqxj vwkp qzzx jjjj wwww"), // grams shared with nothing
+      (4L, "")).toDF("doc_id", "text")
+    val model = TextStats.charNgramModel(docs, "text", 3)
+    val got = TextStats.lmScore(docs, "text", "doc_id", model, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+    assert(got(4L) == ((0L, 0.0)))
+    // exact mean: every gram count ≥ 1, so score ≥ 1 for non-empty docs
+    assert(got(3L)._2 >= 1.0)
+  }
+
   test("tokenCounts: word and BPE-ish piece counts") {
     val r = TextStats.tokenCounts(docs((1L, "Hello, world! It's 42.")), "text").head()
     assert(r.getAs[Int]("n_words") == 5) // hello, world, it, s, 42
