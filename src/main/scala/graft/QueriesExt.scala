@@ -995,6 +995,52 @@ object QueriesExt {
       },
       Some(decontamOracle)),
 
+    // Contamination REPORT: distinct grams / hits / overlap fraction per
+    // doc — the graded view a quarantine policy thresholds on, instead of
+    // the binary gate above. NOTE the report uses the wordNgrams DISTINCT
+    // convention on the doc side (n_hits ≤ n_grams, so overlap ∈ [0,1]).
+    QueryCase("q_decontam_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontam.contaminationReport(
+            docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+            docs.filter(col("doc_id") % 97 === 0), "text", n = 5)
+          .select(col("id"), col("n_grams"), col("n_hits"),
+            round4(col("overlap")).as("overlap"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |           for i in range(1, greatest(len(toks)-3, 1))]) AS grams
+        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gg FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS gg FROM g
+        |               WHERE doc_id % 97 <> 0) dg
+        |         JOIN ev USING (gg) GROUP BY doc_id)
+        |SELECT g.doc_id AS id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        |  floor((CASE WHEN len(g.grams) > 0
+        |    THEN CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / len(g.grams)
+        |    ELSE 0.0 END) * 10000 + 0.5) / 10000 AS overlap
+        |FROM g LEFT JOIN hits USING (doc_id)
+        |WHERE g.doc_id % 97 <> 0""".stripMargin)),
+
+    // Near-dup-aware representative selection: one kept doc per duplicate
+    // class (the class label IS the min id) + the class size as a
+    // loss-reweighting / upsampling weight — dedup that preserves the
+    // corpus distribution instead of silently downweighting duplicated
+    // content.
+    QueryCase("q_dedup_representatives",
+      (s, dir) => Dedup.assignComponents(t(s, dir, "documents"),
+          ngramPairsHi(s, dir), "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("component").as("doc_id"), col("class_size")),
+      Some(s"""SELECT component AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM (${ccOracle(0.5).replace("\n", "\n|")})
+        |GROUP BY component""".stripMargin)),
+
     // The bloom-pre-filtered path MUST return the identical answer (the
     // bloom only admits candidates; exact verify kills false positives),
     // so it shares the exact path's oracle — hash-checking the whole

@@ -36,6 +36,33 @@ object Decontam {
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Per-document contamination REPORT: distinct-gram count, hit count,
+    * and overlap fraction — the form a decontamination policy consumes
+    * (binary gates over-quarantine: one boilerplate gram shared with an
+    * eval doc is noise at fraction 0.01, a leak at 0.8). Same broadcast
+    * plan shape as [[contaminationHits]]; the corpus is never shuffled. */
+  def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
+      evalDocs: DataFrame, evalTextCol: String, n: Int): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("id"),
+        Dedup.wordNgrams(col(textCol), n).as("grams"))
+      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("g"))
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordNgrams(col(evalTextCol), n)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docGrams
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap",
+        when(col("n_grams") > 0,
+          col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** [[contaminationHits]] with an explicit bloom-filter pre-filter on the
     * corpus side — same exact answer (the bloom only ADMITS candidates;
     * the broadcast-join verify kills its false positives), different cost
