@@ -891,6 +891,53 @@ object QueriesExt {
         |LEFT JOIN m USING (gram)
         |GROUP BY d.doc_id""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-3 most distinctive terms per doc,
+    // ratio-idf scoring (tf·N/df — exact cross-engine; ln differs by
+    // ULPs across libm implementations).
+    QueryCase("q_keywords_tfidf",
+      (s, dir) => TextStats.keywords(
+          Dedup.parallelize(t(s, dir, "documents")), "text", "doc_id", 3)
+        .select(col("id"), col("term"), round4(col("score")).as("score"),
+          col("rn")),
+      Some(s"""WITH tf AS (SELECT doc_id AS id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT id, term, floor(score * 10000 + 0.5) / 10000 AS score,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT tf.id, tf.term,
+        |        CAST(tf.tf * n.n_docs AS DOUBLE) / dft.df AS score,
+        |        row_number() OVER (PARTITION BY tf.id
+        |          ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dft.df DESC,
+        |            tf.term) AS rn
+        |      FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |WHERE rn <= 3""".stripMargin)),
+
+    // Batch gap-based sessionization (30-min gap): per-user lag + running
+    // break-flag sum, all windows PARTITIONED by user — the batch twin of
+    // the streaming sessionizer, replayable over history. Gap math on
+    // exact epoch-microsecond integers.
+    QueryCase("q_sessionize",
+      (s, dir) => graft.ops.Sessionize.sessions(t(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSec = 1800L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us")),
+      Some("""WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) > 1800000000
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM o)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin)),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

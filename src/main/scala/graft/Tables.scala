@@ -24,7 +24,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, timestamp_micros(col(c) / lit(1000L) cast "long"))
+        // integer DIV, not `/`: Column `/` is DOUBLE division, and nanos
+        // (~1.7e18) exceed double precision (ulp ≈ 256 ns) — the float
+        // path lands ±1 µs off the exact value on some rows
+        d.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
       else d
     }
   }

@@ -288,6 +288,34 @@ object TextStats {
       .drop("__s")
   }
 
+  /** TF-IDF keyword extraction: the `topK` most distinctive terms per
+    * document, scored tf·(N/df) — the ratio form of idf rather than
+    * ln(N/df): rank-equivalent within a document whenever tf is equal,
+    * exactly cross-engine-reproducible (integer numerator, one exact
+    * double division; ln differs by ULPs across libm implementations).
+    *
+    * Shape: one explode → (doc, term) counts with map-side combine; df
+    * derives from the SAME tf table (one row per doc-term); N rides a
+    * broadcast 1-row aggregate; final top-k is a window PARTITIONED by
+    * doc (no global sort). Shuffle volume is |doc-term pairs|, the same
+    * bound as [[vocabulary]]. */
+  def keywords(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(wordTokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+    scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= topK)
+      .select("id", "term", "score", "rn")
+  }
+
   /** Document fingerprint: minimum MD5 over word 3-gram hashes (a
     * winnowing-style content signature, stable under reordering of
     * surrounding documents; MD5 so the oracle can recompute it). Falls
