@@ -105,6 +105,41 @@ object QueriesAnalytics {
         | floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
         | floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ORDERED funnel (view → click → purchase): step i counts only
+    // strictly after the user's step i−1 first match. |steps| keyed
+    // conditional aggregations over a shrinking matched set — no per-user
+    // event sort (ops/EventAnalytics).
+    QueryCase("q_funnel",
+      (s, dir) => graft.ops.EventAnalytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase""".stripMargin)),
+
+    // Cohort retention: first-active-day cohorts × day offset → distinct
+    // active users. Two keyed aggregations + one user-key join
+    // (ops/EventAnalytics).
+    QueryCase("q_cohort_retention",
+      (s, dir) => graft.ops.EventAnalytics.cohortRetention(
+        t(s, dir, "events"), "user_id", "ts"),
+      Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(d.day - c.cohort_day AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, d.day - c.cohort_day""".stripMargin))
   )
 }
