@@ -134,6 +134,27 @@ object QueriesExt {
        |FROM s WHERE cos >= 0.4""".stripMargin
   }
 
+  /** Cross-corpus twin of [[embeddingPairsOracle]]: same literal planes,
+    * buckets split by the id predicate, A×B candidate join. */
+  private def embeddingCrossOracle: String = {
+    val hyper = graft.ext.Vectors.hyperplanes(EmbSeed, EmbTables, EmbPlanes, EmbDim)
+    val perTable = (0 until EmbTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql("e", hyper, t)} AS bucket FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (
+       |$perTable
+       |),
+       |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |      FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
+       |      WHERE x.vec_id % 5 <> 0 AND y.vec_id % 5 = 0),
+       |s AS (SELECT id_a, id_b, ${cosSql("va.e", "vb.e")} AS cos
+       |      FROM p JOIN v va ON p.id_a = va.vec_id
+       |             JOIN v vb ON p.id_b = vb.vec_id)
+       |SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cos
+       |FROM s WHERE cos >= 0.4""".stripMargin
+  }
+
   private def lshTopKOracle: String = {
     val hyper = graft.ext.Vectors.hyperplanes(EmbSeed, LshTables, LshPlanes, EmbDim)
     val anyTableMatch = (0 until LshTables).map { t =>
@@ -619,6 +640,21 @@ object QueriesExt {
           threshold = 0.4, planes = EmbPlanes, tables = EmbTables, dim = 64)
         .withColumn("cos", round4(col("cos"))),
       Some(embeddingPairsOracle)),
+
+    // Cross-corpus embedding near-dup: incoming vectors (vec_id % 5 = 0)
+    // against the existing set, A×B sketch-bucket join — the embedding
+    // twin of q_dedup_cross.
+    QueryCase("q_dedup_cross_embedding",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        Dedup.embeddingCrossDupPairs(
+            embs.filter(col("vec_id") % 5 =!= 0),
+            embs.filter(col("vec_id") % 5 === 0),
+            "embedding", "vec_id",
+            threshold = 0.4, planes = EmbPlanes, tables = EmbTables, dim = 64)
+          .withColumn("cos", round4(col("cos")))
+      },
+      Some(embeddingCrossOracle)),
 
     // Semantic dedup (SemDeDup): centroid cells as the blocking key,
     // within-cell exact cosine. Centroids are the SQL-derivable first-16

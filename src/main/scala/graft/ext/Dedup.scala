@@ -773,6 +773,43 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** CROSS-CORPUS embedding near-dup pairs: vectors in `incoming` whose
+    * cosine against some `existing` vector is ≥ `threshold` — the
+    * embedding-tier twin of [[minhashCrossDupPairs]]. Same hyperplane
+    * family (seeded) on both sides so sketch buckets align; candidates
+    * are A-buckets × B-buckets per table, ids-only until the exact cosine
+    * verify. Returns (id_a from `existing`, id_b from `incoming`, cos). */
+  def embeddingCrossDupPairs(existing: DataFrame, incoming: DataFrame,
+      vecCol: String, idCol: String, threshold: Double = 0.95,
+      planes: Int = 12, tables: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = existing.sparkSession
+    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
+    def side(df: DataFrame) = {
+      val vecs = graft.ops.Caches.track(
+        df.select(col(idCol).as("id"), col(vecCol)))
+      val buckets = vecs
+        .withColumn("tb", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            Vectors.signBucketNative(spark, col(vecCol), hyper, t)
+              .as("bucket"))): _*)))
+        .select(col("id"), col("tb.t"), col("tb.bucket"))
+      (vecs, buckets)
+    }
+    val (vecsA, bucketsA) = side(existing)
+    val (vecsB, bucketsB) = side(incoming)
+    bucketsA.select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(bucketsB.select(col("t"), col("bucket"), col("id").as("id_b")),
+        Seq("t", "bucket"))
+      .select("id_a", "id_b")
+      .distinct()
+      .join(vecsA.select(col("id").as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(vecsB.select(col("id").as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .withColumn("cos", Vectors.cosineNative(spark, col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Semantic near-dup pairs (SemDeDup family, Abbas et al. 2023):
     * cluster the embedding space coarsely, then compare pairs ONLY within
     * a cluster — the clustering is the blocking key, exactly as LSH bands

@@ -40,6 +40,24 @@ object StreamDedup {
       md5(graft.ext.Dedup.normalizedText(col(textCol)))), Seq("__fp"))
       .drop("__fp")
 
+  /** Dedup the stream AGAINST A STATIC REFERENCE CORPUS (the streaming
+    * twin of [[graft.ext.Dedup.minhashCrossDupPairs]]'s batch shape, at
+    * exact-fingerprint granularity): incoming docs whose normalized-text
+    * md5 already exists in `reference` are dropped via a stream-static
+    * LEFT ANTI join. The static side is planned per micro-batch — Spark
+    * broadcasts it when small; a corpus-sized reference should be a
+    * compact (fp) projection or a bloom filter instead. Composes with
+    * [[byFingerprint]] for within-stream dups (reference first, then
+    * stream-local). */
+  def againstReference(stream: DataFrame, reference: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = (c: Column) => md5(graft.ext.Dedup.normalizedText(c))
+    stream.withColumn("__fp", fp(col(textCol)))
+      .join(reference.select(fp(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Gap-based session aggregation: events within `gap` of each other (per
     * key) merge into one session row with count and span. */
   def sessionize(stream: DataFrame, eventTimeCol: String, gap: String,

@@ -45,6 +45,29 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("againstReference drops docs already in the static corpus (modulo formatting)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val reference = Seq((100L, "Existing Training Doc!"), (101L, "another one"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamDedup.againstReference(
+        stream.toDF().toDF("doc_id", "text"), reference, "text")
+      .writeStream.format("memory").queryName("sd_ref")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "existing   training doc"), // formatting variant of 100 → dropped
+        (2L, "genuinely new content"))
+      q.processAllAvailable()
+      stream.addData((3L, "ANOTHER ONE"), (4L, "also new"))
+      q.processAllAvailable()
+      val got = spark.table("sd_ref").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("watermark-bounded dedup drops dups within the delay") {
     val s = spark
     import s.implicits._
