@@ -87,6 +87,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
       plan.take(3000))
   }
 
+  test("q_sessionize windows are partitioned by user — no global order") {
+    val plan = formatted("q_sessionize")
+    assert(plan.contains("windowspecdefinition(user_id"), plan.take(3000))
+    // a partition-less window over ts would be the single-task plan
+    assert(!plan.contains("windowspecdefinition(ts"), plan.take(3000))
+  }
+
+  test("q_funnel is keyed joins + aggregations — no nested-loop, no window") {
+    val plan = formatted("q_funnel")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("q_score_classifier is a single pruned scan — no shuffle") {
     val plan = formatted("q_score_classifier")
     assert(!plan.contains("Exchange"), plan.take(2000))
