@@ -1042,6 +1042,25 @@ object QueriesExt {
            |FROM budgeted""".stripMargin
       }),
 
+    // Table profiling (data-quality monitoring): one aggregation pass →
+    // per-column row/null/distinct counts and min/max. Long/varchar
+    // columns only in the oracle-compared set (double→string formatting
+    // is engine-specific); exact distincts here, approx_count_distinct is
+    // the 100 TB knob.
+    QueryCase("q_profile",
+      (s, dir) => graft.ops.Profiling.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars")),
+      Some {
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        cols.map(c => s"""SELECT '$c' AS "column",
+          | CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(count($c) AS BIGINT) AS n_nonnull,
+          | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          | CAST(min($c) AS VARCHAR) AS min_value,
+          | CAST(max($c) AS VARCHAR) AS max_value
+          |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+      }),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),
