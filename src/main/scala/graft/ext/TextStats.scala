@@ -244,8 +244,21 @@ object TextStats {
   }
 
   /** Character k-grams of the normalized text WITH multiplicity (the LM
-    * unit; [[Dedup.charShingles]] is the distinct variant for sketches). */
+    * unit; [[Dedup.charShingles]] is the distinct variant for sketches).
+    * Native kernel ([[graft.functions.CharNgramsExpr]]) — the HOF form
+    * below is the bit-identity reference (ArrayTransform is a
+    * CodegenFallback AND re-walks the string per substr). */
   def charNgrams(c: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    coalesce(
+      shim.column(graft.functions.CharNgramsExpr(
+        shim.expression(Dedup.normalizedText(c)), shim.expression(lit(k)))),
+      typedLit(Seq.empty[String]))
+  }
+
+  /** HOF reference form of [[charNgrams]] (kept for the bit-identity
+    * spec). */
+  def charNgramsHof(c: Column, k: Int): Column = {
     val norm = Dedup.normalizedText(c)
     coalesce(
       when(length(norm) < k, typedLit(Seq.empty[String]))

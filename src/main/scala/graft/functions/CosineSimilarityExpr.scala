@@ -112,6 +112,7 @@ object GraftFunctions {
   val BloomProbeName = "graft_might_contain"
   val NGramsName = "graft_ngrams"
   val NGramsAllName = "graft_ngrams_all"
+  val CharNgramsName = "graft_char_ngrams"
 
   /** The function table, shared by the lazy runtime path ([[register]])
     * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
@@ -146,7 +147,11 @@ object GraftFunctions {
     (FunctionIdentifier(NGramsAllName),
       new ExpressionInfo(classOf[NGramsExpr].getName, NGramsAllName),
       (children: Seq[Expression]) =>
-        NGramsExpr(children(0), children(1), distinct = false)))
+        NGramsExpr(children(0), children(1), distinct = false)),
+    (FunctionIdentifier(CharNgramsName),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, CharNgramsName),
+      (children: Seq[Expression]) =>
+        CharNgramsExpr(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

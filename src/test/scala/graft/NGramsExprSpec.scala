@@ -23,6 +23,38 @@ class NGramsExprSpec extends AnyFunSuite with SparkTestSupport {
       .toDF("doc_id", "text")
   }
 
+  test("char-ngram kernel ≡ HOF reference on edge and multi-byte texts") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("hello world", "", "ab", "a", "Ünïcødé — tëxt!",
+      "  spaces   everywhere  ", "12345", null.asInstanceOf[String])
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val bad = texts.select(
+          graft.ext.TextStats.charNgrams(col("text"), k).as("nat"),
+          graft.ext.TextStats.charNgramsHof(col("text"), k).as("ref"))
+        .filter(not(col("nat") === col("ref"))).count()
+      assert(bad == 0, s"k=$k")
+    }
+  }
+
+  test("property: char-ngram kernel ≡ HOF on random texts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc 12!.\nXY"
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val bad = texts.select(
+        graft.ext.TextStats.charNgrams(col("text"), 3).as("nat"),
+        graft.ext.TextStats.charNgramsHof(col("text"), 3).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(bad == 0)
+  }
+
   test("n < 1 (or null n) fails analysis instead of silently returning []") {
     graft.functions.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("ngram_docs")
