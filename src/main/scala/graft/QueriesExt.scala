@@ -1142,6 +1142,22 @@ object QueriesExt {
         |   AS BIGINT) AS pos
         |FROM documents""".stripMargin)),
 
+    // Shard assignment for training-data export: contiguous 64-position
+    // blocks of the deterministic shuffle order → numbered shards
+    // (ops/Shards; the write side is ShardsSpec's layout round-trip).
+    QueryCase("q_shard_assign",
+      (s, dir) => graft.ops.Shards.assign(
+          graft.ops.Shuffling.deterministicShuffle(
+            t(s, dir, "documents"), "doc_id", seed = "epoch0", partitions = 8),
+          "pos", docsPerShard = 64L)
+        .select("doc_id", "pos", "shard"),
+      Some("""SELECT doc_id, pos, pos // 64 AS shard FROM (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM documents)""".stripMargin)),
+
     QueryCase("q_sample_stratified",
       (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
           "doc_id", "lang",

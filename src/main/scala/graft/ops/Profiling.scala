@@ -19,6 +19,10 @@ object Profiling {
 
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
+    // names are spliced into selectExpr below — refuse anything that
+    // could parse as more than an identifier
+    require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profile needs plain identifier column names, got: ${cols.mkString(", ")}")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__n_$c"),
