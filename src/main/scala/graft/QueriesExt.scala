@@ -1227,6 +1227,28 @@ object QueriesExt {
         |FROM (${ccOracle(0.5).replace("\n", "\n|")})
         |GROUP BY component""".stripMargin)),
 
+    // Dedup savings summary — the monitoring row a dedup tier reports per
+    // snapshot: how many duplicate classes, what fraction of the corpus
+    // is redundant, how big the worst cluster is.
+    QueryCase("q_dedup_savings",
+      (s, dir) => Dedup.assignComponents(t(s, dir, "documents"),
+          ngramPairsHi(s, dir), "doc_id")
+        .groupBy("component").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("c")).as("n_docs"),
+          max(col("c")).as("max_class"))
+        .withColumn("dup_frac", round4(lit(1.0) -
+          col("n_classes").cast("double") / col("n_docs").cast("double")))
+        .select("n_classes", "n_docs", "max_class", "dup_frac"),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(max(c) AS BIGINT) AS max_class,
+        |  floor((1 - count(*) / CAST(sum(c) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS dup_frac
+        |FROM (SELECT component, count(*) AS c
+        |      FROM (${ccOracle(0.5).replace("\n", "\n|")})
+        |      GROUP BY component)""".stripMargin)),
+
     // The bloom-pre-filtered path MUST return the identical answer (the
     // bloom only admits candidates; exact verify kills false positives),
     // so it shares the exact path's oracle — hash-checking the whole
