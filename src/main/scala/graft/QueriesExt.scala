@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Chunking, Decontam, Dedup, Multimodal, Similarity, TextStats, Vectors}
-import graft.ops.{Packing, Sampling}
+import graft.ops.{HeavyHitters, Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
   * analysis, multimodal — the 100 TB training-data-pipeline surface
@@ -1170,6 +1170,38 @@ object QueriesExt {
         |                         WHEN lang = 'es' THEN 0.2
         |                         ELSE 0.5 END) * 4294967296.0) AS BIGINT)""".stripMargin)),
 
+    // Deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis): inclusion probability ∝ document length — the "sample
+    // k docs proportional to token mass" mixing primitive. Selection is
+    // TakeOrderedAndProject (per-partition heaps), not a global sort;
+    // the float priority is dropped from the output (membership is the
+    // cross-engine-exact part — see Sampling.weightedSample scaladoc).
+    QueryCase("q_sample_weighted",
+      (s, dir) => Sampling.weightedSample(t(s, dir, "documents"),
+          "doc_id", greatest(col("n_chars"), lit(1L)), k = 100)
+        .select("doc_id", "source", "n_chars"),
+      Some(s"""SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#w1'), 1, 8))::BIGINT
+        |           + 1.0) / 4294967296.0,
+        |        1.0 / greatest(n_chars, 1)) AS pri
+        |  FROM documents)
+        |ORDER BY pri DESC LIMIT 100""".stripMargin)),
+
+    // Exact heavy hitters (tokens covering >= 1/200 of all token
+    // occurrences) via per-partition Misra–Gries summaries + exact
+    // recount of the bounded candidate set — the corpus-scale shape
+    // where a plain GROUP BY would shuffle the whole vocabulary. The
+    // answer is exact, so the oracle is the plain GROUP BY .. HAVING.
+    QueryCase("q_heavy_hitters",
+      (s, dir) => HeavyHitters.heavyTokens(t(s, dir, "documents"),
+          "text", d = 200),
+      Some(s"""WITH tok AS (SELECT unnest($sqlToks) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, tot GROUP BY token, n
+        |HAVING count(*) * 200 >= n""".stripMargin)),
+
     // Eval-set decontamination: held-out set stand-in = every 97th doc;
     // n_hits = distinct shared 5-grams per training doc.
     QueryCase("q_decontam",
@@ -1248,6 +1280,21 @@ object QueriesExt {
         |FROM (SELECT component, count(*) AS c
         |      FROM (${ccOracle(0.5).replace("\n", "\n|")})
         |      GROUP BY component)""".stripMargin)),
+
+    // Leakage-free train/eval split: the split is decided per duplicate
+    // CLASS (hash of the connected-component label over the near-dup
+    // pairs graph), so no eval row is a near-copy of a training row.
+    // Reuses the same materialized pairs artifact as q_dedup_cc.
+    QueryCase("q_split_leakfree",
+      (s, dir) => Sampling.leakFreeSplit(
+          t(s, dir, "documents").select("doc_id"),
+          ngramPairsHi(s, dir), "doc_id", evalFrac = 0.1)
+        .select("doc_id", "component", "split"),
+      Some(s"""SELECT doc_id, component,
+        |  CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR) || '#sp1'), 1, 8))::BIGINT
+        |            < CAST(floor(0.1 * 4294967296.0) AS BIGINT)
+        |       THEN 'eval' ELSE 'train' END AS split
+        |FROM (${ccOracle(0.5).replace("\n", "\n|")})""".stripMargin)),
 
     // The bloom-pre-filtered path MUST return the identical answer (the
     // bloom only admits candidates; exact verify kills false positives),

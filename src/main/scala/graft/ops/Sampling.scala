@@ -43,4 +43,53 @@ object Sampling {
     }
     df.filter(keep(col(keyCol), rate, salt))
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u = uniform(0,1] from md5(key#salt)
+    * and gets priority u^(1/w); the k largest priorities ARE a weighted
+    * sample without replacement — P(row enters before any given subset)
+    * ∝ its weight. Same determinism contract as [[hashSample]]: the
+    * sample is a pure function of (key, weight, salt), stable under
+    * repartitioning and reproducible by the DuckDB oracle.
+    *
+    * Scale: the priority is a scan-fused projection and the selection is
+    * `orderBy(desc).limit(k)` → TakeOrderedAndProject (per-partition
+    * top-k heaps + driver merge of #partitions·k rows, no global sort,
+    * no shuffle of the corpus).
+    *
+    * Cross-engine note: pow/ln are ~1-ulp libm functions, not bit-pinned
+    * like the integer hash math used elsewhere — membership at the k-th
+    * boundary is only decided identically because adjacent order
+    * statistics at corpus sizes sit ~1e-9 apart, ~7 decades above ulp
+    * noise. The priority column itself is therefore DROPPED from the
+    * output (only membership is cross-engine exact, not the float).
+    * Weights must be >= 1; callers clamp (`greatest(w, 1)`). */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      k: Int, salt: String = "w1"): DataFrame = {
+    val u = (Dedup.hex32(concat(col(keyCol).cast("string"),
+      lit("#" + salt))).cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.withColumn("__pri", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__pri").desc)
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Leakage-free train/eval split: a near-duplicate of a training row
+    * in the eval set inflates every metric it touches, so the split must
+    * be decided per DUPLICATE CLASS, not per document. Labels each row
+    * with its connected component over the near-dup `pairs` graph
+    * ([[Dedup.assignComponents]] — singletons label themselves) and
+    * hash-routes the whole class: eval iff
+    * hex32(component#salt) < evalFrac·2³². Every member of a class lands
+    * in the same split by construction.
+    *
+    * Scale: the pairs graph is the already-materialized dedup artifact;
+    * the component join shuffles ids only, and the split decision is a
+    * scan-fused projection on the labeled rows. */
+  def leakFreeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+      evalFrac: Double, salt: String = "sp1"): DataFrame =
+    df.join(Dedup.assignComponents(df, pairs, idCol), Seq(idCol))
+      .withColumn("split",
+        when(keep(col("component"), lit(evalFrac), salt), lit("eval"))
+          .otherwise(lit("train")))
 }

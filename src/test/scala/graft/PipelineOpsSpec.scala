@@ -102,4 +102,65 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(5L) == ((0L, 0L)))     // shard b packs independently
     assert(got(6L) == ((0L, 950L)))
   }
+
+  // local reimplementation of Dedup.hex32 for oracle-style spot checks
+  private def hex32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("weightedSample: matches the A-ES formula computed locally") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).map(i => (i, 1L + i % 50))
+    val d = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(d, "id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val want = rows.map { case (id, w) =>
+      val u = (hex32Local(s"$id#w1") + 1.0) / 4294967296.0
+      id -> math.pow(u, 1.0 / w)
+    }.sortBy(-_._2).take(40).map(_._1).toSet
+    assert(got == want)
+    // stable under repartitioning (pure function of key+weight)
+    val got7 = Sampling.weightedSample(d.repartition(7), "id", col("w"), 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(got7 == got)
+  }
+
+  test("weightedSample: heavy weights dominate the sample") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 1000L).map(i => (i, if (i < 500) 100L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(d, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0))
+    assert(got.length == 100)
+    assert(got.count(_ < 500L) >= 90) // w=100 rows ~99% of the sample
+  }
+
+  test("leakFreeSplit: no duplicate class straddles train/eval") {
+    val s = spark
+    import s.implicits._
+    // 10 chained classes of 3 (ids 3c, 3c+1, 3c+2) + singletons 100-149
+    val ids = (0L until 30L) ++ (100L until 150L)
+    val d = ids.toDF("doc_id")
+    val pairs = (0 until 10).flatMap { c =>
+      Seq((3L * c, 3L * c + 1), (3L * c + 1, 3L * c + 2))
+    }.toDF("id_a", "id_b")
+    val got = Sampling.leakFreeSplit(d, pairs, "doc_id", evalFrac = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[String]("split")))
+    assert(got.length == ids.length)
+    // every member of a class gets the class's split
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // chained classes actually collapsed to one component (min id)
+    assert(got.filter(_._1 < 30L).groupBy(_._2).keySet ==
+      (0 until 10).map(c => 3L * c).toSet)
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.getOrElse("eval", 0) > 0 && bySplit.getOrElse("train", 0) > 0)
+  }
 }
