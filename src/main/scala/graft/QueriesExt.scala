@@ -1202,6 +1202,61 @@ object QueriesExt {
         |FROM tok, tot GROUP BY token, n
         |HAVING count(*) * 200 >= n""".stripMargin)),
 
+    // Temperature-flattened source mixing (α = 0.5): tail sources are
+    // upsampled relative to their raw share. Rates derive from integer-
+    // quantized sqrt weights so the oracle reproduces each per-source
+    // rate bit-for-bit (sqrt is IEEE-exact; the repo's float discipline
+    // bans pow/ln in oracle-compared math).
+    QueryCase("q_mix_temperature",
+      (s, dir) => Sampling.temperatureMix(t(s, dir, "documents"),
+          "doc_id", "source", targetFrac = 0.3)
+        .select("doc_id", "source"),
+      Some(s"""WITH c AS (SELECT source, count(*) AS cnt
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, cnt,
+        |        CAST(floor(sqrt(CAST(cnt AS DOUBLE)) *
+        |          CAST(1048576 AS DOUBLE)) AS BIGINT) AS wt
+        |      FROM c),
+        |t AS (SELECT sum(cnt) AS n, sum(wt) AS sw FROM w),
+        |r AS (SELECT source,
+        |        least(CAST(1.0 AS DOUBLE),
+        |          CAST(0.3 AS DOUBLE) * n * wt / sw / cnt) AS rate
+        |      FROM w, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#tm1'), 1, 8))::BIGINT
+        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin)),
+
+    // Snapshot delta: added/removed/changed rows between two corpus
+    // snapshots by content hash — the ingestion-delta report. Snapshot B
+    // is derived from the fixture deterministically (drop id%7=0, edit
+    // id%5=0, re-add id%11=0 under shifted ids) so both engines build
+    // the identical pair of inputs.
+    QueryCase("q_snapshot_diff",
+      (s, dir) => {
+        val a = t(s, dir, "documents").select("doc_id", "text")
+        val b = a.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+          .unionByName(a.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.ops.Maintenance.snapshotDiff(a, b, "doc_id", "text")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+        |                      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        |ha AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |hb AS (SELECT doc_id, md5(text) AS h FROM b)
+        |SELECT coalesce(ha.doc_id, hb.doc_id) AS doc_id,
+        |  CASE WHEN ha.h IS NULL THEN 'added'
+        |       WHEN hb.h IS NULL THEN 'removed'
+        |       WHEN ha.h <> hb.h THEN 'changed' END AS status
+        |FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+        |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h""".stripMargin)),
+
     // Eval-set decontamination: held-out set stand-in = every 97th doc;
     // n_hits = distinct shared 5-grams per training doc.
     QueryCase("q_decontam",
@@ -1339,6 +1394,34 @@ object QueriesExt {
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
+
+    // Per-doc OOV rate against the corpus's own top-50 vocab (ties broken
+    // by token, so the vocab set is deterministic cross-engine) — the
+    // tokenizer-fit diagnostic. Vocab is broadcast; token strings never
+    // shuffle.
+    QueryCase("q_oov_rate",
+      (s, dir) => {
+        val docs = Dedup.parallelize(t(s, dir, "documents"))
+        TextStats.oovStats(docs, "text", "doc_id",
+          TextStats.vocabulary(docs, "text", "doc_id")
+            .orderBy(col("tf").desc, col("token")).limit(50))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token
+        |             FROM documents),
+        |v AS (SELECT token FROM (
+        |        SELECT token, count(*) AS tf FROM tok GROUP BY token
+        |        ORDER BY tf DESC, token LIMIT 50)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+        |          CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS no
+        |        FROM tok LEFT JOIN v ON tok.token = v.token
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(nt, 0) AS n_tokens,
+        |  coalesce(no, 0) AS n_oov,
+        |  floor((CASE WHEN coalesce(nt, 0) > 0
+        |         THEN CAST(coalesce(no, 0) AS DOUBLE) / nt
+        |         ELSE 0.0 END) * 10000 + 0.5) / 10000 AS oov_rate
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
     // Symmetric int8 embedding quantization (4× storage cut; candidate
     // format for ANN with exact re-rank on dequantized top hits). Pure

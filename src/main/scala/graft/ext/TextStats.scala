@@ -50,6 +50,36 @@ object TextStats {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("__doc")).as("df"))
 
+  /** Per-document out-of-vocabulary stats against a `vocab` table with a
+    * `token` column (e.g. the top-k of [[vocabulary]]): token count, OOV
+    * count, OOV rate — the tokenizer-fit diagnostic that decides whether
+    * a corpus slice needs vocab expansion before training. Zero-token
+    * documents are kept (0, 0, 0.0).
+    *
+    * Scale: the vocab is broadcast (a tokenizer vocab is 30-200 k rows);
+    * the exploded tokens never shuffle token strings — the in-vocab flag
+    * reduces straight back to the doc key via map-side combine. */
+  def oovStats(df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(wordTokens(col(textCol))).as("token"))
+    val agg = toks
+      .join(broadcast(vocab.select(col("token")).distinct()
+        .withColumn("__iv", lit(1))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("__no"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__no"), lit(0L)).as("n_oov"),
+        (floor((when(coalesce(col("__nt"), lit(0L)) > 0,
+            coalesce(col("__no"), lit(0L)).cast("double") / col("__nt"))
+          .otherwise(lit(0.0))) * lit(10000) + lit(0.5)) / lit(10000))
+          .as("oov_rate"))
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small: language ID at corpus scale is a
     * scan-local scoring pass; precision comes from the caller swapping in

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators. The chronic 100 TB disease is SMALL FILES:
   * streaming micro-batches and fine-grained partitions leave millions of
@@ -39,5 +40,27 @@ object Maintenance {
         .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
     shaped.write.mode("overwrite").parquet(outDir)
     nFiles
+  }
+
+  /** Snapshot delta keyed on `idCol`: `added` (only in `b`), `removed`
+    * (only in `a`), `changed` (content differs) — the ingestion-delta
+    * report between two corpus snapshots. Unchanged rows are dropped.
+    *
+    * Scale: the content comparison ships a 128-bit md5 per row through
+    * the full-outer join, never the payload — shuffle volume is
+    * ids + hashes regardless of document size. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val ha = a.select(col(idCol),
+      md5(col(contentCol).cast("string")).as("__ha"))
+    val hb = b.select(col(idCol),
+      md5(col(contentCol).cast("string")).as("__hb"))
+    ha.join(hb, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
   }
 }

@@ -44,6 +44,41 @@ object Sampling {
     df.filter(keep(col(keyCol), rate, salt))
   }
 
+  /** Temperature-flattened source mixing (the multilingual-corpus
+    * sampling rule of the mT5/XLM-R line): source s is kept at a rate
+    * ∝ c_s^½ / c_s, which upsamples tail sources relative to their raw
+    * share — α = 0.5 flattening of the source multinomial. Two passes:
+    * a per-source count agg whose result is driver-collected (#sources
+    * is human-scale config, not data-scale), then one scan-fused CASE
+    * filter with the same hash-threshold keep rule as [[hashSample]] —
+    * no shuffle of the corpus, stable under repartitioning.
+    *
+    * Determinism: per-source weights are INTEGER-quantized
+    * (floor(sqrt(c)·2²⁰)) so the weight sum is order-independent exact
+    * integer arithmetic, and sqrt (unlike pow/ln) is IEEE-754
+    * correctly-rounded — every rate literal is reproduced bit-for-bit
+    * by the DuckDB oracle. Sources whose rate caps at 1.0 make the
+    * sample undershoot `targetFrac` slightly; there is deliberately no
+    * iterative renormalization (bit-determinism beats the last 1-2 % of
+    * target accuracy). */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+      targetFrac: Double, salt: String = "tm1"): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val ws = counts.map { case (_, c) =>
+      math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong }
+    val sw = ws.sum
+    // association mirrors the oracle SQL exactly: ((f*n)*w)/sw/c
+    val rates = counts.zip(ws).map { case ((src, c), w) =>
+      src -> math.min(1.0, targetFrac * n * w / sw / c)
+    }
+    val rate = rates.foldRight(lit(0.0): Column) { case ((src, r), alt) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(alt)
+    }
+    df.filter(keep(col(keyCol), rate, salt))
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis–
     * Spirakis A-ES): each row draws u = uniform(0,1] from md5(key#salt)
     * and gets priority u^(1/w); the k largest priorities ARE a weighted

@@ -52,4 +52,16 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
       assert(hi < lo, s"overlapping ranges: ${spans.mkString(",")}")
     }
   }
+
+  test("snapshotDiff reports added/removed/changed, drops unchanged") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Maintenance.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }

@@ -139,6 +139,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.count(_ < 500L) >= 90) // w=100 rows ~99% of the sample
   }
 
+  test("temperatureMix: tail sources upsampled, head capped near target") {
+    val s = spark
+    import s.implicits._
+    // 9:1 skewed two-source corpus
+    val d = (0L until 2000L).map(i => (i, if (i < 1800) "head" else "tail"))
+      .toDF("id", "source")
+    val kept = Sampling.temperatureMix(d, "id", "source", targetFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // α=0.5 flattening: tail kept-rate strictly above head kept-rate
+    val headRate = bySource.getOrElse("head", 0) / 1800.0
+    val tailRate = bySource.getOrElse("tail", 0) / 200.0
+    assert(tailRate > headRate)
+    // overall volume near target (hash noise + cap undershoot tolerated)
+    assert(math.abs(kept.length / 2000.0 - 0.3) < 0.06)
+    // deterministic and repartition-stable
+    val kept7 = Sampling.temperatureMix(d.repartition(7), "id", "source", 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept7.toSet == kept.toSet)
+  }
+
   test("leakFreeSplit: no duplicate class straddles train/eval") {
     val s = spark
     import s.implicits._

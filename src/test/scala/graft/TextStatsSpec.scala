@@ -126,4 +126,24 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     assert(fp(1L) != fp(3L))
     assert(fp(4L).nonEmpty)
   }
+
+  test("oovStats: per-doc counts against a vocab, zero-token docs kept") {
+    val s = spark
+    import s.implicits._
+    val d = docs(
+      (1L, "the cat sat"),         // all in vocab
+      (2L, "the zorblax quux"),    // 2 of 3 OOV
+      (3L, "!!! ..."))             // zero tokens
+    val vocab = Seq("the", "cat", "sat").toDF("token")
+    val got = TextStats.oovStats(d, "text", "doc_id", vocab)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))))
+      .toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L)._1 == 3L && got(2L)._2 == 2L)
+    assert(math.abs(got(2L)._3 - 0.6667) < 1e-12)  // round4 of 2/3
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
 }
