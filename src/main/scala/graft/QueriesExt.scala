@@ -834,6 +834,25 @@ object QueriesExt {
            |WHERE cum_tokens <= 10000""".stripMargin
       }),
 
+    // Per-source top-p ("nucleus") mass selection: the docs carrying 60 %
+    // of each source's char mass, longest-first — fractional cousin of
+    // the absolute per-source budget below. Integer mass sums; the only
+    // float op is one deterministic multiply in the threshold.
+    QueryCase("q_topp_mass",
+      (s, dir) => graft.ops.Budget.selectTopPPerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "n_chars", col("n_chars").desc, "doc_id", "source", p = 0.6)
+        .select("doc_id", "source", "n_chars", "cum_mass"),
+      Some("""SELECT doc_id, source, n_chars, cum_mass FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM documents)
+        |WHERE cum_mass - n_chars <
+        |      CAST(floor(CAST(0.6 AS DOUBLE) * tot) AS BIGINT)""".stripMargin)),
+
     // PER-SOURCE token budget (mixture balancing: "best N tokens from
     // EACH source"). Contrast with q_select_budget: groups are
     // independent, so the plain PARTITION BY window IS the scale-correct
@@ -1139,6 +1158,27 @@ object QueriesExt {
       Some("""SELECT doc_id,
         | CAST(row_number() OVER (
         |   ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |   AS BIGINT) AS pos
+        |FROM documents""".stripMargin)),
+
+    // Curriculum order: strict easy→hard stage boundaries (fixed length
+    // tiers here; any integer difficulty works), deterministic shuffle
+    // WITHIN each stage — same census rank machinery as q_shuffle_rank
+    // with the stage prepended to the order key.
+    QueryCase("q_curriculum",
+      (s, dir) => graft.ops.Shuffling.curriculumOrder(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          when(col("n_chars") < 200, 0).when(col("n_chars") < 400, 1)
+            .when(col("n_chars") < 800, 2).otherwise(3),
+          "doc_id", seed = "cur0", partitions = 8)
+        .select("doc_id", "stage", "pos"),
+      Some("""SELECT doc_id,
+        | CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+        |      WHEN n_chars < 800 THEN 2 ELSE 3 END AS stage,
+        | CAST(row_number() OVER (
+        |   ORDER BY CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+        |                 WHEN n_chars < 800 THEN 2 ELSE 3 END,
+        |            md5('cur0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |   AS BIGINT) AS pos
         |FROM documents""".stripMargin)),
 

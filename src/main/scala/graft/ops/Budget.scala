@@ -38,6 +38,30 @@ object Budget {
           .unboundedPreceding, 0)))
     .filter(col("cum_tokens") <= budget)
 
+  /** Per-group top-p ("nucleus") mass selection: keep each group's
+    * highest-preference rows until they cover fraction `p` of the
+    * group's TOTAL `massCol` — "the docs carrying 60 % of each source's
+    * token mass". The boundary row that crosses p is KEPT (nucleus
+    * convention: exclusive running mass < p·total), so every non-empty
+    * group selects at least one row. Mass sums are exact longs; the
+    * threshold floor(p·total) is a single deterministic double multiply,
+    * so the selection is bit-reproducible cross-engine. Groups are
+    * independent → the partitioned window is the scale-correct plan
+    * (same rationale as [[selectByBudgetPerGroup]]). Output adds
+    * `cum_mass`, the inclusive per-group prefix. */
+  def selectTopPPerGroup(df: DataFrame, massCol: String, prefOrder: Column,
+      idCol: String, groupCol: String, p: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val m = col(massCol).cast("long")
+    df.withColumn("cum_mass", sum(m).over(
+        w.partitionBy(groupCol).orderBy(prefOrder, col(idCol).asc)
+          .rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(m).over(w.partitionBy(groupCol)))
+      .filter(col("cum_mass") - m <
+        floor(lit(p) * col("__tot")).cast("long"))
+      .drop("__tot")
+  }
+
   def selectByBudget(df: DataFrame, tokenCol: String, prefOrder: Column,
       idCol: String, budget: Long, partitions: Int): DataFrame =
     Census.prefix(df, Seq(prefOrder, col(idCol).asc),

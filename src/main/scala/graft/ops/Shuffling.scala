@@ -29,4 +29,24 @@ object Shuffling {
       .withColumn("pos", col("__off") + col("__run") - 1)
       .drop("__k", "__off", "__run", "__n")
   }
+
+  /** Curriculum order: training position ascending by `stageCol`
+    * (easy → hard), deterministically shuffled WITHIN each stage — the
+    * standard curriculum-learning data order, where stage boundaries
+    * are strict but intra-stage order must still look random. Same
+    * distributed-rank machinery as [[deterministicShuffle]] with the
+    * stage prepended to the order key; re-keyable per epoch via `seed`.
+    * Output adds `pos` ∈ [0, n). */
+  def curriculumOrder(df: DataFrame, stageCol: org.apache.spark.sql.Column,
+      idCol: String, seed: String, partitions: Int): DataFrame = {
+    val keyed = df.withColumn("__stage", stageCol)
+      .withColumn("__k",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+    Census.prefix(keyed,
+        Seq(col("__stage").asc, col("__k").asc, col(idCol).asc), lit(1L),
+        partitions)
+      .withColumn("pos", col("__off") + col("__run") - 1)
+      .withColumnRenamed("__stage", "stage")
+      .drop("__k", "__off", "__run", "__n")
+  }
 }

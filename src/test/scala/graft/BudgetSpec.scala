@@ -66,4 +66,26 @@ class BudgetSpec extends AnyFunSuite with SparkTestSupport {
       col("quality").desc, "doc_id", budget = 5L, partitions = 2)
       .count() == 0)
   }
+
+  test("selectTopPPerGroup: boundary row kept, groups independent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // group a: masses 50,30,20 (total 100) — p=0.6: keep 50 then 30
+      // (excl cum 50 < 60), stop (excl cum 80 >= 60)
+      (1L, "a", 50L), (2L, "a", 30L), (3L, "a", 20L),
+      // group b: single row always kept (excl cum 0 < threshold)
+      (4L, "b", 7L))
+      .toDF("doc_id", "source", "mass")
+    val got = Budget.selectTopPPerGroup(d, "mass", col("mass").desc,
+        "doc_id", "source", p = 0.6)
+      .select("doc_id", "cum_mass").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 50L), (2L, 80L), (4L, 7L)))
+    // p = 1.0 keeps everything; p = 0.0 keeps nothing
+    assert(Budget.selectTopPPerGroup(d, "mass", col("mass").desc,
+      "doc_id", "source", 1.0).count() == 4)
+    assert(Budget.selectTopPPerGroup(d, "mass", col("mass").desc,
+      "doc_id", "source", 0.0).count() == 0)
+  }
 }

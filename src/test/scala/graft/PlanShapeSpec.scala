@@ -107,4 +107,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       plan.take(2000))
   }
+
+  test("q_sample_weighted plans top-k heaps, not a global sort") {
+    val plan = formatted("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Sort ["), plan.take(3000))
+  }
+
+  test("q_mix_temperature filter is a single pruned scan — no shuffle, no join") {
+    // the per-source counts ran at plan-construction time (bounded
+    // driver state); the RETURNED plan must be scan + CASE filter only
+    val plan = formatted("q_mix_temperature")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan.take(2000))
+  }
+
+  test("q_oov_rate broadcasts the vocab — token strings never shuffle-join") {
+    val plan = formatted("q_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q_snapshot_diff joins hashes, not payloads") {
+    val plan = formatted("q_snapshot_diff")
+    // the text column must be consumed by the md5 projection below the
+    // join — no plan node above the join may reference `text`
+    val aboveJoin = plan.split("SortMergeJoin|ShuffledHashJoin").head
+    assert(!aboveJoin.contains("text#"), plan.take(3000))
+  }
 }

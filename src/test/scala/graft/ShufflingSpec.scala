@@ -43,4 +43,20 @@ class ShufflingSpec extends AnyFunSuite with SparkTestSupport {
       .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a != b)
   }
+
+  test("curriculumOrder: stages strictly ordered, shuffled within, a permutation") {
+    val d = docs(90)
+    val got = Shuffling.curriculumOrder(d, col("doc_id") % 3, "doc_id",
+        "cur0", partitions = 4)
+      .select("doc_id", "stage", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (0L until 90L))
+    // stage blocks are contiguous: every stage-0 pos < every stage-1 pos < ...
+    val byStage = got.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byStage(0L).max < byStage(1L).min)
+    assert(byStage(1L).max < byStage(2L).min)
+    // within a stage the order is the md5 rank, not id order
+    assert(got.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq !=
+      got.filter(_._2 == 0L).map(_._1).sorted.toSeq)
+  }
 }
