@@ -69,6 +69,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
       dt
     }
 

@@ -24,6 +24,7 @@ object Verify {
       // several operators persist() intermediates; don't let 25 queries'
       // worth accumulate in one JVM
       spark.catalog.clearCache()
+      graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
     }
     // -------- structural invariants for the engine-local-hash twins ----
     // q_dedup_minhash_pairs / q_dedup_minhash / q_dedup_simhash_pairs run

@@ -438,13 +438,17 @@ object Dedup {
     * same per-round shape). `maxIter` bounds the loop; the driver-side
     * per-round `count()` is the convergence check, not a data collect. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import graft.ops.Caches
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    // checkpoint storage lives outside the cache manager; capture each
+    // round's backing RDDs so superseded rounds are unpersisted instead
+    // of accumulating O(iterations) cached copies of the labels table
+    var (labels, cpRdds) = Caches.localCheckpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -452,18 +456,25 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")),
           Seq("dst"))
         .groupBy("id").agg(min("nbrComp").as("nbrComp"))
-      val newLabels = labels
+      val (newLabels, newRdds) = Caches.localCheckpointTracked(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")))
       changed = newLabels
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") < col("old")).count()
+      // the convergence count above was this round's last reader of the
+      // previous checkpoint — release it before advancing
+      cpRdds.foreach(_.unpersist(false))
       labels = newLabels
+      cpRdds = newRdds
       iter += 1
     }
     edges.unpersist()
+    // the returned frame READS the final checkpoint (truncated lineage —
+    // not recomputable): registered for release at the caller's next
+    // Caches.releaseAll() batch boundary, after results materialize
+    cpRdds.foreach(Caches.trackRdd)
     labels
   }
 

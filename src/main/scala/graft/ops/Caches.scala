@@ -25,11 +25,37 @@ import org.apache.spark.sql.Dataset
 object Caches {
   private val live =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** `ds.persist()` + register for [[releaseAll]]. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
     live.add(ds)
     ds.persist()
+  }
+
+  /** Register a checkpoint-backing RDD for [[releaseAll]]. Unlike
+    * [[track]]'s Dataset persists, a localCheckpoint's storage lives
+    * OUTSIDE the cache manager (`catalog.clearCache()` never drains it)
+    * and its lineage is truncated — a frame built on it CANNOT be
+    * recomputed after release, so only call this for checkpoints whose
+    * consumers are done before the next `releaseAll`. */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.add(rdd)
+
+  /** Eager `localCheckpoint` that also returns the RDDs the checkpoint
+    * persisted (captured by diffing the context's persistent-RDD set —
+    * call from single-threaded driver control flow only). Iterative
+    * algorithms use this to unpersist SUPERSEDED rounds instead of
+    * accumulating O(iterations) cached copies. */
+  def localCheckpointTracked(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    val added = sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    (cp, added)
   }
 
   /** Unpersist (non-blocking) everything tracked since the last call. */
@@ -38,6 +64,11 @@ object Caches {
     while (ds != null) {
       ds.unpersist(false)
       ds = live.poll()
+    }
+    var rdd = liveRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(false)
+      rdd = liveRdds.poll()
     }
   }
 }

@@ -28,9 +28,15 @@ final class ServingView(keys: Seq[String] =
     Seq("app_id", "time_year", "time_month", "time_day")) {
 
   @volatile private var state: Option[DataFrame] = None
+  private var stateRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
 
   /** Merge one micro-batch of summary rows (schema per
-    * `Review.summarySchema`) into the view. */
+    * `Review.summarySchema`) into the view. The superseded snapshot's
+    * checkpoint storage is released on each merge — over an unbounded
+    * stream the view holds ONE materialized copy, not one per trigger.
+    * (A reader that captured `current` before a merge must re-fetch it;
+    * the Delta/Iceberg MERGE swap-in at cluster scale versions this
+    * properly.) */
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
     val decomposed = Serving.decomposeTime(batch)
       .withColumn("__batch", lit(batchId))
@@ -39,7 +45,10 @@ final class ServingView(keys: Seq[String] =
       case None      => decomposed
     }
     val merged = Upsert.keepLatestPerKey(unioned, keys, Seq("__batch"))
-    state = Some(merged.localCheckpoint(true))
+    val (cp, rdds) = graft.ops.Caches.localCheckpointTracked(merged)
+    stateRdds.foreach(_.unpersist(false)) // superseded snapshot
+    state = Some(cp)
+    stateRdds = rdds
   }
 
   /** The current view (without bookkeeping columns); empty before the

@@ -30,6 +30,7 @@ object Profile {
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
       println(f"[profile] $name run $i: rows=$n time=$dt%.2f s")
     }
     spark.stop()

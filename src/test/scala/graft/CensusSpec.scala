@@ -101,6 +101,7 @@ class CensusSpec extends AnyFunSuite with SparkTestSupport {
   test("census ops leave no cached RDDs behind (persist-free + releaseAll)") {
     import graft.ops.{Budget, Shuffling}
     spark.sharedState.cacheManager.clearCache()
+    Caches.releaseAll() // drain tracked state from earlier suites
     Shuffling.deterministicShuffle(corpus(100), "id", "e0", 4).count()
     Budget.selectByBudget(corpus(100), "w", col("v").desc, "id", 50L, 4).count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
@@ -115,5 +116,37 @@ class CensusSpec extends AnyFunSuite with SparkTestSupport {
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // tracked, live
     Caches.releaseAll()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("connectedComponents holds ONE checkpoint, drained by releaseAll") {
+    val s = spark
+    import s.implicits._
+    Caches.releaseAll()
+    // a 10-node chain forces several propagation rounds (one per hop)
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = graft.ext.Dedup.connectedComponents(pairs)
+    assert(cc.collect().map(_.getLong(1)).toSet == Set(0L)) // one class
+    // superseded rounds were unpersisted as the loop advanced: only the
+    // final labels checkpoint (one RDD) may remain live
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size <= 1, s"leaked ${live.size} checkpoint RDDs")
+    Caches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("ServingView keeps one materialized snapshot across merges") {
+    val s = spark
+    import s.implicits._
+    Caches.releaseAll()
+    val view = new graft.streaming.ServingView(Seq("app_id"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (b <- 0L until 5L) {
+      val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        b.toDouble)).toDF("app_id", "time", "avg_sentiment")
+      view.merge(batch, b)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"view leaked ${after - before} snapshots")
+    assert(view.current.get.count() == 1)
   }
 }
