@@ -63,8 +63,11 @@ object Sampling {
     * target accuracy). */
   def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
       targetFrac: Double, salt: String = "tm1"): DataFrame = {
+    // null-source rows get no CASE arm below → rate 0 → dropped; filter
+    // them out of the rate table rather than NPE-ing the sort
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
     val ws = counts.map { case (_, c) =>
       math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong }
@@ -122,9 +125,12 @@ object Sampling {
     * the component join shuffles ids only, and the split decision is a
     * scan-fused projection on the labeled rows. */
   def leakFreeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
-      evalFrac: Double, salt: String = "sp1"): DataFrame =
+      evalFrac: Double, salt: String = "sp1"): DataFrame = {
+    require(!df.columns.contains("component") && !df.columns.contains("split"),
+      "leakFreeSplit adds `component` and `split`; input already has one")
     df.join(Dedup.assignComponents(df, pairs, idCol), Seq(idCol))
       .withColumn("split",
         when(keep(col("component"), lit(evalFrac), salt), lit("eval"))
           .otherwise(lit("train")))
+  }
 }

@@ -39,6 +39,8 @@ object Shuffling {
     * Output adds `pos` ∈ [0, n). */
   def curriculumOrder(df: DataFrame, stageCol: org.apache.spark.sql.Column,
       idCol: String, seed: String, partitions: Int): DataFrame = {
+    require(!df.columns.contains("stage") && !df.columns.contains("pos"),
+      "curriculumOrder adds `stage` and `pos`; input already has one")
     val keyed = df.withColumn("__stage", stageCol)
       .withColumn("__k",
         md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
