@@ -1182,6 +1182,37 @@ object QueriesExt {
         |   AS BIGINT) AS pos
         |FROM documents""".stripMargin)),
 
+    // Per-source volume cap (the batch twin of the streaming admission
+    // quota): at most 15 docs per source, chosen by deterministic hash
+    // lottery, not arrival order.
+    QueryCase("q_cap_per_source",
+      (s, dir) => Sampling.capPerGroup(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", cap = 15)
+        .select("doc_id", "source"),
+      Some("""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap1'), 1, 8))::BIGINT,
+        |               doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 15""".stripMargin)),
+
+    // Source-interleaved training order: pos 0..k-1 is one row of each
+    // source (round-robin), so any batch prefix is maximally
+    // source-diverse. Per-source window rank + census global rank.
+    QueryCase("q_interleave",
+      (s, dir) => graft.ops.Shuffling.interleaveBySource(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", seed = "il0", partitions = 8)
+        .select("doc_id", "source", "pos"),
+      Some("""SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY r, source, doc_id) - 1 AS BIGINT) AS pos
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('il0|' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |      FROM documents)""".stripMargin)),
+
     // Shard assignment for training-data export: contiguous 64-position
     // blocks of the deterministic shuffle order → numbered shards
     // (ops/Shards; the write side is ShardsSpec's layout round-trip).

@@ -112,6 +112,26 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Per-group volume cap: keep at most `cap` rows of each group, the
+    * batch twin of the streaming admission quota
+    * ([[graft.streaming.Guards.admitQuota]]) — "no crawl domain
+    * contributes more than N docs". WHICH rows survive is a
+    * deterministic hash lottery (md5 rank within the group), not
+    * arrival order, so the kept set is stable under repartitioning and
+    * reproducible cross-engine. One partitioned window — groups are
+    * independent, so this is the scale-correct plan; a skewed
+    * mega-group costs one task, same bound as any per-group agg. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      cap: Int, salt: String = "cap1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    df.withColumn("__k", Dedup.hex32(concat(col(keyCol).cast("string"),
+        lit("#" + salt))))
+      .withColumn("__r", row_number().over(
+        w.partitionBy(groupCol).orderBy(col("__k"), col(keyCol))))
+      .filter(col("__r") <= cap)
+      .drop("__k", "__r")
+  }
+
   /** Leakage-free train/eval split: a near-duplicate of a training row
     * in the eval set inflates every metric it touches, so the split must
     * be decided per DUPLICATE CLASS, not per document. Labels each row

@@ -51,4 +51,30 @@ object Shuffling {
       .withColumnRenamed("__stage", "stage")
       .drop("__k", "__off", "__run", "__n")
   }
+
+  /** Source-interleaved order: global position by (per-source shuffle
+    * rank, source) — position 0..k-1 is one row from each of the k
+    * sources, then the next row of each, round-robin until a source
+    * exhausts. Training batches drawn from a prefix of this order are
+    * maximally source-diverse (a plain global shuffle only gives
+    * diversity in expectation; a clumped batch is a gradient-bias
+    * sample). Plan: one source-partitioned window for the per-source
+    * rank, then the census distributed rank over (rank, source) — no
+    * single-partition global window. Output adds `pos` ∈ [0, n). */
+  def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
+      seed: String, partitions: Int): DataFrame = {
+    require(!df.columns.contains("pos"),
+      "interleaveBySource adds `pos`; input already has it")
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("__k",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__r", row_number().over(
+        w.partitionBy(sourceCol).orderBy(col("__k"), col(idCol))))
+    Census.prefix(ranked,
+        Seq(col("__r").asc, col(sourceCol).asc, col(idCol).asc), lit(1L),
+        partitions)
+      .withColumn("pos", col("__off") + col("__run") - 1)
+      .drop("__k", "__r", "__off", "__run", "__n")
+  }
 }

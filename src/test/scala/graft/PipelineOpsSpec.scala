@@ -160,6 +160,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(kept7.toSet == kept.toSet)
   }
 
+  test("capPerGroup: at most cap rows per group, repartition-stable choice") {
+    val s = spark
+    import s.implicits._
+    val d = ((0 until 50).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small")))
+      .toDF("id", "grp")
+    val kept = Sampling.capPerGroup(d, "id", "grp", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "big") == 10)
+    assert(kept.count(_._2 == "small") == 3) // under cap: untouched
+    val kept7 = Sampling.capPerGroup(d.repartition(7), "id", "grp", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept7.toSet == kept.toSet)
+  }
+
   test("leakFreeSplit: no duplicate class straddles train/eval") {
     val s = spark
     import s.implicits._

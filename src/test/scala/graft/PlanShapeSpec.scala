@@ -129,6 +129,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q_curriculum ranks per range — no corpus-wide stage-ordered window") {
+    val plan = formatted("q_curriculum")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(__stage"), plan.take(3000))
+  }
+
+  test("q_interleave: census rank above the barrier, no global __r window") {
+    // the per-source rank window runs UPSTREAM of the census `.rdd`
+    // barrier (inside the pinned RDD lineage — ShufflingSpec covers its
+    // behavior); the returned plan must be the census shape only
+    val plan = formatted("q_interleave")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(4000))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition(__r"), plan.take(4000))
+  }
+
+  test("q_cap_per_source windows are partitioned by source") {
+    val plan = formatted("q_cap_per_source")
+    assert(plan.contains("windowspecdefinition(source"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(__k"), plan.take(3000))
+  }
+
   test("q_snapshot_diff joins hashes, not payloads") {
     val plan = formatted("q_snapshot_diff")
     // the text column must be consumed by the md5 projection below the

@@ -59,4 +59,27 @@ class ShufflingSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq !=
       got.filter(_._2 == 0L).map(_._1).sorted.toSeq)
   }
+
+  test("interleaveBySource: round-robin while sources last, a permutation") {
+    val s = spark
+    import s.implicits._
+    // sources of unequal size: a×30, b×20, c×10
+    val d = ((0 until 30).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "source")
+    val got = Shuffling.interleaveBySource(d, "doc_id", "source", "e0", 4)
+      .select("doc_id", "source", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(got.map(_._3).toSeq == (0L until 60L))
+    // while all 3 sources live (first 30 positions): strict a,b,c cycle
+    assert(got.take(30).map(_._2).toSeq ==
+      Seq.fill(10)(Seq("a", "b", "c")).flatten)
+    // after c exhausts: a,b cycle for the next 20
+    assert(got.slice(30, 50).map(_._2).toSeq ==
+      Seq.fill(10)(Seq("a", "b")).flatten)
+    // tail is pure a
+    assert(got.drop(50).forall(_._2 == "a"))
+  }
 }
