@@ -1080,6 +1080,116 @@ object QueriesExt {
           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
       }),
 
+    // Source-mix balance: per-source share, Lorenz cumulative count and
+    // the Gini coefficient of the source-size distribution — the drift
+    // dashboard for a training mix. Exact long sums; the three closing
+    // double ops are IEEE-exact-rounded (no rounding tolerance).
+    QueryCase("q_source_balance",
+      (s, dir) => graft.ops.Profiling.groupBalance(
+        t(s, dir, "documents"), "source"),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(n) OVER () AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (ORDER BY n, source) AS BIGINT) AS cum_n
+        |  FROM c)
+        |SELECT source, n,
+        |  CAST(n AS DOUBLE) / t AS share,
+        |  cum_n,
+        |  CAST(2 AS DOUBLE) * sum(i * n) OVER () / (k * t)
+        |    - (k + CAST(1 AS DOUBLE)) / k AS gini
+        |FROM r""".stripMargin)),
+
+    // Equi-width histogram of document length: integer edges (width =
+    // ceil(extent/bins)), so the binning is exact cross-engine. Plan:
+    // min/max reduce → ONE broadcast row → map-side-combined groupBy.
+    QueryCase("q_histogram",
+      (s, dir) => graft.ops.Profiling.histogram(
+        t(s, dir, "documents"), "n_chars", bins = 16),
+      Some("""WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |    CAST(max(n_chars) AS BIGINT) AS hi FROM documents),
+        |wi AS (SELECT lo, (hi - lo + 16) // 16 AS wd FROM b)
+        |SELECT CAST((n_chars - lo) // wd AS BIGINT) AS bin,
+        |  CAST(lo + ((n_chars - lo) // wd) * wd AS BIGINT) AS lo_edge,
+        |  CAST(lo + ((n_chars - lo) // wd + 1) * wd - 1 AS BIGINT) AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents, wi
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // SCD2 validity intervals over the event log: each event's
+    // [valid_from, valid_to) epoch-micro window per user, null valid_to
+    // on the current row. One per-key window — no global order.
+    QueryCase("q_history_intervals",
+      (s, dir) => graft.ops.EventAnalytics.validityIntervals(
+          t(s, dir, "events"), "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "valid_from", "valid_to",
+          "is_current"),
+      Some("""SELECT user_id, event_id,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events""".stripMargin)),
+
+    // Tokenizer fertility per language: bytes-per-token is the cost
+    // factor a mix-weighting pass needs (docs alone under-count
+    // languages the tokenizer fragments). Single closing division.
+    QueryCase("q_fertility",
+      (s, dir) => TextStats.tokenFertility(
+        t(s, dir, "documents"), "text", "lang"),
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens,
+        |  CASE WHEN sum(len($sqlToks)) > 0
+        |    THEN CAST(sum(strlen(text)) AS DOUBLE) / sum(len($sqlToks))
+        |  END AS bytes_per_token
+        |FROM documents GROUP BY lang""".stripMargin)),
+
+    // Robust length outliers by median/MAD — rank-based statistics,
+    // integer arithmetic end to end (no float tolerance anywhere).
+    // Median convention: lower median (value at rank ceil(n/2)). k=2
+    // here: the fixture's synthetic lengths are tight (max deviation
+    // < 3·MAD), and a 0-row correctness check verifies nothing.
+    QueryCase("q_outlier_mad",
+      (s, dir) => graft.ops.Profiling.robustOutliers(
+          t(s, dir, "documents"), "n_chars", k = 2)
+        .select("doc_id", "n_chars", "med", "mad"),
+      Some("""WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |m AS (SELECT min(v) AS med
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c) s, t
+        |  WHERE s.cum >= (t.n + 1) // 2),
+        |d2 AS (SELECT abs(v - med) AS dv, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM c, m GROUP BY 1),
+        |md AS (SELECT min(dv) AS mad
+        |  FROM (SELECT dv, sum(cnt) OVER (ORDER BY dv) AS cum FROM d2) s2, t
+        |  WHERE s2.cum >= (t.n + 1) // 2)
+        |SELECT doc_id, n_chars, med, mad
+        |FROM documents, m, md
+        |WHERE abs(n_chars - med) > 2 * mad""".stripMargin)),
+
+    // Schema-evolving union: two snapshot versions with drifted schemas
+    // append BY NAME (absent columns null) — zero-shuffle plain Union.
+    QueryCase("q_union_evolve",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.sources.Sources.unionEvolving(Seq(
+            d.filter(col("doc_id") % 2 === 0)
+              .select("doc_id", "text", "lang"),
+            d.filter(col("doc_id") % 2 === 1)
+              .select("doc_id", "text", "source", "n_chars")))
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1)""".stripMargin)),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

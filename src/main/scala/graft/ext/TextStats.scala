@@ -369,4 +369,29 @@ object TextStats {
       coalesce(array_min(transform(grams, g => md5(g))),
         md5(Dedup.normalizedText(col(textCol)))))
   }
+  /** Tokenizer fertility by group (typically language): documents,
+    * bytes, tokens, and bytes-per-token — the number that says how
+    * expensive each language is to train on under a given tokenizer
+    * (high fertility = the tokenizer fragments that language; a corpus
+    * mix weighted by docs alone under-counts its token cost). Byte
+    * length is `octet_length` (UTF-8), token count the standard word
+    * tokenizer. Exact long sums; the single closing division is
+    * IEEE-exact-rounded, so no rounding tolerance is needed.
+    *
+    * Scale shape: per-row projection then one map-side-combined groupBy
+    * on the (small) group key — no window, no join. */
+  def tokenFertility(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    requireFresh(df, "n_docs", "n_bytes", "n_tokens", "bytes_per_token")
+    df.select(col(groupCol),
+        octet_length(col(textCol)).cast("long").as("__b"),
+        size(wordTokens(col(textCol))).cast("long").as("__t"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__b")).as("n_bytes"),
+        sum(col("__t")).as("n_tokens"))
+      .withColumn("bytes_per_token",
+        when(col("n_tokens") > 0,
+          col("n_bytes").cast("double") / col("n_tokens")))
+  }
 }

@@ -62,4 +62,25 @@ object EventAnalytics {
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col("user")).as("n_users"))
   }
+
+  /** SCD2-style validity intervals: one row per event carrying the
+    * half-open [valid_from, valid_to) window (epoch micros) during which
+    * it was the key's latest state; `valid_to` is null on the current
+    * row. This is the change-history view a slowly-changing-dimension
+    * table serves — "what was this user's state at time T" becomes a
+    * range probe instead of a scan-and-argmax.
+    *
+    * One window partitioned BY KEY (ordered by micros with a unique
+    * tie-break): keys are independent, so parallelism is #keys-wide and
+    * a hot key costs one task — the same bound as any per-key agg. */
+  def validityIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    events
+      .withColumn("valid_from", unix_micros(col(tsCol)))
+      .withColumn("valid_to", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

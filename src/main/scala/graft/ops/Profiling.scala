@@ -39,4 +39,98 @@ object Profiling {
     wide.selectExpr(s"stack(${cols.size}, $stacked) AS " +
       "(column, n_rows, n_nonnull, n_distinct, min_value, max_value)")
   }
+
+  /** Source-mix balance diagnostics: per-group count, share, Lorenz
+    * cumulative count, and the Gini coefficient of the group-size
+    * distribution (0 = perfectly even mix, →1 = one group dominates).
+    * A training-data mix drifting toward gini≈1 means one crawl/source
+    * is swamping the corpus — this is the dashboard number that catches
+    * it. Formula (groups sorted ascending by size, i = 1-based rank,
+    * k = #groups, t = total rows): G = 2·Σ(i·nᵢ)/(k·t) − (k+1)/k.
+    * All sums are exact longs; the three double ops at the end
+    * (multiply, divide, subtract) are IEEE-exact-rounded, so the value
+    * is deterministic cross-engine.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus to
+    * a #groups-row frame; the partition-less windows below run on THAT
+    * frame only — bounded by the dimension cardinality, never the data
+    * (same justification as the census frame in [[Census]]). */
+  def groupBalance(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n"), col(groupCol))
+    val wAll = Window.orderBy(col("n"), col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("n")).over(wAll))
+      .withColumn("share", col("n").cast("double") / col("__t"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("gini",
+        lit(2.0) * sum(col("__i") * col("n")).over(wAll)
+          / (col("__k") * col("__t"))
+          - (col("__k") + lit(1.0)) / col("__k"))
+      .drop("__i", "__k", "__t")
+  }
+
+  /** Equi-width histogram of an integer-valued column: `bins` buckets of
+    * width ceil((max−min+1)/bins), all edges integer so the binning is
+    * exact cross-engine. Scale shape: the min/max pass reduces to ONE
+    * broadcast row, then one map-side-combined groupBy — no sort, no
+    * window, two corpus scans (Spark cannot fuse a global extent into
+    * the same pass that consumes it). */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val bounds = df.agg(
+      min(col(valueCol)).cast("long").as("__lo"),
+      max(col(valueCol)).cast("long").as("__hi"))
+    df.select(col(valueCol).cast("long").as("__v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__w", expr(s"(__hi - __lo + $bins) DIV $bins"))
+      .withColumn("bin", expr("(__v - __lo) DIV __w"))
+      .withColumn("lo_edge", col("__lo") + col("bin") * col("__w"))
+      .withColumn("hi_edge", col("__lo") + (col("bin") + 1) * col("__w") - 1)
+      .groupBy("bin", "lo_edge", "hi_edge")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Lower median from a pre-aggregated (value, count) frame: the
+    * smallest value whose cumulative count reaches ceil(n/2). Rank-based
+    * (never averages the two middle values), so the result stays in the
+    * value domain and integer-exact. The partition-less window runs on
+    * the counts frame — bounded by the value DOMAIN's cardinality
+    * (e.g. distinct document lengths), not the corpus. */
+  private def lowerMedianOfCounts(counts: DataFrame, v: String, c: String,
+      outName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
+    val tot = counts.agg(sum(col(c)).as("__n"))
+    counts.withColumn("__cum", sum(col(c)).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .agg(min(col(v)).as(outName))
+  }
+
+  /** Robust outlier detection by median/MAD: flags rows where
+    * |x − median| > k·MAD (MAD = median of |x − median|). Unlike
+    * mean/stddev z-scores, both statistics are rank-based and immune to
+    * the outliers they hunt; with integer input EVERYTHING here is
+    * integer arithmetic — no float tolerance needed in the oracle.
+    *
+    * Scale shape: ONE corpus aggregation (groupBy value) collapses to a
+    * value-domain-bounded counts frame; median AND MAD both derive from
+    * that same small frame (the |x−med| recount is a re-aggregation of
+    * counts, not a second corpus scan). The final filter joins two
+    * broadcast 1-row thresholds against the corpus — embarrassingly
+    * parallel. */
+  def robustOutliers(df: DataFrame, valueCol: String, k: Int = 3): DataFrame = {
+    val counts = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val med = lowerMedianOfCounts(counts, "__v", "__c", "med")
+    val devCounts = counts.crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("med")).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = lowerMedianOfCounts(devCounts, "__d", "__c", "mad")
+    df.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .filter(abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
 }

@@ -82,4 +82,15 @@ object Sources {
     .option("startingOffsets", "earliest")
     .option("endingOffsets", "latest")
     .load()
+  /** Schema-evolving union: appends snapshots whose schemas drifted
+    * (columns added or dropped between ingest versions) by NAME, filling
+    * absent columns with null — the ingest posture for a long-lived
+    * corpus where refusing last month's files on a new optional column
+    * is an outage. Positional union would silently transpose data; this
+    * is `unionByName(allowMissingColumns)` folded over the snapshots, a
+    * zero-shuffle plan (plain Union node). */
+  def unionEvolving(snapshots: Seq[DataFrame]): DataFrame = {
+    require(snapshots.nonEmpty, "unionEvolving needs at least one snapshot")
+    snapshots.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

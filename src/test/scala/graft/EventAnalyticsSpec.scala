@@ -60,4 +60,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestSupport {
       ("2026-01-01", 0) -> 2L, ("2026-01-01", 2) -> 1L,
       ("2026-01-02", 0) -> 1L))
   }
+  test("validityIntervals: contiguous per-key history, open current row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 1L, "2026-01-01 10:00:00"),
+      (2L, 1L, "2026-01-01 11:00:00"),
+      (3L, 1L, "2026-01-01 12:00:00"),
+      (4L, 2L, "2026-01-01 10:30:00"))
+      .toDF("event_id", "user_id", "tss")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"))
+    val got = EventAnalytics.validityIntervals(df, "user_id", "ts", "event_id")
+      .select("event_id", "user_id", "valid_from", "valid_to", "is_current")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toMap
+    // u1's chain is contiguous: each valid_to == successor's valid_from
+    assert(got(1L)._2 == got(2L)._1 && got(2L)._2 == got(3L)._1)
+    assert(!got(1L)._3 && !got(2L)._3)
+    // latest row per key is open-ended and current
+    assert(got(3L) == ((got(3L)._1, -1L, true)))
+    assert(got(4L) == ((got(4L)._1, -1L, true)))
+  }
 }

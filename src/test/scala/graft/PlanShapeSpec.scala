@@ -159,4 +159,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     val aboveJoin = plan.split("SortMergeJoin|ShuffledHashJoin").head
     assert(!aboveJoin.contains("text#"), plan.take(3000))
   }
+  test("q_histogram broadcasts the 1-row extent — no shuffled join") {
+    val plan = formatted("q_histogram")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
+  test("q_outlier_mad: thresholds broadcast, corpus never sort-merge-joined") {
+    val plan = formatted("q_outlier_mad")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
+  test("q_fertility: one map-side-combined aggregation, no window") {
+    val plan = formatted("q_fertility")
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
+  test("q_union_evolve is a plain Union — zero shuffle") {
+    val plan = formatted("q_union_evolve")
+    assert(plan.contains("Union"), plan.take(4000))
+    assert(!plan.contains("Exchange"), plan.take(4000))
+  }
 }

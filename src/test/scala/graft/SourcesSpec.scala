@@ -73,4 +73,19 @@ class SourcesSpec extends AnyFunSuite with SparkTestSupport {
     assert(Serving.prettyMetric("A_sentiment") == "Average sentiment")
     assert(Serving.prettyMetric("T_reviews") == "Total reviews")
   }
+  test("unionEvolving: drifted schemas align by NAME, absent columns null") {
+    val s = spark
+    import s.implicits._
+    // columns deliberately in CLASHING positions: a positional union
+    // would transpose lang under source
+    val v1 = Seq((1L, "en", "t1")).toDF("id", "lang", "text")
+    val v2 = Seq((2L, "web", "t2", 10L)).toDF("id", "source", "text", "n")
+    val got = Sources.unionEvolving(Seq(v1, v2))
+    assert(got.columns.toSeq == Seq("id", "lang", "text", "source", "n"))
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "en" && byId(1L).isNullAt(3)
+      && byId(1L).isNullAt(4))
+    assert(byId(2L).isNullAt(1) && byId(2L).getString(3) == "web"
+      && byId(2L).getLong(4) == 10L)
+  }
 }

@@ -146,4 +146,19 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     assert(math.abs(got(2L)._3 - 0.6667) < 1e-12)  // round4 of 2/3
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
+  test("tokenFertility: exact byte/token sums, null ratio on empty group") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aa bb", "en"),   // 5 bytes, 2 tokens
+      (2L, "ccc", "en"),     // 3 bytes, 1 token
+      (3L, "", "xx"))        // 0 bytes, 0 tokens
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.tokenFertility(d, "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got("en") == ((2L, 8L, 3L, 8.0 / 3)))
+    assert(got("xx") == ((1L, 0L, 0L, null)))
+  }
 }
