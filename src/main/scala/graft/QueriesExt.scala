@@ -1190,6 +1190,37 @@ object QueriesExt {
         |  SELECT doc_id, text, source, n_chars FROM documents
         |  WHERE doc_id % 2 = 1)""".stripMargin)),
 
+    // Key-heat pre-flight: hottest grouping-key values with share and an
+    // integer-exact hot flag (cnt·k > factor·n — no float threshold).
+    // `lang` is the fixture's skewed key (en ≈ 2.2× the mean), so the
+    // flag comes back MIXED, which is what makes the row a real check.
+    QueryCase("q_key_heat",
+      (s, dir) => graft.ops.Profiling.keyHeat(
+        t(s, dir, "documents"), "lang", topK = 10, hotFactor = 2),
+      Some("""WITH c AS (SELECT lang AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k FROM c)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / n AS share,
+        |  cnt * k > 2 * n AS hot
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin)),
+
+    // Join-explosion guard: exact join-output cardinality from the two
+    // per-key count frames — the Σ nl·nr number you check BEFORE
+    // committing a 100 TB shuffle (here: the events self-join on user).
+    QueryCase("q_join_cardinality",
+      (s, dir) => graft.ops.Profiling.joinCardinality(
+        t(s, dir, "events"), t(s, dir, "events"), "user_id", "user_id"),
+      Some("""WITH l AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |prod AS (SELECT k, c * c AS pr FROM l)
+        |SELECT CAST(sum(pr) AS BIGINT) AS est_rows,
+        |  CAST(max(pr) AS BIGINT) AS max_key_rows,
+        |  (SELECT min(k) FROM prod WHERE pr = (SELECT max(pr) FROM prod))
+        |    AS hot_key,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM prod""".stripMargin)),
+
     QueryCase("q_text_fingerprint",
       (s, dir) => TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint"),

@@ -133,4 +133,59 @@ object Profiling {
     df.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .filter(abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
+
+  /** Key-heat report: the `topK` hottest values of a prospective
+    * grouping/join key, each with its count, corpus share, and a `hot`
+    * flag (count > `hotFactor`× the mean per-key count — evaluated by
+    * integer cross-multiplication `cnt·k > hotFactor·n`, so the flag is
+    * exact). This is the pre-flight check before keying a shuffle at
+    * 100 TB: a key that holds 10% of the corpus makes [[Skew]] salting
+    * or AQE skew handling mandatory, and you want to know BEFORE the
+    * stage runs, from a cheap aggregate, not from a straggling task.
+    *
+    * Plan: map-side-combined groupBy → top-k heap
+    * (TakeOrderedAndProject) — never a global sort. */
+  def keyHeat(df: DataFrame, keyCol: String, topK: Int,
+      hotFactor: Int = 4): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__n"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("__n"))
+      .withColumn("hot",
+        col("cnt") * col("__k") > lit(hotFactor) * col("__n"))
+      .drop("__n", "__k")
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** Exact join-output cardinality WITHOUT running the join:
+    * Σ over matching keys of n_left(key)·n_right(key), plus the single
+    * worst key's contribution and (deterministically, smallest such key)
+    * its identity. The pre-flight guard for join explosion — a
+    * many-to-many key that multiplies two row sets detonates at the
+    * SHUFFLE, after the cluster is already committed; this computes the
+    * same number from the two per-key count frames, which are bounded by
+    * key cardinality, not corpus size.
+    *
+    * Returns one row: est_rows, max_key_rows, hot_key, n_keys. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("__key"))
+      .agg(count(lit(1)).as("__cl"))
+    val r = right.groupBy(col(rightKey).as("__key"))
+      .agg(count(lit(1)).as("__cr"))
+    val prod = l.join(r, "__key")
+      .select(col("__key"), (col("__cl") * col("__cr")).as("__p"))
+    val stats = prod.agg(sum(col("__p")).as("est_rows"),
+      max(col("__p")).as("max_key_rows"),
+      count(lit(1)).as("n_keys"))
+    val hot = prod
+      .crossJoin(broadcast(prod.agg(max(col("__p")).as("__mx"))))
+      .filter(col("__p") === col("__mx"))
+      .agg(min(col("__key")).as("hot_key"))
+    stats.crossJoin(hot).select("est_rows", "max_key_rows", "hot_key",
+      "n_keys")
+  }
 }

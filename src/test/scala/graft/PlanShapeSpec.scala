@@ -183,4 +183,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(plan.contains("Union"), plan.take(4000))
     assert(!plan.contains("Exchange"), plan.take(4000))
   }
+  test("q_key_heat plans a top-k heap over the aggregate, not a global sort") {
+    val plan = formatted("q_key_heat")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+  }
+
+  test("q_join_cardinality joins per-key COUNT frames, never row payloads") {
+    // the key match happens between key-bounded aggregate frames, which
+    // are small enough to broadcast — a SortMergeJoin here would mean
+    // raw row payloads reached the join
+    val plan = formatted("q_join_cardinality")
+    assert(plan.contains("BroadcastHashJoin Inner"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
 }

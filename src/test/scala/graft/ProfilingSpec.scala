@@ -78,4 +78,43 @@ class ProfilingSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(1000000000L))
     assert(rows.head.getAs[Long]("med") == 10L)
   }
+
+  test("keyHeat: top-k by count, integer-exact hot flag") {
+    val s = spark
+    import s.implicits._
+    // hot:16 of 24 rows (k=4 keys, mean 6): 16·4 > 2·24; others cold
+    val d = (Seq.fill(16)("hot") ++ Seq.fill(4)("w") ++ Seq.fill(3)("x") ++
+      Seq.fill(1)("y")).zipWithIndex.map(_.swap).toDF("id", "k")
+    val rows = Profiling.keyHeat(d, "k", topK = 3, hotFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Double]("share"), r.getAs[Boolean]("hot")))
+    assert(rows.map(_._1).toSeq == Seq("hot", "w", "x")) // y cut by top-3
+    assert(rows.head == (("hot", 16L, 16.0 / 24, true)))
+    assert(rows.tail.forall(!_._4))
+  }
+
+  test("joinCardinality: exact Σ nl·nr without executing the join") {
+    val s = spark
+    import s.implicits._
+    // left: a×2, b×3, c×1; right: a×4, b×1, d×5 → matches a:8, b:3 → 11
+    val l = (Seq.fill(2)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map(_.swap).toDF("id", "k")
+    val r = (Seq.fill(4)("a") ++ Seq("b") ++ Seq.fill(5)("d"))
+      .zipWithIndex.map(_.swap).toDF("id", "k")
+    val row = Profiling.joinCardinality(l, r, "k", "k").head()
+    assert(row.getAs[Long]("est_rows") == 11L)
+    assert(row.getAs[Long]("max_key_rows") == 8L)
+    assert(row.getAs[String]("hot_key") == "a")
+    assert(row.getAs[Long]("n_keys") == 2L)
+    // the number it predicts is the number the real join produces
+    assert(l.join(r, "k").count() == 11L)
+  }
+
+  test("joinCardinality hot_key tie resolves to the smallest key") {
+    val s = spark
+    import s.implicits._
+    val l = Seq("a", "b").zipWithIndex.map(_.swap).toDF("id", "k")
+    val row = Profiling.joinCardinality(l, l, "k", "k").head()
+    assert(row.getAs[String]("hot_key") == "a")
+  }
 }
