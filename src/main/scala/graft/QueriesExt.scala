@@ -1594,6 +1594,89 @@ object QueriesExt {
         |    AS chunk_text
         |FROM c""".stripMargin)),
 
+    // Cross-document duplicated chunks: disjoint 40-token windows, keyed
+    // by md5 — the chunk-granularity dedup pass (boilerplate headers /
+    // license blocks repeat across otherwise-distinct documents). The
+    // groupBy ships HASHES, never chunk text.
+    QueryCase("q_chunk_dedup",
+      (s, dir) => Chunking.chunkByTokens(t(s, dir, "documents"),
+          "text", "doc_id", size = 40, stride = 40)
+        .filter(col("n_tokens") === 40)
+        .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occurrences") > 1),
+      Some(s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        unnest(generate_series(0,
+        |          greatest(CAST(floor((len(toks) - 1.0) / 40) AS INTEGER), 0)))
+        |          AS chunk_id
+        |      FROM tk),
+        |ch AS (SELECT doc_id,
+        |         CAST(least(40, n - chunk_id * 40) AS INTEGER) AS n_tokens,
+        |         array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 40],
+        |           ' ') AS chunk_text
+        |       FROM c)
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ch WHERE n_tokens = 40
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
+    // Per-user daily resample with forward fill: quiet days are
+    // materialized from each user's own [min_day, max_day] span and
+    // carry the last known daily sum; is_gap marks synthetic rows.
+    QueryCase("q_resample_ffill",
+      (s, dir) => graft.ops.Resample.dailyForwardFill(
+          t(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("uid"), col("day"),
+          round4(col("filled").cast("double")).as("filled"),
+          col("is_gap")),
+      Some("""WITH daily AS (SELECT user_id AS uid, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(20,2))) AS day_sum
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT uid, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT uid, CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |j AS (SELECT g.uid, g.day, d.day_sum FROM grid g
+        |  LEFT JOIN daily d ON g.uid = d.uid AND g.day = d.day)
+        |SELECT uid, day,
+        |  floor(CAST(last_value(day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY uid ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) * 10000 + 0.5) / 10000 AS filled,
+        |  day_sum IS NULL AS is_gap
+        |FROM j""".stripMargin)),
+
+    // Incremental rollup maintenance: the daily (event_type, day) rollup
+    // computed as two DISJOINT partial aggregates (even/odd event ids —
+    // deliberately NOT aligned with the group keys, so the merge must
+    // actually sum partials) merged by mergePartialAggregates; the
+    // oracle is the full recompute. This is the "aggregate the new batch
+    // alone, merge with stored partials" posture proven equal.
+    QueryCase("q_rollup_incremental",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def partial(f: org.apache.spark.sql.DataFrame) = f
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(20, 2))).as("sum_v"),
+            count(lit(1)).as("n"))
+        graft.ops.Maintenance.mergePartialAggregates(
+            Seq(partial(ev.filter(col("event_id") % 2 === 0)),
+              partial(ev.filter(col("event_id") % 2 === 1))),
+            Seq("event_type", "day"), Seq("sum_v", "n"))
+          .select(col("event_type"), col("day"),
+            round4(col("sum_v").cast("double")).as("sum_v"), col("n"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE)
+        |   * 10000 + 0.5) / 10000 AS sum_v,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Corpus vocabulary top-k by total frequency (tf), ties broken by
     // token — the vocab-selection pass of a tokenizer build. df = exact
     // document frequency.

@@ -63,4 +63,26 @@ object Maintenance {
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /** Incremental rollup maintenance: merge partial-aggregate frames into
+    * the same result a full recompute would give. The 100 TB posture for
+    * a long-lived rollup is to aggregate each new ingest batch alone and
+    * MERGE it with the stored partials — re-scanning three years of
+    * history per day is the anti-pattern. Works for any algebraic
+    * aggregate carried as a summable partial (sum, count; avg as
+    * sum÷count at read time; min/max via their own merge — pass them
+    * through `mergeExprs` if needed).
+    *
+    * Scale shape: the union reads only aggregate frames (bounded by
+    * |groups| per part, not rows), and the merge groupBy is map-side
+    * combined over those frames. */
+  def mergePartialAggregates(parts: Seq[DataFrame], keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergePartialAggregates needs at least one part")
+    require(sumCols.nonEmpty, "mergePartialAggregates needs sum columns")
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.ops.Maintenance
 
@@ -63,5 +64,23 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     val got = Maintenance.snapshotDiff(a, b, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+  test("mergePartialAggregates: merged partials equal the full recompute") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L),
+      ("a", 3L, 1L), ("b", 2L, 2L)).toDF("k", "id", "v")
+    def agg(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy("k").agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    // split NOT aligned with the group key → the merge must sum partials
+    val merged = Maintenance.mergePartialAggregates(
+      Seq(agg(rows.filter(col("id") % 2 === 0)),
+        agg(rows.filter(col("id") % 2 === 1))), Seq("k"), Seq("sv", "n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val full = agg(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == full && full == Map("a" -> ((31L, 3L)),
+      "b" -> ((7L, 2L))))
   }
 }
