@@ -47,6 +47,26 @@ object QueriesAnalytics {
         | CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS lvl
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin)),
 
+    // The full subtotal lattice: CUBE(event_type, day) adds the per-day
+    // across-types slice that ROLLUP omits — all four grouping levels in
+    // one aggregation (Spark plans a single Expand + hash agg, not four
+    // scans; same map-side-combine bound as any groupBy).
+    QueryCase("q_cube_daily",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .cube(col("event_type"), col("day"))
+        .agg(
+          sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_v"),
+          count(lit(1)).as("n"),
+          grouping_id().as("lvl"))
+        .select(col("event_type"), col("day"),
+          round4(col("sum_v")).as("sum_v"), col("n"), col("lvl")),
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+        | floor(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_v,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS lvl
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin)),
+
     // Frame-bounded moving analytics per event_type: 7-day-window moving
     // mean over the daily series + day-over-day delta via lag.
     // The moving mean is EXACT-DECIMAL summed inside the frame (windowed
