@@ -1677,6 +1677,32 @@ object QueriesExt {
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Mergeable HLL distinct-count sketches: per-type approx distinct
+    // users from (a) one whole-data sketch and (b) two DISJOINT partial
+    // sketches (even/odd event ids) unioned — the incremental path a
+    // 100 TB distinct-user rollup takes instead of rescanning history.
+    // Sketch hashes aren't cross-engine reproducible → no DuckDB oracle;
+    // Verify pins structurally: |approx−exact| ≤ 5% and merged == whole.
+    QueryCase("q_distinct_sketch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def part(f: org.apache.spark.sql.DataFrame) =
+          graft.ext.Sketches.distinctSketch(f, Seq("event_type"), "user_id")
+        val whole = graft.ext.Sketches.estimate(part(ev))
+          .withColumnRenamed("approx_distinct", "approx")
+        val merged = graft.ext.Sketches.estimate(
+            graft.ext.Sketches.mergeSketches(
+              Seq(part(ev.filter(col("event_id") % 2 === 0)),
+                part(ev.filter(col("event_id") % 2 === 1))),
+              Seq("event_type")))
+          .withColumnRenamed("approx_distinct", "approx_merged")
+        ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+          .join(whole, Seq("event_type"))
+          .join(merged, Seq("event_type"))
+      },
+      None),
+
     // Corpus vocabulary top-k by total frequency (tf), ties broken by
     // token — the vocab-selection pass of a tokenizer build. df = exact
     // document frequency.

@@ -36,7 +36,7 @@ object Verify {
     // from its pairs artifact, and count agreement with the portable
     // twins. Written to structural_checks.json next to the parquet.
     try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{abs, col}
       def read(name: String) = spark.read.parquet(s"$outDir/$name")
       val docs = Tables(spark, sfDir, "documents").select("doc_id")
       val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
@@ -75,6 +75,15 @@ object Verify {
       val shPortable = read("q_dedup_simhash_portable").count().toDouble
       checks("simhash_pairs.count_within_2x_of_portable_twin") =
         sh.count() >= shPortable / 2 && sh.count() <= shPortable * 2
+      // q_distinct_sketch: HLL hashes aren't cross-engine reproducible —
+      // pin the two properties that matter instead: bounded error vs the
+      // exact distinct, and merge-of-partials == whole-data sketch.
+      val ds = read("q_distinct_sketch")
+      checks("distinct_sketch.estimate_within_5pct_of_exact") =
+        ds.filter(abs(col("approx") - col("n_exact")) >
+          col("n_exact") * 0.05).count() == 0
+      checks("distinct_sketch.merge_equals_whole") =
+        ds.filter(col("approx_merged") =!= col("approx")).count() == 0
       val sj = checks.map { case (k, v) => s""""$k": $v""" }
         .mkString("{", ", ", "}")
       Files.writeString(Paths.get(s"$outDir/structural_checks.json"), sj)
