@@ -1703,6 +1703,46 @@ object QueriesExt {
       },
       None),
 
+    // Count-Min token-frequency sketch: probe a fixed token set against
+    // (a) one whole-corpus sketch and (b) two disjoint partials (even/odd
+    // doc ids) merged — the incremental census path: at 100 TB a
+    // per-token groupBy shuffles every distinct token; the sketch ships
+    // one ~80 KB counter table per partial instead, merges by exact
+    // counter addition, and answers point probes within eps·N (never
+    // underestimating). Counter layout depends on the engine hash family
+    // → no DuckDB oracle; Verify pins: approx ≥ exact,
+    // approx ≤ exact + ceil(eps·N), merged == whole.
+    QueryCase("q_freq_sketch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val probes = Seq("scan", "column", "join", "the", "zzz_absent")
+        val toks = docs.select(col("doc_id"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+        def sketch(f: org.apache.spark.sql.DataFrame) =
+          graft.ext.Sketches.freqSketch(
+            f.withColumn("g", lit("all")), Seq("g"), "token")
+        val whole = graft.ext.Sketches.probeFreq(
+            sketch(toks), probes, itemCol = "token")
+          .withColumnRenamed("approx_freq", "approx")
+        val merged = graft.ext.Sketches.probeFreq(
+            graft.ext.Sketches.mergeFreqSketches(
+              Seq(sketch(toks.filter(col("doc_id") % 2 === 0)),
+                sketch(toks.filter(col("doc_id") % 2 === 1))),
+              Seq("g")),
+            probes, itemCol = "token")
+          .withColumnRenamed("approx_freq", "approx_merged")
+        val exact = toks.groupBy("token").count()
+          .withColumnRenamed("count", "n_exact")
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        whole.join(merged, Seq("g", "token"))
+          .join(exact, Seq("token"), "left")
+          .na.fill(0L, Seq("n_exact"))
+          .crossJoin(total)
+          .select(col("token"), col("n_exact"), col("approx"),
+            col("approx_merged"), col("n_total"))
+      },
+      None),
+
     // Corpus vocabulary top-k by total frequency (tf), ties broken by
     // token — the vocab-selection pass of a tokenizer build. df = exact
     // document frequency.

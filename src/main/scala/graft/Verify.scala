@@ -84,6 +84,18 @@ object Verify {
           col("n_exact") * 0.05).count() == 0
       checks("distinct_sketch.merge_equals_whole") =
         ds.filter(col("approx_merged") =!= col("approx")).count() == 0
+      // q_freq_sketch: Count-Min guarantees one-sided error — never
+      // under, over by at most ceil(eps·N) — and merge is exact counter
+      // addition, so merged probes must equal whole-data probes.
+      val fs = read("q_freq_sketch")
+      val epsBound = org.apache.spark.sql.functions.ceil(
+        col("n_total") * graft.ext.Sketches.CmsEps)
+      checks("freq_sketch.never_underestimates") =
+        fs.filter(col("approx") < col("n_exact")).count() == 0
+      checks("freq_sketch.overestimate_within_eps_n") =
+        fs.filter(col("approx") > col("n_exact") + epsBound).count() == 0
+      checks("freq_sketch.merge_equals_whole") =
+        fs.filter(col("approx_merged") =!= col("approx")).count() == 0
       val sj = checks.map { case (k, v) => s""""$k": $v""" }
         .mkString("{", ", ", "}")
       Files.writeString(Paths.get(s"$outDir/structural_checks.json"), sj)

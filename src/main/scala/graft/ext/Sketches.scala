@@ -1,7 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
 
 /** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
   * Spark as `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
@@ -42,4 +46,78 @@ object Sketches {
   def estimate(df: DataFrame): DataFrame =
     df.withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
       .drop("sketch")
+
+  // --------------------------------------------------------------------
+  // Count-Min frequency sketches
+  // --------------------------------------------------------------------
+
+  /** Default Count-Min parameters, shared with Verify's structural bound
+    * recomputation: estimate ≤ exact + ceil(eps·N) (N = items added),
+    * and estimate ≥ exact always (CMS never underestimates). */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** Per-group Count-Min sketch of `valueCol` frequencies (binary,
+    * mergeable). The 100 TB point: a token/user frequency census via
+    * `groupBy(value).count` shuffles EVERY distinct value; the sketch
+    * reduces each group to a fixed ~depth×width counter table (≈80 KB at
+    * the defaults) that answers point-frequency probes within eps·N,
+    * never underestimating. Same seed everywhere → partials merge by
+    * exact counter addition ([[mergeFreqSketches]]). */
+  def freqSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      eps: Double = CmsEps, confidence: Double = CmsConfidence,
+      seed: Int = CmsSeed): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+
+  /** Aggregator merging serialized Count-Min sketches by counter
+    * addition (requires identical eps/confidence/seed — Spark throws
+    * IncompatibleMergeException otherwise). Merge is EXACT: the merged
+    * counter table equals the table the whole data would have built, so
+    * incremental per-day partials lose nothing vs a full rescan. */
+  private class CmsMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.empty
+    private def m(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        val s = CountMinSketch.readFrom(a)
+        s.mergeInPlace(CountMinSketch.readFrom(b))
+        val out = new ByteArrayOutputStream()
+        s.writeTo(out)
+        out.toByteArray
+      }
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = m(b, a)
+    def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder = Encoders.BINARY
+    def outputEncoder = Encoders.BINARY
+  }
+
+  /** Merge partial frequency-sketch frames (same shape as
+    * [[mergeSketches]]): |groups|-bounded input, never the raw history. */
+  def mergeFreqSketches(parts: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeFreqSketches needs at least one part")
+    val cmsUnion = udaf(new CmsMerge, Encoders.BINARY)
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(cmsUnion(col("cms")).as("cms"))
+  }
+
+  /** Point-frequency estimate; the SQL agg adds StringType values as
+    * their UTF-8 bytes, which is exactly what `estimateCount(String)`
+    * hashes, so probes see the same counters the agg wrote. Deserializes
+    * per row — callers probe |groups|×|items| rows (sketch frames are
+    * group-bounded, not data-bounded), so this stays off the hot path. */
+  private val cmsEstimate = udf((sk: Array[Byte], item: String) =>
+    CountMinSketch.readFrom(sk).estimateCount(item))
+
+  /** Cross-join the sketch frame with a small probe list: one row per
+    * (group, item) with `approx_freq`. */
+  def probeFreq(df: DataFrame, items: Seq[String],
+      itemCol: String = "item"): DataFrame =
+    df.withColumn(itemCol, explode(typedLit(items)))
+      .withColumn("approx_freq", cmsEstimate(col("cms"), col(itemCol)))
+      .drop("cms")
 }

@@ -35,6 +35,60 @@ class SketchesSpec extends AnyFunSuite with SparkTestSupport {
     assert(merged == whole) // same registers either way — merge is lossless
   }
 
+  test("freqSketch: probe never underestimates and stays within eps*N") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish: token i appears i times; N = 1+2+...+60 = 1830.
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(("g", s"tok$i")))
+      .toDF("g", "v")
+    val probed = Sketches.probeFreq(
+      Sketches.freqSketch(rows, Seq("g"), "v"),
+      Seq("tok1", "tok30", "tok60", "absent"), itemCol = "v")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = Map("tok1" -> 1L, "tok30" -> 30L, "tok60" -> 60L,
+      "absent" -> 0L)
+    val bound = math.ceil(Sketches.CmsEps * 1830).toLong
+    exact.foreach { case (k, n) =>
+      assert(probed(k) >= n, s"$k underestimated: ${probed(k)} < $n")
+      assert(probed(k) <= n + bound, s"$k over by >eps*N: ${probed(k)}")
+    }
+  }
+
+  test("mergeFreqSketches: disjoint partials merge to the whole sketch") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 1000).map(i => ("g", s"t${i % 97}", i % 2 == 0))
+      .toDF("g", "v", "even")
+    def sk(f: org.apache.spark.sql.DataFrame) =
+      Sketches.freqSketch(f, Seq("g"), "v")
+    val probes = (0 until 97 by 7).map(i => s"t$i") :+ "missing"
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.probeFreq(df, probes, itemCol = "v")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val whole = est(sk(rows))
+    val merged = est(Sketches.mergeFreqSketches(
+      Seq(sk(rows.filter(col("even"))), sk(rows.filter(!col("even")))),
+      Seq("g")))
+    assert(merged == whole) // counter addition is exact, same seed/layout
+  }
+
+  test("mergeFreqSketches: incompatible seeds fail loudly") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("g", "a")).toDF("g", "v")
+    val a = Sketches.freqSketch(rows, Seq("g"), "v", seed = 1)
+    val b = Sketches.freqSketch(rows, Seq("g"), "v", seed = 2)
+    val ex = intercept[Exception] {
+      Sketches.mergeFreqSketches(Seq(a, b), Seq("g")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(e => Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("merge") || m.toLowerCase.contains("incompatible"))),
+      s"unexpected failure: $ex")
+  }
+
   test("mergeSketches: overlapping partials don't double count") {
     val s = spark
     import s.implicits._
