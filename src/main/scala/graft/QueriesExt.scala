@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Chunking, Decontam, Dedup, Multimodal, Similarity, TextStats, Vectors}
+import graft.ext.{Chunking, Decontam, Dedup, Fuzzy, Multimodal, Similarity, TextStats, Vectors}
 import graft.ops.{HeavyHitters, Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
@@ -69,6 +69,76 @@ object QueriesExt {
         maxBucket = Dedup.scaledCap(1000, nRows(s, dir, "documents")),
         shingle = 3)
     }
+
+  /** The portable (md5) near-dup pairs table — feeds BOTH
+    * `q_dedup_minhash_portable` (the pairs themselves) and
+    * `q_dup_source_matrix` (source-overlap analytics over the same
+    * edges), so the signature+band pipeline runs once. */
+  private def minhashPairsPortable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"minhash_pairs_portable:$dir") {
+      Dedup.minhashDupPairsPortable(t(s, dir, "documents"), "text",
+        "doc_id", numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
+    }
+
+  /** OOV-query and established-vocab sides for the fuzzy-matching
+    * queries, from ONE memoized vocabulary artifact (both registry
+    * queries and both sides read the same parquet).
+    *
+    * The OOV side is corpus singletons (tf ≤ 1) UNION the last-char
+    * truncations of established tokens that are not themselves vocab
+    * words — deterministic out-of-vocabulary probes both engines derive
+    * identically. (The synthetic fixture's 31-word vocab has no organic
+    * typos at ANY threshold, so the truncation probes are what keeps the
+    * oracle row set non-empty; a real corpus contributes singletons.) */
+  private def fuzzyVocabSides(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val vocab = Materialized(s, s"vocab:$dir") {
+      TextStats.vocabulary(Dedup.parallelize(t(s, dir, "documents")),
+        "text", "doc_id").select("token", "tf")
+    }
+    val truncs = vocab.filter(col("tf") >= 5)
+      .select(expr("substring(token, 1, length(token) - 1)")
+        .as("rare_token"))
+      .filter(length(col("rare_token")) >= 3)
+      .join(vocab.select(col("token").as("rare_token")),
+        Seq("rare_token"), "left_anti")
+    val singletons = vocab.filter(col("tf") <= 1)
+      .select(col("token").as("rare_token"))
+    (singletons.unionByName(truncs).distinct(),
+      vocab.filter(col("tf") >= 5)
+        .select(col("token").as("suggestion"), col("tf")))
+  }
+
+  /** DuckDB CTE chain ending in `cand` (deletion-key candidate pairs,
+    * bucket-capped) with the vocab CTE `v` still in scope — the SQL twin
+    * of [[Fuzzy.editOnePairs]] over [[fuzzyVocabSides]]. */
+  private def fuzzyCandSql(cap: Int): String = {
+    val del = "list_distinct(list_append(list_transform(" +
+      "range(1, length(token) + 1), " +
+      "i -> substr(token, 1, i - 1) || substr(token, i + 1, length(token))" +
+      "), token))"
+    s"""WITH tok AS (SELECT unnest($sqlToks) AS token FROM documents),
+      |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+      |rare AS (SELECT token FROM (
+      |    SELECT token FROM v WHERE tf <= 1
+      |    UNION
+      |    SELECT DISTINCT substr(token, 1, length(token) - 1) AS token
+      |    FROM v WHERE tf >= 5
+      |      AND substr(token, 1, length(token) - 1) NOT IN
+      |        (SELECT token FROM v)
+      |  ) WHERE length(token) >= 3),
+      |freq AS (SELECT token FROM v WHERE tf >= 5 AND length(token) >= 3),
+      |rk AS (SELECT token, unnest($del) AS dk FROM rare),
+      |fk AS (SELECT token, unnest($del) AS dk FROM freq),
+      |kc AS (SELECT dk FROM (SELECT dk, count(*) AS c FROM
+      |         (SELECT dk FROM rk UNION ALL SELECT dk FROM fk)
+      |       GROUP BY dk) WHERE c <= $cap),
+      |cand AS (SELECT DISTINCT rk.token AS rare_token,
+      |           fk.token AS suggestion
+      |         FROM rk JOIN kc USING (dk) JOIN fk ON rk.dk = fk.dk)""".stripMargin
+  }
 
   /** The shared exact ngram-Jaccard pairs table at t=0.5 — feeds
     * `q_dedup_ngram_pairs_hi` (prefix-filtered path showcase) and
@@ -578,11 +648,36 @@ object QueriesExt {
       Some(minhashCrossOracle(32, 8, 0.5, 1000))),
 
     QueryCase("q_dedup_minhash_portable",
-      (s, dir) => Dedup.minhashDupPairsPortable(t(s, dir, "documents"),
-          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5,
-          shingle = 3)
+      (s, dir) => minhashPairsPortable(s, dir)
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
       Some(minhashPortableOracle(32, 8, 0.5, 1000))),
+
+    // Source-overlap matrix over the SAME near-dup edges: which sources
+    // copy from which — the provenance dashboard a dedup pass feeds.
+    // The pairs artifact carries ids only; each side joins back to
+    // (doc_id, source) — at 100 TB two hash joins shipping one string
+    // per doc, never text — then collapses to an unordered source-pair
+    // count (least/greatest normalizes the symmetric key).
+    QueryCase("q_dup_source_matrix",
+      (s, dir) => {
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        minhashPairsPortable(s, dir).select("id_a", "id_b")
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+            Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+            Seq("id_b"))
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM (${minhashPortableOracle(32, 8, 0.5, 1000)}) p
+        |JOIN documents da ON p.id_a = da.doc_id
+        |JOIN documents db ON p.id_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin)),
 
     QueryCase("q_dedup_simhash_portable",
       (s, dir) => Dedup.simhashDupPairsPortable(t(s, dir, "documents"),
@@ -1743,6 +1838,38 @@ object QueriesExt {
       },
       None),
 
+    // Mergeable QUANTILE rollup — the third non-summable census aggregate
+    // after HLL (distinct) and CMS (frequency), as a fixed-width integer
+    // histogram whose partials merge by addition. Spark computes the
+    // quantiles FROM TWO MERGED PARTIALS (even/odd doc ids — deliberately
+    // unaligned with the source groups); DuckDB computes quantile_disc of
+    // the binned values directly over the whole corpus. Hash equality
+    // therefore proves the binning law, the merge law, AND the
+    // ceil(q·n) rank convention cross-engine in one row set — this is the
+    // sketch whose arithmetic is plain integers, so unlike HLL/CMS it
+    // gets a full oracle, not just structural checks.
+    QueryCase("q_quantile_sketch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def part(f: org.apache.spark.sql.DataFrame) =
+          graft.ext.Sketches.histSketch(f, Seq("source"), "n_chars", 100L)
+        graft.ext.Sketches.histQuantiles(
+          graft.ext.Sketches.mergeHistSketches(
+            Seq(part(docs.filter(col("doc_id") % 2 === 0)),
+              part(docs.filter(col("doc_id") % 2 === 1))),
+            Seq("source")),
+          Seq("source"), Seq(0.25, 0.5, 0.875))
+      },
+      Some("""WITH b AS (SELECT source,
+        |        CAST(n_chars - (n_chars % 100) AS BIGINT) AS bin
+        |      FROM documents)
+        |SELECT source, CAST(0.25 AS DOUBLE) AS q,
+        |  quantile_disc(bin, 0.25) AS value FROM b GROUP BY source
+        |UNION ALL SELECT source, CAST(0.5 AS DOUBLE),
+        |  quantile_disc(bin, 0.5) FROM b GROUP BY source
+        |UNION ALL SELECT source, CAST(0.875 AS DOUBLE),
+        |  quantile_disc(bin, 0.875) FROM b GROUP BY source""".stripMargin)),
+
     // Corpus vocabulary top-k by total frequency (tf), ties broken by
     // token — the vocab-selection pass of a tokenizer build. df = exact
     // document frequency.
@@ -1783,6 +1910,56 @@ object QueriesExt {
         |         THEN CAST(coalesce(no, 0) AS DOUBLE) / nt
         |         ELSE 0.0 END) * 10000 + 0.5) / 10000 AS oov_rate
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // Edit-distance-1 fuzzy vocab matching (SymSpell deletion-
+    // neighborhood blocking, ext/Fuzzy): singleton tokens matched against
+    // the established vocab (tf ≥ 5) — the typo-normalization pass of a
+    // corpus cleanup. The blocking equi-join is EXACT for distance 1
+    // (candidate recall 1.0 by construction); the levenshtein check only
+    // removes key-collision false positives. Oracle mirrors the full
+    // pipeline — deletion keys, combined-side bucket cap, verify — in
+    // SQL; at fixture scale the scaled cap floors to its base (same
+    // convention as the minhash oracles).
+    QueryCase("q_fuzzy_vocab",
+      (s, dir) => {
+        val (rare, freq) = fuzzyVocabSides(s, dir)
+        Fuzzy.editOnePairs(rare, "rare_token", freq, "suggestion",
+          minLen = 3,
+          maxBucket = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
+      },
+      Some(s"""${fuzzyCandSql(1000)}
+        |SELECT rare_token, suggestion FROM cand
+        |WHERE rare_token <> suggestion
+        |  AND levenshtein(rare_token, suggestion) <= 1""".stripMargin)),
+
+    // The per-token BEST correction (highest-tf match, token tie-break)
+    // — the actual normalization map a cleaning pass applies. The argmax
+    // window partitions by the rare token: a token has ≤ ~37·(len+1)
+    // distance-1 neighbors, so every partition is a few hundred rows
+    // regardless of corpus size.
+    QueryCase("q_fuzzy_correct",
+      (s, dir) => {
+        val (rare, freq) = fuzzyVocabSides(s, dir)
+        val pairs = Fuzzy.editOnePairs(rare, "rare_token", freq,
+          "suggestion", minLen = 3,
+          maxBucket = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
+        Fuzzy.bestCorrection(
+          pairs.join(
+            freq.select(col("suggestion"), col("tf").as("sug_tf")),
+            Seq("suggestion")),
+          "rare_token", "suggestion", "sug_tf")
+          .select("rare_token", "suggestion", "sug_tf")
+      },
+      Some(s"""${fuzzyCandSql(1000)},
+        |verified AS (
+        |  SELECT c.rare_token, c.suggestion, CAST(v.tf AS BIGINT) AS sug_tf
+        |  FROM cand c JOIN v ON c.suggestion = v.token
+        |  WHERE c.rare_token <> c.suggestion
+        |    AND levenshtein(c.rare_token, c.suggestion) <= 1)
+        |SELECT rare_token, suggestion, sug_tf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rare_token
+        |    ORDER BY sug_tf DESC, suggestion) AS rn FROM verified)
+        |WHERE rn = 1""".stripMargin)),
 
     // Symmetric int8 embedding quantization (4× storage cut; candidate
     // format for ANN with exact re-rank on dequantized top hits). Pure

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated query names — local targeted
+    // re-dump while iterating (the driver always runs the full set).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,7 +41,7 @@ object Verify {
     // bounded scores, ids ⊆ corpus), the dedup view's exact derivation
     // from its pairs artifact, and count agreement with the portable
     // twins. Written to structural_checks.json next to the parquet.
-    try {
+    if (only.isEmpty) try {
       import org.apache.spark.sql.functions.{abs, col}
       def read(name: String) = spark.read.parquet(s"$outDir/$name")
       val docs = Tables(spark, sfDir, "documents").select("doc_id")
@@ -106,7 +112,7 @@ object Verify {
       else println(s"[verify] structural checks: ${checks.size}/${checks.size} ok")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] structural checks errored: ${e.getMessage}")
-    }
+    } // targeted runs (`only`) skip structural checks, not the SQL dump
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -120,4 +120,60 @@ object Sketches {
     df.withColumn(itemCol, explode(typedLit(items)))
       .withColumn("approx_freq", cmsEstimate(col("cms"), col(itemCol)))
       .drop("cms")
+
+  // --------------------------------------------------------------------
+  // Histogram quantile sketches (fixed-width integer bins)
+  // --------------------------------------------------------------------
+
+  /** Per-group fixed-width histogram "sketch" of a NON-NEGATIVE integer
+    * `valueCol`: one row per (group, bin) with the bin's row count, where
+    * `bin = value − value % width` (the bin's lower edge). Completes the
+    * mergeable-rollup family next to HLL (distinct) and Count-Min
+    * (frequency) for the third non-summable census aggregate: QUANTILES.
+    *
+    * Exact quantiles need the full value multiset (percentile() collects
+    * per group; a global sort is single-partition — see
+    * [[graft.ops.Census.quantilesDisc]]); the histogram reduces each
+    * group to ≤ extent/width rows that MERGE BY ADDITION — yesterday's
+    * histogram + today's == the whole history's, no rescan — and any
+    * quantile read off it is exact to within one bin width. Unlike
+    * HLL/CMS, the representation is plain integer arithmetic, so the
+    * whole path (binning law, merge law, quantile convention) is
+    * cross-engine reproducible and DuckDB-oracle-checkable. */
+  def histSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    val v = col(valueCol).cast("long")
+    df.groupBy((keys.map(col) :+ (v - pmod(v, lit(width))).as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge partial histogram frames (one per ingest day/partition) by
+    * counter addition — input is |groups|·|bins|-bounded, never raw
+    * history; same shape as [[mergeSketches]]/[[mergeFreqSketches]]. */
+  def mergeHistSketches(parts: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeHistSketches needs at least one part")
+    parts.reduce(_.unionByName(_))
+      .groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Discrete quantiles from a histogram sketch: for each group and each
+    * q, the lower edge of the bin holding the value at rank ceil(q·n) —
+    * `percentile_disc` over the BINNED values, exactly (same rank
+    * convention as [[graft.ops.Census.quantilesDisc]]; pick dyadic qs so
+    * ceil(q·n) is engine-independent). The cumulative window runs over
+    * the group-and-extent-bounded sketch frame, never the corpus. */
+  def histQuantiles(sketch: DataFrame, keys: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val rank = ceil(col("q") * col("__n")).cast("long")
+    sketch
+      .withColumn("__n", sum(col("cnt")).over(w))
+      .withColumn("__cum", sum(col("cnt")).over(w.orderBy(col("bin").asc)))
+      .withColumn("q", explode(typedLit(qs)))
+      .filter(col("__cum") - col("cnt") < rank && rank <= col("__cum"))
+      .select((keys.map(col) :+ col("q") :+ col("bin").as("value")): _*)
+  }
 }

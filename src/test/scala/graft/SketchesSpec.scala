@@ -100,4 +100,58 @@ class SketchesSpec extends AnyFunSuite with SparkTestSupport {
       .head().getLong(1)
     assert(merged == 150L) // sparse regime: exact despite the 50-id overlap
   }
+
+  // ------------------------------------------------ histogram quantiles
+
+  test("histSketch: merged partials equal the whole-data sketch exactly") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 500).map(i => (s"g${i % 3}", (i * 7 % 400).toLong))
+      .toDF("g", "v")
+    val whole = Sketches.histSketch(rows, Seq("g"), "v", 50L)
+    val merged = Sketches.mergeHistSketches(
+      Seq(Sketches.histSketch(rows.filter(col("v") % 2 === 0), Seq("g"), "v", 50L),
+        Sketches.histSketch(rows.filter(col("v") % 2 =!= 0), Seq("g"), "v", 50L)),
+      Seq("g"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+  }
+
+  test("histQuantiles: ceil(q*n) rank over binned values, per group") {
+    val s = spark
+    import s.implicits._
+    // g=a: values 0..9 binned at width 3 -> bins 0,0,0,3,3,3,6,6,6,9.
+    // n=10: q=0.25 -> rank 3 -> bin 0; q=0.5 -> rank 5 -> bin 3;
+    // q=0.875 -> rank 9 -> bin 6.
+    val rows = ((0 until 10).map(i => ("a", i.toLong)) :+ (("b", 100L)))
+      .toDF("g", "v")
+    val qs = Sketches.histQuantiles(
+        Sketches.histSketch(rows, Seq("g"), "v", 3L), Seq("g"),
+        Seq(0.25, 0.5, 0.875))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    assert(qs == Map(("a", 0.25) -> 0L, ("a", 0.5) -> 3L, ("a", 0.875) -> 6L,
+      ("b", 0.25) -> 99L, ("b", 0.5) -> 99L, ("b", 0.875) -> 99L))
+  }
+
+  test("histQuantiles: agrees with exact percentile_disc on binned values") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 997).map(i => (s"g${i % 4}", (i * 131 % 1000).toLong))
+      .toDF("g", "v")
+    val width = 25L
+    val got = Sketches.histQuantiles(
+        Sketches.histSketch(rows, Seq("g"), "v", width), Seq("g"),
+        Seq(0.5, 0.875))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    // Exact reference: per group, sort binned values, take rank ceil(q*n).
+    val byG = rows.collect().map(r => r.getString(0) ->
+        (r.getLong(1) - r.getLong(1) % width))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG; q <- Seq(0.5, 0.875)) {
+      val want = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(got((g, q)) == want, s"group $g q=$q: ${got((g, q))} != $want")
+    }
+  }
 }
