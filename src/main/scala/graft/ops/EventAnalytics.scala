@@ -24,7 +24,7 @@ object EventAnalytics {
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val base = events.select(col(userCol).as("user"),
-      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+      Times.micros(col(tsCol)).as("us"), col(typeCol).as("et"))
     val first = base.groupBy("user")
       .agg(min(when(col("et") === steps.head, col("us"))).as("t_1"))
       .filter(col("t_1").isNotNull)
@@ -77,10 +77,10 @@ object EventAnalytics {
       tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .orderBy(Times.micros(col(tsCol)), col(tieCol))
     events
-      .withColumn("valid_from", unix_micros(col(tsCol)))
-      .withColumn("valid_to", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("valid_from", Times.micros(col(tsCol)))
+      .withColumn("valid_to", lead(Times.micros(col(tsCol)), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
 }

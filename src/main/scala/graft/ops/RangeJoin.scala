@@ -27,10 +27,10 @@ object RangeJoin {
   def intervalJoin(events: DataFrame, tsCol: String, intervals: DataFrame,
       startCol: String, endCol: String, bucketSec: Long): DataFrame = {
     val ev = events.withColumn("__b",
-      floor(col(tsCol).cast("long") / bucketSec).cast("long"))
+      floor(Times.seconds(col(tsCol)) / bucketSec).cast("long"))
     val iv = intervals.withColumn("__b", explode(sequence(
-      floor(col(startCol).cast("long") / bucketSec).cast("long"),
-      floor(col(endCol).cast("long") / bucketSec).cast("long"))))
+      floor(Times.seconds(col(startCol)) / bucketSec).cast("long"),
+      floor(Times.seconds(col(endCol)) / bucketSec).cast("long"))))
     ev.join(iv, Seq("__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__b")
@@ -55,7 +55,7 @@ object RangeJoin {
       bucketSec: Long, longBucketSec: Long): DataFrame = {
     require(longBucketSec > bucketSec,
       s"longBucketSec ($longBucketSec) must exceed bucketSec ($bucketSec)")
-    val span = col(endCol).cast("long") - col(startCol).cast("long")
+    val span = Times.seconds(col(endCol)) - Times.seconds(col(startCol))
     intervalJoin(events, tsCol, intervals.filter(span < longBucketSec),
         startCol, endCol, bucketSec)
       .unionByName(intervalJoin(events, tsCol,
@@ -67,7 +67,7 @@ object RangeJoin {
     * model behind tier sizing (σ of span/bucketSec + 1). */
   def explodedRows(intervals: DataFrame, startCol: String, endCol: String,
       bucketSec: Long): Long = intervals.select(sum(
-      floor(col(endCol).cast("long") / bucketSec).cast("long")
-        - floor(col(startCol).cast("long") / bucketSec).cast("long")
+      floor(Times.seconds(col(endCol)) / bucketSec).cast("long")
+        - floor(Times.seconds(col(startCol)) / bucketSec).cast("long")
         + lit(1L))).head.getLong(0)
 }

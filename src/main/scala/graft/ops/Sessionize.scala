@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * sum of break flags — all windows are PARTITIONED (no global order),
   * so the plan scales with users×cores; a mega-user bounds its own task
   * like any per-key aggregation. Gap math runs on exact epoch
-  * MICROSECOND integers (`unix_micros`), not float seconds. */
+  * MICROSECOND integers ([[Times.micros]] — NTZ-tolerant), not float
+  * seconds. */
 object Sessionize {
 
   /** Adds `session_idx` (per-user, 1-based, in time order) to every
@@ -23,7 +24,7 @@ object Sessionize {
       tieCol: String, gapSec: Long): DataFrame = {
     val w = Window.partitionBy(userCol)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
-    val us = unix_micros(col(tsCol))
+    val us = Times.micros(col(tsCol))
     val break = when(
       lag(us, 1).over(w).isNull ||
         us - lag(us, 1).over(w) > gapSec * 1000000L, 1L).otherwise(0L)
@@ -38,6 +39,6 @@ object Sessionize {
     assign(events, userCol, tsCol, tieCol, gapSec)
       .groupBy(col(userCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
-        min(unix_micros(col(tsCol))).as("start_us"),
-        max(unix_micros(col(tsCol))).as("end_us"))
+        min(Times.micros(col(tsCol))).as("start_us"),
+        max(Times.micros(col(tsCol))).as("end_us"))
 }
