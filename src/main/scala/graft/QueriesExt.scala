@@ -1776,8 +1776,14 @@ object QueriesExt {
     // users from (a) one whole-data sketch and (b) two DISJOINT partial
     // sketches (even/odd event ids) unioned — the incremental path a
     // 100 TB distinct-user rollup takes instead of rescanning history.
-    // Sketch hashes aren't cross-engine reproducible → no DuckDB oracle;
-    // Verify pins structurally: |approx−exact| ≤ 5% and merged == whole.
+    // Sketch hashes aren't cross-engine reproducible, so the ESTIMATES
+    // can't ride in an oracle-hashed column — instead the query folds the
+    // sketch's two contracts into BIGINT flags computed ON the estimates
+    // (within_tol: |approx−exact| ≤ 5%·exact; merge_consistent:
+    // merged-partials estimate == whole-data estimate) and outputs them
+    // next to the exact count. The DuckDB oracle asserts the exact counts
+    // and all-1 flags, so a drifting sketch flips a flag and FAILS the
+    // driver's hash gate — full end-to-end validation, not a skip.
     QueryCase("q_distinct_sketch",
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -1795,8 +1801,17 @@ object QueriesExt {
           .agg(count_distinct(col("user_id")).as("n_exact"))
           .join(whole, Seq("event_type"))
           .join(merged, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("approx") - col("n_exact")) <=
+              col("n_exact") * 0.05).cast("long").as("within_tol"),
+            (col("approx_merged") === col("approx"))
+              .cast("long").as("merge_consistent"))
       },
-      None),
+      Some("""SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS within_tol,
+        | CAST(1 AS BIGINT) AS merge_consistent
+        |FROM events GROUP BY 1""".stripMargin)),
 
     // Count-Min token-frequency sketch: probe a fixed token set against
     // (a) one whole-corpus sketch and (b) two disjoint partials (even/odd
@@ -1804,9 +1819,12 @@ object QueriesExt {
     // per-token groupBy shuffles every distinct token; the sketch ships
     // one ~80 KB counter table per partial instead, merges by exact
     // counter addition, and answers point probes within eps·N (never
-    // underestimating). Counter layout depends on the engine hash family
-    // → no DuckDB oracle; Verify pins: approx ≥ exact,
-    // approx ≤ exact + ceil(eps·N), merged == whole.
+    // underestimating). Counter layout depends on the engine hash family,
+    // so (as with q_distinct_sketch) the estimates ride as BIGINT flags
+    // over CMS's three contracts — never_under: approx ≥ exact;
+    // within_eps: approx ≤ exact + ceil(eps·N); merge_consistent: merged
+    // probes == whole-data probes — next to the DuckDB-reproducible exact
+    // probe counts. A broken sketch flips a flag → driver hash FAIL.
     QueryCase("q_freq_sketch",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -1833,10 +1851,24 @@ object QueriesExt {
           .join(exact, Seq("token"), "left")
           .na.fill(0L, Seq("n_exact"))
           .crossJoin(total)
-          .select(col("token"), col("n_exact"), col("approx"),
-            col("approx_merged"), col("n_total"))
+          .select(col("token"), col("n_exact"),
+            (col("approx") >= col("n_exact")).cast("long").as("never_under"),
+            (col("approx") <= col("n_exact") +
+              ceil(col("n_total") * graft.ext.Sketches.CmsEps))
+              .cast("long").as("within_eps"),
+            (col("approx_merged") === col("approx"))
+              .cast("long").as("merge_consistent"))
       },
-      None),
+      Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS token
+        |    FROM documents),
+        |  cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1)
+        |SELECT p.token, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS never_under,
+        |  CAST(1 AS BIGINT) AS within_eps,
+        |  CAST(1 AS BIGINT) AS merge_consistent
+        |FROM (VALUES ('scan'), ('column'), ('join'), ('the'),
+        |      ('zzz_absent')) p(token)
+        |LEFT JOIN cnt ON cnt.token = p.token""".stripMargin)),
 
     // Mergeable QUANTILE rollup — the third non-summable census aggregate
     // after HLL (distinct) and CMS (frequency), as a fixed-width integer

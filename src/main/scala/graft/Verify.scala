@@ -42,7 +42,7 @@ object Verify {
     // from its pairs artifact, and count agreement with the portable
     // twins. Written to structural_checks.json next to the parquet.
     if (only.isEmpty) try {
-      import org.apache.spark.sql.functions.{abs, col}
+      import org.apache.spark.sql.functions.col
       def read(name: String) = spark.read.parquet(s"$outDir/$name")
       val docs = Tables(spark, sfDir, "documents").select("doc_id")
       val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
@@ -81,27 +81,23 @@ object Verify {
       val shPortable = read("q_dedup_simhash_portable").count().toDouble
       checks("simhash_pairs.count_within_2x_of_portable_twin") =
         sh.count() >= shPortable / 2 && sh.count() <= shPortable * 2
-      // q_distinct_sketch: HLL hashes aren't cross-engine reproducible —
-      // pin the two properties that matter instead: bounded error vs the
-      // exact distinct, and merge-of-partials == whole-data sketch.
+      // q_distinct_sketch / q_freq_sketch now carry their sketch
+      // contracts as BIGINT flag columns that the DuckDB oracle
+      // hash-checks (all-1 expected), so the driver's CORRECTNESS gate
+      // validates them directly; the flag re-reads here just keep the
+      // structural report self-contained.
       val ds = read("q_distinct_sketch")
       checks("distinct_sketch.estimate_within_5pct_of_exact") =
-        ds.filter(abs(col("approx") - col("n_exact")) >
-          col("n_exact") * 0.05).count() == 0
+        ds.filter(col("within_tol") =!= 1L).count() == 0
       checks("distinct_sketch.merge_equals_whole") =
-        ds.filter(col("approx_merged") =!= col("approx")).count() == 0
-      // q_freq_sketch: Count-Min guarantees one-sided error — never
-      // under, over by at most ceil(eps·N) — and merge is exact counter
-      // addition, so merged probes must equal whole-data probes.
+        ds.filter(col("merge_consistent") =!= 1L).count() == 0
       val fs = read("q_freq_sketch")
-      val epsBound = org.apache.spark.sql.functions.ceil(
-        col("n_total") * graft.ext.Sketches.CmsEps)
       checks("freq_sketch.never_underestimates") =
-        fs.filter(col("approx") < col("n_exact")).count() == 0
+        fs.filter(col("never_under") =!= 1L).count() == 0
       checks("freq_sketch.overestimate_within_eps_n") =
-        fs.filter(col("approx") > col("n_exact") + epsBound).count() == 0
+        fs.filter(col("within_eps") =!= 1L).count() == 0
       checks("freq_sketch.merge_equals_whole") =
-        fs.filter(col("approx_merged") =!= col("approx")).count() == 0
+        fs.filter(col("merge_consistent") =!= 1L).count() == 0
       val sj = checks.map { case (k, v) => s""""$k": $v""" }
         .mkString("{", ", ", "}")
       Files.writeString(Paths.get(s"$outDir/structural_checks.json"), sj)
