@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Chunking, Decontam, Dedup, Fuzzy, Multimodal, Similarity, TextStats, Vectors}
+import graft.ext.{Chunking, Decontam, Dedup, Fuzzy, Multimodal, Similarity, Spans, TextStats, Vectors}
 import graft.ops.{HeavyHitters, Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
@@ -2250,6 +2250,53 @@ object QueriesExt {
         |                   bytes),
         |      (a, x) -> (a * 31 + x) % ${Multimodal.FeatureMod}) % 1000
         |    for d in range(0, 8)], ',') AS features_csv
-        |FROM b""".stripMargin))
+        |FROM b""".stripMargin)),
+
+    // ---- Substring-level (repeated-span) dedup (ext/Spans) ------------
+    // The duplication mode document-level MinHash misses: verbatim
+    // boilerplate embedded inside otherwise-distinct documents. k=8-token
+    // shingle spans; a span repeated in >= 2 distinct docs is "repeated".
+    // Scale core keys on xxhash64(span) (strings never shuffle except
+    // the filtered report output); the oracle recomputes on the span
+    // STRINGS, so hash equality also certifies the hash-pruned core
+    // agrees with direct string grouping end to end.
+    QueryCase("q_span_repeated",
+      (s, dir) => Spans.repeatedSpanReport(
+          Dedup.parallelize(t(s, dir, "documents")), "text", "doc_id", k = 8)
+        .orderBy(col("n_occ").desc, col("span"))
+        .limit(50),
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+        |       WHERE len(toks) >= 8)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, span LIMIT 50""".stripMargin)),
+
+    // Per-doc duplicate-span coverage + gate: covered_tokens = tokens
+    // inside >= 1 cross-doc repeated span (window union, overlaps counted
+    // once); dup_gate at 20% coverage. Integer-exact cross-engine; the
+    // coverage explode is k x the REPEATED positions only.
+    QueryCase("q_span_coverage",
+      (s, dir) => Spans.coverage(
+        Dedup.parallelize(t(s, dir, "documents")), "text", "doc_id",
+        k = 8, minDocs = 2, gatePct = 20),
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+        |       WHERE len(toks) >= 8),
+        |rep AS (SELECT span FROM sh GROUP BY span
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, u.j
+        |        FROM sh s JOIN rep USING (span),
+        |             UNNEST(generate_series(s.i, s.i + 7)) AS u(j)),
+        |cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+        |       FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cc.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        |  CAST(CASE WHEN COALESCE(cc.covered_tokens, 0) * 100
+        |         >= len(d.toks) * 20 THEN 1 ELSE 0 END AS BIGINT) AS dup_gate
+        |FROM d LEFT JOIN cc USING (doc_id)""".stripMargin))
   )
 }
