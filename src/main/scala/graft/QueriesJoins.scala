@@ -208,6 +208,35 @@ object QueriesJoins {
         |  FROM events WHERE event_id % 1009 = 0)
         |SELECT iv.interval_id, e.event_id
         |FROM events e JOIN iv
-        |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin))
+        |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin)),
+
+    // BUCKETED co-located join (ops/Bucketing): both sides land as
+    // bucketed+sorted parquet tables on the join key, so the join plans
+    // with NO Exchange on either side — the pay-the-shuffle-once-at-
+    // write-time layout a 100 TB warehouse runs on (BucketingSpec locks
+    // the no-Exchange plan; this query hash-checks the co-located
+    // plan's RESULTS against a plain DuckDB join). The one-time table
+    // write happens on first run per JVM; bench min-of-retries measures
+    // the steady-state co-located read.
+    QueryCase("q_join_bucketed",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        val bd = graft.ops.Bucketing.ensure(s, s"g_bdocs_$tag", "doc_id", 8)(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"))
+        val be = graft.ops.Bucketing.ensure(s, s"g_bembs_$tag", "vec_id", 8)(
+          t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            size(col("embedding")).cast("long").as("dim")))
+        bd.join(be, bd("doc_id") === be("vec_id"))
+          .groupBy("source", "label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("dim")).as("sum_dim"))
+      },
+      Some("""SELECT d.source, e.label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(e.embedding)) AS BIGINT) AS sum_dim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin))
   )
 }
