@@ -1870,6 +1870,35 @@ object QueriesExt {
         |      ('zzz_absent')) p(token)
         |LEFT JOIN cnt ON cnt.token = p.token""".stripMargin)),
 
+    // INCREMENTAL span census: the whole-corpus repeated-span report
+    // computed from TWO MERGED PARTIAL censuses (even/odd doc ids — the
+    // yesterday+today maintenance path). Both census counters are
+    // summable when partials partition the corpus by document, so
+    // merge == rescan exactly; the oracle is the SAME whole-corpus
+    // DuckDB report as q_span_repeated, so hash equality proves the
+    // merge law end to end (top-25 window to keep the artifact small).
+    QueryCase("q_span_incremental",
+      (s, dir) => {
+        val docs = Dedup.parallelize(t(s, dir, "documents"))
+        def half(m: Int) = docs.filter(col("doc_id") % 2 === m)
+        val merged = graft.ops.Maintenance.mergePartialAggregates(
+            Seq(Spans.spanCensus(half(0), "text", "doc_id", 8),
+              Spans.spanCensus(half(1), "text", "doc_id", 8)),
+            Seq("sh"), Seq("n_docs", "n_occ"))
+          .filter(col("n_docs") >= 2)
+        Spans.reportFromKeys(docs, "text", "doc_id", 8, merged)
+          .orderBy(col("n_occ").desc, col("span"))
+          .limit(25)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+        |       WHERE len(toks) >= 8)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, span LIMIT 25""".stripMargin)),
+
     // Mergeable QUANTILE rollup — the third non-summable census aggregate
     // after HLL (distinct) and CMS (frequency), as a fixed-width integer
     // histogram whose partials merge by addition. Spark computes the

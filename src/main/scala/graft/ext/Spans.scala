@@ -73,15 +73,24 @@ object Spans {
       k: Int, minDocs: Int = 2): DataFrame =
     census(positions(docs, textCol, idCol, k), minDocs)
 
-  /** Human-readable repeated-span report: (span, n_docs, n_occ). The
-    * hash core prunes to matched (doc, pos) first; span text is then
-    * re-derived by re-tokenizing ONLY the docs that contain matches, and
-    * counts re-grouped on the text itself — output never trusts hash
-    * uniqueness. */
-  def repeatedSpanReport(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, minDocs: Int = 2): DataFrame = {
+  /** UNFILTERED census: (sh, n_docs, n_occ) for every span key. This is
+    * the mergeable partial for incremental maintenance: when partials
+    * partition the corpus BY DOCUMENT, both counters are summable
+    * (yesterday's census + today's == whole-history census via
+    * [[graft.ops.Maintenance.mergePartialAggregates]]) — no rescan. */
+  def spanCensus(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    census(positions(docs, textCol, idCol, k), minDocs = 1)
+
+  /** Report derived from a PRE-BUILT repeated-key set `repKeys` (any
+    * frame with an `sh` column — a fresh census or a merged incremental
+    * one): matched occurrences are re-derived to span text by
+    * re-tokenizing only docs that contain matches, and counts re-grouped
+    * on the text itself — output never trusts hash uniqueness. */
+  def reportFromKeys(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, repKeys: DataFrame, minDocs: Int = 2): DataFrame = {
     val pos = positions(docs, textCol, idCol, k)
-    val matched = pos.join(census(pos, minDocs).select("sh"), Seq("sh"))
+    val matched = pos.join(repKeys.select("sh"), Seq("sh"))
       .select("doc_id", "pos")
     val toks = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("__t"))
@@ -93,6 +102,12 @@ object Spans {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Human-readable repeated-span report: (span, n_docs, n_occ). */
+  def repeatedSpanReport(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int = 2): DataFrame =
+    reportFromKeys(docs, textCol, idCol, k,
+      repeatedSpans(docs, textCol, idCol, k, minDocs), minDocs)
 
   /** Per-doc duplicate-span coverage: (doc_id, n_tokens, covered_tokens,
     * dup_gate) where covered_tokens counts token positions inside ≥ 1

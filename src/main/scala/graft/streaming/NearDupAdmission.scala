@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Streaming NEAR-duplicate admission: the MinHash+LSH arm of the
+  * streaming dedup story ([[StreamDedup]] covers exact/fingerprint).
+  *
+  * A doc's LSH band buckets ([[Dedup.lshBandKeys]] over
+  * [[Dedup.minhashSignatures]]) are its near-dup identity: two docs with
+  * signature-estimated Jaccard above the S-curve knee share ≥ 1 bucket
+  * with high probability. Admission is therefore a BUCKET-SET lookup, and
+  * the production shape is micro-batch (`foreachBatch`) against a
+  * persistent bucket registry — NOT per-row state-store logic: a doc maps
+  * to `bands` buckets, so a single-key `flatMapGroupsWithState` cannot
+  * decide admission (the decision spans all of a doc's buckets), while a
+  * per-batch join decides every doc in one shuffle.
+  *
+  * Semantics match the batch family: a doc is REJECTED iff it shares a
+  * bucket with an already-admitted doc (history) or with a lower-id doc
+  * of the same batch — the same keep-lowest-id, non-transitive convention
+  * as `Dedup.minhashDedup` (docs − id_b closure). The registry holds
+  * ADMITTED docs' buckets only: you dedup against the corpus you KEPT,
+  * so near-dups of a rejected doc that match no admitted doc still land.
+  *
+  * Scale shape (100 TB/day ingest): registry rows are (band, bucket)
+  * longs — |admitted| × bands fixed-width rows, partition-pruned by
+  * nothing but read as a compact two-column parquet scan per batch;
+  * the admission join hash-partitions batch buckets (|batch| × bands
+  * rows) against it. Registry appends are per-batch parquet files —
+  * compact with [[graft.ops.Maintenance.compactParquet]] on a schedule.
+  * Exactly-once: `admit` is deterministic given (batch, registry), and
+  * a replayed batch re-appends the same buckets — duplicate registry
+  * rows only strengthen rejection, never corrupt admission (semi-join
+  * semantics), so sink idempotence is not required for correctness. */
+class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
+    numHashes: Int = 32, bands: Int = 8) extends Serializable {
+
+  /** (id, band, bucket) for every doc in `batch`. */
+  private def buckets(batch: DataFrame): DataFrame =
+    Dedup.minhashSignatures(batch, textCol, idCol, numHashes)
+      .select(col("id"),
+        explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+
+  private def registry(spark: SparkSession): DataFrame =
+    try spark.read.parquet(stateDir).select("band", "bucket")
+    catch { case _: Throwable =>
+      spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"))
+        .limit(0)
+    }
+
+  /** Admit one micro-batch: returns the admitted rows (original schema)
+    * and appends their buckets to the registry. */
+  def admit(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val bf = buckets(batch)
+    val vsHistory = bf.join(registry(spark), Seq("band", "bucket"),
+      "left_semi").select(col("id")).distinct()
+    val lowestPerBucket = bf.groupBy("band", "bucket")
+      .agg(min(col("id")).as("__keep"))
+    val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id")).distinct()
+    val rejected = vsHistory.union(vsBatch).distinct()
+    val admitted = batch.join(
+      rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select("band", "bucket")
+      .write.mode("append").parquet(stateDir)
+    admitted
+  }
+
+  /** `foreachBatch` adapter: admit, then hand the admitted rows to the
+    * downstream writer. */
+  def step(forward: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit =
+    forward(admit(batch), batchId)
+}

@@ -51,6 +51,20 @@ class SpansSpec extends AnyFunSuite with SparkTestSupport {
     assert(cov(4L) == (2L, 0L, 0L))
   }
 
+  test("merged doc-disjoint partial censuses equal the whole-corpus census") {
+    import graft.ops.Maintenance
+    val whole = Spans.spanCensus(corpus, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Maintenance.mergePartialAggregates(
+        Seq(Spans.spanCensus(corpus.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id", 3),
+          Spans.spanCensus(corpus.filter(col("doc_id") % 2 === 1),
+            "text", "doc_id", 3)),
+        Seq("sh"), Seq("n_docs", "n_occ"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole)
+  }
+
   test("hash-keyed census agrees with direct string grouping") {
     val byHash = Spans.repeatedSpans(corpus, "text", "doc_id", k = 3)
       .select("n_docs", "n_occ")
