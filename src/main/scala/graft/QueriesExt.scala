@@ -790,6 +790,45 @@ object QueriesExt {
       Some(semanticKmeansOracle(nlist = 16, iterations = 3, dim = 64,
         maxCell = 10000, threshold = 0.4))),
 
+    // DIVERSITY-CAPPED selection: keep at most 20 docs per semantic
+    // (k-means) cell, most-central first — coverage ACROSS the embedding
+    // space with bounded redundancy within it, the selection move after
+    // dedup when a token budget can't take everything. One broadcast-
+    // argmax assignment projection (cell + winning cosine fused, no
+    // second scan) + a per-cell window (partitioned — parallelism is
+    // #cells-wide, a mega-cell bounds its own task). The oracle replays
+    // the Lloyd iterations as CTE blocks (same machinery as the
+    // IVF/SemDeDup oracles) and re-ranks in SQL, so the hash check
+    // covers centroids, assignment, centrality order, and the cap.
+    QueryCase("q_select_diverse",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val assigned = Similarity.ivfAssignScored(emb, "embedding",
+          Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+            nlist = 16, iterations = 3))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell")
+          .orderBy(col("cell_cos").desc, col("vec_id"))
+        assigned
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 20)
+          .select(col("cell").cast("long").as("cell"), col("vec_id"),
+            col("rn"))
+      },
+      Some(s"""WITH ${kmCentroidCtes(16, 3, 64)},
+        |sc AS (SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cos
+        |       FROM v, cent3 c),
+        |asg AS (SELECT vec_id, cid AS cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid DESC) AS rn
+        |  FROM sc),
+        |best AS (SELECT vec_id, cell, cos FROM asg WHERE rn = 1),
+        |sel AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM best)
+        |SELECT cell, vec_id, rn FROM sel WHERE rn <= 20""".stripMargin)),
+
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
       (s, dir) => TextStats.tokenCounts(t(s, dir, "documents"), "text")

@@ -89,6 +89,21 @@ object Similarity {
     df.withColumn("cell", greatest(scored: _*).getField("cid"))
   }
 
+  /** [[ivfAssign]] + the winning cosine (`cell_cos`): one fused
+    * broadcast-argmax projection, no extra scan — the input to
+    * centrality-ordered per-cell selection. */
+  def ivfAssignScored(df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(cvec)).as("s"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("__best", greatest(scored: _*))
+      .withColumn("cell", col("__best.cid"))
+      .withColumn("cell_cos", col("__best.s"))
+      .drop("__best")
+  }
+
   /** IVF ANN top-k: probe the `nprobe` cells whose centroids are nearest
     * the query; exact cosine within the probed cells only. `centroids` is
     * small (nlist entries) and rides the closure/broadcast — the corpus is
