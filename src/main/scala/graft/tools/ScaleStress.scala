@@ -97,6 +97,34 @@ object ScaleStress {
         Resample.dailyForwardFill(e, "user_id", "ts", "value")
           .agg(sum(col("filled").cast("double"))).head(); e.count()
       }
+      // Span dedup under the ADVERSARIAL regime: every replica is a full
+      // near-dup of its original, so at k× every span is repeated in k
+      // docs — matched positions are the WHOLE corpus (coverage's join +
+      // explode run at maximum pressure, k× corpus × k spans of census
+      // growth). Linear-in-matched wall-clock here is the claim.
+      timed(s"spanCensus ${k}x") {
+        graft.ext.Spans.spanCensus(d, "text", "doc_id", 8)
+          .agg(sum(col("n_occ"))).head(); d.count()
+      }
+      timed(s"spanCoverage ${k}x") {
+        graft.ext.Spans.coverage(d, "text", "doc_id", 8)
+          .agg(sum(col("covered_tokens"))).head(); d.count()
+      }
+      // Bucketed vs shuffled equi join at k×: same join, same data — the
+      // only difference is whether the shuffle was paid at write time.
+      val stats = d.groupBy("doc_id").agg(sum(col("n_chars")).as("sc"))
+      val bd = graft.ops.Bucketing.ensure(spark, s"stress_bd_$k",
+        "doc_id", 32)(d.select("doc_id", "source", "n_chars"))
+      val bs = graft.ops.Bucketing.ensure(spark, s"stress_bs_$k",
+        "doc_id", 32)(stats)
+      timed(s"shuffledJoin ${k}x") {
+        d.select("doc_id", "source", "n_chars").join(stats, Seq("doc_id"))
+          .agg(sum(col("sc"))).head(); d.count()
+      }
+      timed(s"bucketedJoin ${k}x") {
+        bd.join(bs, Seq("doc_id"))
+          .agg(sum(col("sc"))).head(); bd.count()
+      }
     }
     spark.stop()
   }
