@@ -1909,6 +1909,29 @@ object QueriesExt {
         |      ('zzz_absent')) p(token)
         |LEFT JOIN cnt ON cnt.token = p.token""".stripMargin)),
 
+    // Gate CONSUMED: the corpus after dropping span-duplicate-heavy docs
+    // (>= 20% of tokens inside cross-doc repeated spans) — boilerplate-
+    // heavy docs out, the rest land. Composition lock for coverage.
+    QueryCase("q_span_dedup",
+      (s, dir) => Spans.coverage(
+          Dedup.parallelize(t(s, dir, "documents")), "text", "doc_id",
+          k = 8, minDocs = 2, gatePct = 20)
+        .filter(col("dup_gate") === 0)
+        .select("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+        |       WHERE len(toks) >= 8),
+        |rep AS (SELECT span FROM sh GROUP BY span
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, u.j
+        |        FROM sh s JOIN rep USING (span),
+        |             UNNEST(generate_series(s.i, s.i + 7)) AS u(j)),
+        |cc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id
+        |FROM d LEFT JOIN cc USING (doc_id)
+        |WHERE COALESCE(cc.covered, 0) * 100 < len(d.toks) * 20""".stripMargin)),
+
     // INCREMENTAL span census: the whole-corpus repeated-span report
     // computed from TWO MERGED PARTIAL censuses (even/odd doc ids — the
     // yesterday+today maintenance path). Both census counters are

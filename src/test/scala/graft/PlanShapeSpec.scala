@@ -196,4 +196,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(plan.contains("BroadcastHashJoin Inner"), plan.take(4000))
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
   }
+
+  test("q_span_repeated's corpus-wide explode emits hashed longs, not span strings") {
+    val plan = formatted("q_span_repeated")
+    // the census path's posexplode must produce a LONG key column (#..L)
+    // — a string-emitting explode would ship every span text through the
+    // corpus-wide census shuffle. (The post-prune report re-derive DOES
+    // group matched span strings; that side is bounded by matches.)
+    val gens = plan.split("\n").filter(_.contains("posexplode"))
+    assert(gens.nonEmpty, plan.take(2000))
+    assert(gens.forall(_.matches(""".*\[pos#\d+, col#\d+L\]""")),
+      gens.mkString("\n"))
+    // and the census aggregation shuffles on the hashed key
+    assert(plan.contains("hashpartitioning(sh#"), plan.take(4000))
+  }
+
+  test("q_select_diverse's ranking window is partitioned (no global sort)") {
+    val plan = formatted("q_select_diverse")
+    assert(!plan.matches("(?s).*Window.*\\[\\].*"), plan.take(2000))
+    // the argmax assignment is a fused projection: exactly one scan of
+    // embeddings feeds one partitioned window
+    assert(plan.contains("partitionBy") || plan.contains("PartitionSpec") ||
+      plan.contains("windowspecdefinition(cell"), plan.take(4000))
+  }
+
+  test("q_join_bucketed joins two bucketed scans without a join-side Exchange") {
+    val plan = formatted("q_join_bucketed")
+    assert(plan.contains("SelectedBucketsCount"), plan.take(4000))
+    // the only Exchange is the post-join aggregation's, keyed on the
+    // GROUP columns — never on the join key
+    val exchanges = plan.split("\n").filter(_.contains("hashpartitioning"))
+    assert(!exchanges.exists(e =>
+      e.contains("doc_id") || e.contains("vec_id")), exchanges.mkString("\n"))
+  }
 }
