@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Spans}
+
+/** Streaming BOILERPLATE admission: the span-level arm of streaming
+  * curation ([[StreamDedup]] = exact, [[NearDupAdmission]] = MinHash
+  * near-dup). An incoming doc is rejected when ≥ `gatePct`% of its
+  * tokens sit inside k-token spans ALREADY REGISTERED by admitted docs —
+  * the micro-batch twin of [[Spans.coverage]]'s batch gate, aimed at the
+  * web-crawl regime where new pages are mostly old navigation chrome
+  * plus a sliver of fresh text.
+  *
+  * Same foreachBatch-against-a-registry shape as [[NearDupAdmission]]
+  * (a doc's decision spans all its span keys, so per-key state-store
+  * logic can't decide it; one per-batch join can). Docs within a batch
+  * do not gate each other — their spans register on admission and gate
+  * from the NEXT batch on (admission control, not retroactive dedup).
+  *
+  * Registry: DISTINCT span hashes of admitted docs — fixed-width longs,
+  * one row per distinct span (the span-registry cost is O(distinct
+  * spans), the price any substring-level structure pays; compact with
+  * [[graft.ops.Maintenance.compactParquet]] on a schedule). Replay-safe:
+  * re-appending a batch's spans only duplicates registry rows, and the
+  * coverage join is distinct-per-(doc, position) — rejection decisions
+  * are unchanged. */
+class SpanAdmission(stateDir: String, textCol: String, idCol: String,
+    k: Int = 8, gatePct: Int = 20) extends Serializable {
+
+  private def registry(spark: SparkSession): DataFrame =
+    try spark.read.parquet(stateDir).select("sh")
+    catch { case _: Throwable =>
+      spark.emptyDataFrame.select(lit(0L).as("sh")).limit(0)
+    }
+
+  /** Admit one micro-batch: returns admitted rows (original schema) and
+    * registers their distinct span hashes. */
+  def admit(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val pos = Spans.positions(batch, textCol, idCol, k)
+    val covered = pos.join(registry(spark).distinct(), Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__covered"))
+    val rejected = batch
+      .select(col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("__n"))
+      .join(covered, Seq("doc_id"))
+      .filter(col("__covered") * 100 >= col("__n") * gatePct)
+      .select(col("doc_id"))
+    val admitted = batch.join(
+      rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    pos.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select("sh").distinct()
+      .write.mode("append").parquet(stateDir)
+    admitted
+  }
+
+  /** `foreachBatch` adapter. */
+  def step(forward: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit =
+    forward(admit(batch), batchId)
+}
