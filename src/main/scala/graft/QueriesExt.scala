@@ -583,6 +583,34 @@ object QueriesExt {
       |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       |      len(list_distinct(list_concat(a.grams, b.grams))) >= $t""".stripMargin
 
+  /** DuckDB replay of [[graft.ext.Bpe.induceMerges]]: the word census,
+    * char segmentation, and every merge round as CTE blocks (pair census
+    * → deterministic argmax → two-pass leftmost replace — the same
+    * pinned semantics as the Scala side), unioning the per-round winners. */
+  private def bpeOracle(rounds: Int): String = {
+    val head = s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT ' ' || array_to_string(
+       |    [w[i:i] for i in range(1, len(w)+1)], ' ') || ' ' AS s, f
+       |  FROM w0)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs, sum(f) AS cnt
+         |  FROM (SELECT string_split(trim(s), ' ') AS sym, f FROM s${r - 1}),
+         |       UNNEST(generate_series(1, len(sym)-1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM p$r
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$r AS (SELECT replace(replace(s,
+         |    ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' '),
+         |    ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' ') AS s, f
+         |  FROM s${r - 1}, b$r b)""".stripMargin
+    }
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $head,\n${roundCtes.mkString(",\n")}\n$union"
+  }
+
   val all: Seq[QueryCase] = Seq(
 
     // ------------------------------------------------------------ dedup
@@ -828,6 +856,18 @@ object QueriesExt {
         |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
         |  FROM best)
         |SELECT cell, vec_id, rn FROM sel WHERE rn <= 20""".stripMargin)),
+
+    // BPE merge induction (Sennrich et al. 2016) — tokenizer training ON
+    // the engine: the corpus collapses once to a |vocab|-bounded word
+    // census, then every round is a pair census + 1-row argmax + two-
+    // pass literal replace over that frame (never the corpus). The
+    // oracle replays all 8 rounds as CTE blocks under the same pinned
+    // semantics, so hash equality certifies pair weighting, the
+    // deterministic tie-break, AND the merge-application law per round.
+    QueryCase("q_bpe_merges",
+      (s, dir) => graft.ext.Bpe.induceMerges(
+        t(s, dir, "documents"), "text", rounds = 8),
+      Some(bpeOracle(8))),
 
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
