@@ -586,8 +586,8 @@ object QueriesExt {
   /** DuckDB replay of [[graft.ext.Bpe.induceMerges]]: the word census,
     * char segmentation, and every merge round as CTE blocks (pair census
     * → deterministic argmax → two-pass leftmost replace — the same
-    * pinned semantics as the Scala side), unioning the per-round winners. */
-  private def bpeOracle(rounds: Int): String = {
+    * pinned semantics as the Scala side). */
+  private def bpeCtes(rounds: Int): String = {
     val head = s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f
        |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
        |s0 AS (SELECT ' ' || array_to_string(
@@ -605,11 +605,24 @@ object QueriesExt {
          |    ' '||b.lhs||' '||b.rhs||' ', ' '||b.lhs||b.rhs||' ') AS s, f
          |  FROM s${r - 1}, b$r b)""".stripMargin
     }
+    s"$head,\n${roundCtes.mkString(",\n")}"
+  }
+
+  /** Merge-rule view of the replayed rounds: one row per round winner. */
+  private def bpeOracle(rounds: Int): String = {
     val union = (1 to rounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $head,\n${roundCtes.mkString(",\n")}\n$union"
+    s"WITH ${bpeCtes(rounds)}\n$union"
   }
+
+  /** Final-segmentation view: the census after all rounds. Stripping the
+    * spaces from a segmentation string recovers the original word (the
+    * census is keyed by distinct words), which re-attaches `w`. */
+  private def bpeSegmentOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT w0.w, w0.f, trim(sN.s) AS seg
+       |FROM w0 JOIN s$rounds sN ON replace(trim(sN.s), ' ', '') = w0.w""".stripMargin
 
   val all: Seq[QueryCase] = Seq(
 
@@ -868,6 +881,23 @@ object QueriesExt {
       (s, dir) => graft.ext.Bpe.induceMerges(
         t(s, dir, "documents"), "text", rounds = 8),
       Some(bpeOracle(8))),
+
+    // The induced merges CONSUMED: the word census segmented under the
+    // 8 rank-ordered merge rules (the vocabulary a tokenizer ships).
+    // Merges are pulled to the driver (8 rows — bounded) and applied as
+    // the same two-pass replace chain; the oracle re-derives BOTH the
+    // rules and the final segmentation in one CTE chain.
+    QueryCase("q_bpe_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.ext.Bpe.induceMerges(docs, "text", rounds = 8)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ext.Bpe.segment(docs, "text", merges)
+          .select(col("w"), col("f"),
+            concat_ws(" ", col("sym")).as("seg"))
+      },
+      Some(bpeSegmentOracle(8))),
 
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
