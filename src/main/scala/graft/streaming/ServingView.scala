@@ -29,14 +29,22 @@ final class ServingView(keys: Seq[String] =
 
   @volatile private var state: Option[DataFrame] = None
   private var stateRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+  // Readers share the read lock for the DURATION of their Spark job;
+  // the merge takes the write lock only for the swap + superseded-storage
+  // release. Without this, a merge can unpersist the snapshot a live
+  // reader's job is scanning — the executor then fails with
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed in StreamBench serving
+  // mode once merges got fast enough to land mid-read).
+  private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** Merge one micro-batch of summary rows (schema per
     * `Review.summarySchema`) into the view. The superseded snapshot's
     * checkpoint storage is released on each merge — over an unbounded
     * stream the view holds ONE materialized copy, not one per trigger.
-    * (A reader that captured `current` before a merge must re-fetch it;
-    * the Delta/Iceberg MERGE swap-in at cluster scale versions this
-    * properly.) */
+    * The NEW snapshot is materialized OUTSIDE the write lock (readers
+    * keep scanning the old one); the lock guards only the swap and the
+    * release. The Delta/Iceberg MERGE swap-in at cluster scale versions
+    * this properly. */
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
     val decomposed = Serving.decomposeTime(batch)
       .withColumn("__batch", lit(batchId))
@@ -46,12 +54,28 @@ final class ServingView(keys: Seq[String] =
     }
     val merged = Upsert.keepLatestPerKey(unioned, keys, Seq("__batch"))
     val (cp, rdds) = graft.ops.Caches.localCheckpointTracked(merged)
-    stateRdds.foreach(_.unpersist(false)) // superseded snapshot
-    state = Some(cp)
-    stateRdds = rdds
+    val w = rw.writeLock()
+    w.lock()
+    try {
+      stateRdds.foreach(_.unpersist(false)) // superseded snapshot
+      state = Some(cp)
+      stateRdds = rdds
+    } finally w.unlock()
+  }
+
+  /** Run a read against the current view (bookkeeping columns dropped)
+    * under the read lock, so a concurrent merge cannot release the
+    * snapshot mid-job. All actions on the view (collect/count/write)
+    * must happen inside `f`. */
+  def read[T](f: DataFrame => T): Option[T] = {
+    val r = rw.readLock()
+    r.lock()
+    try state.map(df => f(df.drop("__batch")))
+    finally r.unlock()
   }
 
   /** The current view (without bookkeeping columns); empty before the
-    * first batch. */
+    * first batch. UNSAFE against concurrent merges once the returned
+    * frame is acted on outside [[read]] — single-threaded tests only. */
   def current: Option[DataFrame] = state.map(_.drop("__batch"))
 }

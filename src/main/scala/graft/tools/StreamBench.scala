@@ -117,21 +117,21 @@ object StreamBench {
     val deadline = System.nanoTime() + seconds * 1000000000L
     var viewRows = 0L
     while (System.nanoTime() < deadline) {
-      view.current match {
-        case Some(v) =>
-          var t0 = System.nanoTime()
-          Serving.ranking(v, "T_reviews", year = Some(2020)).collect()
-          rankMs += (System.nanoTime() - t0) / 1e6
-          t0 = System.nanoTime()
-          Serving.timeSeries(v, "Game 42", "A_sentiment").collect()
-          seriesMs += (System.nanoTime() - t0) / 1e6
-          viewRows = v.count()
-        case None => ()
+      // reads run under the view's read lock — a merge cannot release
+      // the snapshot these jobs are scanning (ServingView.read doc)
+      view.read { v =>
+        var t0 = System.nanoTime()
+        Serving.ranking(v, "T_reviews", year = Some(2020)).collect()
+        rankMs += (System.nanoTime() - t0) / 1e6
+        t0 = System.nanoTime()
+        Serving.timeSeries(v, "Game 42", "A_sentiment").collect()
+        seriesMs += (System.nanoTime() - t0) / 1e6
+        viewRows = v.count()
       }
       Thread.sleep(200L)
     }
     q.stop()
-    viewRows = view.current.map(_.count()).getOrElse(0L)
+    viewRows = view.read(_.count()).getOrElse(0L)
     val merges = {
       import scala.jdk.CollectionConverters._
       mergeMs.asScala.toSeq
