@@ -878,8 +878,10 @@ object QueriesExt {
     // semantics, so hash equality certifies pair weighting, the
     // deterministic tie-break, AND the merge-application law per round.
     QueryCase("q_bpe_merges",
-      (s, dir) => graft.ext.Bpe.induceMerges(
-        t(s, dir, "documents"), "text", rounds = 8),
+      (s, dir) => Materialized(s, s"bpe_merges:$dir") {
+        graft.ext.Bpe.induceMerges(t(s, dir, "documents"), "text",
+          rounds = 8)
+      },
       Some(bpeOracle(8))),
 
     // The induced merges CONSUMED: the word census segmented under the
@@ -890,8 +892,12 @@ object QueriesExt {
     QueryCase("q_bpe_segment",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val merges = graft.ext.Bpe.induceMerges(docs, "text", rounds = 8)
-          .orderBy("rank").collect()
+        // the induction artifact is shared with q_bpe_merges (Materialized
+        // — same 100 TB shape as the minhash pairs table: induce once,
+        // derive every downstream view from the artifact)
+        val merges = Materialized(s, s"bpe_merges:$dir") {
+            graft.ext.Bpe.induceMerges(docs, "text", rounds = 8)
+          }.orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ext.Bpe.segment(docs, "text", merges)
           .select(col("w"), col("f"),
