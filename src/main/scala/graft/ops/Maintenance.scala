@@ -27,9 +27,15 @@ object Maintenance {
     * Returns the output file count. `repartition` (round-robin) balances
     * rows across writers; pass `sortCols` to instead range-sort the
     * rewrite (repartitionByRange + sortWithinPartitions) so min/max
-    * row-group stats turn later range filters into skips. */
+    * row-group stats turn later range filters into skips.
+    *
+    * `codec`: "snappy" (default — cheapest CPU, the hot-tier choice) or
+    * "zstd" for the cold/archive rewrite — at 100 TB the ~25-40% size
+    * reduction on text-heavy columns is petabyte-scale storage, paid for
+    * once at compaction time rather than on every query. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-      targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
+      targetFileBytes: Long, sortCols: Seq[String] = Nil,
+      codec: String = "snappy"): Int = {
     val nFiles = math.max(1L,
       (parquetBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inDir)
@@ -38,7 +44,8 @@ object Maintenance {
       else df.repartitionByRange(nFiles,
           sortCols.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-    shaped.write.mode("overwrite").parquet(outDir)
+    shaped.write.mode("overwrite").option("compression", codec)
+      .parquet(outDir)
     nFiles
   }
 

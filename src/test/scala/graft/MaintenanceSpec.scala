@@ -28,6 +28,28 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSupport {
     assert(s.read.parquet(out).count() == 10000L)
   }
 
+  test("zstd archive compaction round-trips and shrinks repetitive text") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft-hot").toString
+    val out = Files.createTempDirectory("graft-cold").toString
+    // repetitive text compresses much better under zstd than snappy
+    (1L to 2000L).map(i => (i, ("boilerplate chrome nav " * 40) + i))
+      .toDF("id", "text")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    Maintenance.compactParquet(s, in, out,
+      targetFileBytes = Long.MaxValue, codec = "zstd")
+    val back = s.read.parquet(out)
+    assert(back.count() == 2000L)
+    assert(back.agg(sum(length(col("text")))).head().getLong(0) ==
+      s.read.parquet(in).agg(sum(length(col("text")))).head().getLong(0))
+    assert(Maintenance.parquetBytes(s, out) <
+      Maintenance.parquetBytes(s, in), "zstd rewrite should be smaller")
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.getName.contains("zstd"), f.getName)
+  }
+
   test("sorted compaction lays rows out by range for stats pruning") {
     val s = spark
     import s.implicits._
