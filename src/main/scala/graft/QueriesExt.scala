@@ -1580,6 +1580,31 @@ object QueriesExt {
         |      AS BIGINT) AS pos
         |  FROM documents)""".stripMargin)),
 
+    // Shard integrity manifest over the assignment: per-shard doc count,
+    // char volume, and an ORDER-INDEPENDENT bit_xor content fingerprint
+    // (60-bit md5 integer over id|text) — what a training loader checks
+    // before scheduling a shard; any dropped/duplicated/altered row
+    // flips fp, reordering does not. Full oracle: DuckDB recomputes the
+    // same md5 family and xor.
+    QueryCase("q_shard_manifest",
+      (s, dir) => graft.ops.Shards.manifest(
+        graft.ops.Shards.assign(
+          graft.ops.Shuffling.deterministicShuffle(
+            t(s, dir, "documents"), "doc_id", seed = "epoch0", partitions = 8),
+          "pos", docsPerShard = 64L),
+        "doc_id", "text"),
+      Some("""WITH a AS (SELECT doc_id, text, pos // 64 AS shard FROM (
+        |  SELECT doc_id, text,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM documents))
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+        |    1, 15))::BIGINT) AS fp
+        |FROM a GROUP BY shard""".stripMargin)),
+
     QueryCase("q_sample_stratified",
       (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
           "doc_id", "lang",

@@ -36,4 +36,21 @@ object Shards {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     sharded.select(col("shard")).distinct().count()
   }
+
+  /** Per-shard integrity MANIFEST: (shard, n_docs, n_chars, fp) — the
+    * artifact a training loader verifies before scheduling a shard.
+    * `fp` is an ORDER-INDEPENDENT content fingerprint: bit_xor of a
+    * 60-bit md5-derived integer over `id|text` per row, so any dropped,
+    * duplicated, or altered row flips it, while row order (which the
+    * loader may not preserve) does not. The md5 path keeps it
+    * cross-engine reproducible (same family as the portable dedup
+    * twins); one map-side-combined aggregation, shuffle = |shards|. */
+  def manifest(sharded: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol))).as("n_chars"),
+      bit_xor(conv(substring(
+          md5(concat(col(idCol).cast("string"), lit("|"), col(textCol))),
+          1, 15), 16, 10).cast("long")).as("fp"))
 }

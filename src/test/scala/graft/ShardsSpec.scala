@@ -32,4 +32,24 @@ class ShardsSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows.forall { case (sh, p) => p / 32 == sh })
     assert(rows.map(_._2).sorted.toSeq == (0L until 100L))
   }
+
+  test("manifest fingerprint is order-independent but tamper-sensitive") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    def man(d: org.apache.spark.sql.DataFrame) = Shards.manifest(
+        Shards.assign(Shuffling.deterministicShuffle(d, "doc_id", "e0", 4),
+          "pos", docsPerShard = 16L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val base = man(docs)
+    assert(base.keySet == Set(0L, 1L, 2L))
+    // reordering input rows: identical manifest (xor is commutative)
+    assert(man(docs.orderBy(col("doc_id").desc)) == base)
+    // altering one row's text flips exactly its shard's fingerprint
+    val tampered = man(docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("doc 7 TAMPERED"))
+        .otherwise(col("text"))))
+    assert(tampered.count { case (k, v) => base(k) != v } == 1)
+  }
 }
