@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.ext.Dedup
 
@@ -29,14 +30,17 @@ import graft.ext.Dedup
   * longs — |admitted| × bands fixed-width rows, partition-pruned by
   * nothing but read as a compact two-column parquet scan per batch;
   * the admission join hash-partitions batch buckets (|batch| × bands
-  * rows) against it. Registry appends are per-batch parquet files —
-  * compact with [[graft.ops.Maintenance.compactParquet]] on a schedule.
-  * Exactly-once: `admit` is deterministic given (batch, registry), and
-  * a replayed batch re-appends the same buckets — duplicate registry
-  * rows only strengthen rejection, never corrupt admission (semi-join
-  * semantics), so sink idempotence is not required for correctness. */
+  * rows) against it. Persistence goes through [[AdmissionRegistry]]:
+  * per-batch overwrite appends + own-batch exclusion on the history
+  * read make replay exactly-once (a replayed batch recomputes identical
+  * admission decisions instead of self-rejecting against its own prior
+  * append), registry read failures fail closed, and batch directories
+  * compact on a schedule. */
 class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     numHashes: Int = 32, bands: Int = 8) extends Serializable {
+
+  private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
+    StructField("band", IntegerType), StructField("bucket", LongType))))
 
   /** (id, band, bucket) for every doc in `batch`. */
   private def buckets(batch: DataFrame): DataFrame =
@@ -46,20 +50,15 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
       .select(col("id"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
 
-  private def registry(spark: SparkSession): DataFrame =
-    try spark.read.parquet(stateDir).select("band", "bucket")
-    catch { case _: Throwable =>
-      spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bucket"))
-        .limit(0)
-    }
-
   /** Admit one micro-batch: returns the admitted rows (original schema)
-    * and appends their buckets to the registry. */
-  def admit(batch: DataFrame): DataFrame = {
+    * and appends their buckets to the registry under `batchId` (replay
+    * of the same batchId recomputes identical decisions — history
+    * excludes the batch's own earlier append). */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val bf = buckets(batch)
-    val vsHistory = bf.join(registry(spark), Seq("band", "bucket"),
-      "left_semi").select(col("id")).distinct()
+    val vsHistory = bf.join(registry.history(spark, batchId),
+      Seq("band", "bucket"), "left_semi").select(col("id")).distinct()
     val lowestPerBucket = bf.groupBy("band", "bucket")
       .agg(min(col("id")).as("__keep"))
     val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
@@ -68,15 +67,20 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     val rejected = vsHistory.union(vsBatch).distinct()
     val admitted = batch.join(
       rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-    bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select("band", "bucket")
-      .write.mode("append").parquet(stateDir)
+    registry.append(
+      bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .select("band", "bucket"), batchId)
     admitted
   }
+
+  /** Fold committed batch directories ≤ `uptoBatchId` into one (see
+    * [[AdmissionRegistry.compact]] for the replay-safety contract). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      uptoBatchId: Long): Int = registry.compact(spark, uptoBatchId)
 
   /** `foreachBatch` adapter: admit, then hand the admitted rows to the
     * downstream writer. */
   def step(forward: (DataFrame, Long) => Unit)(
       batch: DataFrame, batchId: Long): Unit =
-    forward(admit(batch), batchId)
+    forward(admit(batch, batchId), batchId)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ext.{Dedup, Spans}
 
@@ -21,26 +22,26 @@ import graft.ext.{Dedup, Spans}
   *
   * Registry: DISTINCT span hashes of admitted docs — fixed-width longs,
   * one row per distinct span (the span-registry cost is O(distinct
-  * spans), the price any substring-level structure pays; compact with
-  * [[graft.ops.Maintenance.compactParquet]] on a schedule). Replay-safe:
-  * re-appending a batch's spans only duplicates registry rows, and the
-  * coverage join is distinct-per-(doc, position) — rejection decisions
-  * are unchanged. */
+  * spans), the price any substring-level structure pays). Persistence
+  * goes through [[AdmissionRegistry]]: per-batch overwrite appends +
+  * own-batch exclusion on the history read make replay exactly-once (a
+  * crashed-then-replayed batch recomputes identical gate decisions
+  * instead of self-rejecting against the spans it registered before the
+  * crash), read failures fail closed, and batch directories compact on
+  * a schedule. */
 class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     k: Int = 8, gatePct: Int = 20) extends Serializable {
 
-  private def registry(spark: SparkSession): DataFrame =
-    try spark.read.parquet(stateDir).select("sh")
-    catch { case _: Throwable =>
-      spark.emptyDataFrame.select(lit(0L).as("sh")).limit(0)
-    }
+  private val registry = new AdmissionRegistry(stateDir,
+    StructType(Seq(StructField("sh", LongType))))
 
   /** Admit one micro-batch: returns admitted rows (original schema) and
-    * registers their distinct span hashes. */
-  def admit(batch: DataFrame): DataFrame = {
+    * registers their distinct span hashes under `batchId`. */
+  def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val pos = Spans.positions(batch, textCol, idCol, k)
-    val covered = pos.join(registry(spark).distinct(), Seq("sh"))
+    val covered = pos.join(registry.history(spark, batchId).distinct(),
+        Seq("sh"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
       .distinct()
@@ -54,15 +55,20 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
       .select(col("doc_id"))
     val admitted = batch.join(
       rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-    pos.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .select("sh").distinct()
-      .write.mode("append").parquet(stateDir)
+    registry.append(
+      pos.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select("sh").distinct(), batchId)
     admitted
   }
+
+  /** Fold committed batch directories ≤ `uptoBatchId` into one (see
+    * [[AdmissionRegistry.compact]] for the replay-safety contract). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      uptoBatchId: Long): Int = registry.compact(spark, uptoBatchId)
 
   /** `foreachBatch` adapter. */
   def step(forward: (DataFrame, Long) => Unit)(
       batch: DataFrame, batchId: Long): Unit =
-    forward(admit(batch), batchId)
+    forward(admit(batch, batchId), batchId)
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{AdmissionRegistry, NearDupAdmission, SpanAdmission}
+
+/** The shared admission-registry contract: replay-safe per-batch appends
+  * (own-batch exclusion — a crashed-then-replayed batch must NOT
+  * self-reject the docs it admitted before the crash), fail-closed reads,
+  * and layout-preserving compaction. */
+class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
+
+  private val keySchema = StructType(Seq(StructField("k", LongType)))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/state"
+
+  test("history excludes the current batch's own append (replay safety)") {
+    val s = spark
+    import s.implicits._
+    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema)
+    reg.append(Seq(1L, 2L).toDF("k"), batchId = 0)
+    reg.append(Seq(3L).toDF("k"), batchId = 1)
+    // Batch 1 replays: its own keys are invisible, batch 0's are not.
+    val h1 = reg.history(s, excludeBatchId = 1).as[Long].collect().toSet
+    assert(h1 == Set(1L, 2L))
+    // A later batch sees everything.
+    val h2 = reg.history(s, excludeBatchId = 2).as[Long].collect().toSet
+    assert(h2 == Set(1L, 2L, 3L))
+  }
+
+  test("re-append of the same batch overwrites, never duplicates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_reg_")
+    val reg = new AdmissionRegistry(dir, keySchema)
+    reg.append(Seq(1L, 2L).toDF("k"), batchId = 0)
+    reg.append(Seq(1L, 2L).toDF("k"), batchId = 0) // replayed append
+    assert(reg.history(s, excludeBatchId = 9).count() == 2)
+  }
+
+  test("missing registry is empty; corrupt registry data fails closed") {
+    val s = spark
+    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema)
+    assert(reg.history(s, excludeBatchId = 0).count() == 0)
+
+    val dir = tmp("graft_reg_")
+    val bad = new java.io.File(dir + "/batch=0")
+    bad.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "/batch=0/part-garbage.parquet"),
+      "this is not parquet".getBytes)
+    val reg2 = new AdmissionRegistry(dir, keySchema)
+    assertThrows[Exception] {
+      reg2.history(s, excludeBatchId = 9).count()
+    }
+  }
+
+  test("compact folds committed batches and preserves exclusion layout") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_reg_")
+    val reg = new AdmissionRegistry(dir, keySchema)
+    reg.append(Seq(1L).toDF("k"), batchId = 0)
+    reg.append(Seq(2L).toDF("k"), batchId = 1)
+    reg.append(Seq(3L).toDF("k"), batchId = 2)
+    reg.append(Seq(4L).toDF("k"), batchId = 3)
+    assert(reg.compact(s, uptoBatchId = 2) == 3)
+    // Folded rows live on under batch=2; batch=3 is untouched.
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=2", "batch=3"))
+    val h = reg.history(s, excludeBatchId = 9).as[Long].collect().toSet
+    assert(h == Set(1L, 2L, 3L, 4L))
+    // A replay of uncompacted batch 3 still excludes only its own rows.
+    assert(reg.history(s, excludeBatchId = 3).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("NearDupAdmission replay admits the same docs (no self-rejection)") {
+    val s = spark
+    import s.implicits._
+    val adm = new NearDupAdmission(tmp("graft_ndrep_"), "text", "doc_id")
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val batch = Seq((1L, base), (2L, base + " tokExtra"),
+      (3L, "completely different subject matter entirely unrelated"))
+      .toDF("doc_id", "text")
+    val first = adm.admit(batch, batchId = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 3L))
+    // Crash between registry append and sink commit → the batch replays.
+    // Before the batchId-exclusion fix this returned the empty set (every
+    // doc matched its own registered buckets) and docs 1/3 were lost.
+    val replayed = adm.admit(batch, batchId = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == first)
+    // The NEXT batch still gates against batch 0's admitted docs.
+    val next = Seq((4L, base + " tokOther"),
+      (5L, "another disjoint vocabulary document arrives here"))
+      .toDF("doc_id", "text")
+    assert(adm.admit(next, batchId = 1)
+      .select("doc_id").as[Long].collect().toSet == Set(5L))
+  }
+
+  test("SpanAdmission replay admits the same docs (no self-rejection)") {
+    val s = spark
+    import s.implicits._
+    val adm = new SpanAdmission(tmp("graft_sprep_"), "text", "doc_id",
+      k = 4, gatePct = 50)
+    val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")
+    val batch = Seq((1L, boiler + " welcome to the site")).toDF("doc_id", "text")
+    assert(adm.admit(batch, batchId = 0)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(adm.admit(batch, batchId = 0)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    val next = Seq((2L, boiler + " different footer"),
+      (3L, "entirely novel research content with original phrasing"))
+      .toDF("doc_id", "text")
+    assert(adm.admit(next, batchId = 1)
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+}
