@@ -220,8 +220,11 @@ object QueriesJoins {
     // the steady-state co-located read.
     QueryCase("q_join_bucketed",
       (s, dir) => {
-        val tag = java.lang.Long.toHexString(
-          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        // Tag = the full sanitized dir path, not a 32-bit hash: the
+        // per-JVM bucketed-table cache key must uniquely identify the
+        // source data (two sf dirs colliding on hashCode would silently
+        // serve the first dir's buckets for the second).
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val bd = graft.ops.Bucketing.ensure(s, s"g_bdocs_$tag", "doc_id", 8)(
           t(s, dir, "documents").select("doc_id", "source", "n_chars"))
         val be = graft.ops.Bucketing.ensure(s, s"g_bembs_$tag", "vec_id", 8)(

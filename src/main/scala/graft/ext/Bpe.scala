@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   *     `replace(s, " a b ", " ab ")` IS the BPE merge step. TWO passes
   *     per round: consecutive occurrences share a sentinel space, so a
   *     single pass skips every other one; the skipped occurrence is then
-  *     isolated and a second pass catches it — two passes reproduce the
-  *     greedy left-to-right merge exactly, in both engines;
+  *     isolated and a second pass catches it. The PINNED semantics is
+  *     exactly this two-pass leftmost-non-overlapping replace — both
+  *     engines implement it literally, so the harness stays
+  *     hash-consistent. Note it deviates from strict greedy
+  *     left-to-right BPE on odd self-pair runs ≥ 5: " a a a a a " →
+  *     pass 1 merges both ends → [aa, a, aa], where strict greedy gives
+  *     [aa, aa, a] (same symbol multiset, different placement). Real
+  *     alphabetic text makes such runs vanishingly rare; a
+  *     replace-to-fixpoint in BOTH engines would restore strict
+  *     fidelity at the cost of an unbounded per-round loop;
   *   - argmax tie-break: highest weighted count, then lexicographic
   *     (lhs, rhs) — deterministic on the [a-z0-9]+ symbol alphabet.
   */

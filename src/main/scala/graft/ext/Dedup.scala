@@ -291,21 +291,11 @@ object Dedup {
   def minhashCrossDupPairsPortable(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,
-      shingle: Int = 1): DataFrame = {
-    val r = numHashes / bands
-    require(bands * r == numHashes, "bands must divide numHashes")
-    val portableKeys = (sig: Column) =>
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          concat_ws(",",
-            transform(slice(sig, b * lit(r) + 1, lit(r)),
-              v => v.cast("string"))).as("bucket")))
-    bandedSigPairsCross(
+      shingle: Int = 1): DataFrame =
+    minhashCrossDupPairsPortableFromSignatures(
       minhashSignaturesPortable(existing, textCol, idCol, numHashes, shingle),
-      Some(minhashSignaturesPortable(incoming, textCol, idCol, numHashes,
-        shingle)),
-      numHashes, threshold, maxBucket, portableKeys)
-  }
+      minhashSignaturesPortable(incoming, textCol, idCol, numHashes, shingle),
+      numHashes, bands, threshold, maxBucket)
 
   // ------------------------------------ portable (cross-engine) variants
   //
@@ -352,37 +342,99 @@ object Dedup {
     * sets, not just collision-equivalent ones). */
   def minhashDupPairsPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxBucket: Int = 1000, shingle: Int = 1): DataFrame = {
+      maxBucket: Int = 1000, shingle: Int = 1): DataFrame =
+    minhashDupPairsPortableFromSignatures(
+      minhashSignaturesPortable(df, textCol, idCol, numHashes, shingle),
+      numHashes, bands, threshold, maxBucket)
+
+  /** Value-equality band keys for the portable hash family (bucket =
+    * comma-joined signature slice — no engine hash in the blocking key,
+    * so an external engine derives identical candidate sets). */
+  private def portableBandKeys(numHashes: Int, bands: Int): Column => Column = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
-    bandedSigPairs(
-      minhashSignaturesPortable(df, textCol, idCol, numHashes, shingle),
-      numHashes, bands, threshold, maxBucket,
-      sig => transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          concat_ws(",",
-            transform(slice(sig, b * lit(r) + 1, lit(r)),
-              v => v.cast("string"))).as("bucket"))))
+    sig => transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        concat_ws(",",
+          transform(slice(sig, b * lit(r) + 1, lit(r)),
+            v => v.cast("string"))).as("bucket")))
   }
 
-  /** MinHash point PROBE: all near-duplicates of ONE document — the
-    * serving-path dual of the corpus-wide [[minhashDupPairsPortable]]
-    * (answering "what duplicates THIS doc" without a self-join). The
+  /** [[minhashDupPairsPortable]] over a PRECOMPUTED (id, sig) signature
+    * table — lets a persisted signature index feed pairs generation,
+    * point probes ([[minhashProbeFromSignatures]]) and incremental
+    * maintenance without re-hashing the corpus per consumer. */
+  def minhashDupPairsPortableFromSignatures(sigs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame =
+    bandedSigPairs(sigs, numHashes, bands, threshold, maxBucket,
+      portableBandKeys(numHashes, bands))
+
+  /** [[minhashCrossDupPairsPortable]] over PRECOMPUTED signature tables. */
+  def minhashCrossDupPairsPortableFromSignatures(existingSigs: DataFrame,
+      incomingSigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    bandedSigPairsCross(existingSigs, Some(incomingSigs), numHashes,
+      threshold, maxBucket, portableBandKeys(numHashes, bands))
+
+  /** INCREMENTAL near-dup pairs maintenance — the 100 TB operating mode:
+    * never re-pair years of corpus to ingest a day. Given yesterday's
+    * pairs artifact (`oldPairs`, over the docs of `oldSigs`) and today's
+    * slice's signatures (`newSigs`, id-disjoint from the old corpus),
+    * the updated whole-corpus pairs set is
+    *
+    *   oldPairs ∪ cross(old, new) ∪ self(new)
+    *
+    * which equals a from-scratch recompute over old ∪ new EXACTLY: with
+    * value-equality band keys, a pair is a candidate iff its two
+    * signatures share a band slice VALUE — a property of the pair alone,
+    * independent of corpus composition — so the pair space partitions
+    * cleanly by which side each doc lives on. (The one caveat is
+    * `maxBucket`: per-slice bucket counts under-count the combined
+    * bucket, so a cap that binds at combined scale but not per-slice
+    * admits pairs a recompute would drop — the standard incremental-LSH
+    * approximation; q_dedup_incremental's whole-corpus oracle proves
+    * exactness in the unbound regime.)
+    *
+    * Scale shape: cross is an A×B bucket join (new slice's buckets
+    * against the persisted index — |day| × bands rows against the
+    * artifact, never |corpus|²), self(new) is a day-sized self-join, and
+    * oldPairs is READ, not recomputed. The three parts are id-disjoint
+    * by construction (old×old, old×new, new×new), so the union needs no
+    * dedup pass. */
+  def minhashPairsIncrementalPortable(oldPairs: DataFrame,
+      oldSigs: DataFrame, newSigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val cross = minhashCrossDupPairsPortableFromSignatures(oldSigs, newSigs,
+        numHashes, bands, threshold, maxBucket)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("est_jaccard"))
+    val newSelf = minhashDupPairsPortableFromSignatures(newSigs,
+      numHashes, bands, threshold, maxBucket)
+    oldPairs.unionByName(cross).unionByName(newSelf)
+  }
+
+  /** MinHash point PROBE against a PRECOMPUTED signature table — the
+    * serving-path primitive. `sigs` is (id, sig) from
+    * [[minhashSignatures]] / [[minhashSignaturesPortable]] (the function
+    * is hash-family-agnostic: it only compares signature values). The
     * query row's signature is collected (one bounded row), its band
     * slices become literal predicates, and candidacy is a scan-fused
     * FILTER over the signature table — no join, no shuffle; with the
     * signature table bucketed/partitioned by leading band values the
-    * probe prunes to matching buckets at 100 TB. Portable md5 hash
-    * family throughout, so the whole probe is oracle-reproducible.
-    * Returns (doc_id, est_jaccard) for candidates with signature-match
-    * estimate ≥ `threshold`, query row excluded. */
-  def minhashProbePortable(df: DataFrame, textCol: String, idCol: String,
-      queryId: Long, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.25, shingle: Int = 1): DataFrame = {
+    * probe prunes to matching buckets at 100 TB.
+    *
+    * At scale the signature table is a MATERIALIZED corpus artifact
+    * (computed once, stored as parquet, maintained incrementally) and a
+    * probe is an index read — NOT a corpus re-hash per query. Returns
+    * (doc_id, est_jaccard) for candidates with signature-match estimate
+    * ≥ `threshold`, query row excluded. */
+  def minhashProbeFromSignatures(sigs: DataFrame, queryId: Long,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
-    val sigs = minhashSignaturesPortable(df, textCol, idCol, numHashes,
-      shingle)
     val q = sigs.filter(col("id") === queryId)
       .select("sig").head().getSeq[Long](0)
     val anyBandMatches = (0 until bands).map { b =>
@@ -399,6 +451,18 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id").as("doc_id"), col("est_jaccard"))
   }
+
+  /** [[minhashProbeFromSignatures]] with the signatures computed inline
+    * from the corpus (portable md5 family, so the whole probe is
+    * oracle-reproducible). Convenience for one-off probes; a serving
+    * path should materialize the signature table once and call
+    * [[minhashProbeFromSignatures]] directly. */
+  def minhashProbePortable(df: DataFrame, textCol: String, idCol: String,
+      queryId: Long, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.25, shingle: Int = 1): DataFrame =
+    minhashProbeFromSignatures(
+      minhashSignaturesPortable(df, textCol, idCol, numHashes, shingle),
+      queryId, numHashes, bands, threshold)
 
   /** MinHash dedup: drop every doc that is a near-duplicate of a
     * smaller-id doc (greedy representative-by-min-id; the standard

@@ -111,6 +111,19 @@ object Similarity {
     * prunes to nprobe/nlist of the data. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, centroids: Array[(Int, Array[Float])],
+      nprobe: Int = 4): DataFrame =
+    ivfTopKFromIndex(ivfAssign(df, vecCol, centroids), vecCol, idCol,
+      query, k, centroids, nprobe)
+
+  /** IVF probe against a PRECOMPUTED assignment index — rows already
+    * carrying their `cell` column (the [[ivfAssign]] build-pass output,
+    * persisted once per corpus snapshot). The serving-path shape: a
+    * top-k query is an INDEX READ (filter nprobe cells, exact cosine
+    * within), never a per-query re-assignment of the corpus. At scale
+    * the index is written partitioned/bucketed by `cell`, so the filter
+    * prunes to nprobe/nlist of the data at the scan. */
+  def ivfTopKFromIndex(index: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, centroids: Array[(Int, Array[Float])],
       nprobe: Int = 4): DataFrame = {
     val probeCells: Seq[Int] = centroids.map { case (cid, cvec) =>
       val dot = cvec.indices.map(d => cvec(d).toDouble * query(d).toDouble).sum
@@ -118,9 +131,9 @@ object Similarity {
         math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
       (cid, dot / n)
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
-    ivfAssign(df, vecCol, centroids)
+    index
       .filter(col("cell").isin(probeCells: _*))
-      .withColumn("score", Vectors.cosineNative(df.sparkSession, col(vecCol), asDoubleLit(query)))
+      .withColumn("score", Vectors.cosineNative(index.sparkSession, col(vecCol), asDoubleLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

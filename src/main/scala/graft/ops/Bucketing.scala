@@ -50,7 +50,14 @@ object Bucketing {
   /** Idempotent per-JVM ensure-then-read: builds the bucketed table once
     * per JVM (overwriting stale copies from earlier runs), then reads it
     * back through the catalog so the bucketing metadata reaches the
-    * planner. */
+    * planner.
+    *
+    * `table` IS the cache key: it must uniquely identify the source data
+    * (derive it from the full sanitized input path, never a truncated
+    * hash — colliding names would silently serve the first dataset's
+    * buckets for the second). The cache also never invalidates within a
+    * JVM; if the underlying fixture can change mid-JVM, drop the table
+    * first. */
   def ensure(spark: SparkSession, table: String, keyCol: String,
       buckets: Int)(build: => DataFrame): DataFrame = {
     built.getOrElseUpdate(table, writeBucketed(build, table, keyCol, buckets))

@@ -36,6 +36,17 @@ class BpeSpec extends AnyFunSuite with SparkTestSupport {
     assert(seg("aaaa") == Seq("aa", "aa"))
   }
 
+  test("pinned semantics: odd self-pair runs ≥ 5 deviate from strict greedy") {
+    // " a a a a a ": pass 1 merges both ends → [aa, a, aa]; strict greedy
+    // BPE would give [aa, aa, a] (same symbol multiset, different
+    // placement). Both engines pin the two-pass replace (Bpe scaladoc),
+    // so the harness stays hash-consistent — this test locks the pinned
+    // behavior, not Sennrich fidelity.
+    val seg = Bpe.segment(docs((1L, "aaaaa")), "text", Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("aaaaa") == Seq("aa", "a", "aa"))
+  }
+
   test("segment applies merges in rank order") {
     val seg = Bpe.segment(corpus, "text", Seq(("a", "b"), ("ab", "ab")))
       .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap

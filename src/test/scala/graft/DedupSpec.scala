@@ -161,6 +161,48 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == Set(2L))
   }
 
+  test("minhashProbeFromSignatures: probe over a persisted index ≡ inline probe") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "completely unrelated words about other topics entirely"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigidx_").toString
+    Dedup.minhashSignaturesPortable(d, "text", "doc_id", 16)
+      .write.mode("overwrite").parquet(dir)
+    val got = Dedup.minhashProbeFromSignatures(spark.read.parquet(dir),
+      queryId = 1L, numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val inline = Dedup.minhashProbePortable(d, "text", "doc_id", queryId = 1L,
+      numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == inline && got.map(_._1) == Set(2L))
+  }
+
+  test("minhashPairsIncrementalPortable: artifact-append ≡ whole-corpus recompute") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // old∩old pair
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight nine"),      // cross pair 3-4
+      (5L, "alpha beta gamma delta epsilon zeta eta kappa"),     // cross pair 1/2-5
+      (7L, "completely unrelated words about other topics entirely"),
+      (8L, "completely unrelated words about other topics wholly")) // new∩new pair
+    val sigs = Dedup.minhashSignaturesPortable(d, "text", "doc_id", 16)
+    val oldSigs = sigs.filter(col("id") <= 3)
+    val newSigs = sigs.filter(col("id") > 3)
+    val oldPairs = Dedup.minhashDupPairsPortableFromSignatures(oldSigs,
+      numHashes = 16, bands = 4, threshold = 0.25)
+    val incremental = Dedup.minhashPairsIncrementalPortable(
+        oldPairs, oldSigs, newSigs,
+        numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recompute = Dedup.minhashDupPairsPortable(d, "text", "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == recompute && incremental.nonEmpty)
+  }
+
   test("semanticDupPairs: pairs within a cell; cross-cell neighbors blocked") {
     val s = spark
     import s.implicits._

@@ -54,6 +54,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
     0xFF, 0xD9)).map(_.toByte)
 
+  test("MediaFixtures blobs decode to their oracle-pinned dimensions") {
+    // q_multimodal_decode_real's oracle hard-codes exactly these values.
+    assert(graft.ext.MediaFixtures.png1x1.length == 67)
+    assert(Multimodal.imageDims(graft.ext.MediaFixtures.png1x1)
+      .contains((1, 1, 4)))
+    assert(graft.ext.MediaFixtures.jpeg4x2.length == 41)
+    assert(Multimodal.imageDims(graft.ext.MediaFixtures.jpeg4x2)
+      .contains((4, 2, 3)))
+  }
+
   test("imageDims parses real PNG and JPEG headers; rejects other blobs") {
     assert(Multimodal.imageDims(realPng).contains((5, 3, 4)))
     assert(Multimodal.imageDims(realJpegHeader).contains((11, 7, 3)))

@@ -47,6 +47,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(got.toSet.subsetOf(Set(0L, 1L))) // only cell 0 probed
   }
 
+  test("ivfTopKFromIndex over a persisted assignment index ≡ inline ivfTopK") {
+    val cents = Array((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_").toString
+    Similarity.ivfAssign(corpus, "embedding", cents)
+      .write.mode("overwrite").parquet(dir)
+    val q = Array(0.95f, 0.05f, 0f, 0f)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark.read.parquet(dir),
+        "embedding", "vec_id", q, 2, cents, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.ivfTopK(corpus, "embedding", "vec_id",
+        q, 2, cents, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == inline && viaIndex.nonEmpty)
+  }
+
   test("sampleCentroids is deterministic and bounded") {
     val c = Similarity.sampleCentroids(corpus, "embedding", "vec_id", 2)
     assert(c.length == 2 && c(0)._2.head == 1f)
