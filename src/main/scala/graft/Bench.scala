@@ -31,6 +31,13 @@ import java.nio.file.{Files, Paths}
   * whose best time is still above SPARK_GRAFT_BENCH_RERUN_SEC (default 3 s);
   * the reported per-query time is the MIN across samples. `method` in the
   * JSON names the protocol; `wall_sec` keeps the raw wall-clock honest.
+  *
+  * Variance reporting (bench_out.json only — the stdout line is
+  * char-budgeted): `spread` carries each query's min/median/max across its
+  * samples, and `moved` flags queries whose min shifted >1.5× against the
+  * previous round's BENCH_r*.json — so a real regression is
+  * distinguishable from shared-host noise at a glance (a noisy query shows
+  * a wide min→max spread; a regressed one moves its MIN).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +65,8 @@ object Bench {
     var errors = List.empty[(String, String)]
     var failed = Set.empty[String]
 
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -68,6 +77,7 @@ object Bench {
           }
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = dt :: samples.getOrElse(name, Nil)
       spark.catalog.clearCache()
       graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
       dt
@@ -118,8 +128,46 @@ object Bench {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString(",")
     } catch { case _: Throwable => "" }
+    // Per-query sample spread: a regression moves the MIN; host noise
+    // widens min→max while the min stays put.
+    def r3(v: Double): String = f"$v%.3f"
+    val spreadJson = samples.map { case (k, xs) =>
+      val s = xs.sorted
+      jstr(k) + s""":{"min":${r3(s.head)},"med":${r3(s(s.size / 2))},"max":${r3(s.last)},"n":${s.size}}"""
+    }.mkString("{", ",", "}")
+    // Round-over-round movement: compare each query's min against the
+    // newest committed BENCH_r*.json and flag >1.5× shifts either way.
+    val prevFile = Option(new java.io.File("/root/repo").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .lastOption
+    val prevTimes: Map[String, Double] = prevFile.map { f =>
+      try {
+        val txt = Files.readString(f.toPath)
+        val m = java.util.regex.Pattern
+          .compile("\"queries\":\\{([^}]*)\\}").matcher(txt)
+        if (!m.find()) Map.empty[String, Double]
+        else m.group(1).split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val moved = results.toSeq.flatMap { case (k, v) =>
+      prevTimes.get(k).collect {
+        case p if p > 0 && v > 0 && (v / p > 1.5 || p / v > 1.5) =>
+          k -> f"${v / p}%.2f"
+      }
+    }
+    val movedJson = moved.map { case (k, r) => jstr(k) + ":" + r }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevFile.map(_.getName).getOrElse(""))},"moved":$movedJson,"n_moved":${moved.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // The driver captures only the LAST 2000 chars of the run log and parses
     // the metric line out of that tail. The full-precision line above grew
@@ -130,7 +178,7 @@ object Bench {
     // precision lives in bench_out.json (committed with the repo).
     def r2(v: Double): String = f"$v%.2f"
     val sorted = results.toSeq.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length
     val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
     var used = 0

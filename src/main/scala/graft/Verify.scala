@@ -64,9 +64,17 @@ object Verify {
       checks("minhash_dedup.equals_docs_minus_pair_dropped") =
         kept.exceptAll(expected).count() == 0 &&
           expected.exceptAll(kept).count() == 0
+      // Numeric drift telemetry beside the boolean bounds: the exact
+      // twin/portable pair-count ratios, so cross-round trend (not just
+      // the 2× flag) is visible in the committed artifact.
+      val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
       val mhPortable = read("q_dedup_minhash_portable").count().toDouble
       checks("minhash_pairs.count_within_2x_of_portable_twin") =
         mh.count() >= mhPortable / 2 && mh.count() <= mhPortable * 2
+      metrics("minhash_pairs.twin_count") = mh.count().toDouble
+      metrics("minhash_pairs.portable_count") = mhPortable
+      metrics("minhash_pairs.twin_over_portable_ratio") =
+        if (mhPortable > 0) mh.count() / mhPortable else -1.0
       val sh = read("q_dedup_simhash_pairs")
       checks("simhash_pairs.canonical_id_a_lt_id_b") =
         sh.filter(col("id_a") >= col("id_b")).count() == 0
@@ -81,6 +89,10 @@ object Verify {
       val shPortable = read("q_dedup_simhash_portable").count().toDouble
       checks("simhash_pairs.count_within_2x_of_portable_twin") =
         sh.count() >= shPortable / 2 && sh.count() <= shPortable * 2
+      metrics("simhash_pairs.twin_count") = sh.count().toDouble
+      metrics("simhash_pairs.portable_count") = shPortable
+      metrics("simhash_pairs.twin_over_portable_ratio") =
+        if (shPortable > 0) sh.count() / shPortable else -1.0
       // q_distinct_sketch / q_freq_sketch now carry their sketch
       // contracts as BIGINT flag columns that the DuckDB oracle
       // hash-checks (all-1 expected), so the driver's CORRECTNESS gate
@@ -98,7 +110,8 @@ object Verify {
         fs.filter(col("within_eps") =!= 1L).count() == 0
       checks("freq_sketch.merge_equals_whole") =
         fs.filter(col("merge_consistent") =!= 1L).count() == 0
-      val sj = checks.map { case (k, v) => s""""$k": $v""" }
+      val sj = (checks.map { case (k, v) => s""""$k": $v""" } ++
+        metrics.map { case (k, v) => s""""$k": ${f"$v%.4f"}""" })
         .mkString("{", ", ", "}")
       Files.writeString(Paths.get(s"$outDir/structural_checks.json"), sj)
       val failed = checks.collect { case (k, false) => k }
