@@ -64,6 +64,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       .contains((4, 2, 3)))
   }
 
+  test("pngPixels round-trips all five PNG row filters through a real zlib stream") {
+    // One column per filter kernel: rows filtered None/Sub/Up/Average/
+    // Paeth by the encoder must reconstruct to the original bytes.
+    val rows = Seq(
+      Seq(7, 200, 13), Seq(9, 100, 255), Seq(0, 50, 128),
+      Seq(77, 78, 79), Seq(254, 1, 127))
+    val png = graft.ext.MediaFixtures.buildPng(3, 5, 0, rows,
+      filters = Seq(0, 1, 2, 3, 4))
+    val img = Multimodal.pngPixels(png).get
+    assert((img.width, img.height, img.channels) == (3, 5, 1))
+    assert(img.pixels.map(_ & 0xFF).toSeq == rows.flatten)
+    // RGBA path: the canonical 1×1 transparent PNG decodes to 4 zero bytes.
+    val tiny = Multimodal.pngPixels(graft.ext.MediaFixtures.png1x1).get
+    assert((tiny.width, tiny.height, tiny.channels) == (1, 1, 4))
+    assert(tiny.pixels.toSeq == Seq[Byte](0, 0, 0, 0))
+    // Non-PNG blobs are rejected, not mis-decoded.
+    assert(Multimodal.pngPixels(graft.ext.MediaFixtures.jpeg4x2).isEmpty)
+    assert(Multimodal.pngPixels("text".getBytes).isEmpty)
+  }
+
+  test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
+    val s = spark
+    import s.implicits._
+    val got = Multimodal.decodePixelStats(s, Seq(
+        (2L, graft.ext.MediaFixtures.pngRgb2x2),
+        (3L, graft.ext.MediaFixtures.pngGray3x2),
+        (4L, graft.ext.MediaFixtures.jpeg4x2))
+      .toDF("media_id", "content")).collect()
+      .map(p => p.media_id ->
+        (p.width, p.height, p.channels, p.n_px_bytes, p.px_sum,
+          p.px_min, p.px_max)).toMap
+    assert(got.keySet == Set(2L, 3L)) // the JPEG is not a decodable PNG
+    assert(got(2L) == (2, 2, 3, 12L, 66L, 0, 11))
+    assert(got(3L) == (3, 2, 1, 6L, 105L, 5, 30))
+  }
+
   test("imageDims parses real PNG and JPEG headers; rejects other blobs") {
     assert(Multimodal.imageDims(realPng).contains((5, 3, 4)))
     assert(Multimodal.imageDims(realJpegHeader).contains((11, 7, 3)))
