@@ -472,6 +472,42 @@ object QueriesExt {
       |  AND ($matches) / $numHashes.0 >= $threshold""".stripMargin
   }
 
+  /** Text-probe oracle: the query signature is derived from a LITERAL
+    * text expression (doc `baseDocId`'s text + `suffix` — a document NOT
+    * in the corpus) through the same shingle→double-hash→min pipeline,
+    * then probed against every corpus signature with NO self-exclusion.
+    * Mirrors Dedup.minhashProbeTextPortable clause for clause. */
+  private def minhashProbeTextOracle(numHashes: Int, bands: Int,
+      threshold: Double, baseDocId: Long, suffix: String): String = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
+    val bandMatch = (0 until bands).map { b =>
+      (b * r until (b + 1) * r).map(i => s"s.m$i = q.m$i")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n   OR ")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN s.m$i = q.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashSigCte(numHashes)},
+      |qt AS (SELECT regexp_extract_all(lower(text || '$suffix'),
+      |         '[a-z0-9]+') AS toks
+      |       FROM documents WHERE doc_id = $baseDocId),
+      |qg AS (SELECT list_distinct([array_to_string(toks[i:i+2], ' ')
+      |        for i in range(1, greatest(len(toks)-1, 1))]) AS grams FROM qt),
+      |qu AS (SELECT unnest(grams) AS u FROM qg),
+      |qh AS (SELECT ${sqlHex32("u")} AS h1,
+      |              ${sqlHex32("u || '|'")} AS h2 FROM qu),
+      |q AS (SELECT
+      |  $minCols
+      |  FROM qh)
+      |SELECT s.doc_id,
+      |  floor(($matches) / $numHashes.0 * 10000 + 0.5) / 10000 AS est_jaccard
+      |FROM sig s, q
+      |WHERE ($bandMatch)
+      |  AND ($matches) / $numHashes.0 >= $threshold""".stripMargin
+  }
+
   /** Full MinHash+LSH pipeline oracle (portable md5 hash family,
     * shingle=3, value-equality band keys): shingles → double-hash mins →
     * band buckets → bounded self-join → exact signature-match estimate.
@@ -775,6 +811,22 @@ object QueriesExt {
           queryId = 8L, numHashes = 32, bands = 8, threshold = 0.25)
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
       Some(minhashProbeOracle(32, 8, 0.25, 8L))),
+
+    // Ingest-time text probe: "what near-duplicates this INCOMING doc"
+    // for a document NOT in the corpus (doc 8's text + a suffix — the
+    // realistic serving query). The query signature is computed by the
+    // same engine pipeline over one row, then probed against the
+    // PERSISTED signature index with scan-fused band predicates; no
+    // self-exclusion, so doc 8 itself surfaces near 1.0.
+    QueryCase("q_dedup_probe_text",
+      (s, dir) => {
+        val qtext = t(s, dir, "documents").filter(col("doc_id") === 8L)
+          .select("text").head().getString(0) + " qprobe extra"
+        Dedup.minhashProbeTextPortable(minhashSigIndex(s, dir), qtext,
+            numHashes = 32, bands = 8, threshold = 0.25, shingle = 3)
+          .withColumn("est_jaccard", round4(col("est_jaccard")))
+      },
+      Some(minhashProbeTextOracle(32, 8, 0.25, 8L, " qprobe extra"))),
 
     // Incremental pairs maintenance: yesterday's pairs artifact + today's
     // slice == whole-corpus recompute (never re-pair years of corpus to

@@ -433,17 +433,56 @@ object Dedup {
     * ≥ `threshold`, query row excluded. */
   def minhashProbeFromSignatures(sigs: DataFrame, queryId: Long,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val r = numHashes / bands
-    require(bands * r == numHashes, "bands must divide numHashes")
     val q = sigs.filter(col("id") === queryId)
       .select("sig").head().getSeq[Long](0)
+    probeWithSignature(sigs, q, numHashes, bands, threshold,
+      excludeId = Some(queryId))
+  }
+
+  /** Probe the signature index with a NEW document's RAW TEXT — the
+    * ingest-time serving shape ("what near-duplicates this INCOMING
+    * doc") where the query is NOT a corpus row. The query signature is
+    * computed by the same engine pipeline over a 1-row frame (hash
+    * semantics match the index bit-for-bit), then band slices become
+    * literal scan predicates exactly as in
+    * [[minhashProbeFromSignatures]]; no exclusion filter, so an exact
+    * copy already in the corpus surfaces at estimate 1.0. A text too
+    * short to shingle returns an empty result (nothing to match). */
+  def minhashProbeTextPortable(sigs: DataFrame, text: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.25,
+      shingle: Int = 1): DataFrame = {
+    val spark = sigs.sparkSession
+    val one = spark.range(1)
+      .select(lit(-1L).as("qid"), lit(text).as("qtext"))
+    val qRow = minhashSignaturesPortable(one, "qtext", "qid", numHashes,
+      shingle).select("sig").collect().headOption
+    qRow match {
+      case Some(row) =>
+        probeWithSignature(sigs, row.getSeq[Long](0), numHashes, bands,
+          threshold, excludeId = None)
+      case None => // no shingles in the query text
+        sigs.select(col("id").as("doc_id"),
+          lit(0.0).as("est_jaccard")).limit(0)
+    }
+  }
+
+  /** Shared probe body: candidacy = any full band slice of `sigs`
+    * equals the query signature's (scan-fused literal predicates);
+    * estimate = signature-match fraction. */
+  private def probeWithSignature(sigs: DataFrame, q: Seq[Long],
+      numHashes: Int, bands: Int, threshold: Double,
+      excludeId: Option[Long]): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
     val anyBandMatches = (0 until bands).map { b =>
       (0 until r).map(i =>
         element_at(col("sig"), b * r + i + 1) === lit(q(b * r + i)))
         .reduce(_ && _)
     }.reduce(_ || _)
     val qLit = array(q.map(lit): _*)
-    sigs.filter(col("id") =!= queryId)
+    val base = excludeId.map(id => sigs.filter(col("id") =!= id))
+      .getOrElse(sigs)
+    base
       .filter(anyBandMatches)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig"), qLit, (x, y) => x === y),

@@ -27,8 +27,9 @@ import graft.streaming.{Pipeline, ServingView}
   *
   * Context: the reference's replay producer tops out at ≈ 95 records/s BY
   * DESIGN (per-record sleep + flush, `stream_generator.py:10-11`).
-  * Usage: runMain graft.tools.StreamBench [throughput|serving]
-  *        [rowsPerSec] [secs]
+  * Usage: runMain graft.tools.StreamBench
+  *        [throughput|serving|serving-durable] [rowsPerSec] [secs]
+  * (`serving-durable` = the parquet-versioned snapshot mode.)
   */
 object StreamBench {
 
@@ -73,7 +74,9 @@ object StreamBench {
 
     val summary = Pipeline.summarize(frames)
 
-    if (mode == "serving") runServing(spark, summary, rps, seconds)
+    if (mode.startsWith("serving"))
+      runServing(spark, summary, rps, seconds,
+        durable = mode == "serving-durable")
     else runThroughput(summary, rps, seconds)
     spark.stop()
   }
@@ -98,9 +101,17 @@ object StreamBench {
       f"(requested $rps rows/s for $seconds s)")
   }
 
+  /** `durable = true` runs the SAME chain against the parquet-versioned
+    * snapshot mode (ServingView(snapshotDir)) — merge latency then
+    * includes the version write + swap + retire, and reads scan the
+    * committed parquet files; the delta vs the in-memory arm prices the
+    * durability the restart story buys. */
   private def runServing(spark: SparkSession, summary: DataFrame,
-      rps: Int, seconds: Int): Unit = {
-    val view = new ServingView()
+      rps: Int, seconds: Int, durable: Boolean = false): Unit = {
+    val view = if (durable)
+      new ServingView(snapshotDir = Some(java.nio.file.Files
+        .createTempDirectory("graft_sb_snap_").toString + "/snap"))
+    else new ServingView()
     val mergeMs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val q = summary.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -136,7 +147,8 @@ object StreamBench {
       import scala.jdk.CollectionConverters._
       mergeMs.asScala.toSeq
     }
-    println(f"[streambench] mode=serving batches=${merges.size} " +
+    val modeName = if (durable) "serving-durable" else "serving"
+    println(f"[streambench] mode=$modeName batches=${merges.size} " +
       f"view_rows=$viewRows reads=${rankMs.size} " +
       f"merge_ms_p50=${pct(merges, 0.5)}%.0f merge_ms_p95=${pct(merges, 0.95)}%.0f " +
       f"rank_ms_p50=${pct(rankMs.toSeq, 0.5)}%.0f rank_ms_p95=${pct(rankMs.toSeq, 0.95)}%.0f " +

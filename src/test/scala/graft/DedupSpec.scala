@@ -179,6 +179,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == inline && got.map(_._1) == Set(2L))
   }
 
+  test("minhashProbeTextPortable: incoming text finds corpus near-dups, no self-exclusion") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely unrelated words about other topics entirely"))
+    val sigs = Dedup.minhashSignaturesPortable(d, "text", "doc_id", 16)
+    // An incoming doc that is a near-dup of doc 1 (one token appended).
+    val got = Dedup.minhashProbeTextPortable(sigs,
+      "alpha beta gamma delta epsilon zeta eta theta iota",
+      numHashes = 16, bands = 4, threshold = 0.25)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L))
+    // An exact copy of a corpus doc surfaces at estimate 1.0.
+    val exact = Dedup.minhashProbeTextPortable(sigs,
+      "alpha beta gamma delta epsilon zeta eta theta",
+      numHashes = 16, bands = 4, threshold = 0.25).collect()
+    assert(exact.exists(r => r.getLong(0) == 1L && r.getDouble(1) == 1.0))
+    // A query too short to shingle returns empty, not an error.
+    assert(Dedup.minhashProbeTextPortable(sigs, "",
+      numHashes = 16, bands = 4, threshold = 0.25, shingle = 3).count() == 0)
+  }
+
   test("minhashPairsIncrementalPortable: artifact-append ≡ whole-corpus recompute") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -229,4 +229,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!exchanges.exists(e =>
       e.contains("doc_id") || e.contains("vec_id")), exchanges.mkString("\n"))
   }
+
+  test("q_dedup_probe is a shuffle-free filter over the signature index") {
+    // The serving-path contract: a point probe reads the persisted
+    // signature artifact (parquet scan + band-literal filter) — no join,
+    // no Exchange, no corpus re-hash anywhere in the plan.
+    val plan = formatted("q_dedup_probe")
+    assert(!plan.contains("Exchange"), plan.take(4000))
+    assert(!plan.contains("Join"), plan.take(4000))
+  }
+
+  test("q_similarity_ivf_indexed probes the persisted index with a top-k heap") {
+    // Index read (cell-filtered scan of the materialized assignment
+    // table) + TakeOrderedAndProject — never a global sort, never a
+    // per-query re-assignment join of the corpus.
+    val plan = formatted("q_similarity_ivf_indexed")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("GlobalSort"), plan.take(4000))
+    assert(!plan.contains("Join"), plan.take(4000))
+  }
 }
