@@ -801,6 +801,26 @@ object QueriesExt {
           "text", "doc_id", maxHamming = 3),
       Some(simhashPortableOracle(3))),
 
+    // Incremental SimHash-pairs maintenance — the fingerprint-tier twin
+    // of q_dedup_incremental: old slice (even doc_ids) pairs artifact +
+    // cross(old,new) + self(new), hash-checked against the WHOLE-CORPUS
+    // SimHash oracle. Exact (chunk-value candidacy is a per-pair
+    // property; no caps). All three dedup families — MinHash, SimHash,
+    // embedding — now carry the same artifact-append ≡ recompute law.
+    QueryCase("q_dedup_incremental_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val oldFps = Dedup.simhashFingerprintsPortable(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        val newFps = Dedup.simhashFingerprintsPortable(
+          docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+        val oldPairs = Dedup.simhashDupPairsPortableFromFingerprints(
+          oldFps, maxHamming = 3)
+        Dedup.simhashPairsIncrementalPortable(oldPairs, oldFps, newFps,
+          maxHamming = 3)
+      },
+      Some(simhashPortableOracle(3))),
+
     // Point probe: near-duplicates of ONE document (serving-path dual of
     // the corpus-wide pairs join) — band slices of the query signature
     // become literal scan predicates over the PERSISTED signature index
@@ -890,6 +910,26 @@ object QueriesExt {
           "embedding", "vec_id",
           threshold = 0.4, planes = EmbPlanes, tables = EmbTables, dim = 64)
         .withColumn("cos", round4(col("cos"))),
+      Some(embeddingPairsOracle)),
+
+    // Incremental embedding-pairs maintenance — the vector-tier twin of
+    // q_dedup_incremental: old slice (even vec_ids) pairs artifact +
+    // cross(old,new) + self(new), hash-checked against the WHOLE-CORPUS
+    // embedding-pairs oracle. Exact (sketch buckets are per-row
+    // properties of the seeded hyperplane family; no caps here).
+    QueryCase("q_dedup_incremental_embedding",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val old = embs.filter(col("vec_id") % 2 === 0)
+        val nw = embs.filter(col("vec_id") % 2 =!= 0)
+        val oldPairs = Dedup.embeddingDupPairs(old, "embedding", "vec_id",
+          threshold = 0.4, planes = EmbPlanes, tables = EmbTables, dim = 64)
+        Dedup.embeddingPairsIncremental(oldPairs, old, nw,
+            "embedding", "vec_id",
+            threshold = 0.4, planes = EmbPlanes, tables = EmbTables,
+            dim = 64)
+          .withColumn("cos", round4(col("cos")))
+      },
       Some(embeddingPairsOracle)),
 
     // Cross-corpus embedding near-dup: incoming vectors (vec_id % 5 = 0)

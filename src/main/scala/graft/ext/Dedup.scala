@@ -652,25 +652,68 @@ object Dedup {
 
   /** Pigeonhole chunk-join over a fingerprint table (`id`, `fp`). */
   private def hammingPairs(fpTable: DataFrame, bits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    hammingPairsCross(fpTable, None, bits, maxHamming)
+
+  /** Self- or cross-corpus pigeonhole chunk join over fingerprint tables
+    * (`fpB0 = None` → canonical id_a < id_b self-pairs; `Some` → A×B).
+    * Same shape as [[bandedSigPairsCross]] for the MinHash tier. */
+  private def hammingPairsCross(fpA0: DataFrame, fpB0: Option[DataFrame],
+      bits: Int, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = bits / chunks
-    val fps = graft.ops.Caches.track(fpTable)
+    def chunked(t: DataFrame): DataFrame = graft.ops.Caches.track(t)
       .withColumn("chunk", explode(transform(
         sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),
           call_function("shiftrightunsigned", col("fp"), c * lit(width))
             .bitwiseAND(lit((1L << width) - 1)).as("cv")))))
       .select(col("id"), col("fp"), col("chunk.ci"), col("chunk.cv"))
+    val ca = chunked(fpA0)
+    val cb = fpB0.map(chunked).getOrElse(ca)
 
-    val a = fps.select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = fps.select(col("ci"), col("cv"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
+    val joined = ca
+      .select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(cb.select(col("ci"), col("cv"), col("id").as("id_b"),
+        col("fp").as("fp_b")), Seq("ci", "cv"))
+    (if (fpB0.isEmpty) joined.filter(col("id_a") < col("id_b")) else joined)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** [[simhashDupPairsPortable]] over a PRECOMPUTED (id, fp) fingerprint
+    * table — the persisted-artifact entry point (same discipline as
+    * [[minhashDupPairsPortableFromSignatures]]). */
+  def simhashDupPairsPortableFromFingerprints(fps: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(fps, 60, maxHamming)
+
+  /** CROSS-CORPUS SimHash pairs (portable 60-bit md5 family): incoming
+    * docs within `maxHamming` of some existing doc — the SimHash twin of
+    * [[minhashCrossDupPairsPortable]]. Returns (id_a from `existing`,
+    * id_b from `incoming`, hamming). */
+  def simhashCrossDupPairsPortable(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    hammingPairsCross(
+      simhashFingerprintsPortable(existing, textCol, idCol),
+      Some(simhashFingerprintsPortable(incoming, textCol, idCol)),
+      60, maxHamming)
+
+  /** INCREMENTAL SimHash pairs maintenance — the same merge law as
+    * [[minhashPairsIncrementalPortable]]: oldPairs ∪ cross(old, new) ∪
+    * self(new) over id-disjoint fingerprint tables equals a from-scratch
+    * recompute EXACTLY (chunk-value candidacy is a per-pair property of
+    * the two fingerprints; this pipeline has no bucket caps). */
+  def simhashPairsIncrementalPortable(oldPairs: DataFrame,
+      oldFps: DataFrame, newFps: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val cross = hammingPairsCross(oldFps, Some(newFps), 60, maxHamming)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+    val newSelf = hammingPairs(newFps, 60, maxHamming)
+    oldPairs.unionByName(cross).unionByName(newSelf)
   }
 
   /** First 60 bits of md5 as a long (15 hex chars — stays inside the
@@ -922,6 +965,32 @@ object Dedup {
       .withColumn("cos", Vectors.cosineNative(spark, col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** INCREMENTAL embedding near-dup maintenance — the same merge law as
+    * [[minhashPairsIncrementalPortable]], for the vector tier: given
+    * yesterday's pairs artifact over `existing` and today's id-disjoint
+    * `incoming` slice,
+    *
+    *   oldPairs ∪ cross(existing, incoming) ∪ self(incoming)
+    *
+    * equals a from-scratch [[embeddingDupPairs]] over the union EXACTLY:
+    * sketch-bucket membership is a per-row property of the seeded
+    * hyperplane family (same `seed` on every side), so per-pair candidacy
+    * is independent of corpus composition, and this pipeline has no
+    * bucket caps to approximate around. The three parts are id-disjoint
+    * (old×old, old×new, new×new) — no dedup pass needed. */
+  def embeddingPairsIncremental(oldPairs: DataFrame, existing: DataFrame,
+      incoming: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 12, tables: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val cross = embeddingCrossDupPairs(existing, incoming, vecCol, idCol,
+        threshold, planes, tables, dim, seed)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+    val newSelf = embeddingDupPairs(incoming, vecCol, idCol, threshold,
+      planes, tables, dim, seed)
+    oldPairs.unionByName(cross).unionByName(newSelf)
   }
 
   /** Semantic near-dup pairs (SemDeDup family, Abbas et al. 2023):

@@ -224,6 +224,57 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(incremental == recompute && incremental.nonEmpty)
   }
 
+  test("simhashPairsIncrementalPortable: artifact-append ≡ whole-corpus recompute") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // old∩old dup
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),       // old∩old dup
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"), // cross: dups 1,2
+      (7L, "completely unrelated words about other topics entirely"),
+      (9L, "completely unrelated words about other topics entirely")) // new∩new
+    val oldFps = Dedup.simhashFingerprintsPortable(
+      d.filter(col("doc_id") <= 4), "text", "doc_id")
+    val newFps = Dedup.simhashFingerprintsPortable(
+      d.filter(col("doc_id") > 4), "text", "doc_id")
+    val oldPairs = Dedup.simhashDupPairsPortableFromFingerprints(oldFps)
+    val incremental = Dedup.simhashPairsIncrementalPortable(
+        oldPairs, oldFps, newFps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val recompute = Dedup.simhashDupPairsPortable(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(incremental == recompute && incremental.nonEmpty)
+  }
+
+  test("embeddingPairsIncremental: artifact-append ≡ whole-corpus recompute") {
+    val s = spark
+    import s.implicits._
+    // Two near-dup families (x-axis, y-axis) plus an isolated vector,
+    // split so pairs land in all three parts: old∩old, cross, new∩new.
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.98f, 0.02f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (1L, Array(0.97f, 0.03f, 0f, 0f)),
+      (3L, Array(0f, 0.99f, 0.01f, 0f)),
+      (5L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val old = embs.filter(col("vec_id") % 2 === 0)
+    val nw = embs.filter(col("vec_id") % 2 =!= 0)
+    val args = (0.9, 4, 8, 4) // threshold, planes, tables, dim
+    val oldPairs = Dedup.embeddingDupPairs(old, "embedding", "vec_id",
+      args._1, args._2, args._3, args._4)
+    val incremental = Dedup.embeddingPairsIncremental(oldPairs, old, nw,
+        "embedding", "vec_id", args._1, args._2, args._3, args._4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val recompute = Dedup.embeddingDupPairs(embs, "embedding", "vec_id",
+        args._1, args._2, args._3, args._4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(incremental == recompute && incremental.nonEmpty)
+  }
+
   test("semanticDupPairs: pairs within a cell; cross-cell neighbors blocked") {
     val s = spark
     import s.implicits._
