@@ -2553,6 +2553,29 @@ object QueriesExt {
       Some(ivfKmeansOracle(nlist = 16, iterations = 3, nprobe = 4,
         k = 10, dim = 64))),
 
+    // IVF index MAINTENANCE: the production cadence retrains centroids
+    // rarely and ingests daily — new vectors are assigned to the FROZEN
+    // centroid set (per-row, deterministic) and appended to the index.
+    // Yesterday's index (even vec_ids, read from the persisted artifact)
+    // ∪ today's assigned slice ≡ the whole-corpus index, so the probe
+    // over the maintained index hash-matches the same Lloyd-replay
+    // oracle as the full rebuild — the ANN twin of q_dedup_incremental.
+    QueryCase("q_similarity_ivf_maintained",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val q = embs.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val (cents, index) = ivfArtifacts(s, dir)
+        val oldIndex = index.filter(col("vec_id") % 2 === 0)
+        val newSlice = Similarity.ivfAssign(
+          embs.filter(col("vec_id") % 2 =!= 0), "embedding", cents)
+        Similarity.ivfTopKFromIndex(oldIndex.unionByName(newSlice),
+            "embedding", "vec_id", q, k = 10, cents, nprobe = 4)
+          .select("vec_id")
+      },
+      Some(ivfKmeansOracle(nlist = 16, iterations = 3, nprobe = 4,
+        k = 10, dim = 64))),
+
     // ------------------------------------------------------- multimodal
     // Metadata-only decode rides the codegen'd expression fast-path
     // (decodeMeta — fused into the scan, no object serialization); the
