@@ -754,12 +754,15 @@ object QueriesExt {
     // (per-side caps included) is hash-checked against DuckDB.
     QueryCase("q_dedup_cross",
       (s, dir) => {
-        val all = t(s, dir, "documents")
-        Dedup.minhashCrossDupPairsPortable(
-            all.filter(col("doc_id") % 5 =!= 0),
-            all.filter(col("doc_id") % 5 === 0),
-            "text", "doc_id",
-            numHashes = 32, bands = 8, threshold = 0.5, shingle = 3)
+        // Both corpus sides FILTER the shared persisted signature index
+        // (signatures are per-doc, so a slice of the index IS the
+        // slice's signature table) — the cross join never re-hashes
+        // either side.
+        val sigs = minhashSigIndex(s, dir)
+        Dedup.minhashCrossDupPairsPortableFromSignatures(
+            sigs.filter(col("id") % 5 =!= 0),
+            sigs.filter(col("id") % 5 === 0),
+            numHashes = 32, bands = 8, threshold = 0.5)
           .withColumn("est_jaccard", round4(col("est_jaccard")))
       },
       Some(minhashCrossOracle(32, 8, 0.5, 1000))),
