@@ -891,6 +891,26 @@ object QueriesExt {
         .withColumn("jaccard", round4(col("jaccard"))),
       Some(ngramOracle(0.5))),
 
+    // Incremental n-gram-Jaccard maintenance — the exact-Jaccard twin of
+    // q_dedup_incremental: old slice (even doc_ids) pairs artifact +
+    // cross(old,new; df blocked on the MERGED gram census) + self(new),
+    // hash-checked against the whole-corpus brute-force oracle. With
+    // this, every pair family (MinHash, SimHash, embedding, n-gram) and
+    // the span/IVF artifacts carry the append ≡ recompute law.
+    QueryCase("q_dedup_incremental_ngram",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 2 === 0)
+        val nw = docs.filter(col("doc_id") % 2 =!= 0)
+        val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
+        val oldPairs = Dedup.ngramJaccardPairs(old, "text", "doc_id",
+          n = 3, threshold = 0.1, maxDf = cap)
+        Dedup.ngramPairsIncremental(oldPairs, old, nw, "text", "doc_id",
+            n = 3, threshold = 0.1, maxDf = cap)
+          .withColumn("jaccard", round4(col("jaccard")))
+      },
+      Some(ngramOracle(0.1))),
+
     // Transitive (connected-components) dedup labeling over the t=0.5
     // ngram pairs graph: component = min doc_id reachable through any
     // near-dup chain. Oracle = DuckDB recursive CTE transitive closure

@@ -891,6 +891,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CROSS-CORPUS exact n-gram Jaccard pairs (direct count-join path):
+    * pairs (a ∈ existing, b ∈ incoming) with J ≥ `threshold`. The df
+    * blocking cap is computed over the MERGED gram census
+    * (existing ∪ incoming) so candidacy matches a whole-corpus
+    * recompute — at scale that census is the maintained artifact (per-
+    * slice gram counts are summable), updated per ingest instead of
+    * re-counted. */
+  def ngramJaccardCrossPairs(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.2,
+      maxDf: Int = 1000): DataFrame = {
+    def exploded(d0: DataFrame) = {
+      val d = parallelize(d0)
+      d.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+        .select(col("id"), size(col("grams")).as("nsz"),
+          explode(col("grams")).as("g"))
+    }
+    val ea = graft.ops.Caches.track(exploded(existing))
+    val eb = graft.ops.Caches.track(exploded(incoming))
+    val ok = ea.select("g").union(eb.select("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    ea.join(ok, Seq("g"))
+      .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(eb.join(ok, Seq("g"))
+        .select(col("g"), col("id").as("id_b"), col("nsz").as("nb")),
+        Seq("g"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** INCREMENTAL n-gram Jaccard maintenance — the same merge law as
+    * [[minhashPairsIncrementalPortable]] for the exact-Jaccard tier:
+    * oldPairs ∪ cross(old, new) ∪ self(new) over id-disjoint corpora
+    * equals a from-scratch recompute in the df-cap-unbound regime
+    * (shared-gram candidacy and the Jaccard value are per-pair
+    * properties; the `maxDf` skew cap is the one corpus-dependent term —
+    * the cross step already blocks on the MERGED census, and a bound cap
+    * degrades exactly like the banded families' bucket caps). */
+  def ngramPairsIncremental(oldPairs: DataFrame, existing: DataFrame,
+      incoming: DataFrame, textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.2, maxDf: Int = 1000): DataFrame = {
+    val cross = ngramJaccardCrossPairs(existing, incoming, textCol, idCol,
+        n, threshold, maxDf)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val newSelf = ngramJaccardPairs(incoming, textCol, idCol, n, threshold,
+      maxDf, prefixFilter = Some(false))
+    oldPairs.unionByName(cross).unionByName(newSelf)
+  }
+
   // ------------------------------------- embedding cosine near-duplicates
 
   /** Embedding near-dup pairs: cosine ≥ `threshold`, candidates blocked by

@@ -224,6 +224,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(incremental == recompute && incremental.nonEmpty)
   }
 
+  test("ngramPairsIncremental: artifact-append ≡ whole-corpus recompute") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // old∩old
+      (3L, "pack my box with five dozen brown liquor jugs"),
+      (5L, "the quick brown fox jumps over the lazy cat today"),   // cross: 1,2
+      (7L, "pack my box with five dozen brown liquor mugs"),       // cross: 3
+      (9L, "pack my box with five dozen brown liquor kegs"))       // new∩new: 7
+    val old = d.filter(col("doc_id") <= 3)
+    val nw = d.filter(col("doc_id") > 3)
+    val oldPairs = Dedup.ngramJaccardPairs(old, "text", "doc_id",
+      n = 3, threshold = 0.1)
+    val incremental = Dedup.ngramPairsIncremental(oldPairs, old, nw,
+        "text", "doc_id", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val recompute = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(incremental == recompute && incremental.nonEmpty)
+  }
+
   test("simhashPairsIncrementalPortable: artifact-append ≡ whole-corpus recompute") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
