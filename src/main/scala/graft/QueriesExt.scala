@@ -899,14 +899,19 @@ object QueriesExt {
     // the span/IVF artifacts carry the append ≡ recompute law.
     QueryCase("q_dedup_incremental_ngram",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val old = docs.filter(col("doc_id") % 2 === 0)
-        val nw = docs.filter(col("doc_id") % 2 =!= 0)
+        // One materialized gram index (tokenize + n-gram the corpus
+        // once); old slice, new slice, cross and self all FILTER it.
+        val grams = Materialized(s, s"ngram_grams:$dir") {
+          Dedup.ngramGramTable(t(s, dir, "documents"), "text", "doc_id",
+            n = 3)
+        }
+        val gOld = grams.filter(col("id") % 2 === 0)
+        val gNew = grams.filter(col("id") % 2 =!= 0)
         val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
-        val oldPairs = Dedup.ngramJaccardPairs(old, "text", "doc_id",
-          n = 3, threshold = 0.1, maxDf = cap)
-        Dedup.ngramPairsIncremental(oldPairs, old, nw, "text", "doc_id",
-            n = 3, threshold = 0.1, maxDf = cap)
+        val oldPairs = Dedup.ngramJaccardPairsFromGrams(gOld,
+          threshold = 0.1, maxDf = cap)
+        Dedup.ngramPairsIncrementalFromGrams(oldPairs, gOld, gNew,
+            threshold = 0.1, maxDf = cap)
           .withColumn("jaccard", round4(col("jaccard")))
       },
       Some(ngramOracle(0.1))),

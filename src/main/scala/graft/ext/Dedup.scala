@@ -898,17 +898,44 @@ object Dedup {
     * recompute — at scale that census is the maintained artifact (per-
     * slice gram counts are summable), updated per ingest instead of
     * re-counted. */
-  def ngramJaccardCrossPairs(existing: DataFrame, incoming: DataFrame,
-      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.2,
+  /** Exploded distinct word-n-gram table (id, nsz, g) — the GRAM INDEX
+    * artifact of the exact-Jaccard tier (the analog of the MinHash
+    * signature index): tokenize + n-gram the corpus ONCE, persist, and
+    * let pairs / cross / incremental consumers filter the artifact
+    * instead of re-exploding text per call. */
+  def ngramGramTable(df0: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val df = parallelize(df0)
+    df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+      .select(col("id"), size(col("grams")).as("nsz"),
+        explode(col("grams")).as("g"))
+  }
+
+  /** Direct count-join exact-Jaccard pairs over a PRECOMPUTED gram
+    * table ([[ngramGramTable]] output or a slice of it). */
+  def ngramJaccardPairsFromGrams(grams: DataFrame, threshold: Double,
       maxDf: Int = 1000): DataFrame = {
-    def exploded(d0: DataFrame) = {
-      val d = parallelize(d0)
-      d.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
-        .select(col("id"), size(col("grams")).as("nsz"),
-          explode(col("grams")).as("g"))
-    }
-    val ea = graft.ops.Caches.track(exploded(existing))
-    val eb = graft.ops.Caches.track(exploded(incoming))
+    val e = graft.ops.Caches.track(grams)
+    val blocked = e
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= maxDf)
+    blocked.select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(blocked.select(col("g"), col("id").as("id_b"),
+        col("nsz").as("nb")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[ngramJaccardCrossPairs]] over PRECOMPUTED gram tables. */
+  def ngramJaccardCrossPairsFromGrams(gramsA: DataFrame, gramsB: DataFrame,
+      threshold: Double, maxDf: Int = 1000): DataFrame = {
+    val ea = graft.ops.Caches.track(gramsA)
+    val eb = graft.ops.Caches.track(gramsB)
     val ok = ea.select("g").union(eb.select("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
@@ -925,6 +952,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  def ngramJaccardCrossPairs(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.2,
+      maxDf: Int = 1000): DataFrame =
+    ngramJaccardCrossPairsFromGrams(
+      ngramGramTable(existing, textCol, idCol, n),
+      ngramGramTable(incoming, textCol, idCol, n),
+      threshold, maxDf)
+
+  /** [[ngramPairsIncremental]] over PRECOMPUTED gram tables — the
+    * artifact-consuming form: one materialized gram index feeds old
+    * pairs, the cross step, and the new-slice self join. */
+  def ngramPairsIncrementalFromGrams(oldPairs: DataFrame,
+      gramsOld: DataFrame, gramsNew: DataFrame, threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val cross = ngramJaccardCrossPairsFromGrams(gramsOld, gramsNew,
+        threshold, maxDf)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val newSelf = ngramJaccardPairsFromGrams(gramsNew, threshold, maxDf)
+    oldPairs.unionByName(cross).unionByName(newSelf)
+  }
+
   /** INCREMENTAL n-gram Jaccard maintenance — the same merge law as
     * [[minhashPairsIncrementalPortable]] for the exact-Jaccard tier:
     * oldPairs ∪ cross(old, new) ∪ self(new) over id-disjoint corpora
@@ -935,15 +984,11 @@ object Dedup {
     * degrades exactly like the banded families' bucket caps). */
   def ngramPairsIncremental(oldPairs: DataFrame, existing: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String, n: Int = 3,
-      threshold: Double = 0.2, maxDf: Int = 1000): DataFrame = {
-    val cross = ngramJaccardCrossPairs(existing, incoming, textCol, idCol,
-        n, threshold, maxDf)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
-    val newSelf = ngramJaccardPairs(incoming, textCol, idCol, n, threshold,
-      maxDf, prefixFilter = Some(false))
-    oldPairs.unionByName(cross).unionByName(newSelf)
-  }
+      threshold: Double = 0.2, maxDf: Int = 1000): DataFrame =
+    ngramPairsIncrementalFromGrams(oldPairs,
+      ngramGramTable(existing, textCol, idCol, n),
+      ngramGramTable(incoming, textCol, idCol, n),
+      threshold, maxDf)
 
   // ------------------------------------- embedding cosine near-duplicates
 
