@@ -84,6 +84,17 @@ object QueriesExt {
         "doc_id", numHashes = 32, shingle = 3)
     }
 
+  /** The portable (md5) SimHash FINGERPRINT INDEX for `dir` — the
+    * fingerprint-tier persisted artifact (one 60-bit fp per doc);
+    * q_dedup_simhash_portable and the incremental query filter it
+    * instead of re-voting the corpus per call. */
+  private def simhashFpIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"simhash_fps_portable:$dir") {
+      Dedup.simhashFingerprintsPortable(t(s, dir, "documents"), "text",
+        "doc_id")
+    }
+
   /** The portable (md5) near-dup pairs table — feeds BOTH
     * `q_dedup_minhash_portable` (the pairs themselves) and
     * `q_dup_source_matrix` (source-overlap analytics over the same
@@ -186,9 +197,18 @@ object QueriesExt {
   private def ngramPairsHi(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Materialized(s, s"ngram_pairs_hi:$dir") {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5,
+      Dedup.ngramJaccardPairsOverGrams(ngramGramIndex(s, dir),
+        threshold = 0.5,
         maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
+    }
+
+  /** The persisted GRAM INDEX for `dir` (tokenize + 3-gram the corpus
+    * once; every exact-Jaccard consumer — both pairs paths and the
+    * incremental family — filters this artifact). */
+  private def ngramGramIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"ngram_grams:$dir") {
+      Dedup.ngramGramTable(t(s, dir, "documents"), "text", "doc_id", n = 3)
     }
 
   // ------------------------------------------------ embedding-tier oracles
@@ -800,8 +820,8 @@ object QueriesExt {
         |GROUP BY 1, 2""".stripMargin)),
 
     QueryCase("q_dedup_simhash_portable",
-      (s, dir) => Dedup.simhashDupPairsPortable(t(s, dir, "documents"),
-          "text", "doc_id", maxHamming = 3),
+      (s, dir) => Dedup.simhashDupPairsPortableFromFingerprints(
+        simhashFpIndex(s, dir), maxHamming = 3),
       Some(simhashPortableOracle(3))),
 
     // Incremental SimHash-pairs maintenance — the fingerprint-tier twin
@@ -812,11 +832,11 @@ object QueriesExt {
     // embedding — now carry the same artifact-append ≡ recompute law.
     QueryCase("q_dedup_incremental_simhash",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val oldFps = Dedup.simhashFingerprintsPortable(
-          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
-        val newFps = Dedup.simhashFingerprintsPortable(
-          docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+        // Both slices FILTER the persisted fingerprint index
+        // (fingerprints are per-doc) — no corpus re-vote per side.
+        val fps = simhashFpIndex(s, dir)
+        val oldFps = fps.filter(col("id") % 2 === 0)
+        val newFps = fps.filter(col("id") % 2 =!= 0)
         val oldPairs = Dedup.simhashDupPairsPortableFromFingerprints(
           oldFps, maxHamming = 3)
         Dedup.simhashPairsIncrementalPortable(oldPairs, oldFps, newFps,
@@ -880,8 +900,8 @@ object QueriesExt {
     // against the same brute-force oracle: direct count-join at t=0.1,
     // prefix-filtered (All-Pairs) candidate/verify at t=0.5.
     QueryCase("q_dedup_ngram_pairs",
-      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "text", "doc_id", n = 3, threshold = 0.1,
+      (s, dir) => Dedup.ngramJaccardPairsOverGrams(ngramGramIndex(s, dir),
+          threshold = 0.1,
           maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
         .withColumn("jaccard", round4(col("jaccard"))),
       Some(ngramOracle(0.1))),
@@ -901,10 +921,7 @@ object QueriesExt {
       (s, dir) => {
         // One materialized gram index (tokenize + n-gram the corpus
         // once); old slice, new slice, cross and self all FILTER it.
-        val grams = Materialized(s, s"ngram_grams:$dir") {
-          Dedup.ngramGramTable(t(s, dir, "documents"), "text", "doc_id",
-            n = 3)
-        }
+        val grams = ngramGramIndex(s, dir)
         val gOld = grams.filter(col("id") % 2 === 0)
         val gNew = grams.filter(col("id") % 2 =!= 0)
         val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))

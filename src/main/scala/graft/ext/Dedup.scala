@@ -837,13 +837,18 @@ object Dedup {
     * can only widen the candidate set, never lose a qualifying pair. */
   def ngramJaccardPairs(df0: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.2, maxDf: Int = 1000,
+      prefixFilter: Option[Boolean] = None): DataFrame =
+    ngramJaccardPairsOverGrams(ngramGramTable(df0, textCol, idCol, n),
+      threshold, maxDf, prefixFilter)
+
+  /** Full threshold-adaptive exact-Jaccard join (direct OR prefix-filter
+    * path) over a PRECOMPUTED gram table — the artifact-consuming form
+    * of [[ngramJaccardPairs]]. */
+  def ngramJaccardPairsOverGrams(grams: DataFrame, threshold: Double,
+      maxDf: Int = 1000,
       prefixFilter: Option[Boolean] = None): DataFrame = {
     val usePrefix = prefixFilter.getOrElse(threshold >= 0.3)
-    val df = parallelize(df0)
-    val exploded = df
-      .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
-      .select(col("id"), size(col("grams")).as("nsz"),
-        explode(col("grams")).as("g"))
+    val exploded = grams
       .pipe(graft.ops.Caches.track) // feeds candidate generation and the verify join sides
     val withDf = exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
@@ -914,22 +919,9 @@ object Dedup {
   /** Direct count-join exact-Jaccard pairs over a PRECOMPUTED gram
     * table ([[ngramGramTable]] output or a slice of it). */
   def ngramJaccardPairsFromGrams(grams: DataFrame, threshold: Double,
-      maxDf: Int = 1000): DataFrame = {
-    val e = graft.ops.Caches.track(grams)
-    val blocked = e
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") <= maxDf)
-    blocked.select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
-      .join(blocked.select(col("g"), col("id").as("id_b"),
-        col("nsz").as("nb")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      maxDf: Int = 1000): DataFrame =
+    ngramJaccardPairsOverGrams(grams, threshold, maxDf,
+      prefixFilter = Some(false))
 
   /** [[ngramJaccardCrossPairs]] over PRECOMPUTED gram tables. */
   def ngramJaccardCrossPairsFromGrams(gramsA: DataFrame, gramsB: DataFrame,
