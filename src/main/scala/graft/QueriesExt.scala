@@ -39,17 +39,29 @@ object QueriesExt {
   private object Materialized {
     private val cache =
       scala.collection.concurrent.TrieMap[String, String]()
+    private val buildSecs =
+      scala.collection.concurrent.TrieMap[String, Double]()
     def apply(s: org.apache.spark.sql.SparkSession, key: String)(
         build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val path = cache.getOrElseUpdate(key, {
+        val t0 = System.nanoTime()
         val p = java.nio.file.Files
           .createTempDirectory("graft_mv_").toString
         build.write.mode("overwrite").parquet(p)
+        buildSecs(key) = (System.nanoTime() - t0) / 1e9
         p
       })
       s.read.parquet(path)
     }
+    def buildSeconds: Map[String, Double] = buildSecs.toMap
   }
+
+  /** One-time build cost of each materialized corpus artifact this JVM
+    * paid so far — Bench reports these beside the per-query times, so an
+    * index-probe query's number is readable as read cost, with the build
+    * it may have absorbed broken out (VERDICT r8 next-round #5). */
+  private[graft] def artifactBuildSeconds: Map[String, Double] =
+    Materialized.buildSeconds
 
   /** The shared MinHash near-dup pairs table for `dir` (raw, unrounded). */
   /** Corpus row count from parquet footers (driver-side, no job) for the
@@ -68,6 +80,17 @@ object QueriesExt {
         numHashes = 32, bands = 8, threshold = 0.5,
         maxBucket = Dedup.scaledCap(1000, nRows(s, dir, "documents")),
         shingle = 3)
+    }
+
+  /** The xxhash64 SimHash twin pairs for `dir` — the PERF-family
+    * fingerprint pairs (engine-local hash), materialized under the same
+    * artifact discipline as [[minhashPairs]] so the invariant gate and
+    * Verify's ratio telemetry read one persisted table. */
+  private def simhashPairsTwin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"simhash_pairs_twin:$dir") {
+      Dedup.simhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
     }
 
   /** The portable (md5) MinHash SIGNATURE INDEX for `dir` — the
@@ -105,6 +128,68 @@ object QueriesExt {
       Dedup.minhashDupPairsPortableFromSignatures(minhashSigIndex(s, dir),
         numHashes = 32, bands = 8, threshold = 0.5)
     }
+
+  /** 1-row invariant gate over an engine-local-hash twin pairs table —
+    * the driver-checkable form of the xxhash64 perf families. The hash
+    * family itself is not DuckDB-reproducible, so the twin's pair ROWS
+    * can't ride the oracle; what CAN is (a) the exact pair count of the
+    * md5 portable pipeline the twin refactors, and (b) the twin's
+    * structural contracts folded into BIGINT flags the oracle asserts
+    * all-1 (the q_distinct_sketch pattern): canonical id_a<id_b, no
+    * duplicate pairs, ids ⊆ corpus, per-pair score in range, and the
+    * twin/portable count ratio within 2× (band/chunk blocking with a
+    * different hash family recalls a comparable pair set — a broken twin
+    * collapses to 0 or explodes, flipping the flag → driver hash FAIL).
+    * All four 1-row aggregates are broadcast; no shuffle is added to the
+    * twin pipeline being measured. */
+  private def twinPairsGate(s: org.apache.spark.sql.SparkSession,
+      dir: String, twin: org.apache.spark.sql.DataFrame,
+      portable: org.apache.spark.sql.DataFrame,
+      scoreOk: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"))
+    val orphans = twin.select(col("id_a").as("doc_id"))
+      .union(twin.select(col("id_b").as("doc_id")))
+      .join(corpus, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("__orphans"))
+    val twinAgg = twin.agg(
+      count(lit(1)).as("__n_twin"),
+      count_distinct(col("id_a"), col("id_b")).as("__n_distinct"),
+      coalesce(min((col("id_a") < col("id_b")).cast("long")), lit(1L))
+        .as("canonical_order"),
+      coalesce(min(scoreOk.cast("long")), lit(1L)).as("score_in_range"))
+    val portableCnt = portable.agg(count(lit(1)).as("n_pairs_portable"))
+    twinAgg.crossJoin(orphans).crossJoin(portableCnt).select(
+      col("n_pairs_portable"),
+      col("canonical_order"),
+      (col("__n_twin") === col("__n_distinct")).cast("long").as("no_dup"),
+      (col("__orphans") === lit(0L)).cast("long").as("subset_of_corpus"),
+      col("score_in_range"),
+      (col("__n_twin") <= col("n_pairs_portable") * 2 &&
+        col("n_pairs_portable") <= col("__n_twin") * 2)
+        .cast("long").as("ratio_within_2x"))
+  }
+
+  /** Shared all-1-flags oracle tail for [[twinPairsGate]] outputs. */
+  private def twinGateOracle(portableSql: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs_portable,
+      | CAST(1 AS BIGINT) AS canonical_order,
+      | CAST(1 AS BIGINT) AS no_dup,
+      | CAST(1 AS BIGINT) AS subset_of_corpus,
+      | CAST(1 AS BIGINT) AS score_in_range,
+      | CAST(1 AS BIGINT) AS ratio_within_2x
+      |FROM ($portableSql) p""".stripMargin
+
+  /** Twin vs portable pair counts for Verify's drift telemetry — reads
+    * the [[Materialized]] artifacts the registry queries already built
+    * (cheap parquet re-reads within the same JVM). */
+  private[graft] def twinPortablePairCounts(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, (Long, Long)] = Map(
+    "minhash" -> ((minhashPairs(s, dir).count(),
+      minhashPairsPortable(s, dir).count())),
+    "simhash" -> ((simhashPairsTwin(s, dir).count(),
+      Dedup.simhashDupPairsPortableFromFingerprints(
+        simhashFpIndex(s, dir), maxHamming = 3).count())))
 
   /** Persisted IVF index artifacts for `dir`: Lloyd centroids (nlist
     * rows) + per-vector cell assignments, materialized once per corpus
@@ -742,24 +827,70 @@ object QueriesExt {
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin)),
 
-    // MinHash+LSH near-dedup: xxhash64 signature family is engine-local →
-    // rows-only check; semantics unit-tested in DedupSpec. Both queries
-    // derive from ONE materialized pairs table (see [[Materialized]]).
+    // MinHash+LSH near-dedup, xxhash64 perf family (~2× cheaper hashing
+    // than the md5 portable twin — this is the family a 100 TB pass
+    // runs). The hash family is engine-local, so instead of dumping
+    // irreproducible pair rows these three ride the driver's hash gate
+    // as 1-row invariant summaries ([[twinPairsGate]]): the portable
+    // twin's EXACT pair count next to all-1 structural flags. The twin
+    // pipeline still executes in full — the gate only aggregates it.
     QueryCase("q_dedup_minhash_pairs",
-      (s, dir) => minhashPairs(s, dir)
-        .withColumn("est_jaccard", round4(col("est_jaccard"))),
-      None),
+      (s, dir) => twinPairsGate(s, dir,
+        twin = minhashPairs(s, dir),
+        portable = minhashPairsPortable(s, dir),
+        scoreOk = col("est_jaccard") >= 0.5 && col("est_jaccard") <= 1.0),
+      Some(twinGateOracle(minhashPortableOracle(32, 8, 0.5, 1000)))),
 
+    // Dedup view over the xxhash64 pairs artifact: survivors = docs −
+    // distinct id_b (one anti-join). Gate asserts the exact derivation
+    // (partition_ok: kept + dropped = corpus), survivors ⊆ corpus, and
+    // dropped-count agreement within 2× of the portable family, next to
+    // the exact corpus and portable-survivor counts DuckDB reproduces.
     QueryCase("q_dedup_minhash",
-      (s, dir) => Dedup.dedupFromPairs(t(s, dir, "documents"),
-          minhashPairs(s, dir), "doc_id")
-        .select("doc_id"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val dropped = minhashPairs(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+        val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+        val keptAgg = kept.agg(count(lit(1)).as("__n_kept"))
+        val docsAgg = docs.agg(count(lit(1)).as("n_docs"))
+        val droppedAgg = dropped.agg(count(lit(1)).as("__n_dropped"))
+        val orphanAgg = kept.join(docs, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__orphans"))
+        val portableDropped = minhashPairsPortable(s, dir)
+          .select(col("id_b")).distinct()
+          .agg(count(lit(1)).as("__n_dropped_portable"))
+        docsAgg.crossJoin(keptAgg).crossJoin(droppedAgg)
+          .crossJoin(orphanAgg).crossJoin(portableDropped)
+          .select(
+            col("n_docs"),
+            (col("n_docs") - col("__n_dropped_portable"))
+              .as("n_survivors_portable"),
+            (col("__orphans") === lit(0L)).cast("long")
+              .as("survivors_subset"),
+            (col("__n_kept") + col("__n_dropped") === col("n_docs"))
+              .cast("long").as("partition_ok"),
+            (col("__n_dropped") <= col("__n_dropped_portable") * 2 &&
+              col("__n_dropped_portable") <= col("__n_dropped") * 2)
+              .cast("long").as("dropped_within_2x"))
+      },
+      Some(s"""SELECT
+        | CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        | CAST((SELECT count(*) FROM documents) AS BIGINT)
+        |   - CAST((SELECT count(DISTINCT id_b)
+        |           FROM (${minhashPortableOracle(32, 8, 0.5, 1000)}) p)
+        |          AS BIGINT) AS n_survivors_portable,
+        | CAST(1 AS BIGINT) AS survivors_subset,
+        | CAST(1 AS BIGINT) AS partition_ok,
+        | CAST(1 AS BIGINT) AS dropped_within_2x""".stripMargin)),
 
     QueryCase("q_dedup_simhash_pairs",
-      (s, dir) => Dedup.simhashDupPairs(t(s, dir, "documents"),
-          "text", "doc_id", maxHamming = 3),
-      None),
+      (s, dir) => twinPairsGate(s, dir,
+        twin = simhashPairsTwin(s, dir),
+        portable = Dedup.simhashDupPairsPortableFromFingerprints(
+          simhashFpIndex(s, dir), maxHamming = 3),
+        scoreOk = col("hamming") >= 0 && col("hamming") <= 3),
+      Some(twinGateOracle(simhashPortableOracle(3)))),
 
     // Portable-hash twins of the MinHash and SimHash pipelines: the md5-
     // derived hash families (Dedup.hex32/hex60) are reproducible in

@@ -32,67 +32,43 @@ object Verify {
       spark.catalog.clearCache()
       graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
     }
-    // -------- structural invariants for the engine-local-hash twins ----
-    // q_dedup_minhash_pairs / q_dedup_minhash / q_dedup_simhash_pairs run
-    // xxhash64 hash families DuckDB cannot reproduce, so they carry no
-    // oracle SQL; their refactored cores ARE hash-checked end-to-end via
-    // the md5 *_portable twins. These invariants pin what that leaves
-    // unchecked: pair-set structure (canonical id_a<id_b, no duplicates,
-    // bounded scores, ids ⊆ corpus), the dedup view's exact derivation
-    // from its pairs artifact, and count agreement with the portable
-    // twins. Written to structural_checks.json next to the parquet.
+    // -------- structural invariants (self-contained re-reads) ---------
+    // Since round 9 the xxhash64 twins (q_dedup_minhash_pairs /
+    // q_dedup_minhash / q_dedup_simhash_pairs) fold their structural
+    // contracts into BIGINT flag columns that the DuckDB oracle
+    // hash-checks directly (all-1 expected, next to the portable twin's
+    // exact counts) — the driver's CORRECTNESS gate is the primary
+    // validation. This block re-reads those flags so the committed
+    // structural report stays self-contained, and keeps the exact
+    // twin/portable count-ratio drift telemetry (read from the
+    // [[QueriesExt]] materialized artifacts, already built by the dump).
     if (only.isEmpty) try {
       import org.apache.spark.sql.functions.col
       def read(name: String) = spark.read.parquet(s"$outDir/$name")
-      val docs = Tables(spark, sfDir, "documents").select("doc_id")
       val checks = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-      val mh = read("q_dedup_minhash_pairs")
-      checks("minhash_pairs.canonical_id_a_lt_id_b") =
-        mh.filter(col("id_a") >= col("id_b")).count() == 0
-      checks("minhash_pairs.no_duplicate_pairs") =
-        mh.count() == mh.select("id_a", "id_b").distinct().count()
-      checks("minhash_pairs.est_jaccard_in_threshold_1") =
-        mh.filter(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0)
-          .count() == 0
-      checks("minhash_pairs.ids_subset_of_corpus") =
-        mh.select(col("id_a").as("doc_id"))
-          .union(mh.select(col("id_b").as("doc_id")))
-          .join(docs, Seq("doc_id"), "left_anti").count() == 0
-      val kept = read("q_dedup_minhash").select("doc_id")
-      val expected = docs.join(mh.select(col("id_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      checks("minhash_dedup.equals_docs_minus_pair_dropped") =
-        kept.exceptAll(expected).count() == 0 &&
-          expected.exceptAll(kept).count() == 0
+      def allOnes(name: String, flags: Seq[String]): Unit = {
+        val df = read(name)
+        flags.foreach { f =>
+          checks(s"$name.$f") = df.filter(col(f) =!= 1L).count() == 0
+        }
+      }
+      allOnes("q_dedup_minhash_pairs", Seq("canonical_order", "no_dup",
+        "subset_of_corpus", "score_in_range", "ratio_within_2x"))
+      allOnes("q_dedup_minhash", Seq("survivors_subset", "partition_ok",
+        "dropped_within_2x"))
+      allOnes("q_dedup_simhash_pairs", Seq("canonical_order", "no_dup",
+        "subset_of_corpus", "score_in_range", "ratio_within_2x"))
       // Numeric drift telemetry beside the boolean bounds: the exact
       // twin/portable pair-count ratios, so cross-round trend (not just
       // the 2× flag) is visible in the committed artifact.
       val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val mhPortable = read("q_dedup_minhash_portable").count().toDouble
-      checks("minhash_pairs.count_within_2x_of_portable_twin") =
-        mh.count() >= mhPortable / 2 && mh.count() <= mhPortable * 2
-      metrics("minhash_pairs.twin_count") = mh.count().toDouble
-      metrics("minhash_pairs.portable_count") = mhPortable
-      metrics("minhash_pairs.twin_over_portable_ratio") =
-        if (mhPortable > 0) mh.count() / mhPortable else -1.0
-      val sh = read("q_dedup_simhash_pairs")
-      checks("simhash_pairs.canonical_id_a_lt_id_b") =
-        sh.filter(col("id_a") >= col("id_b")).count() == 0
-      checks("simhash_pairs.no_duplicate_pairs") =
-        sh.count() == sh.select("id_a", "id_b").distinct().count()
-      checks("simhash_pairs.hamming_in_0_max") =
-        sh.filter(col("hamming") < 0 || col("hamming") > 3).count() == 0
-      checks("simhash_pairs.ids_subset_of_corpus") =
-        sh.select(col("id_a").as("doc_id"))
-          .union(sh.select(col("id_b").as("doc_id")))
-          .join(docs, Seq("doc_id"), "left_anti").count() == 0
-      val shPortable = read("q_dedup_simhash_portable").count().toDouble
-      checks("simhash_pairs.count_within_2x_of_portable_twin") =
-        sh.count() >= shPortable / 2 && sh.count() <= shPortable * 2
-      metrics("simhash_pairs.twin_count") = sh.count().toDouble
-      metrics("simhash_pairs.portable_count") = shPortable
-      metrics("simhash_pairs.twin_over_portable_ratio") =
-        if (shPortable > 0) sh.count() / shPortable else -1.0
+      QueriesExt.twinPortablePairCounts(spark, sfDir).foreach {
+        case (fam, (twin, portable)) =>
+          metrics(s"${fam}_pairs.twin_count") = twin.toDouble
+          metrics(s"${fam}_pairs.portable_count") = portable.toDouble
+          metrics(s"${fam}_pairs.twin_over_portable_ratio") =
+            if (portable > 0) twin.toDouble / portable else -1.0
+      }
       // q_distinct_sketch / q_freq_sketch now carry their sketch
       // contracts as BIGINT flag columns that the DuckDB oracle
       // hash-checks (all-1 expected), so the driver's CORRECTNESS gate
