@@ -70,6 +70,20 @@ final class AdmissionRegistry(stateDir: String, schema: StructType)
   def append(rows: DataFrame, batchId: Long): Unit =
     rows.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
 
+  /** Scheduled compaction driven by the stream's committed watermark:
+    * call at the START of processing batch `batchId` (before this
+    * batch's history read/append). When foreachBatch hands the sink
+    * batch N, the engine has already durably committed batch N−1 — a
+    * failure can only ever replay N itself — so every directory
+    * ≤ N−1 is compactable per [[compact]]'s contract, and folding them
+    * into `batch=N-1` leaves the replayed batch's own-dir exclusion
+    * semantics intact. No-ops unless `every > 0` and `batchId` is a
+    * multiple of it, and is idempotent on replay (a second call finds a
+    * single folded directory and returns early). */
+  def maybeCompact(spark: SparkSession, batchId: Long, every: Int): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      compact(spark, batchId - 1)
+
   /** Fold every `batch=` directory with id ≤ `uptoBatchId` into the
     * single directory `batch=<uptoBatchId>` (distinct rows — registry
     * reads are semi-joins, so multiplicity is irrelevant). Returns the

@@ -37,7 +37,8 @@ import graft.ext.Dedup
   * append), registry read failures fail closed, and batch directories
   * compact on a schedule. */
 class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
-    numHashes: Int = 32, bands: Int = 8) extends Serializable {
+    numHashes: Int = 32, bands: Int = 8,
+    compactEvery: Int = 64) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
     StructField("band", IntegerType), StructField("bucket", LongType))))
@@ -56,6 +57,12 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     * excludes the batch's own earlier append). */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // Committed-watermark compaction (every `compactEvery` batches):
+    // when this batch is handed to the sink, batch `batchId-1`'s output
+    // is durably committed, so folding the directories below it is
+    // replay-safe — see [[AdmissionRegistry.maybeCompact]]. Keeps the
+    // registry's directory count bounded on an unbounded stream.
+    registry.maybeCompact(spark, batchId, compactEvery)
     val bf = buckets(batch)
     val vsHistory = bf.join(registry.history(spark, batchId),
       Seq("band", "bucket"), "left_semi").select(col("id")).distinct()

@@ -30,7 +30,8 @@ import graft.ext.{Dedup, Spans}
   * crash), read failures fail closed, and batch directories compact on
   * a schedule. */
 class SpanAdmission(stateDir: String, textCol: String, idCol: String,
-    k: Int = 8, gatePct: Int = 20) extends Serializable {
+    k: Int = 8, gatePct: Int = 20,
+    compactEvery: Int = 64) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir,
     StructType(Seq(StructField("sh", LongType))))
@@ -39,6 +40,11 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     * registers their distinct span hashes under `batchId`. */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // Committed-watermark compaction — same contract as
+    // [[NearDupAdmission.admit]]: batches below `batchId` are durably
+    // committed by the time the sink sees this one, so folding them is
+    // replay-safe and bounds the registry's directory count.
+    registry.maybeCompact(spark, batchId, compactEvery)
     val pos = Spans.positions(batch, textCol, idCol, k)
     val covered = pos.join(registry.history(spark, batchId).distinct(),
         Seq("sh"))

@@ -78,6 +78,55 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       Set(1L, 2L, 3L))
   }
 
+  test("auto-compaction fires on the committed watermark and stays replay-safe") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmp("graft_autoc_")
+    // compactEvery=3: batches 3, 6, 9 fold everything below themselves.
+    val adm = new NearDupAdmission(stateDir, "text", "doc_id",
+      compactEvery = 3)
+    def doc(i: Long) = (i, (1 to 25).map(j => s"v${i}w$j").mkString(" "))
+    def batchDirs() = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    // A long run: 10 single-doc batches, each doc disjoint -> all admit.
+    (0L to 9L).foreach { b =>
+      assert(adm.admit(Seq(doc(b)).toDF("doc_id", "text"), b)
+        .count() == 1, s"batch $b should admit its fresh doc")
+    }
+    // Batches 0..8 folded at batch 9 (into batch=8); only 8 and 9 remain:
+    // directory count is BOUNDED by compactEvery+1 on an unbounded run.
+    assert(batchDirs() == Set("batch=8", "batch=9"),
+      s"unexpected registry layout: ${batchDirs()}")
+    // Replay of the compaction-triggering batch: idempotent (compact
+    // finds one folded dir and no-ops) and decisions are unchanged.
+    assert(adm.admit(Seq(doc(9L)).toDF("doc_id", "text"), 9L).count() == 1)
+    assert(batchDirs() == Set("batch=8", "batch=9"))
+    // History folded into batch=8 still gates: a near-dup of batch 0's
+    // doc (admitted 9 batches and one compaction ago) is rejected.
+    val nearDup = Seq((100L, doc(0L)._2 + " tail")).toDF("doc_id", "text")
+    assert(adm.admit(nearDup, 10L).count() == 0,
+      "compacted history must still reject near-dups of admitted docs")
+  }
+
+  test("SpanAdmission auto-compacts and the folded span registry still gates") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmp("graft_autocs_")
+    val adm = new SpanAdmission(stateDir, "text", "doc_id",
+      k = 4, gatePct = 50, compactEvery = 2)
+    val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")
+    assert(adm.admit(Seq((1L, boiler + " first page")).toDF("doc_id", "text"),
+      0L).count() == 1)
+    assert(adm.admit(Seq((2L, "fresh unrelated prose entirely new words"))
+      .toDF("doc_id", "text"), 1L).count() == 1)
+    // Batch 2 compacts {0,1} into batch=1, then still rejects boilerplate.
+    assert(adm.admit(Seq((3L, boiler + " tiny delta")).toDF("doc_id", "text"),
+      2L).count() == 0)
+    val dirs = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=1", "batch=2"), s"layout: $dirs")
+  }
+
   test("NearDupAdmission replay admits the same docs (no self-rejection)") {
     val s = spark
     import s.implicits._
