@@ -136,7 +136,12 @@ object Bench {
     // real spread instead of a single shared-host sample.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val minSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_SAMPLES", "1").toInt
+    // Default 2, not 1: with a single sample, sub-threshold queries carry
+    // spread.n=1 and the telemetry cannot separate host noise from a real
+    // regression (the round-8 lesson — five queries "moved" on one sample
+    // each). Two baseline samples give every query a real min/max spread;
+    // movers are then re-run to ≥3 before the verdict.
+    val minSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_SAMPLES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded PCM clip: interleaved samples as signed ints (8-bit unsigned
+  * WAV samples are re-centered to signed −128..127 so every depth shares
+  * one amplitude convention). */
+final case class PcmAudio(sampleRate: Int, channels: Int,
+    bitsPerSample: Int, samples: Array[Int])
+
+/** One row of REAL per-blob audio statistics (integer-exact, so a SQL
+  * oracle can pin them from fixture math). */
+final case class AudioStats(media_id: Long, sample_rate: Int,
+    channels: Int, bits_per_sample: Int, n_frames: Long, amp_min: Int,
+    amp_max: Int, amp_sum_abs: Long, zero_crossings: Long)
+
+/** REAL audio-column support for training-data pipelines — pure JVM, no
+  * codec libraries: WAV/RIFF PCM is a fixed-layout container (the audio
+  * twin of the PNG/JPEG work in [[Multimodal]]), so parse + sample
+  * decode + feature extraction run as per-partition CPU kernels over
+  * `binary` columns with no shuffle and no driver involvement.
+  * Compressed codecs (MP3/AAC/Opus) genuinely need external libraries;
+  * they would slot behind the same [[wavSamples]] dispatch with
+  * identical plan shapes.
+  *
+  * AudioSpec pins both directions against the JDK's independent
+  * `javax.sound.sampled` implementation: clips encoded by
+  * [[AudioFixtures.buildWav]] decode identically through AudioSystem,
+  * and AudioSystem-written WAVE streams decode identically here. PCM is
+  * lossless, so unlike the JPEG ±1 IDCT bound these comparisons are
+  * bit-exact.
+  */
+object Audio {
+
+  /** Parse a WAV (RIFF/WAVE) byte blob to interleaved PCM samples.
+    * Supported: format 1 (integer PCM) at 8 bits (unsigned, re-centered
+    * by −128) or 16 bits (signed little-endian), any channel count /
+    * sample rate; `fmt ` and `data` chunks in any order, unknown chunks
+    * (LIST, fact, …) skipped by their declared length, word-aligned as
+    * RIFF requires (odd-length chunks carry a pad byte). Float PCM,
+    * WAVE_FORMAT_EXTENSIBLE, and truncated data return None. */
+  def wavSamples(bytes: Array[Byte]): Option[PcmAudio] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) bytes.slice(i, i + 4).map(_.toChar).mkString
+      else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var data: Option[(Int, Int)] = None // (offset, length)
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val ct = tag(i); val len = u32(i + 4).toInt
+      if (len < 0 || i + 8 + len > bytes.length) return None // truncated
+      ct match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = u16(i + 8)
+          channels = u16(i + 10)
+          rate = u32(i + 12).toInt
+          bits = u16(i + 22)
+          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+            channels > 0 && rate > 0
+        case "data" => data = Some((i + 8, len))
+        case _ => () // LIST / fact / cue … skipped
+      }
+      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    (data, fmtOk) match {
+      case (Some((off, len)), true) =>
+        val bytesPer = bits / 8
+        val n = len / (bytesPer * channels) * channels // whole frames only
+        val out = new Array[Int](n)
+        var s = 0
+        while (s < n) {
+          out(s) =
+            if (bits == 8) u8(off + s) - 128
+            else (u16(off + 2 * s) << 16) >> 16 // sign-extend 16-bit LE
+          s += 1
+        }
+        Some(PcmAudio(rate, channels, bits, out))
+      case _ => None
+    }
+  }
+
+  /** Partition-batched REAL audio decode → per-blob statistics, the
+    * audio twin of [[Multimodal.decodePixelStats]]: blobs that are not
+    * decodable PCM WAV are dropped (the ingest gate). All stats are
+    * integer-exact over the signed sample values; `zero_crossings`
+    * counts strict sign flips between CONSECUTIVE FRAMES PER CHANNEL
+    * (summed over channels — interleaving never pairs samples from
+    * different channels), zeros breaking a run. */
+  def decodeStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavSamples(bytes).map { pcm =>
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var sumAbs = 0L; var zc = 0L
+            val ch = pcm.channels
+            var s = 0
+            while (s < pcm.samples.length) {
+              val v = pcm.samples(s)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sumAbs += math.abs(v.toLong)
+              if (s >= ch) {
+                val p = pcm.samples(s - ch) // same channel, previous frame
+                if ((p < 0 && v > 0) || (p > 0 && v < 0)) zc += 1
+              }
+              s += 1
+            }
+            if (pcm.samples.isEmpty) { mn = 0; mx = 0 }
+            AudioStats(id, pcm.sampleRate, ch, pcm.bitsPerSample,
+              pcm.samples.length.toLong / ch, mn, mx, sumAbs, zc)
+          }
+        }
+      }
+  }
+
+  /** Fixed-length windowed features over a decoded clip — the audio
+    * encoder front-end shape (frames of `windowFrames` frames, hop =
+    * window, per-window integer energy + peak + zero-crossings). Output
+    * rides as one row per (blob, window): the explode-style layout a
+    * downstream embedding model consumes. Integer-exact like
+    * [[decodeStats]]. */
+  def windowFeatures(spark: SparkSession, media: DataFrame,
+      windowFrames: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavSamples(bytes).toSeq.flatMap { pcm =>
+            val ch = pcm.channels
+            val nFrames = pcm.samples.length / ch
+            (0 until nFrames / windowFrames).map { w =>
+              var sumAbs = 0L; var peak = 0; var zc = 0L
+              var f = w * windowFrames
+              while (f < (w + 1) * windowFrames) {
+                var c = 0
+                while (c < ch) {
+                  val v = pcm.samples(f * ch + c)
+                  val a = math.abs(v)
+                  sumAbs += a
+                  if (a > peak) peak = a
+                  if (f > w * windowFrames) {
+                    val p = pcm.samples((f - 1) * ch + c)
+                    if ((p < 0 && v > 0) || (p > 0 && v < 0)) zc += 1
+                  }
+                  c += 1
+                }
+                f += 1
+              }
+              (id, w, sumAbs, peak, zc)
+            }
+          }
+        }
+      }.toDF("media_id", "window", "sum_abs", "peak", "zero_crossings")
+  }
+}

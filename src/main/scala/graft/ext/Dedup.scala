@@ -841,6 +841,47 @@ object Dedup {
     ngramJaccardPairsOverGrams(ngramGramTable(df0, textCol, idCol, n),
       threshold, maxDf, prefixFilter)
 
+  /** SUMMABLE gram-census artifact: (g, df) global doc-frequencies over
+    * a gram table. Per-slice censuses merge by addition
+    * ([[mergeGramCensus]]), which is what makes the df blocking cap
+    * maintainable at ingest time instead of re-counted per corpus pass:
+    * the census is computed once per snapshot, persisted beside the gram
+    * index, and a day's ingest touches |slice grams| + |changed census
+    * rows|, never the corpus. */
+  def ngramGramCensus(grams: DataFrame): DataFrame =
+    grams.groupBy("g").agg(count(lit(1)).as("df"))
+
+  /** Merge gram censuses by addition (doc-frequency of a gram in A ∪ B =
+    * df_A + df_B for id-disjoint corpora). */
+  def mergeGramCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g").agg(sum(col("df")).as("df"))
+
+  /** Direct count-join exact-Jaccard pairs with the df blocking cap read
+    * from a PRECOMPUTED census artifact ([[ngramGramCensus]] output or a
+    * merge of slices) instead of a fresh corpus-wide window count —
+    * semantics identical to [[ngramJaccardPairsFromGrams]] when `census`
+    * covers exactly the gram population of `grams`. */
+  def ngramJaccardPairsFromGramsWithCensus(grams: DataFrame,
+      census: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame =
+    jaccardFromCounts(pairCountsBlocked(
+      grams.join(census.filter(col("df") <= maxDf).select("g"), Seq("g"))),
+      threshold)
+
+  private def pairCountsBlocked(blocked: DataFrame): DataFrame = blocked
+    .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+    .join(blocked.select(col("g"), col("id").as("id_b"),
+      col("nsz").as("nb")), Seq("g"))
+    .filter(col("id_a") < col("id_b"))
+    .groupBy("id_a", "id_b", "na", "nb")
+    .agg(count(lit(1)).as("c"))
+
+  private def jaccardFromCounts(counted: DataFrame,
+      threshold: Double): DataFrame = counted
+    .withColumn("jaccard",
+      col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    .filter(col("jaccard") >= threshold)
+    .select("id_a", "id_b", "jaccard")
+
   /** Full threshold-adaptive exact-Jaccard join (direct OR prefix-filter
     * path) over a PRECOMPUTED gram table — the artifact-consuming form
     * of [[ngramJaccardPairs]]. */
@@ -923,17 +964,33 @@ object Dedup {
     ngramJaccardPairsOverGrams(grams, threshold, maxDf,
       prefixFilter = Some(false))
 
-  /** [[ngramJaccardCrossPairs]] over PRECOMPUTED gram tables. */
+  /** [[ngramJaccardCrossPairs]] over PRECOMPUTED gram tables. The merged
+    * census is re-counted inline here; the maintained-artifact form is
+    * [[ngramJaccardCrossPairsFromGramsWithCensus]]. */
   def ngramJaccardCrossPairsFromGrams(gramsA: DataFrame, gramsB: DataFrame,
       threshold: Double, maxDf: Int = 1000): DataFrame = {
     val ea = graft.ops.Caches.track(gramsA)
     val eb = graft.ops.Caches.track(gramsB)
-    val ok = ea.select("g").union(eb.select("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("g")
-    ea.join(ok, Seq("g"))
+    ngramJaccardCrossPairsFromGramsWithCensus(ea, eb,
+      ngramGramCensus(ea.select("id", "nsz", "g")
+        .unionByName(eb.select("id", "nsz", "g"))),
+      threshold, maxDf)
+  }
+
+  /** Cross-corpus exact-Jaccard pairs with the df cap read from a
+    * PRECOMPUTED MERGED census ([[mergeGramCensus]] of the persisted
+    * old-corpus census and the slice's census) — the ingest-time shape:
+    * the old corpus contributes an artifact READ (gram postings + census
+    * rows), never a re-count. `census` must cover the gram population of
+    * `gramsA` ∪ `gramsB` for candidacy to match a whole-corpus
+    * recompute. */
+  def ngramJaccardCrossPairsFromGramsWithCensus(gramsA: DataFrame,
+      gramsB: DataFrame, census: DataFrame, threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val ok = census.filter(col("df") <= maxDf).select("g")
+    gramsA.join(ok, Seq("g"))
       .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
-      .join(eb.join(ok, Seq("g"))
+      .join(gramsB.join(ok, Seq("g"))
         .select(col("g"), col("id").as("id_b"), col("nsz").as("nb")),
         Seq("g"))
       .groupBy("id_a", "id_b", "na", "nb")
@@ -966,6 +1023,30 @@ object Dedup {
     oldPairs.unionByName(cross).unionByName(newSelf)
   }
 
+  /** [[ngramPairsIncrementalFromGrams]] with the census itself a
+    * MAINTAINED artifact: `censusOld` is the persisted corpus census
+    * ([[ngramGramCensus]], computed once per snapshot), merged by
+    * ADDITION with the slice's census — the full ingest-time posture
+    * where nothing about the old corpus is re-aggregated. The merged
+    * census blocks the cross step AND the new-slice self step (the
+    * self step must see corpus-wide df for candidacy to match a
+    * whole-corpus recompute when the cap binds; in the cap-unbound
+    * regime all forms agree exactly, which is what the stress harness
+    * count-checks). */
+  def ngramPairsIncrementalWithCensus(oldPairs: DataFrame,
+      gramsOld: DataFrame, gramsNew: DataFrame, censusOld: DataFrame,
+      threshold: Double, maxDf: Int = 1000): DataFrame = {
+    val merged = graft.ops.Caches.track(
+      mergeGramCensus(censusOld, ngramGramCensus(gramsNew)))
+    val cross = ngramJaccardCrossPairsFromGramsWithCensus(gramsOld,
+        gramsNew, merged, threshold, maxDf)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val newSelf = ngramJaccardPairsFromGramsWithCensus(gramsNew, merged,
+      threshold, maxDf)
+    oldPairs.unionByName(cross).unionByName(newSelf)
+  }
+
   /** INCREMENTAL n-gram Jaccard maintenance — the same merge law as
     * [[minhashPairsIncrementalPortable]] for the exact-Jaccard tier:
     * oldPairs ∪ cross(old, new) ∪ self(new) over id-disjoint corpora
@@ -991,34 +1072,89 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 12, tables: Int = 4,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
-
     // Same shape as minhashDupPairs: ids-only candidate self-join on the
     // sketch buckets, vectors re-attached per distinct pair for the exact
     // cosine verification (don't shuffle 64-float payloads through the
     // pre-dedup candidate explosion).
     val vecs = graft.ops.Caches.track(
       df.select(col(idCol).as("id"), col(vecCol)))
-    val buckets = vecs
+    embeddingDupPairsFromBuckets(
+      embeddingBucketTable(vecs, vecCol, "id", planes, tables, dim, seed),
+      vecs, vecCol, threshold)
+  }
+
+  /** Sign-sketch BUCKET TABLE (id, t, bucket) — the persisted artifact of
+    * the embedding tier (the analog of the MinHash signature index):
+    * bucket membership is a per-row property of the seeded hyperplane
+    * family, so the table is computed once per corpus snapshot,
+    * persisted, and consumed by pairs / cross / incremental without ever
+    * re-sketching the corpus. `vecs` must carry (`idCol`, `vecCol`). */
+  def embeddingBucketTable(vecs: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 12, tables: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
+    vecs
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          Vectors.signBucketNative(df.sparkSession, col(vecCol), hyper, t)
+          Vectors.signBucketNative(vecs.sparkSession, col(vecCol), hyper, t)
             .as("bucket"))): _*)))
-      .select(col("id"), col("tb.t"), col("tb.bucket"))
+      .select(col(idCol).as("id"), col("tb.t"), col("tb.bucket"))
+  }
 
+  /** [[embeddingDupPairs]] over a PRECOMPUTED bucket artifact — the
+    * candidate join reads (id, t, bucket) rows, and only the exact-cosine
+    * verify touches vectors (joined back by id from `vecs` = (id,
+    * `vecCol`)). */
+  def embeddingDupPairsFromBuckets(buckets: DataFrame, vecs: DataFrame,
+      vecCol: String, threshold: Double): DataFrame = {
     val pairs = buckets.select(col("t"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("t"), col("bucket"), col("id").as("id_b")),
         Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    verifyCosine(pairs, vecs, vecs, vecCol, threshold)
+  }
 
+  /** Cross-corpus pairs over PRECOMPUTED bucket artifacts (A = existing
+    * corpus — an index READ at ingest time; B = the slice). */
+  def embeddingCrossDupPairsFromBuckets(bucketsA: DataFrame,
+      vecsA: DataFrame, bucketsB: DataFrame, vecsB: DataFrame,
+      vecCol: String, threshold: Double): DataFrame = {
+    val pairs = bucketsA.select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(bucketsB.select(col("t"), col("bucket"), col("id").as("id_b")),
+        Seq("t", "bucket"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyCosine(pairs, vecsA, vecsB, vecCol, threshold)
+  }
+
+  private def verifyCosine(pairs: DataFrame, vecsA: DataFrame,
+      vecsB: DataFrame, vecCol: String, threshold: Double): DataFrame =
     pairs
-      .join(vecs.select(col("id").as("id_a"), col(vecCol).as("va")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
-      .withColumn("cos", Vectors.cosineNative(df.sparkSession, col("va"), col("vb")))
+      .join(vecsA.select(col("id").as("id_a"), col(vecCol).as("va")),
+        Seq("id_a"))
+      .join(vecsB.select(col("id").as("id_b"), col(vecCol).as("vb")),
+        Seq("id_b"))
+      .withColumn("cos",
+        Vectors.cosineNative(pairs.sparkSession, col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+
+  /** [[embeddingPairsIncremental]] with the old corpus's sketch read
+    * from the PERSISTED bucket artifact — the full ingest-time posture:
+    * the slice is sketched (slice-sized work), the old corpus
+    * contributes bucket-table and vector READS only. */
+  def embeddingPairsIncrementalFromBuckets(oldPairs: DataFrame,
+      bucketsOld: DataFrame, vecsOld: DataFrame, bucketsNew: DataFrame,
+      vecsNew: DataFrame, vecCol: String, threshold: Double): DataFrame = {
+    val cross = embeddingCrossDupPairsFromBuckets(bucketsOld, vecsOld,
+        bucketsNew, vecsNew, vecCol, threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+    val newSelf = embeddingDupPairsFromBuckets(bucketsNew, vecsNew,
+      vecCol, threshold)
+    oldPairs.unionByName(cross).unionByName(newSelf)
   }
 
   /** CROSS-CORPUS embedding near-dup pairs: vectors in `incoming` whose

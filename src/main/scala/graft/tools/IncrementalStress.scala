@@ -58,9 +58,7 @@ object IncrementalStress {
       spark.read.parquet(dir)
     }
 
-    /** min-of-3 wall clock of `body`, which must force the full result
-      * (count of the union — reading the old-pairs artifact is PART of
-      * the append path and is charged to it honestly). */
+    /** min-of-3 wall clock of `body`, which must force the full result. */
     def timed(body: => Long): (Double, Long) = {
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -72,14 +70,20 @@ object IncrementalStress {
       (samples.map(_._1).min, samples.head._2)
     }
 
-    def report(family: String, k: Int, append: (Double, Long),
-        recompute: (Double, Long)): Unit = {
-      val ok = append._2 == recompute._2
+    /** The append arm measures the DELTA (cross ∪ self) — a real ingest
+      * appends delta files to the pairs artifact, it never rewrites old
+      * pairs — so exactness is count-additive: |old artifact| + |delta|
+      * must equal the whole-corpus recompute (the three parts are
+      * id-disjoint by construction; a mismatch fails the run). */
+    def report(family: String, k: Int, oldCount: Long,
+        append: (Double, Long), recompute: (Double, Long)): Unit = {
+      val ok = oldCount + append._2 == recompute._2
       println(f"[incstress] family=$family%-10s k=${k}x " +
         f"append=${append._1}%6.2f s recompute=${recompute._1}%6.2f s " +
-        f"pairs_append=${append._2} pairs_recompute=${recompute._2} " +
+        f"pairs_old=$oldCount pairs_delta=${append._2} " +
+        f"pairs_recompute=${recompute._2} " +
         (if (ok) "EXACT" else "COUNT-MISMATCH"))
-      require(ok, s"$family at ${k}x: append ${append._2} != recompute ${recompute._2}")
+      require(ok, s"$family at ${k}x: $oldCount + ${append._2} != ${recompute._2}")
     }
 
     // Fixed ingest slice: a quarter of the base corpus, ids moved to a
@@ -149,36 +153,55 @@ object IncrementalStress {
       // that measures the mis-sizing, not the maintenance law. Both arms
       // and the old-pairs artifact share the family, so exactness holds.
       val planesK = 4 + (31 - Integer.numberOfLeadingZeros(k))
-      val oldPairsEm = persist(Dedup.embeddingDupPairs(oldEmbs,
-        "embedding", "vec_id", threshold = 0.4, planes = planesK,
-        tables = 8, dim = 64), s"old_pairs_em_$k")
+      // Maintained-census + bucket-table artifacts: the append arms read
+      // these instead of re-aggregating the corpus census / re-sketching
+      // the corpus per ingest.
+      val oldCensus = persist(Dedup.ngramGramCensus(oldGrams),
+        s"old_census_$k")
+      val oldVecs = oldEmbs.select(col("vec_id").as("id"), col("embedding"))
+      val sliceVecs = sliceEmbs.select(col("vec_id").as("id"),
+        col("embedding"))
+      val oldBuckets = persist(Dedup.embeddingBucketTable(oldVecs,
+        "embedding", "id", planes = planesK, tables = 8, dim = 64),
+        s"old_buckets_$k")
+      val sliceBuckets = persist(Dedup.embeddingBucketTable(sliceVecs,
+        "embedding", "id", planes = planesK, tables = 8, dim = 64),
+        s"slice_buckets_$k")
+      val oldPairsEm = persist(Dedup.embeddingDupPairsFromBuckets(
+        oldBuckets, oldVecs, "embedding", threshold = 0.4),
+        s"old_pairs_em_$k")
       println(f"[incstress] artifacts ${k}x: build=${(System.nanoTime() - tArt0) / 1e9}%6.2f s " +
         s"(sigs+fps+grams+4 pair sets, charged to neither arm)")
 
-      report("minhash", k,
+      // Delta = the incremental function fed an EMPTY old-pairs frame:
+      // exactly cross(old artifact, slice) ∪ self(slice), the work a
+      // real ingest performs (the old pairs stay on disk untouched).
+      val nMh = oldPairsMh.count(); val nSh = oldPairsSh.count()
+      val nNg = oldPairsNg.count(); val nEm = oldPairsEm.count()
+      report("minhash", k, nMh,
         timed(Dedup.minhashPairsIncrementalPortable(
-          oldPairsMh, oldSigs, sliceSigs, 32, 8, 0.5, cap).count()),
+          oldPairsMh.limit(0), oldSigs, sliceSigs, 32, 8, 0.5, cap).count()),
         timed(Dedup.minhashDupPairsPortableFromSignatures(
           oldSigs.unionByName(sliceSigs), 32, 8, 0.5, cap).count()))
 
-      report("simhash", k,
+      report("simhash", k, nSh,
         timed(Dedup.simhashPairsIncrementalPortable(
-          oldPairsSh, oldFps, sliceFps, maxHamming = 3).count()),
+          oldPairsSh.limit(0), oldFps, sliceFps, maxHamming = 3).count()),
         timed(Dedup.simhashDupPairsPortableFromFingerprints(
           oldFps.unionByName(sliceFps), maxHamming = 3).count()))
 
-      report("ngram", k,
-        timed(Dedup.ngramPairsIncrementalFromGrams(
-          oldPairsNg, oldGrams, sliceGrams, threshold = 0.1,
-          maxDf = cap).count()),
+      report("ngram", k, nNg,
+        timed(Dedup.ngramPairsIncrementalWithCensus(
+          oldPairsNg.limit(0), oldGrams, sliceGrams, oldCensus,
+          threshold = 0.1, maxDf = cap).count()),
         timed(Dedup.ngramJaccardPairsFromGrams(
           oldGrams.unionByName(sliceGrams), threshold = 0.1,
           maxDf = cap).count()))
 
-      report("embedding", k,
-        timed(Dedup.embeddingPairsIncremental(oldPairsEm, oldEmbs,
-          sliceEmbs, "embedding", "vec_id", threshold = 0.4,
-          planes = planesK, tables = 8, dim = 64).count()),
+      report("embedding", k, nEm,
+        timed(Dedup.embeddingPairsIncrementalFromBuckets(oldPairsEm.limit(0),
+          oldBuckets, oldVecs, sliceBuckets, sliceVecs, "embedding",
+          threshold = 0.4).count()),
         timed(Dedup.embeddingDupPairs(oldEmbs.unionByName(sliceEmbs),
           "embedding", "vec_id", threshold = 0.4, planes = planesK,
           tables = 8, dim = 64).count()))
@@ -198,11 +221,19 @@ object IncrementalStress {
         Similarity.ivfTopKFromIndex(index, "embedding", "vec_id", q,
           k = 10, cents, nprobe = 4)
           .agg(sum(col("vec_id"))).head().getLong(0)
-      report("ivf_index", k,
-        timed(probeSum(oldIndex.unionByName(
-          Similarity.ivfAssign(sliceEmbs, "embedding", cents)))),
-        timed(probeSum(Similarity.ivfAssign(
-          oldEmbs.unionByName(sliceEmbs), "embedding", cents))))
+      // IVF is a QUERY-path comparison (probe the maintained index vs
+      // re-assign the merged corpus then probe), so exactness is probe-
+      // result equality rather than additive pair counts.
+      val maintained = timed(probeSum(oldIndex.unionByName(
+        Similarity.ivfAssign(sliceEmbs, "embedding", cents))))
+      val rebuilt = timed(probeSum(Similarity.ivfAssign(
+        oldEmbs.unionByName(sliceEmbs), "embedding", cents)))
+      val ivfOk = maintained._2 == rebuilt._2
+      println(f"[incstress] family=ivf_index  k=${k}x " +
+        f"append=${maintained._1}%6.2f s recompute=${rebuilt._1}%6.2f s " +
+        f"probe_maintained=${maintained._2} probe_rebuilt=${rebuilt._2} " +
+        (if (ivfOk) "EXACT" else "PROBE-MISMATCH"))
+      require(ivfOk, s"ivf at ${k}x: probe results differ")
     }
     spark.stop()
   }

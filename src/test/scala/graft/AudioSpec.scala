@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Audio, AudioFixtures, MediaFixtures}
+
+class AudioSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("wavSamples round-trips buildWav fixtures exactly") {
+    val sq = Audio.wavSamples(AudioFixtures.wavSquare).get
+    assert((sq.sampleRate, sq.channels, sq.bitsPerSample) == ((8000, 1, 16)))
+    assert(sq.samples.toSeq ==
+      (0 until 16).map(i => if (i % 2 == 0) 1000 else -1000))
+    val st = Audio.wavSamples(AudioFixtures.wavStereo8).get
+    assert((st.sampleRate, st.channels, st.bitsPerSample) == ((4000, 2, 8)))
+    assert(st.samples.toSeq == Seq(10, 0, -10, 20, 10, 0, -10, 20))
+  }
+
+  test("wavSamples skips unknown chunks, handles odd-length padding, rejects junk") {
+    // splice a LIST chunk (odd length 7 → 1 pad byte) before fmt/data
+    val base = AudioFixtures.buildWav(8000, 1, 16, Seq(5, -5, 7))
+    val list = "LIST".getBytes ++
+      Array(7, 0, 0, 0).map(_.toByte) ++ "abcdefg".getBytes ++
+      Array(0.toByte)
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    // fix the RIFF size field
+    val riffLen = spliced.length - 8
+    for (j <- 0 until 4)
+      spliced(4 + j) = ((riffLen >> (8 * j)) & 0xFF).toByte
+    val got = Audio.wavSamples(spliced).get
+    assert(got.samples.toSeq == Seq(5, -5, 7))
+    // rejections: not RIFF, truncated data chunk, float PCM format
+    assert(Audio.wavSamples("RIFXjunk".getBytes).isEmpty)
+    assert(Audio.wavSamples(base.take(base.length - 3)).isEmpty)
+    val floatFmt = base.clone()
+    floatFmt(20) = 3 // WAVE_FORMAT_IEEE_FLOAT
+    assert(Audio.wavSamples(floatFmt).isEmpty)
+    assert(Audio.wavSamples(MediaFixtures.jpeg4x2).isEmpty)
+  }
+
+  test("buildWav bytes are decoded bit-exact by the JDK's independent codec") {
+    // javax.sound.sampled is a WAV implementation this repo did not
+    // write; PCM is lossless so the comparison is exact, not ±1.
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(AudioFixtures.wavSquare))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val raw = in.readAllBytes()
+    assert(raw.length == 32)
+    val jdk = (0 until 16).map { i =>
+      // 16-bit little-endian signed, as the fmt chunk declares
+      ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+    }
+    assert(jdk == Audio.wavSamples(AudioFixtures.wavSquare).get.samples.toSeq)
+  }
+
+  test("wavSamples decodes JDK-written WAVE streams bit-exact") {
+    // reverse direction: AudioSystem writes the container, we parse it
+    val rnd = new scala.util.Random(7)
+    for ((channels, bits) <- Seq((1, 16), (2, 16), (1, 8))) {
+      val nFrames = 37
+      val samples = Array.fill(nFrames * channels)(
+        if (bits == 16) rnd.nextInt(65536) - 32768 else rnd.nextInt(256) - 128)
+      val bytesPer = bits / 8
+      val pcm: Array[Byte] =
+        if (bits == 8) samples.map(v => ((v + 128) & 0xFF).toByte)
+        else samples.flatMap(v =>
+          Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 16000f, bits,
+        channels, channels * bytesPer, 16000f, false)
+      val fmt8 = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 16000f, 8,
+        channels, channels, 16000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        if (bits == 8) fmt8 else fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val got = Audio.wavSamples(baos.toByteArray)
+        .getOrElse(fail(s"rejected JDK WAVE at ch=$channels bits=$bits"))
+      assert((got.sampleRate, got.channels, got.bitsPerSample) ==
+        ((16000, channels, bits)))
+      assert(got.samples.toSeq == samples.toSeq)
+    }
+  }
+
+  test("decodeStats: integer-exact statistics; non-WAV blobs gated out") {
+    val s = spark
+    import s.implicits._
+    val got = Audio.decodeStats(s, Seq(
+        (1L, AudioFixtures.wavSquare),
+        (2L, AudioFixtures.wavStereo8),
+        (3L, MediaFixtures.jpeg4x2))
+      .toDF("media_id", "content")).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val sq = got(1L)
+    assert((sq.sample_rate, sq.channels, sq.n_frames) == ((8000, 1, 16L)))
+    assert((sq.amp_min, sq.amp_max, sq.amp_sum_abs, sq.zero_crossings) ==
+      ((-1000, 1000, 16000L, 15L)))
+    val st = got(2L)
+    assert((st.sample_rate, st.channels, st.n_frames) == ((4000, 2, 4L)))
+    // zero samples break sign-flip runs; channels never cross-pair
+    assert((st.amp_min, st.amp_max, st.amp_sum_abs, st.zero_crossings) ==
+      ((-10, 20, 80L, 3L)))
+  }
+
+  test("windowFeatures: per-window energy/peak/crossings, hop = window") {
+    val s = spark
+    import s.implicits._
+    val got = Audio.windowFeatures(s,
+        Seq((2L, AudioFixtures.wavStereo8)).toDF("media_id", "content"),
+        windowFrames = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq((0, 40L, 20, 1L), (1, 40L, 20, 1L)))
+    // a trailing partial window is dropped, not mis-aggregated
+    val odd = Audio.windowFeatures(s,
+        Seq((1L, AudioFixtures.buildWav(8000, 1, 16, Seq(1, -2, 3)))
+          ).toDF("media_id", "content"), windowFrames = 2)
+      .collect()
+    assert(odd.length == 1 && odd.head.getLong(2) == 3L)
+  }
+}

@@ -146,6 +146,97 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(frames == Seq((0L, 0.0), (5L, 0.5), (10L, 1.0), (15L, 1.5)))
   }
 
+  // ---------------------------------------------- baseline JPEG codec
+
+  test("jpegPixels decodes the constant-block fixtures exactly") {
+    val g = Multimodal.jpegPixels(graft.ext.MediaFixtures.jpegGray8x8).get
+    assert((g.width, g.height, g.channels) == ((8, 8, 1)))
+    assert(g.pixels.forall(p => (p & 0xFF) == 100))
+    val two = Multimodal.jpegPixels(graft.ext.MediaFixtures.jpegGray16x8).get
+    assert((two.width, two.height, two.channels) == ((16, 8, 1)))
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((two.pixels(y * 16 + x) & 0xFF) == (if (x < 8) 50 else 200))
+    val odd = Multimodal.jpegPixels(graft.ext.MediaFixtures.jpegGray10x6).get
+    assert((odd.width, odd.height, odd.channels) == ((10, 6, 1)))
+    assert(odd.pixels.length == 60 && odd.pixels.forall(p => (p & 0xFF) == 77))
+    val c = Multimodal.jpegPixels(graft.ext.MediaFixtures.jpegColor8x8).get
+    assert((c.width, c.height, c.channels) == ((8, 8, 3)))
+    assert(c.pixels.forall(p => (p & 0xFF) == 200))
+    // header-only marker stream (no SOS/scan) is rejected, not mis-decoded
+    assert(Multimodal.jpegPixels(graft.ext.MediaFixtures.jpeg4x2).isEmpty)
+    assert(Multimodal.jpegPixels("plain text".getBytes).isEmpty)
+    // truncated scan: drop the EOI and half the entropy bytes
+    val trunc = graft.ext.MediaFixtures.jpegGray16x8
+    assert(Multimodal.jpegPixels(trunc.take(trunc.length - 12)).isEmpty)
+  }
+
+  test("buildJpeg bytes are decoded identically by the JDK's independent codec") {
+    // ImageIO is a JPEG implementation this repo did not write: it
+    // accepting the stream pins the encoder's DQT/DHT/SOF/SOS/bitstream
+    // as spec-valid, and the pixel values pin the FDCT/quantization.
+    for ((fix, w, h, expect) <- Seq(
+        (graft.ext.MediaFixtures.jpegGray8x8, 8, 8, (_: Int, _: Int) => 100),
+        (graft.ext.MediaFixtures.jpegGray10x6, 10, 6, (_: Int, _: Int) => 77),
+        (graft.ext.MediaFixtures.jpegGray16x8, 16, 8,
+          (x: Int, _: Int) => if (x < 8) 50 else 200))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fix))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == expect(x, y),
+          s"ImageIO pixel ($x,$y)")
+    }
+    // neutral-chroma color: every RGB channel is exactly the Y value
+    val c = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.jpegColor8x8))
+    assert(c != null && c.getWidth == 8 && c.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((c.getRGB(x, y) & 0xFFFFFF) == 0xC8C8C8) // (200,200,200)
+  }
+
+  test("jpegPixels matches the JDK codec on ImageIO-encoded images within ±1") {
+    // The reverse direction: arbitrary gray images encoded by ImageIO's
+    // own writer (its tables, its FDCT) must decode here to the same
+    // pixels the JDK decoder reads back. The JPEG spec does not mandate
+    // a bit-exact IDCT, so the bound is ±1 per pixel (IEEE 1180 regime).
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((8, 8), (16, 16), (10, 6), (24, 17))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      val bytes = baos.toByteArray
+      val mine = Multimodal.jpegPixels(bytes)
+        .getOrElse(fail(s"jpegPixels rejected ImageIO output at ${w}x$h"))
+      assert((mine.width, mine.height, mine.channels) == ((w, h, 1)))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = mine.pixels(y * w + x) & 0xFF
+        val b = jdk.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - b) <= 1, s"pixel ($x,$y) at ${w}x$h: $a vs $b")
+      }
+    }
+  }
+
+  test("decodePixelStats gates JPEG blobs through the real pixel decoder") {
+    val s = spark
+    import s.implicits._
+    val got = Multimodal.decodePixelStats(s, Seq(
+        (1L, graft.ext.MediaFixtures.jpegGray16x8),
+        (2L, graft.ext.MediaFixtures.pngGray3x2), // PNG path still live
+        (3L, graft.ext.MediaFixtures.jpeg4x2))    // header-only: dropped
+      .toDF("media_id", "content")).collect()
+      .map(p => p.media_id ->
+        (p.width, p.height, p.channels, p.n_px_bytes, p.px_sum,
+          p.px_min, p.px_max)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (16, 8, 1, 128L, 16000L, 50, 200))
+    assert(got(2L) == (3, 2, 1, 6L, 105L, 5, 30))
+  }
+
   test("featureExtract: fixed-dim deterministic vectors") {
     val a = Multimodal.featureExtract(spark, media, dim = 8)
       .select("media_id", "features").collect()
