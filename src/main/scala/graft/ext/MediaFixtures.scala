@@ -257,6 +257,84 @@ object MediaFixtures {
   val jpegColor8x8: Array[Byte] = buildJpeg(8, 8,
     Seq(Seq.fill(64)(200), Seq.fill(64)(128), Seq.fill(64)(128)))
 
+  // --------------------------------------------------- GIF89a encoder
+
+  /** Build a REAL, spec-valid multi-frame GIF89a from explicit palette
+    * indices — every structural byte (logical screen descriptor, global
+    * color table, Graphic Control Extension delays, LZW-coded image
+    * data in 255-byte sub-blocks) derived in plain code. The LZW stream
+    * uses the spec-valid CLEAR-before-every-literal form (the dictionary
+    * never grows, so each pixel rides as a fixed-width literal code) —
+    * trivially correct to emit, while [[Multimodal.gifFrames]] still
+    * implements FULL LZW because ImageIO-written GIFs (the cross-check
+    * in MultimodalSpec) use real compression.
+    *
+    * `frames`: (left, top, w, h, delayCs, indices row-major). */
+  def buildGif(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
+      frames: Seq[(Int, Int, Int, Int, Int, Seq[Int])]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256)
+    var sizeBits = 1 // global color table holds 2^(sizeBits+1) entries
+    while ((2 << sizeBits) < palette.length) sizeBits += 1
+    val ctEntries = 2 << sizeBits
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes)
+    le16(width); le16(height)
+    out.write(0x80 | sizeBits); out.write(0); out.write(0)
+    for (j <- 0 until ctEntries) {
+      val (r, g, b) = if (j < palette.length) palette(j) else (0, 0, 0)
+      out.write(r); out.write(g); out.write(b)
+    }
+    val mcs = math.max(2, sizeBits + 1) // LZW minimum code size
+    for ((left, top, w, h, delayCs, indices) <- frames) {
+      require(indices.length == w * h &&
+        indices.forall(ix => ix >= 0 && ix < palette.length))
+      if (delayCs > 0) { // Graphic Control Extension
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(0); le16(delayCs); out.write(0); out.write(0)
+      }
+      out.write(0x2C) // image descriptor, no local table, not interlaced
+      le16(left); le16(top); le16(w); le16(h); out.write(0)
+      out.write(mcs)
+      // LZW: CLEAR literal CLEAR literal … EOI at fixed width mcs+1,
+      // packed LSB-first
+      val clear = 1 << mcs; val eoi = clear + 1; val cw = mcs + 1
+      var acc = 0L; var accBits = 0
+      val data = new java.io.ByteArrayOutputStream()
+      def putCode(c: Int): Unit = {
+        acc |= c.toLong << accBits; accBits += cw
+        while (accBits >= 8) {
+          data.write((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8
+        }
+      }
+      indices.foreach { ix => putCode(clear); putCode(ix) }
+      putCode(eoi)
+      if (accBits > 0) data.write((acc & 0xFF).toInt)
+      val lz = data.toByteArray
+      var off = 0
+      while (off < lz.length) {
+        val n = math.min(255, lz.length - off)
+        out.write(n); out.write(lz, off, n); off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Palette for the GIF fixtures: black, a dark mix, mid-gray, red. */
+  val gifPalette: Seq[(Int, Int, Int)] =
+    Seq((0, 0, 0), (10, 20, 30), (100, 100, 100), (255, 0, 0))
+
+  /** Two-frame 4×2 GIF89a: frame 0 all mid-gray (delay 10 cs), frame 1
+    * a 2×1 patch at (1,1) of [dark mix, red] (delay 20 cs). Expected
+    * per-frame stats over RGB bytes —
+    * frame 0: n=24, sum=2400, min=max=100;
+    * frame 1: n=6, sum=10+20+30+255=315, min=0, max=255. */
+  val gifTwoFrames: Array[Byte] = buildGif(4, 2, gifPalette, Seq(
+    (0, 0, 4, 2, 10, Seq.fill(8)(2)),
+    (1, 1, 2, 1, 20, Seq(1, 3))))
+
   /** Minimal spec-conformant JPEG marker stream, 41 bytes: SOI, JFIF
     * APP0, SOF0 baseline frame header (precision 8, height 2, width 4,
     * 3 components), EOI. The frame header is what a dimension probe

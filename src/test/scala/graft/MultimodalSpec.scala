@@ -237,6 +237,94 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(2L) == (3, 2, 1, 6L, 105L, 5, 30))
   }
 
+  // ------------------------------------------------- GIF frame decode
+
+  test("gifFrames decodes the two-frame fixture exactly") {
+    val frames = Multimodal.gifFrames(graft.ext.MediaFixtures.gifTwoFrames).get
+    assert(frames.length == 2)
+    val f0 = frames(0)
+    assert((f0.index, f0.left, f0.top, f0.width, f0.height, f0.delay_cs) ==
+      ((0, 0, 0, 4, 2, 10)))
+    assert(f0.pixels.length == 24 && f0.pixels.forall(p => (p & 0xFF) == 100))
+    val f1 = frames(1)
+    assert((f1.index, f1.left, f1.top, f1.width, f1.height, f1.delay_cs) ==
+      ((1, 1, 1, 2, 1, 20)))
+    assert(f1.pixels.map(_ & 0xFF).toSeq == Seq(10, 20, 30, 255, 0, 0))
+    // rejections: truncated stream, non-GIF blobs
+    val t = graft.ext.MediaFixtures.gifTwoFrames
+    assert(Multimodal.gifFrames(t.take(t.length - 2)).isEmpty)
+    assert(Multimodal.gifFrames(graft.ext.MediaFixtures.png1x1).isEmpty)
+    assert(Multimodal.gifFrames("not a gif".getBytes).isEmpty)
+  }
+
+  test("buildGif bytes are decoded identically by the JDK's independent codec") {
+    val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(graft.ext.MediaFixtures.gifTwoFrames)))
+    assert(rd.getNumImages(true) == 2)
+    val f0 = rd.read(0)
+    assert(f0.getWidth == 4 && f0.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((f0.getRGB(x, y) & 0xFFFFFF) == 0x646464) // (100,100,100)
+    val f1 = rd.read(1)
+    // ImageIO reads the frame's own rectangle (2×1 patch)
+    assert(f1.getWidth == 2 && f1.getHeight == 1)
+    assert((f1.getRGB(0, 0) & 0xFFFFFF) == 0x0A141E) // (10,20,30)
+    assert((f1.getRGB(1, 0) & 0xFFFFFF) == 0xFF0000)
+  }
+
+  test("gifFrames inverts ImageIO-encoded GIFs back to the source image exactly") {
+    // ImageIO's writer emits REAL LZW (growing code widths, KwKwK
+    // sequences) and INTERLACED row order, exercising the full decoder;
+    // GIF is lossless over an indexed image, so decoding the writer's
+    // bytes must reproduce the SOURCE image bit-exactly. (The ground
+    // truth is the source image, not ImageIO's reader: the JDK reader
+    // itself mis-deinterlaces very short images — at 256×3 its row 1
+    // matches no source row while the stored stream is the correct
+    // [0, 2, 1] interlace order; verified during this test's
+    // development. Our decoder must be right even where the JDK reader
+    // is not.)
+    val rnd = new scala.util.Random(11)
+    for ((w, h) <- Seq((8, 8), (37, 23), (256, 3))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", baos))
+      val bytes = baos.toByteArray
+      val frames = Multimodal.gifFrames(bytes)
+        .getOrElse(fail(s"gifFrames rejected ImageIO output at ${w}x$h"))
+      assert(frames.length == 1)
+      val fr = frames.head
+      assert((fr.width, fr.height) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val mine = ((fr.pixels(o) & 0xFF) << 16) |
+          ((fr.pixels(o + 1) & 0xFF) << 8) | (fr.pixels(o + 2) & 0xFF)
+        assert(mine == (img.getRGB(x, y) & 0xFFFFFF),
+          s"pixel ($x,$y) at ${w}x$h")
+      }
+    }
+  }
+
+  test("decodeFrameStats explodes multi-frame blobs; non-GIF gated out") {
+    val s = spark
+    import s.implicits._
+    val got = Multimodal.decodeFrameStats(s, Seq(
+        (1L, graft.ext.MediaFixtures.gifTwoFrames),
+        (2L, graft.ext.MediaFixtures.png1x1))
+      .toDF("media_id", "content")).collect()
+      .map(f => (f.media_id, f.frame_index) -> f).toMap
+    assert(got.keySet == Set((1L, 0), (1L, 1)))
+    val f0 = got((1L, 0))
+    assert((f0.n_px_bytes, f0.px_sum, f0.px_min, f0.px_max, f0.delay_cs) ==
+      ((24L, 2400L, 100, 100, 10)))
+    val f1 = got((1L, 1))
+    assert((f1.n_px_bytes, f1.px_sum, f1.px_min, f1.px_max, f1.delay_cs) ==
+      ((6L, 315L, 0, 255, 20)))
+  }
+
   test("featureExtract: fixed-dim deterministic vectors") {
     val a = Multimodal.featureExtract(spark, media, dim = 8)
       .select("media_id", "features").collect()
