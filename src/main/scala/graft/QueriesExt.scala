@@ -2887,6 +2887,39 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 
+    // REAL feature extraction over DECODED pixels (per-channel sums +
+    // 8-bin intensity histogram) — the non-stub counterpart of
+    // q_multimodal_features, dispatching PNG/JPEG/GIF through
+    // imagePixels. Integer-exact, so every row is hand-computed from
+    // the fixture pixel lists; the header-only JPEG gates out.
+    QueryCase("q_multimodal_image_features",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.imageFeatures(s, Seq(
+            (1L, MediaFixtures.pngRgb2x2),
+            (2L, MediaFixtures.pngGray3x2),
+            (3L, MediaFixtures.png1x1),
+            (4L, MediaFixtures.jpegGray16x8),
+            (5L, MediaFixtures.jpegColor8x8),
+            (6L, MediaFixtures.gifTwoFrames),
+            (7L, MediaFixtures.jpeg4x2)) // header-only: gated out
+          .toDF("media_id", "content"), bins = 8).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  ch_sums_csv, hist_csv
+        |FROM (VALUES
+        |  (1, 2, 2, 3, '18,22,26', '12,0,0,0,0,0,0,0'),
+        |  (2, 3, 2, 1, '105', '6,0,0,0,0,0,0,0'),
+        |  (3, 1, 1, 4, '0,0,0,0', '4,0,0,0,0,0,0,0'),
+        |  (4, 16, 8, 1, '16000', '0,64,0,0,0,0,64,0'),
+        |  (5, 8, 8, 3, '12800,12800,12800', '0,0,0,0,0,0,192,0'),
+        |  (6, 4, 2, 3, '800,800,800', '0,0,0,24,0,0,0,0'))
+        |  AS t(media_id, width, height, channels, ch_sums_csv,
+        |       hist_csv)""".stripMargin)),
+
     // REAL audio decode — PCM WAV needs no codec library, so the audio
     // column is a REAL parse (RIFF chunk walk, 8-bit unsigned / 16-bit
     // signed-LE sample decode), not a stub: per-blob integer-exact

@@ -490,12 +490,14 @@ object Multimodal {
     Some(RawImage(w, h, nComp, out))
   }
 
-  /** Container-dispatching full pixel decode: 8-bit PNG or baseline
-    * JPEG → [[RawImage]]; anything else None. */
+  /** Container-dispatching full pixel decode: 8-bit PNG, baseline JPEG,
+    * or GIF (first frame, RGB) → [[RawImage]]; anything else None. */
   def imagePixels(bytes: Array[Byte]): Option[RawImage] =
     pngPixels(bytes)
       .map(p => RawImage(p.width, p.height, p.channels, p.pixels))
       .orElse(jpegPixels(bytes))
+      .orElse(gifFrames(bytes).flatMap(_.headOption)
+        .map(f => RawImage(f.width, f.height, 3, f.pixels)))
 
   /** One decoded GIF frame: geometry + frame delay (centiseconds, from
     * the preceding Graphic Control Extension; 0 if none) + RGB pixels
@@ -731,6 +733,44 @@ object Multimodal {
             }
             PixelStats(id, img.width, img.height, img.channels,
               img.pixels.length.toLong, sum, mn, mx)
+          }
+        }
+      }
+  }
+
+  /** One row of REAL image features from decoded pixels. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      channels: Int, ch_sums_csv: String, hist_csv: String)
+
+  /** REAL feature extraction over DECODED pixels — the non-stub
+    * counterpart of [[featureExtract]] (which remains the opaque-encoder
+    * stand-in over raw bytes): per-channel integer sums plus a
+    * `bins`-bucket intensity histogram over all pixel bytes, the
+    * classic cheap image descriptor. Every output is integer-exact, so
+    * a SQL oracle pins it from fixture pixel math. Runs [[imagePixels]]
+    * (PNG/JPEG/GIF dispatch) inside the partition-batched body;
+    * undecodable blobs are gated out. */
+  def imageFeatures(spark: SparkSession, media: DataFrame,
+      bins: Int = 8): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    require(256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          imagePixels(bytes).map { img =>
+            val sums = new Array[Long](img.channels)
+            val hist = new Array[Long](bins)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xFF
+              sums(i % img.channels) += v
+              hist(v / width) += 1
+              i += 1
+            }
+            ImageFeatures(id, img.width, img.height, img.channels,
+              sums.mkString(","), hist.mkString(","))
           }
         }
       }

@@ -325,6 +325,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       ((6L, 315L, 0, 255, 20)))
   }
 
+  test("imagePixels dispatches PNG, JPEG and GIF (first frame)") {
+    assert(Multimodal.imagePixels(graft.ext.MediaFixtures.pngGray3x2)
+      .exists(i => (i.width, i.height, i.channels) == ((3, 2, 1))))
+    assert(Multimodal.imagePixels(graft.ext.MediaFixtures.jpegGray8x8)
+      .exists(i => (i.width, i.height, i.channels) == ((8, 8, 1))))
+    val gif = Multimodal.imagePixels(graft.ext.MediaFixtures.gifTwoFrames)
+    assert(gif.exists(i => (i.width, i.height, i.channels) == ((4, 2, 3))))
+    assert(gif.get.pixels.forall(p => (p & 0xFF) == 100))
+    assert(Multimodal.imagePixels("junk".getBytes).isEmpty)
+  }
+
+  test("imageFeatures: real per-channel sums and intensity histogram") {
+    val s = spark
+    import s.implicits._
+    val got = Multimodal.imageFeatures(s, Seq(
+        (1L, graft.ext.MediaFixtures.pngRgb2x2),
+        (4L, graft.ext.MediaFixtures.jpegGray16x8),
+        (7L, graft.ext.MediaFixtures.jpeg4x2))
+      .toDF("media_id", "content"), bins = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L).ch_sums_csv == "18,22,26")
+    assert(got(1L).hist_csv == "12,0,0,0,0,0,0,0")
+    assert(got(4L).ch_sums_csv == "16000")
+    assert(got(4L).hist_csv == "0,64,0,0,0,0,64,0")
+  }
+
   test("featureExtract: fixed-dim deterministic vectors") {
     val a = Multimodal.featureExtract(spark, media, dim = 8)
       .select("media_id", "features").collect()
