@@ -1079,6 +1079,34 @@ object QueriesExt {
         ngramPairsHi(s, dir), "doc_id"),
       Some(ccOracle(0.5))),
 
+    // Incremental LABEL maintenance: yesterday's (id, component) labels
+    // — a star-edge summary that preserves connectivity classes — plus
+    // the day's delta pairs re-propagate to the SAME labeling as a
+    // whole-corpus CC (Dedup.assignComponentsIncremental; the last
+    // dedup artifact to get a merge law). All pair tiers block on the
+    // one whole-corpus census artifact so per-pair candidacy matches
+    // the recompute even where the df cap binds; the oracle is
+    // q_dedup_cc's whole-corpus recursive transitive closure.
+    QueryCase("q_dedup_cc_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grams = ngramGramIndex(s, dir)
+        val census = Dedup.ngramGramCensus(grams)
+        val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
+        val gOld = grams.filter(col("id") % 2 === 0)
+        val gNew = grams.filter(col("id") % 2 =!= 0)
+        val oldPairs = Dedup.ngramJaccardPairsFromGramsWithCensus(gOld,
+          census, threshold = 0.5, maxDf = cap)
+        val oldLabels = Dedup.assignComponents(
+          docs.filter(col("doc_id") % 2 === 0), oldPairs, "doc_id")
+        val delta = Dedup.ngramJaccardCrossPairsFromGramsWithCensus(gOld,
+            gNew, census, threshold = 0.5, maxDf = cap)
+          .unionByName(Dedup.ngramJaccardPairsFromGramsWithCensus(gNew,
+            census, threshold = 0.5, maxDf = cap))
+        Dedup.assignComponentsIncremental(docs, oldLabels, delta, "doc_id")
+      },
+      Some(ccOracle(0.5))),
+
     // Embedding near-dup pairs, ORACLE-CHECKED: the hyperplane family is
     // deterministic from the seed, so the oracle SQL embeds the identical
     // plane components as literals and recomputes the same sign buckets,

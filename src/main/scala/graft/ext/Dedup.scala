@@ -590,6 +590,32 @@ object Dedup {
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
 
+  /** INCREMENTAL connected-components maintenance — the merge law for
+    * the LABEL artifact (the last dedup artifact that was still
+    * recomputed from scratch per ingest): yesterday's labels
+    * (id, component) are a STAR-EDGE summary of yesterday's pairs graph
+    * (every member points at its representative), and a star preserves
+    * exactly the old connectivity classes, so
+    *
+    *   CC(star(oldLabels) ∪ deltaPairs) = CC(oldPairs ∪ deltaPairs)
+    *
+    * — ingest never replays years of pairs: it loads the label artifact
+    * (|corpus| star edges, not |pairs| edges — for dense duplicate
+    * clusters that is the much smaller relation), adds the day's delta
+    * (cross + self), and re-propagates. Because star edges have
+    * diameter ≤ 2, the propagation rounds are bounded by the DELTA's
+    * chain structure, not the historical graph's diameter.
+    * q_dedup_cc_incremental hash-proves the law against the same
+    * whole-corpus recursive-closure oracle as q_dedup_cc. */
+  def assignComponentsIncremental(df: DataFrame, oldLabels: DataFrame,
+      deltaPairs: DataFrame, idCol: String): DataFrame = {
+    val starEdges = oldLabels
+      .filter(col(idCol) =!= col("component"))
+      .select(col(idCol).as("id_a"), col("component").as("id_b"))
+    assignComponents(df,
+      starEdges.unionByName(deltaPairs.select("id_a", "id_b")), idCol)
+  }
+
   /** Transitive dedup: keep one representative (the min id) per duplicate
     * CLASS — the closure of the pairs relation — rather than per pair. */
   def ccDedupFromPairs(df: DataFrame, pairs: DataFrame,

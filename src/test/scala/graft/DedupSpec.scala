@@ -136,6 +136,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(labeled(4L) == 4L && labeled(6L) == 5L)
   }
 
+  test("assignComponentsIncremental: star(labels) ∪ delta ≡ whole-graph CC") {
+    val s = spark
+    import s.implicits._
+    val docs6 = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f"))
+    val oldPairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.assignComponents(
+      docs6.filter(col("doc_id") <= 3), oldPairs, "doc_id")
+    // the delta touches MEMBER 3 (not representative 1) — only the
+    // star edge 3→1 carries the old class into the merge — and also
+    // forms a brand-new class among previously-unlabeled docs
+    val delta = Seq((3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val inc = Dedup.assignComponentsIncremental(docs6, oldLabels, delta,
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Dedup.assignComponents(docs6,
+        oldPairs.unionByName(delta), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == whole)
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("embeddingDupPairs: parallel vectors pair, orthogonal don't") {
     val s = spark
     import s.implicits._
