@@ -296,6 +296,16 @@ object QueriesExt {
       Dedup.ngramGramTable(t(s, dir, "documents"), "text", "doc_id", n = 3)
     }
 
+  /** The persisted whole-corpus GRAM CENSUS for `dir` (summable (g, df)
+    * — [[Dedup.ngramGramCensus]]): the df-cap blocking artifact, built
+    * once beside the gram index and consumed by every census-blocked
+    * join instead of a fresh corpus-wide count/window per query. */
+  private def ngramCensusIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"ngram_census:$dir") {
+      Dedup.ngramGramCensus(ngramGramIndex(s, dir))
+    }
+
   // ------------------------------------------------ embedding-tier oracles
   //
   // The LSH hyperplane families are deterministic from their seed, so the
@@ -1031,7 +1041,11 @@ object QueriesExt {
     // against the same brute-force oracle: direct count-join at t=0.1,
     // prefix-filtered (All-Pairs) candidate/verify at t=0.5.
     QueryCase("q_dedup_ngram_pairs",
-      (s, dir) => Dedup.ngramJaccardPairsOverGrams(ngramGramIndex(s, dir),
+      // Direct count-join path, df cap read from the PERSISTED census
+      // artifact (ngramCensusIndex) instead of a per-query corpus-wide
+      // window count — identical semantics, one fewer corpus pass.
+      (s, dir) => Dedup.ngramJaccardPairsFromGramsWithCensus(
+          ngramGramIndex(s, dir), ngramCensusIndex(s, dir),
           threshold = 0.1,
           maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
         .withColumn("jaccard", round4(col("jaccard"))),
@@ -1091,7 +1105,7 @@ object QueriesExt {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val grams = ngramGramIndex(s, dir)
-        val census = Dedup.ngramGramCensus(grams)
+        val census = ngramCensusIndex(s, dir)
         val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
         val gOld = grams.filter(col("id") % 2 === 0)
         val gNew = grams.filter(col("id") % 2 =!= 0)
@@ -2834,7 +2848,8 @@ object QueriesExt {
         import s.implicits._
         Multimodal.decode(s, Seq(
             (1L, "png", MediaFixtures.png1x1),
-            (2L, "jpeg", MediaFixtures.jpeg4x2))
+            (2L, "jpeg", MediaFixtures.jpeg4x2),
+            (3L, "gif", MediaFixtures.gifTwoFrames))
           .toDF("media_id", "kind", "content")).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id, kind,
@@ -2843,7 +2858,8 @@ object QueriesExt {
         |  CAST(height AS INTEGER) AS height,
         |  CAST(channels AS INTEGER) AS channels
         |FROM (VALUES (1, 'png', 67, 1, 1, 4),
-        |             (2, 'jpeg', 41, 4, 2, 3))
+        |             (2, 'jpeg', 41, 4, 2, 3),
+        |             (3, 'gif', 77, 4, 2, 3))
         |  AS t(media_id, kind, n_bytes, width, height, channels)""".stripMargin)),
 
     // REAL pixel decode (beyond headers): full PNG pipeline — chunk walk,

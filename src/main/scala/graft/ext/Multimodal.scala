@@ -85,6 +85,12 @@ object Multimodal {
         case _ => 3 // truecolor (2) / palette (3)
       }
       Some((u32(16).toInt, u32(20).toInt, channels))
+    } else if (bytes.length >= 13 &&
+        (bytes.take(6).map(_.toChar).mkString == "GIF87a" ||
+         bytes.take(6).map(_.toChar).mkString == "GIF89a")) {
+      // GIF logical screen descriptor: little-endian u16 dims at 6/8;
+      // palette-indexed → 3 RGB channels after color-table lookup
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), 3))
     } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       while (i + 9 < bytes.length) {

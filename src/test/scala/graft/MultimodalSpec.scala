@@ -103,6 +103,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
   test("imageDims parses real PNG and JPEG headers; rejects other blobs") {
     assert(Multimodal.imageDims(realPng).contains((5, 3, 4)))
     assert(Multimodal.imageDims(realJpegHeader).contains((11, 7, 3)))
+    assert(Multimodal.imageDims(graft.ext.MediaFixtures.gifTwoFrames)
+      .contains((4, 2, 3))) // GIF logical screen, LE u16 dims
     assert(Multimodal.imageDims("plain text".getBytes).isEmpty)
     assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
     // truncated PNG signature only — too short for an IHDR
