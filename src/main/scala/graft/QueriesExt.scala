@@ -2964,6 +2964,37 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, ch_sums_csv,
         |       hist_csv)""".stripMargin)),
 
+    // Ingest-time DECODABILITY gate (streaming/MediaGate — identical on
+    // batch and streaming frames; MediaGateSpec asserts the stream arm):
+    // a blob passes iff a REAL decoder fully accepts it, and the row
+    // carries decoder-verified metadata. Header-only JPEG, junk bytes
+    // and a truncated PNG are dropped at the door.
+    QueryCase("q_multimodal_gate",
+      (s, _) => {
+        import s.implicits._
+        graft.streaming.MediaGate.gate(s, Seq(
+            1L -> MediaFixtures.png1x1,
+            2L -> MediaFixtures.jpegGray16x8,
+            3L -> MediaFixtures.gifTwoFrames,
+            4L -> AudioFixtures.wavSquare,
+            5L -> MediaFixtures.jpeg4x2,
+            6L -> "junk bytes".getBytes,
+            7L -> MediaFixtures.pngRgb2x2.dropRight(30))
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate
+        |FROM (VALUES (1, 'png', 1, 1, 4, 1, 0),
+        |             (2, 'jpeg', 16, 8, 1, 1, 0),
+        |             (3, 'gif', 4, 2, 3, 2, 0),
+        |             (4, 'wav', 0, 0, 1, 16, 8000))
+        |  AS t(media_id, kind, width, height, channels, n_frames,
+        |       sample_rate)""".stripMargin)),
+
     // REAL audio decode — PCM WAV needs no codec library, so the audio
     // column is a REAL parse (RIFF chunk walk, 8-bit unsigned / 16-bit
     // signed-LE sample decode), not a stub: per-blob integer-exact

@@ -58,9 +58,10 @@ object IncrementalStress {
       spark.read.parquet(dir)
     }
 
-    /** min-of-3 wall clock of `body`, which must force the full result. */
-    def timed(body: => Long): (Double, Long) = {
-      val samples = (1 to 3).map { _ =>
+    /** min-of-`reps` wall clock of `body`, which must force the full
+      * result. */
+    def timed(body: => Long, reps: Int = 3): (Double, Long) = {
+      val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = body
         spark.catalog.clearCache()
@@ -183,6 +184,35 @@ object IncrementalStress {
           oldPairsMh.limit(0), oldSigs, sliceSigs, 32, 8, 0.5, cap).count()),
         timed(Dedup.minhashDupPairsPortableFromSignatures(
           oldSigs.unionByName(sliceSigs), 32, 8, 0.5, cap).count()))
+
+      // CC LABEL maintenance over the minhash pair tier (the largest
+      // edge set): append arm = CC(star(old labels) ∪ PERSISTED delta) —
+      // the labels artifact re-enters as |corpus| star edges and the
+      // delta was already computed by the pairs-append step above;
+      // recompute arm = CC over ALL old pairs ∪ delta. Exactness =
+      // identical labelings, checked via an order-independent checksum
+      // (sum of per-row hashes).
+      val allDocIds = oldDocs.select("doc_id")
+        .unionByName(sliceDocs.select("doc_id"))
+      val oldLabels = persist(Dedup.assignComponents(
+        oldDocs.select("doc_id"), oldPairsMh, "doc_id"), s"old_labels_$k")
+      val deltaMh = persist(Dedup.minhashPairsIncrementalPortable(
+        oldPairsMh.limit(0), oldSigs, sliceSigs, 32, 8, 0.5, cap),
+        s"delta_mh_$k")
+      def labelSum(labels: DataFrame): Long = labels
+        .agg(sum(xxhash64(col("doc_id"), col("component"))))
+        .head().getLong(0)
+      val ccInc = timed(labelSum(Dedup.assignComponentsIncremental(
+        allDocIds, oldLabels, deltaMh, "doc_id")))
+      val ccFull = timed(labelSum(Dedup.assignComponents(allDocIds,
+        oldPairsMh.select("id_a", "id_b").unionByName(
+          deltaMh.select("id_a", "id_b")), "doc_id")), reps = 2)
+      val ccOk = ccInc._2 == ccFull._2
+      println(f"[incstress] family=cc_labels  k=${k}x " +
+        f"append=${ccInc._1}%6.2f s recompute=${ccFull._1}%6.2f s " +
+        f"labelsum_inc=${ccInc._2} labelsum_full=${ccFull._2} " +
+        (if (ccOk) "EXACT" else "LABEL-MISMATCH"))
+      require(ccOk, s"cc_labels at ${k}x: labelings differ")
 
       report("simhash", k, nSh,
         timed(Dedup.simhashPairsIncrementalPortable(
