@@ -296,6 +296,22 @@ object QueriesExt {
       Dedup.ngramGramTable(t(s, dir, "documents"), "text", "doc_id", n = 3)
     }
 
+  /** Path of the SHARD-PARTITIONED inverted band index for `dir`
+    * ([[Dedup.writeShardedBandIndex]] — the physical serving layout:
+    * probes prune to one (band, shard) directory per band AT THE SCAN).
+    * Written once per dir per JVM, like the [[Materialized]] artifacts. */
+  private val shardedIdxPaths =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def shardedBandIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    shardedIdxPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_shardidx_").toString
+      Dedup.writeShardedBandIndex(minhashSigIndex(s, dir), p,
+        numHashes = 32, bands = 8, shards = 16)
+      p
+    })
+
   /** The persisted whole-corpus GRAM CENSUS for `dir` (summable (g, df)
     * — [[Dedup.ngramGramCensus]]): the df-cap blocking artifact, built
     * once beside the gram index and consumed by every census-blocked
@@ -994,6 +1010,24 @@ object QueriesExt {
       (s, dir) => Dedup.minhashProbeFromSignatures(minhashSigIndex(s, dir),
           queryId = 8L, numHashes = 32, bands = 8, threshold = 0.25)
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
+      Some(minhashProbeOracle(32, 8, 0.25, 8L))),
+
+    // The probe against the SHARD-PARTITIONED inverted band index — the
+    // physical serving layout (writeShardedBandIndex: partitioned by
+    // (band, shard=xxhash64(bucket)%16)): each of the 8 per-band scans
+    // prunes to ≤ 1 of 128 directories AT THE SCAN (PartitionFilters —
+    // locked in ShardedIndexSpec), the disk-layout upgrade of
+    // q_dedup_probe's scan-fused filter. Same oracle as q_dedup_probe:
+    // identical semantics through a different physical path.
+    QueryCase("q_dedup_probe_sharded",
+      (s, dir) => {
+        val q = minhashSigIndex(s, dir).filter(col("id") === 8L)
+          .select("sig").head().getSeq[Long](0)
+        Dedup.probeShardedBandIndex(s, shardedBandIndexPath(s, dir), q,
+            numHashes = 32, bands = 8, threshold = 0.25, shards = 16,
+            excludeId = Some(8L))
+          .withColumn("est_jaccard", round4(col("est_jaccard")))
+      },
       Some(minhashProbeOracle(32, 8, 0.25, 8L))),
 
     // Ingest-time text probe: "what near-duplicates this INCOMING doc"

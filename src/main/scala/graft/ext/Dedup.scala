@@ -491,6 +491,67 @@ object Dedup {
       .select(col("id").as("doc_id"), col("est_jaccard"))
   }
 
+  // --------------------- sharded band index (physical serving layout)
+
+  /** Write the INVERTED BAND INDEX of a signature table as
+    * shard-partitioned parquet — the physical layout the probe
+    * docstrings promise at 100 TB: one row per (doc, band) carrying the
+    * band's value-equality bucket string and the doc's full signature
+    * (so a probe estimates similarity without a second lookup),
+    * partitioned on disk by (band, shard) where
+    * shard = pmod(xxhash64(bucket), shards). A probe then touches
+    * exactly `bands` of the bands×shards directories — 1/`shards` of
+    * the index — and the pruning happens AT THE SCAN (PartitionFilters
+    * on literal band/shard), not as a post-read filter.
+    * ShardedIndexSpec asserts both halves: every per-band scan selects
+    * ≤ 1 partition, and the probe result is row-identical to the
+    * unsharded [[minhashProbeFromSignatures]]. */
+  def writeShardedBandIndex(sigs: DataFrame, path: String, numHashes: Int,
+      bands: Int, shards: Int = 64): Unit = {
+    val bk = portableBandKeys(numHashes, bands)
+    sigs.select(col("id"), col("sig"), explode(bk(col("sig"))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.bucket").as("bucket"),
+        col("bk.band").as("band"),
+        pmod(xxhash64(col("bk.bucket")), lit(shards)).as("shard"))
+      .write.partitionBy("band", "shard").mode("overwrite").parquet(path)
+  }
+
+  /** Probe the sharded band index with a raw query signature: one scan
+    * per band, each pinned to its literal (band, shard) partition pair
+    * plus the bucket-equality data filter; candidates union across
+    * bands, dedup by id, then the standard signature-overlap estimate.
+    * The query buckets' shard values are computed by the ENGINE's own
+    * xxhash64 in one 1-row job, so the driver never re-implements the
+    * hash. */
+  def probeShardedBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      q: Seq[Long], numHashes: Int, bands: Int, threshold: Double,
+      shards: Int = 64, excludeId: Option[Long] = None): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val qBuckets = (0 until bands).map(b =>
+      (b * r until (b + 1) * r).map(q(_)).mkString(","))
+    val qShards = spark.range(1)
+      .select(qBuckets.map(bs =>
+        pmod(xxhash64(lit(bs)), lit(shards))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val index = spark.read.parquet(path)
+    val qLit = array(q.map(lit): _*)
+    val candidates = (0 until bands).map { b =>
+      index.filter(col("band") === lit(b) &&
+          col("shard") === lit(qShards(b)) &&
+          col("bucket") === lit(qBuckets(b)))
+        .select("id", "sig")
+    }.reduce(_ unionByName _).dropDuplicates("id")
+    excludeId.map(id => candidates.filter(col("id") =!= id))
+      .getOrElse(candidates)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), qLit, (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("est_jaccard"))
+  }
+
   /** [[minhashProbeFromSignatures]] with the signatures computed inline
     * from the corpus (portable md5 family, so the whole probe is
     * oracle-reproducible). Convenience for one-off probes; a serving

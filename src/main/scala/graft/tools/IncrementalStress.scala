@@ -199,8 +199,12 @@ object IncrementalStress {
       val deltaMh = persist(Dedup.minhashPairsIncrementalPortable(
         oldPairsMh.limit(0), oldSigs, sliceSigs, 32, 8, 0.5, cap),
         s"delta_mh_$k")
+      // XOR-fold checksum: order-independent and overflow-free under
+      // ANSI arithmetic (labels are unique per doc, so XOR cancellation
+      // cannot hide a discrepancy pair).
       def labelSum(labels: DataFrame): Long = labels
-        .agg(sum(xxhash64(col("doc_id"), col("component"))))
+        .select(xxhash64(col("doc_id"), col("component")).as("h"))
+        .agg(expr("bit_xor(h)"))
         .head().getLong(0)
       val ccInc = timed(labelSum(Dedup.assignComponentsIncremental(
         allDocIds, oldLabels, deltaMh, "doc_id")))
