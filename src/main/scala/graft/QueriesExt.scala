@@ -746,6 +746,33 @@ object QueriesExt {
       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming""".stripMargin
   }
 
+  /** Probe oracle for the SimHash tier: recompute every doc's portable
+    * 60-bit fingerprint, take the query doc's, return all other docs
+    * within `maxHamming` — the brute-force dual of the engine's
+    * pigeonhole-pruned scan (pigeonhole candidacy is lossless, so the
+    * row sets must match exactly). */
+  private def simhashProbeOracle(maxHamming: Int, queryId: Long): String = {
+    val bits = 60
+    val voteCols = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val fpExpr = (0 until bits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+      |h AS (SELECT doc_id, ${sqlHex60("t")} AS h FROM tk),
+      |v AS (SELECT doc_id,
+      |  $voteCols
+      |  FROM h GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $fpExpr AS fp FROM v),
+      |q AS (SELECT fp AS qfp FROM fp WHERE doc_id = $queryId)
+      |SELECT f.doc_id AS doc_id,
+      |  CAST(bit_count(xor(f.fp, q.qfp)) AS INTEGER) AS hamming
+      |FROM fp f, q
+      |WHERE f.doc_id <> $queryId
+      |  AND bit_count(xor(f.fp, q.qfp)) <= $maxHamming""".stripMargin
+  }
+
   /** Recursive-CTE oracle for connected-components labeling over the
     * ngram-Jaccard pairs graph at threshold `t`: component(doc) = min
     * doc_id whose pair-chain reaches doc; singletons label themselves. */
@@ -1011,6 +1038,19 @@ object QueriesExt {
           queryId = 8L, numHashes = 32, bands = 8, threshold = 0.25)
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
       Some(minhashProbeOracle(32, 8, 0.25, 8L))),
+
+    // SimHash point probe — probe parity for the fingerprint tier: the
+    // query doc's fp chunks become literal scan predicates over the
+    // PERSISTED fingerprint index (pigeonhole candidacy, lossless), XOR
+    // popcount verify fused into the scan. Oracle = brute-force hamming
+    // against every other doc's recomputed fp (no pigeonhole), so
+    // hash-equality also certifies the pruning loses nothing.
+    QueryCase("q_dedup_probe_simhash",
+      // query doc 70: has a hamming-1 partner at sf0.01, so the gate row
+      // is non-empty where the driver runs it
+      (s, dir) => Dedup.simhashProbeFromFingerprints(
+        simhashFpIndex(s, dir), queryId = 70L, maxHamming = 3),
+      Some(simhashProbeOracle(3, 70L))),
 
     // The probe against the SHARD-PARTITIONED inverted band index — the
     // physical serving layout (writeShardedBandIndex: partitioned by

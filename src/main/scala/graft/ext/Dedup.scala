@@ -777,6 +777,32 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     hammingPairs(fps, 60, maxHamming)
 
+  /** SimHash point PROBE against a PRECOMPUTED fingerprint table — the
+    * fingerprint-tier twin of [[minhashProbeFromSignatures]]: the query
+    * doc's fp is collected (one bounded row), its `maxHamming`+1
+    * pigeonhole chunks become literal scan predicates (candidacy = ANY
+    * chunk equal, lossless for distance ≤ maxHamming by the pigeonhole
+    * principle), and verification is `bit_count(fp XOR q)` fused into
+    * the same scan — no join, no shuffle, no per-probe corpus re-vote.
+    * Returns (doc_id, hamming), query row excluded. */
+  def simhashProbeFromFingerprints(fps: DataFrame, queryId: Long,
+      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val q = fps.filter(col("id") === queryId).select("fp").head().getLong(0)
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val anyChunk = (0 until chunks).map { c =>
+      call_function("shiftrightunsigned", col("fp"), lit(c * width))
+        .bitwiseAND(lit(mask)) === lit((q >>> (c * width)) & mask)
+    }.reduce(_ || _)
+    fps.filter(col("id") =!= queryId)
+      .filter(anyChunk)
+      .withColumn("hamming",
+        bit_count(col("fp").bitwiseXOR(lit(q))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as("doc_id"), col("hamming"))
+  }
+
   /** CROSS-CORPUS SimHash pairs (portable 60-bit md5 family): incoming
     * docs within `maxHamming` of some existing doc — the SimHash twin of
     * [[minhashCrossDupPairsPortable]]. Returns (id_a from `existing`,

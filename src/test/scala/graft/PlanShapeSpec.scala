@@ -239,6 +239,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!plan.contains("Join"), plan.take(4000))
   }
 
+  test("q_dedup_probe_simhash is a shuffle-free filter over the fingerprint index") {
+    // Fingerprint-tier probe parity: pigeonhole chunk predicates +
+    // XOR-popcount verify, all fused into the index scan.
+    val plan = formatted("q_dedup_probe_simhash")
+    assert(!plan.contains("Exchange"), plan.take(4000))
+    assert(!plan.contains("Join"), plan.take(4000))
+  }
+
   test("q_similarity_ivf_indexed probes the persisted index with a top-k heap") {
     // Index read (cell-filtered scan of the materialized assignment
     // table) + TakeOrderedAndProject — never a global sort, never a
