@@ -3038,6 +3038,35 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, ch_sums_csv,
         |       hist_csv)""".stripMargin)),
 
+    // CONTENT-ADDRESSED image identity: md5 over DECODED pixels (width/
+    // channel-prefixed), the exact-dedup key that survives re-encoding —
+    // media 1 and 2 are the SAME pixels stored with different PNG row
+    // filters (different file bytes; file-level md5 would call them
+    // distinct), so they share px_md5. The oracle pins the digests of
+    // the hand-written fixture pixel lists; the header-only JPEG gates
+    // out. Downstream dedup composes on px_md5 like any fingerprint.
+    QueryCase("q_multimodal_content_dedup",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.contentFingerprint(s, Seq(
+            (1L, MediaFixtures.pngGray3x2),
+            (2L, MediaFixtures.pngGray3x2Alt), // re-encoded, same pixels
+            (3L, MediaFixtures.jpegGray8x8),
+            (4L, MediaFixtures.gifTwoFrames),
+            (5L, MediaFixtures.jpeg4x2))       // header-only: gated out
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels, px_md5
+        |FROM (VALUES
+        |  (1, 3, 2, 1, 'b1fc786764a0dc4775ffff09e9fd4b04'),
+        |  (2, 3, 2, 1, 'b1fc786764a0dc4775ffff09e9fd4b04'),
+        |  (3, 8, 8, 1, '874f38bf6292c4cc034e97956bcdc5e4'),
+        |  (4, 4, 2, 3, '80f944431e1c726d420e72418ddb0963'))
+        |  AS t(media_id, width, height, channels, px_md5)""".stripMargin)),
+
     // Ingest-time DECODABILITY gate (streaming/MediaGate — identical on
     // batch and streaming frames; MediaGateSpec asserts the stream arm):
     // a blob passes iff a REAL decoder fully accepts it, and the row

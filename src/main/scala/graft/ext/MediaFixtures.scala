@@ -90,6 +90,13 @@ object MediaFixtures {
     rows = Seq(Seq(5, 10, 15), Seq(20, 25, 30)),
     filters = Seq(4, 2))
 
+  /** [[pngGray3x2]]'s pixels RE-ENCODED with different row filters
+    * (None+Sub instead of Paeth+Up): different FILE bytes, identical
+    * decoded content — the content-fingerprint dedup fixture. */
+  val pngGray3x2Alt: Array[Byte] = buildPng(3, 2, 0,
+    rows = Seq(Seq(5, 10, 15), Seq(20, 25, 30)),
+    filters = Seq(0, 1))
+
   /** The canonical 67-byte 1×1 transparent PNG — a fully valid file:
     * signature, IHDR (width 1, height 1, bit depth 8, color type 6 =
     * RGBA → 4 channels), one IDAT holding the zlib-deflated filtered

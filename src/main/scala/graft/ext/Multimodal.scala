@@ -782,6 +782,41 @@ object Multimodal {
       }
   }
 
+  /** One content-addressed image row: container-independent identity. */
+  final case class ContentId(media_id: Long, width: Int, height: Int,
+      channels: Int, px_md5: String)
+
+  /** CONTENT-ADDRESSED image identity: the md5 of the DECODED pixel
+    * bytes (prefixed by the width so different geometries of the same
+    * byte stream cannot collide) — the exact-dedup key that survives
+    * RE-ENCODING: the same pixels stored as a PNG with different row
+    * filters, a different compressor, or (losslessly) another container
+    * produce the same fingerprint, where byte-level md5 of the FILE
+    * sees three different blobs. The image twin of
+    * [[graft.ext.Dedup.fingerprintDedup]]'s normalize-then-hash:
+    * decode IS the normalization. Partition-batched, no shuffle;
+    * dedup/grouping composes downstream on `px_md5`. */
+  def contentFingerprint(spark: SparkSession,
+      media: DataFrame): Dataset[ContentId] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          imagePixels(bytes).map { img =>
+            md.reset()
+            md.update(Array(
+              (img.width >> 8).toByte, img.width.toByte,
+              img.channels.toByte))
+            md.update(img.pixels)
+            val hex = md.digest().map(b => f"${b & 0xFF}%02x").mkString
+            ContentId(id, img.width, img.height, img.channels, hex)
+          }
+        }
+      }
+  }
+
   /** Expression fast-path for METADATA-ONLY decode: the stub's dimension
     * math is pure byte-length arithmetic, so it can run as a codegen'd
     * projection fused into the scan — no Dataset object serialization, no

@@ -354,6 +354,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(4L).hist_csv == "0,64,0,0,0,0,64,0")
   }
 
+  test("contentFingerprint: identical pixels across re-encodings share a digest") {
+    val s = spark
+    import s.implicits._
+    // different FILE bytes (different row filters), same content
+    assert(!java.util.Arrays.equals(graft.ext.MediaFixtures.pngGray3x2,
+      graft.ext.MediaFixtures.pngGray3x2Alt))
+    val got = Multimodal.contentFingerprint(s, Seq(
+        (1L, graft.ext.MediaFixtures.pngGray3x2),
+        (2L, graft.ext.MediaFixtures.pngGray3x2Alt),
+        (3L, graft.ext.MediaFixtures.jpegGray8x8))
+      .toDF("media_id", "content")).collect()
+      .map(c => c.media_id -> c.px_md5).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got(1L) == "b1fc786764a0dc4775ffff09e9fd4b04") // md5(000301 ++ px)
+  }
+
   test("featureExtract: fixed-dim deterministic vectors") {
     val a = Multimodal.featureExtract(spark, media, dim = 8)
       .select("media_id", "features").collect()
