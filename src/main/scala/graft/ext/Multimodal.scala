@@ -91,6 +91,13 @@ object Multimodal {
       // GIF logical screen descriptor: little-endian u16 dims at 6/8;
       // palette-indexed → 3 RGB channels after color-table lookup
       Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), 3))
+    } else if (bytes.length >= 30 && u8(0) == 'B' && u8(1) == 'M' &&
+        (u8(14) | (u8(15) << 8) | (u8(16) << 16) | (u8(17) << 24)) == 40) {
+      // BMP BITMAPINFOHEADER: little-endian s32 dims at 18/22 (negative
+      // height = top-down); palette or truecolor both render to 3 RGB
+      def sle32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      Some((sle32(18), math.abs(sle32(22)), 3))
     } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       while (i + 9 < bytes.length) {
@@ -496,14 +503,66 @@ object Multimodal {
     Some(RawImage(w, h, nComp, out))
   }
 
+  /** REAL pixel decode for uncompressed BMP (BITMAPINFOHEADER, BI_RGB):
+    * 24-bit BGR or 8-bit palette-indexed, bottom-up (positive height)
+    * or top-down (negative), 4-byte-padded rows — the whole format is a
+    * fixed layout, no entropy coding. Returns RGB row-major top-down.
+    * RLE compression, 16/32-bit and OS/2 headers return None. */
+  def bmpPixels(bytes: Array[Byte]): Option[RawImage] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes.length < 54 || u8(0) != 'B' || u8(1) != 'M') return None
+    val dataOff = s32(10)
+    if (s32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = s32(18); val hRaw = s32(22)
+    val h = math.abs(hRaw); val topDown = hRaw < 0
+    val bpp = u16(28)
+    if (w <= 0 || h == 0 || u16(26) != 1 || s32(30) != 0 ||
+      (bpp != 24 && bpp != 8)) return None
+    val palette: Array[Byte] =
+      if (bpp == 8) {
+        val n = { val c = s32(46); if (c == 0) 256 else c }
+        if (54 + 4 * n > bytes.length) return None
+        bytes.slice(54, 54 + 4 * n) // BGRA entries
+      } else Array.emptyByteArray
+    val stride = ((w * bpp / 8) + 3) / 4 * 4
+    if (dataOff < 0 || dataOff + stride.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (bpp == 24) { // BGR → RGB
+          out(o) = bytes(srcRow + 3 * x + 2)
+          out(o + 1) = bytes(srcRow + 3 * x + 1)
+          out(o + 2) = bytes(srcRow + 3 * x)
+        } else {
+          val pi = (bytes(srcRow + x) & 0xFF) * 4
+          if (pi + 2 >= palette.length) return None
+          out(o) = palette(pi + 2); out(o + 1) = palette(pi + 1)
+          out(o + 2) = palette(pi)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(RawImage(w, h, 3, out))
+  }
+
   /** Container-dispatching full pixel decode: 8-bit PNG, baseline JPEG,
-    * or GIF (first frame, RGB) → [[RawImage]]; anything else None. */
+    * GIF (first frame, RGB), or uncompressed BMP → [[RawImage]];
+    * anything else None. */
   def imagePixels(bytes: Array[Byte]): Option[RawImage] =
     pngPixels(bytes)
       .map(p => RawImage(p.width, p.height, p.channels, p.pixels))
       .orElse(jpegPixels(bytes))
       .orElse(gifFrames(bytes).flatMap(_.headOption)
         .map(f => RawImage(f.width, f.height, 3, f.pixels)))
+      .orElse(bmpPixels(bytes))
 
   /** One decoded GIF frame: geometry + frame delay (centiseconds, from
     * the preceding Graphic Control Extension; 0 if none) + RGB pixels

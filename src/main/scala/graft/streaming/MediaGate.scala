@@ -39,6 +39,9 @@ object MediaGate {
           val f = fs.head
           MediaProbe(id, "gif", f.width, f.height, 3, fs.length.toLong, 0)
         })
+      .orElse(Multimodal.bmpPixels(bytes)
+        .map(b => MediaProbe(id, "bmp", b.width, b.height, b.channels,
+          1L, 0)))
       .orElse(Audio.wavSamples(bytes)
         .map(a => MediaProbe(id, "wav", 0, 0, a.channels,
           a.samples.length.toLong / a.channels, a.sampleRate)))

@@ -354,6 +354,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(4L).hist_csv == "0,64,0,0,0,0,64,0")
   }
 
+  test("bmpPixels round-trips the fixture and the JDK codec both directions") {
+    val img = Multimodal.bmpPixels(graft.ext.MediaFixtures.bmp3x2).get
+    assert((img.width, img.height, img.channels) == ((3, 2, 3)))
+    assert(img.pixels.map(_ & 0xFF).toSeq == (10 until 28))
+    assert(Multimodal.imageDims(graft.ext.MediaFixtures.bmp3x2)
+      .contains((3, 2, 3)))
+    // JDK reads our bytes
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(graft.ext.MediaFixtures.bmp3x2))
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val o = (y * 3 + x) * 3
+      val want = ((10 + o) << 16) | ((11 + o) << 8) | (12 + o)
+      assert((jdk.getRGB(x, y) & 0xFFFFFF) == want, s"jdk pixel ($x,$y)")
+    }
+    // we read the JDK writer's bytes (lossless, exact)
+    val rnd = new scala.util.Random(5)
+    for ((w, h) <- Seq((7, 4), (16, 9))) {
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        src.setRGB(x, y, rnd.nextInt(1 << 24))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, "bmp", baos))
+      val mine = Multimodal.bmpPixels(baos.toByteArray)
+        .getOrElse(fail(s"bmpPixels rejected ImageIO output at ${w}x$h"))
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val got = ((mine.pixels(o) & 0xFF) << 16) |
+          ((mine.pixels(o + 1) & 0xFF) << 8) | (mine.pixels(o + 2) & 0xFF)
+        assert(got == (src.getRGB(x, y) & 0xFFFFFF), s"pixel ($x,$y)")
+      }
+    }
+    // rejections: truncated pixel data, non-BMP
+    val t = graft.ext.MediaFixtures.bmp3x2
+    assert(Multimodal.bmpPixels(t.take(t.length - 5)).isEmpty)
+    assert(Multimodal.bmpPixels("BMnope".getBytes).isEmpty)
+  }
+
   test("contentFingerprint: identical pixels across re-encodings share a digest") {
     val s = spark
     import s.implicits._
