@@ -1039,6 +1039,21 @@ object QueriesExt {
         .withColumn("est_jaccard", round4(col("est_jaccard"))),
       Some(minhashProbeOracle(32, 8, 0.25, 8L))),
 
+    // The full ingest-time serving stack in one query: raw incoming
+    // text → engine-computed signature → SHARD-PRUNED index scans
+    // (probeShardedBandIndexText). Same oracle as q_dedup_probe_text:
+    // identical semantics, physical path = the partitioned layout.
+    QueryCase("q_dedup_probe_text_sharded",
+      (s, dir) => {
+        val qtext = t(s, dir, "documents").filter(col("doc_id") === 8L)
+          .select("text").head().getString(0) + " qprobe extra"
+        Dedup.probeShardedBandIndexText(s, shardedBandIndexPath(s, dir),
+            qtext, numHashes = 32, bands = 8, threshold = 0.25,
+            shards = 16, shingle = 3)
+          .withColumn("est_jaccard", round4(col("est_jaccard")))
+      },
+      Some(minhashProbeTextOracle(32, 8, 0.25, 8L, " qprobe extra"))),
+
     // SimHash point probe — probe parity for the fingerprint tier: the
     // query doc's fp chunks become literal scan predicates over the
     // PERSISTED fingerprint index (pigeonhole candidacy, lossless), XOR
@@ -3156,6 +3171,30 @@ object QueriesExt {
         |  AS t(media_id, sample_rate, channels, bits_per_sample,
         |       n_frames, amp_min, amp_max, amp_sum_abs,
         |       zero_crossings)""".stripMargin)),
+
+    // CONTENT-ADDRESSED audio identity — the audio twin of
+    // q_multimodal_content_dedup: media 1 and 2 are the SAME PCM
+    // samples in different containers (a LIST chunk spliced into 2), so
+    // they share pcm_md5 where file-level hashing sees distinct blobs;
+    // the stereo clip differs; the JPEG gates out.
+    QueryCase("q_multimodal_audio_dedup",
+      (s, _) => {
+        import s.implicits._
+        Audio.contentFingerprint(s, Seq(
+            (1L, AudioFixtures.wavSquare),
+            (2L, AudioFixtures.wavSquareChunked),
+            (3L, AudioFixtures.wavStereo8),
+            (4L, MediaFixtures.jpeg4x2))
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels, pcm_md5
+        |FROM (VALUES
+        |  (1, 8000, 1, '952c5c203b4e7e2fa5cbbd5fbfb2ad10'),
+        |  (2, 8000, 1, '952c5c203b4e7e2fa5cbbd5fbfb2ad10'),
+        |  (3, 4000, 2, '59abd762a4b59383420b8bbca63c57f7'))
+        |  AS t(media_id, sample_rate, channels, pcm_md5)""".stripMargin)),
 
     // Windowed audio features (the encoder front-end shape): one row per
     // (blob, window of 4 frames), integer energy/peak/zero-crossings.

@@ -124,6 +124,35 @@ object Audio {
       }
   }
 
+  /** One content-addressed audio row: container-independent identity. */
+  final case class AudioContentId(media_id: Long, sample_rate: Int,
+      channels: Int, pcm_md5: String)
+
+  /** CONTENT-ADDRESSED audio identity — the audio twin of
+    * [[Multimodal.contentFingerprint]]: md5 over the canonical string
+    * `"rate,channels:s0,s1,…"` of DECODED samples, so the same PCM
+    * content survives container-level variation (an inserted LIST
+    * chunk, chunk reordering, trailing padding) that makes file-level
+    * hashes diverge. Decode IS the normalization. */
+  def contentFingerprint(spark: SparkSession,
+      media: DataFrame): Dataset[AudioContentId] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          wavSamples(bytes).map { pcm =>
+            md.reset()
+            md.update((s"${pcm.sampleRate},${pcm.channels}:" +
+              pcm.samples.mkString(",")).getBytes("UTF-8"))
+            val hex = md.digest().map(b => f"${b & 0xFF}%02x").mkString
+            AudioContentId(id, pcm.sampleRate, pcm.channels, hex)
+          }
+        }
+      }
+  }
+
   /** Fixed-length windowed features over a decoded clip — the audio
     * encoder front-end shape (frames of `windowFrames` frames, hop =
     * window, per-window integer energy + peak + zero-crossings). Output

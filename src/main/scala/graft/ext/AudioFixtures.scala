@@ -40,6 +40,19 @@ object AudioFixtures {
   val wavSquare: Array[Byte] = buildWav(8000, 1, 16,
     (0 until 16).map(i => if (i % 2 == 0) 1000 else -1000))
 
+  /** [[wavSquare]]'s SAMPLES in a different CONTAINER: a LIST chunk
+    * (odd length → pad byte) spliced before fmt/data — different file
+    * bytes, identical decoded PCM; the audio content-fingerprint dedup
+    * fixture. */
+  val wavSquareChunked: Array[Byte] = {
+    val list = "LIST".getBytes ++ le32(7) ++ "graftfx".getBytes ++
+      Array(0.toByte)
+    val spliced = wavSquare.take(12) ++ list ++ wavSquare.drop(12)
+    // RIFF size field covers everything after the first 8 bytes
+    le32(spliced.length - 8).copyToArray(spliced, 4)
+    spliced
+  }
+
   /** 8-bit stereo 4000 Hz, 4 frames: channel 0 alternates ±10 (3 sign
     * flips), channel 1 alternates 0/20 (zeros break runs — 0 flips).
     * Expected stats: n_frames=4, amp −10..20, sum_abs=80,

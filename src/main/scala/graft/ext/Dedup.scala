@@ -552,6 +552,30 @@ object Dedup {
       .select(col("id").as("doc_id"), col("est_jaccard"))
   }
 
+  /** Ingest-time TEXT probe against the sharded band index
+    * ([[probeShardedBandIndex]] with the query signature computed by
+    * the engine over a 1-row frame, as in [[minhashProbeTextPortable]])
+    * — the full serving stack: raw incoming text → signature → shard-
+    * pruned index scans. No self-exclusion (an exact copy surfaces at
+    * 1.0); unshingleable text returns the empty result. */
+  def probeShardedBandIndexText(spark: org.apache.spark.sql.SparkSession,
+      path: String, text: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.25, shards: Int = 64,
+      shingle: Int = 1): DataFrame = {
+    val one = spark.range(1)
+      .select(lit(-1L).as("qid"), lit(text).as("qtext"))
+    minhashSignaturesPortable(one, "qtext", "qid", numHashes, shingle)
+      .select("sig").collect().headOption match {
+      case Some(row) =>
+        probeShardedBandIndex(spark, path, row.getSeq[Long](0), numHashes,
+          bands, threshold, shards, excludeId = None)
+      case None =>
+        spark.read.parquet(path)
+          .select(col("id").as("doc_id"), lit(0.0).as("est_jaccard"))
+          .limit(0)
+    }
+  }
+
   /** [[minhashProbeFromSignatures]] with the signatures computed inline
     * from the corpus (portable md5 family, so the whole probe is
     * oracle-reproducible). Convenience for one-off probes; a serving

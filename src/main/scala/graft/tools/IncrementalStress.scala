@@ -71,6 +71,18 @@ object IncrementalStress {
       (samples.map(_._1).min, samples.head._2)
     }
 
+    /** Families whose two arms must produce the SAME value (checksum or
+      * probe result) rather than additive counts. */
+    def report2(family: String, k: Int, append: (Double, Long),
+        recompute: (Double, Long)): Unit = {
+      val ok = append._2 == recompute._2
+      println(f"[incstress] family=$family%-11s k=${k}x " +
+        f"append=${append._1}%6.2f s recompute=${recompute._1}%6.2f s " +
+        f"check_append=${append._2} check_recompute=${recompute._2} " +
+        (if (ok) "EXACT" else "CHECK-MISMATCH"))
+      require(ok, s"$family at ${k}x: results differ")
+    }
+
     /** The append arm measures the DELTA (cross ∪ self) — a real ingest
       * appends delta files to the pairs artifact, it never rewrites old
       * pairs — so exactness is count-additive: |old artifact| + |delta|
@@ -239,6 +251,23 @@ object IncrementalStress {
         timed(Dedup.embeddingDupPairs(oldEmbs.unionByName(sliceEmbs),
           "embedding", "vec_id", threshold = 0.4, planes = planesK,
           tables = 8, dim = 64).count()))
+
+      // Span-census maintenance (the substring tier): the census is a
+      // SUMMABLE artifact — append = merge(persisted old census, slice
+      // census) by keyed addition; recompute = census over the merged
+      // corpus. Equality checked by XOR-fold over full census rows.
+      val oldSpanCensus = persist(graft.ext.Spans.spanCensus(
+        oldDocs, "text", "doc_id", 8), s"old_spancensus_$k")
+      def censusSum(c: DataFrame): Long = c
+        .select(xxhash64(col("sh"), col("n_docs"), col("n_occ")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      report2("span_census", k,
+        timed(censusSum(graft.ops.Maintenance.mergePartialAggregates(
+          Seq(oldSpanCensus,
+            graft.ext.Spans.spanCensus(sliceDocs, "text", "doc_id", 8)),
+          Seq("sh"), Seq("n_docs", "n_occ")))),
+        timed(censusSum(graft.ext.Spans.spanCensus(
+          oldDocs.unionByName(sliceDocs), "text", "doc_id", 8))))
 
       // IVF index maintenance: frozen centroids (trained once on the 1×
       // base — the "retrain rarely" cadence), maintained index = persisted

@@ -108,6 +108,23 @@ class AudioSpec extends AnyFunSuite with SparkTestSupport {
       ((-10, 20, 80L, 3L)))
   }
 
+  test("contentFingerprint: identical PCM across container variants shares a digest") {
+    val s = spark
+    import s.implicits._
+    // different FILE bytes (LIST chunk spliced), same decoded samples
+    assert(!java.util.Arrays.equals(AudioFixtures.wavSquare,
+      AudioFixtures.wavSquareChunked))
+    val got = Audio.contentFingerprint(s, Seq(
+        (1L, AudioFixtures.wavSquare),
+        (2L, AudioFixtures.wavSquareChunked),
+        (3L, AudioFixtures.wavStereo8),
+        (4L, MediaFixtures.jpeg4x2))
+      .toDF("media_id", "content")).collect()
+      .map(c => c.media_id -> c.pcm_md5).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+
   test("windowFeatures: per-window energy/peak/crossings, hop = window") {
     val s = spark
     import s.implicits._
