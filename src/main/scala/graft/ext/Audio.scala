@@ -20,7 +20,7 @@ final case class AudioStats(media_id: Long, sample_rate: Int,
   * twin of the PNG/JPEG work in [[Multimodal]]), so parse + sample
   * decode + feature extraction run as per-partition CPU kernels over
   * `binary` columns with no shuffle and no driver involvement.
-  * Compressed codecs (MP3/AAC/Opus) genuinely need external libraries;
+  * Compressed codecs (MP3/AAC/Vorbis) genuinely need external libraries;
   * they would slot behind the same [[wavSamples]] dispatch with
   * identical plan shapes.
   *
