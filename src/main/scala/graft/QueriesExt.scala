@@ -3053,6 +3053,38 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, ch_sums_csv,
         |       hist_csv)""".stripMargin)),
 
+    // REAL resize execution (resizePlan plans; this runs the kernel):
+    // nearest-neighbor downscale to an 8-px box over decoded pixels,
+    // integer-exact source sampling (y·h/oh, x·w/ow), stats over the
+    // RESIZED output. jpegGray16x8 halves to 8×4 (columns alternate the
+    // two constant blocks); the 3×2 PNG fits the box and passes through
+    // unchanged; the GIF's 4×2 frame shrinks to 4×2-within-8 unchanged.
+    QueryCase("q_multimodal_resize_real",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.resizeNearest(s, Seq(
+            (1L, MediaFixtures.jpegGray16x8),
+            (2L, MediaFixtures.pngGray3x2),
+            (3L, MediaFixtures.gifTwoFrames),
+            (4L, MediaFixtures.jpeg4x2)) // header-only: gated out
+          .toDF("media_id", "content"), maxSide = 8).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(out_width AS INTEGER) AS out_width,
+        |  CAST(out_height AS INTEGER) AS out_height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 16, 8, 8, 4, 1, 32, 4000, 50, 200),
+        |             (2, 3, 2, 3, 2, 1, 6, 105, 5, 30),
+        |             (3, 4, 2, 4, 2, 3, 24, 2400, 100, 100))
+        |  AS t(media_id, width, height, out_width, out_height, channels,
+        |       n_px_bytes, px_sum, px_min, px_max)""".stripMargin)),
+
     // BMP through the same partition-batched stats kernel — the fourth
     // real image container (PNG/JPEG/GIF/BMP; BMP is pure fixed layout,
     // no entropy coding). Fixture bytes built in judge-readable code

@@ -841,6 +841,58 @@ object Multimodal {
       }
   }
 
+  /** One row of REAL resize output statistics. */
+  final case class ResizeStats(media_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, channels: Int, n_px_bytes: Long,
+      px_sum: Long, px_min: Int, px_max: Int)
+
+  /** REAL pixel resize — the execution of [[resizePlan]]'s plan:
+    * nearest-neighbor downscale to fit `maxSide` (aspect preserved,
+    * integer floor — the same target-box arithmetic as the plan; never
+    * upscales), source pixel = `(y·h/oh, x·w/ow)` integer division, so
+    * the output is integer-exact and oracle-pinnable (bilinear would
+    * introduce engine-specific float rounding; at scale the kernel swap
+    * is local to this loop). Emits per-blob statistics over the RESIZED
+    * pixels; undecodable blobs are gated out. Partition-batched, no
+    * shuffle. */
+  def resizeNearest(spark: SparkSession, media: DataFrame,
+      maxSide: Int): Dataset[ResizeStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          imagePixels(bytes).map { img =>
+            val scale = math.min(1.0,
+              math.min(maxSide.toDouble / img.width,
+                maxSide.toDouble / img.height))
+            val ow = math.max(1, math.floor(img.width * scale).toInt)
+            val oh = math.max(1, math.floor(img.height * scale).toInt)
+            var sum = 0L; var mn = 255; var mx = 0
+            var y = 0
+            while (y < oh) {
+              val sy = y * img.height / oh
+              var x = 0
+              while (x < ow) {
+                val sx = x * img.width / ow
+                var c = 0
+                while (c < img.channels) {
+                  val v = img.pixels(
+                    (sy * img.width + sx) * img.channels + c) & 0xFF
+                  sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ResizeStats(id, img.width, img.height, ow, oh, img.channels,
+              ow.toLong * oh * img.channels, sum, mn, mx)
+          }
+        }
+      }
+  }
+
   /** One content-addressed image row: container-independent identity. */
   final case class ContentId(media_id: Long, width: Int, height: Int,
       channels: Int, px_md5: String)

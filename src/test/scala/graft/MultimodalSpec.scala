@@ -392,6 +392,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(Multimodal.bmpPixels("BMnope".getBytes).isEmpty)
   }
 
+  test("resizeNearest executes the plan's box: halves 16x8, passes small through") {
+    val s = spark
+    import s.implicits._
+    val got = Multimodal.resizeNearest(s, Seq(
+        (1L, graft.ext.MediaFixtures.jpegGray16x8),
+        (2L, graft.ext.MediaFixtures.pngGray3x2))
+      .toDF("media_id", "content"), maxSide = 8).collect()
+      .map(r => r.media_id -> r).toMap
+    val big = got(1L)
+    assert((big.out_width, big.out_height) == ((8, 4)))
+    // columns 0..3 sample the 50-block, 4..7 the 200-block, 4 rows
+    assert((big.px_sum, big.px_min, big.px_max) == ((4000L, 50, 200)))
+    val small = got(2L)
+    assert((small.out_width, small.out_height) == ((3, 2))) // no upscale
+    assert(small.px_sum == 105L)
+  }
+
   test("contentFingerprint: identical pixels across re-encodings share a digest") {
     val s = spark
     import s.implicits._
