@@ -312,6 +312,23 @@ object QueriesExt {
       p
     })
 
+  /** "Yesterday's" CC LABEL artifact for `dir` (labels over the even-id
+    * half under the whole-corpus census blocking) — persisted once like
+    * every other corpus artifact; q_dedup_cc_incremental READS it and
+    * re-propagates with the day's delta instead of re-running CC over
+    * historical pairs. */
+  private def ccOldLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"cc_old_labels:$dir") {
+      val gOld = ngramGramIndex(s, dir).filter(col("id") % 2 === 0)
+      val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
+      Dedup.assignComponents(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        Dedup.ngramJaccardPairsFromGramsWithCensus(gOld,
+          ngramCensusIndex(s, dir), threshold = 0.5, maxDf = cap),
+        "doc_id")
+    }
+
   /** The persisted whole-corpus GRAM CENSUS for `dir` (summable (g, df)
     * — [[Dedup.ngramGramCensus]]): the df-cap blocking artifact, built
     * once beside the gram index and consumed by every census-blocked
@@ -1198,10 +1215,12 @@ object QueriesExt {
         val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
         val gOld = grams.filter(col("id") % 2 === 0)
         val gNew = grams.filter(col("id") % 2 =!= 0)
-        val oldPairs = Dedup.ngramJaccardPairsFromGramsWithCensus(gOld,
-          census, threshold = 0.5, maxDf = cap)
-        val oldLabels = Dedup.assignComponents(
-          docs.filter(col("doc_id") % 2 === 0), oldPairs, "doc_id")
+        // Yesterday's LABELS are a persisted artifact (Materialized —
+        // the real ingest posture: the query READS the labeling, it
+        // does not re-run CC over the historical pairs), so the query
+        // body is exactly the ingest path: delta pairs + star-edge
+        // re-propagation.
+        val oldLabels = ccOldLabels(s, dir)
         val delta = Dedup.ngramJaccardCrossPairsFromGramsWithCensus(gOld,
             gNew, census, threshold = 0.5, maxDf = cap)
           .unionByName(Dedup.ngramJaccardPairsFromGramsWithCensus(gNew,

@@ -34,6 +34,33 @@ class MediaGateSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == expected)
   }
 
+  test("streaming content dedup: re-encoded image dropped across micro-batches") {
+    // Composition of the stateless content fingerprint (decode IS the
+    // normalization) with the streaming exact-dedup operator: the
+    // re-encoded twin of an already-seen image — different FILE bytes,
+    // same pixels — is dropped even when it arrives in a LATER batch.
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val fingerprinted = graft.ext.Multimodal.contentFingerprint(s,
+      stream.toDF().toDF("media_id", "content")).toDF()
+    val q = graft.streaming.StreamDedup.exact(fingerprinted, Seq("px_md5"))
+      .writeStream.format("memory").queryName("media_content_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(1L -> MediaFixtures.pngGray3x2,
+        3L -> MediaFixtures.jpegGray8x8)
+      q.processAllAvailable()
+      stream.addData(2L -> MediaFixtures.pngGray3x2Alt, // re-encoded twin
+        4L -> MediaFixtures.gifTwoFrames)
+      q.processAllAvailable()
+      val kept = spark.table("media_content_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L)) // twin 2 deduped against batch-1's 1
+    } finally q.stop()
+  }
+
   test("streaming gate ≡ batch gate row-for-row across micro-batches") {
     val s = spark
     import s.implicits._
