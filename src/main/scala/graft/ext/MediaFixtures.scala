@@ -307,9 +307,13 @@ object MediaFixtures {
     * implements FULL LZW because ImageIO-written GIFs (the cross-check
     * in MultimodalSpec) use real compression.
     *
-    * `frames`: (left, top, w, h, delayCs, indices row-major). */
+    * `frames`: (left, top, w, h, delayCs, indices row-major).
+    * `localPalettes(i)`, when provided and Some, gives frame i its OWN
+    * color table (the local-color-table branch of the decoder); its
+    * size class must fit the global `sizeBits`. */
   def buildGif(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
-      frames: Seq[(Int, Int, Int, Int, Int, Seq[Int])]): Array[Byte] = {
+      frames: Seq[(Int, Int, Int, Int, Int, Seq[Int])],
+      localPalettes: Seq[Option[Seq[(Int, Int, Int)]]] = Nil): Array[Byte] = {
     require(palette.nonEmpty && palette.length <= 256)
     var sizeBits = 1 // global color table holds 2^(sizeBits+1) entries
     while ((2 << sizeBits) < palette.length) sizeBits += 1
@@ -324,15 +328,28 @@ object MediaFixtures {
       out.write(r); out.write(g); out.write(b)
     }
     val mcs = math.max(2, sizeBits + 1) // LZW minimum code size
-    for ((left, top, w, h, delayCs, indices) <- frames) {
+    for (((left, top, w, h, delayCs, indices), fi) <- frames.zipWithIndex) {
+      val local = localPalettes.lift(fi).flatten
+      val activeLen = local.map(_.length).getOrElse(palette.length)
       require(indices.length == w * h &&
-        indices.forall(ix => ix >= 0 && ix < palette.length))
+        indices.forall(ix => ix >= 0 && ix < activeLen))
       if (delayCs > 0) { // Graphic Control Extension
         out.write(0x21); out.write(0xF9); out.write(4)
         out.write(0); le16(delayCs); out.write(0); out.write(0)
       }
-      out.write(0x2C) // image descriptor, no local table, not interlaced
-      le16(left); le16(top); le16(w); le16(h); out.write(0)
+      out.write(0x2C) // image descriptor (local table iff provided)
+      le16(left); le16(top); le16(w); le16(h)
+      local match {
+        case Some(lp) =>
+          require(lp.nonEmpty && (2 << sizeBits) >= lp.length,
+            "local palette exceeds the size class")
+          out.write(0x80 | sizeBits)
+          for (j <- 0 until ctEntries) {
+            val (r, g, b) = if (j < lp.length) lp(j) else (0, 0, 0)
+            out.write(r); out.write(g); out.write(b)
+          }
+        case None => out.write(0)
+      }
       out.write(mcs)
       // LZW: CLEAR literal CLEAR literal … EOI at fixed width mcs+1,
       // packed LSB-first

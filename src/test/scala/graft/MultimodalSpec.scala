@@ -259,6 +259,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(Multimodal.gifFrames("not a gif".getBytes).isEmpty)
   }
 
+  test("gifFrames honors a LOCAL color table overriding the global one") {
+    // frame 0 uses the global palette; frame 1 carries its own table
+    // mapping the same indices to different colors
+    val gif = graft.ext.MediaFixtures.buildGif(2, 1,
+      graft.ext.MediaFixtures.gifPalette,
+      frames = Seq((0, 0, 2, 1, 0, Seq(2, 2)), (0, 0, 2, 1, 0, Seq(2, 2))),
+      localPalettes = Seq(None,
+        Some(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (0, 0, 0)))))
+    val frames = Multimodal.gifFrames(gif).get
+    assert(frames.length == 2)
+    assert(frames(0).pixels.map(_ & 0xFF).toSeq ==
+      Seq(100, 100, 100, 100, 100, 100)) // global entry 2
+    assert(frames(1).pixels.map(_ & 0xFF).toSeq ==
+      Seq(7, 8, 9, 7, 8, 9)) // local entry 2
+    // the JDK reader agrees on both frames
+    val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert((rd.read(0).getRGB(0, 0) & 0xFFFFFF) == 0x646464)
+    assert((rd.read(1).getRGB(0, 0) & 0xFFFFFF) == 0x070809)
+  }
+
   test("buildGif bytes are decoded identically by the JDK's independent codec") {
     val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
     rd.setInput(javax.imageio.ImageIO.createImageInputStream(
