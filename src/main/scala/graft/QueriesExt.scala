@@ -1428,6 +1428,42 @@ object QueriesExt {
            |FROM (SELECT doc_id, text, $scores FROM documents)""".stripMargin
       }),
 
+    // Bigram-coverage quality signal: distinct word bigrams per doc
+    // scored against the SUMMABLE corpus bigram census (bigramCensus —
+    // same maintained-artifact discipline as the dedup gram census);
+    // low coverage = word pairs that rarely recur anywhere (gibberish,
+    // mangled encodings). Integer-exact throughout: counts, floor-percent,
+    // gate — the oracle recomputes census and coverage from raw text.
+    QueryCase("q_text_bigram_coverage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextStats.bigramCoverage(docs,
+          TextStats.bigramCensus(docs, "text", "doc_id"),
+          "text", "doc_id", minDf = 2L, gatePct = 50)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(list_distinct(
+        |        [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]))
+        |        AS bg
+        |      FROM d),
+        |census AS (SELECT bg, count(*) AS df FROM e GROUP BY bg),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams
+        |        FROM e GROUP BY doc_id),
+        |cov AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        |        FROM e JOIN census USING (bg) WHERE census.df >= 2
+        |        GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(cov.n_covered, 0) AS n_covered,
+        |  CAST(CASE WHEN coalesce(tot.n_bigrams, 0) = 0 THEN 100
+        |    ELSE floor(coalesce(cov.n_covered, 0) * 100.0 / tot.n_bigrams)
+        |    END AS BIGINT) AS coverage_pct,
+        |  CAST(CASE WHEN (CASE WHEN coalesce(tot.n_bigrams, 0) = 0 THEN 100
+        |    ELSE floor(coalesce(cov.n_covered, 0) * 100.0 / tot.n_bigrams)
+        |    END) >= 50 THEN 1 ELSE 0 END AS BIGINT) AS cov_gate
+        |FROM d LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin)),
+
     QueryCase("q_text_quality",
       (s, dir) => TextStats.qualityScore(t(s, dir, "documents"), "text")
         .select(col("doc_id"), round4(col("quality")).as("quality")),

@@ -380,6 +380,50 @@ object TextStats {
     *
     * Scale shape: per-row projection then one map-side-combined groupBy
     * on the (small) group key — no window, no join. */
+  /** Corpus BIGRAM CENSUS (bg, df): distinct-doc counts per word
+    * bigram — a SUMMABLE quality-signal artifact (per-slice censuses
+    * merge by addition, same discipline as the dedup gram census): at
+    * scale it is computed once per snapshot and updated per ingest, and
+    * every coverage scorer reads it instead of re-counting the corpus. */
+  def bigramCensus(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    graft.ext.Dedup.parallelize(df)
+      .select(col(idCol).as("id"),
+        explode(graft.ext.Dedup.wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("df"))
+
+  /** Per-doc BIGRAM COVERAGE against a census artifact — an OOV-ish
+    * quality signal: documents whose word pairs rarely recur in the
+    * corpus (gibberish, mangled encodings, exotic boilerplate) score
+    * low. `n_covered` counts the doc's distinct bigrams with census
+    * df ≥ `minDf`; `coverage_pct` = floor(100·covered/total) (100 for
+    * docs too short to form a bigram — vacuous pass), `cov_gate` 1 iff
+    * ≥ `gatePct`. All integer-exact, so the DuckDB oracle pins it.
+    * Scale shape: one gram explode + census join (hash-partitioned on
+    * the bigram) + two map-side-combined aggregates; no window. */
+  def bigramCoverage(df: DataFrame, census: DataFrame, textCol: String,
+      idCol: String, minDf: Long, gatePct: Int): DataFrame = {
+    val bgs = graft.ops.Caches.track(
+      graft.ext.Dedup.parallelize(df)
+        .select(col(idCol), explode(
+          graft.ext.Dedup.wordNgrams(col(textCol), 2)).as("bg")))
+    val tot = bgs.groupBy(idCol).agg(count(lit(1)).as("n_bigrams"))
+    val cov = bgs
+      .join(census.filter(col("df") >= minDf).select("bg"), Seq("bg"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_covered"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_pct",
+        when(col("n_bigrams") === 0, lit(100L))
+          .otherwise(floor(col("n_covered") * 100 / col("n_bigrams"))))
+      .withColumn("cov_gate",
+        when(col("coverage_pct") >= gatePct, 1L).otherwise(0L))
+  }
+
   def tokenFertility(df: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
     requireFresh(df, "n_docs", "n_bytes", "n_tokens", "bytes_per_token")

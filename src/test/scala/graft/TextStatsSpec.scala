@@ -161,4 +161,25 @@ class TextStatsSpec extends AnyFunSuite with SparkTestSupport {
     assert(got("en") == ((2L, 8L, 3L, 8.0 / 3)))
     assert(got("xx") == ((1L, 0L, 0L, null)))
   }
+
+  test("bigramCoverage: census-backed OOV signal; short docs pass vacuously") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick fox jumps"),   // bigrams shared with doc 2
+      (2L, "the quick fox sleeps"),  // "the quick"/"quick fox" df=2
+      (3L, "zxqj vvkw pplm qqrs"),   // unique bigrams: coverage 0
+      (4L, "word")                   // no bigram: vacuous pass
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.bigramCoverage(docs,
+        graft.ext.TextStats.bigramCensus(docs, "text", "doc_id"),
+        "text", "doc_id", minDf = 2L, gatePct = 50)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(1L) == ((3L, 2L, 66L, 1L))) // 2 of 3 bigrams recur
+    assert(got(2L) == ((3L, 2L, 66L, 1L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L)))  // gibberish gated out
+    assert(got(4L) == ((0L, 0L, 100L, 1L))) // too short: vacuous pass
+  }
 }
