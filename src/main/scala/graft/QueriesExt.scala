@@ -312,6 +312,25 @@ object QueriesExt {
       p
     })
 
+  /** "Yesterday's" exact-Jaccard PAIRS artifact (even-id half, t=0.1)
+    * and its census — persisted once; q_dedup_incremental_ngram READS
+    * them, so its body is exactly the ingest path (artifact reads +
+    * slice-sized work). */
+  private def ngramOldPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"ngram_old_pairs:$dir") {
+      val gOld = ngramGramIndex(s, dir).filter(col("id") % 2 === 0)
+      Dedup.ngramJaccardPairsFromGrams(gOld, threshold = 0.1,
+        maxDf = Dedup.scaledCap(1000, nRows(s, dir, "documents")))
+    }
+
+  private def ngramOldCensus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"ngram_old_census:$dir") {
+      Dedup.ngramGramCensus(
+        ngramGramIndex(s, dir).filter(col("id") % 2 === 0))
+    }
+
   /** "Yesterday's" CC LABEL artifact for `dir` (labels over the even-id
     * half under the whole-corpus census blocking) — persisted once like
     * every other corpus artifact; q_dedup_cc_incremental READS it and
@@ -1182,10 +1201,9 @@ object QueriesExt {
         val gOld = grams.filter(col("id") % 2 === 0)
         val gNew = grams.filter(col("id") % 2 =!= 0)
         val cap = Dedup.scaledCap(1000, nRows(s, dir, "documents"))
-        val oldPairs = Dedup.ngramJaccardPairsFromGrams(gOld,
-          threshold = 0.1, maxDf = cap)
-        Dedup.ngramPairsIncrementalWithCensus(oldPairs, gOld, gNew,
-            Dedup.ngramGramCensus(gOld), threshold = 0.1, maxDf = cap)
+        Dedup.ngramPairsIncrementalWithCensus(ngramOldPairs(s, dir),
+            gOld, gNew, ngramOldCensus(s, dir), threshold = 0.1,
+            maxDf = cap)
           .withColumn("jaccard", round4(col("jaccard")))
       },
       Some(ngramOracle(0.1))),
