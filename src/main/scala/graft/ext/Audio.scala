@@ -40,7 +40,11 @@ object Audio {
     * (LIST, fact, …) skipped by their declared length, word-aligned as
     * RIFF requires (odd-length chunks carry a pad byte). Float PCM,
     * WAVE_FORMAT_EXTENSIBLE, and truncated data return None. */
-  def wavSamples(bytes: Array[Byte]): Option[PcmAudio] = {
+  def wavSamples(bytes: Array[Byte]): Option[PcmAudio] =
+    try wavSamplesImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None } // never throw on adversarial bytes (see Multimodal.safely)
+
+  private def wavSamplesImpl(bytes: Array[Byte]): Option[PcmAudio] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long =

@@ -70,7 +70,10 @@ object Multimodal {
     *
     * Returns None for anything else (caller falls back to the
     * deterministic stub so fixture text blobs stay oracle-checkable). */
-  def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    safely(imageDimsImpl(bytes))
+
+  private def imageDimsImpl(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int): Long =
@@ -137,7 +140,20 @@ object Multimodal {
     * it belongs inside the same partition-batched `mapPartitions` body as
     * the header parse (no shuffle, no driver involvement), which is
     * exactly where [[decodePixelStats]] runs it. */
-  def pngPixels(bytes: Array[Byte]): Option[PngImage] = {
+  /** Decoder hardening: an ingest gate must NEVER throw on adversarial
+    * bytes — a blob whose structure passes the shallow checks but whose
+    * content is corrupt (a lying segment length indexing out of bounds,
+    * a poisoned deflate stream raising DataFormatException) returns
+    * None like any other undecodable input instead of killing the
+    * executor task. MultimodalSpec fuzzes every decoder with random
+    * bytes and bit-flipped real fixtures under this contract. */
+  private def safely[T](body: => Option[T]): Option[T] =
+    try body catch { case scala.util.control.NonFatal(_) => None }
+
+  def pngPixels(bytes: Array[Byte]): Option[PngImage] =
+    safely(pngPixelsImpl(bytes))
+
+  private def pngPixelsImpl(bytes: Array[Byte]): Option[PngImage] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -241,7 +257,10 @@ object Multimodal {
     * body; no shuffle, no driver. The O(8·64) separable IDCT per block
     * is the clarity-first kernel; an AAN fixed-point IDCT is the
     * drop-in production swap. */
-  def jpegPixels(bytes: Array[Byte]): Option[RawImage] = {
+  def jpegPixels(bytes: Array[Byte]): Option[RawImage] =
+    safely(jpegPixelsImpl(bytes))
+
+  private def jpegPixelsImpl(bytes: Array[Byte]): Option[RawImage] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
@@ -508,7 +527,10 @@ object Multimodal {
     * or top-down (negative), 4-byte-padded rows — the whole format is a
     * fixed layout, no entropy coding. Returns RGB row-major top-down.
     * RLE compression, 16/32-bit and OS/2 headers return None. */
-  def bmpPixels(bytes: Array[Byte]): Option[RawImage] = {
+  def bmpPixels(bytes: Array[Byte]): Option[RawImage] =
+    safely(bmpPixelsImpl(bytes))
+
+  private def bmpPixelsImpl(bytes: Array[Byte]): Option[RawImage] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def s32(i: Int): Int =
@@ -587,7 +609,10 @@ object Multimodal {
     * kernel inside a partition-batched body ([[decodeFrameStats]]); a
     * frame-sampling stride composes downstream exactly like
     * [[sampleFrames]] but over REAL frames. */
-  def gifFrames(bytes: Array[Byte]): Option[Seq[GifFrame]] = {
+  def gifFrames(bytes: Array[Byte]): Option[Seq[GifFrame]] =
+    safely(gifFramesImpl(bytes))
+
+  private def gifFramesImpl(bytes: Array[Byte]): Option[Seq[GifFrame]] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     if (bytes.length < 13) return None

@@ -448,6 +448,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(1L) == "b1fc786764a0dc4775ffff09e9fd4b04") // md5(000301 ++ px)
   }
 
+  test("decoders never throw on adversarial bytes: fuzz + bit-flipped fixtures") {
+    // the ingest-gate contract: corrupt content (not just corrupt
+    // structure) must yield None, never an exception that kills the
+    // executor task — e.g. a poisoned deflate stream or a lying segment
+    // length. Deterministic RNG; each decoder sees random blobs and
+    // mutations of every real fixture.
+    val fixtures = Seq(
+      graft.ext.MediaFixtures.png1x1, graft.ext.MediaFixtures.pngRgb2x2,
+      graft.ext.MediaFixtures.pngGray3x2,
+      graft.ext.MediaFixtures.jpegGray8x8,
+      graft.ext.MediaFixtures.jpegGray16x8,
+      graft.ext.MediaFixtures.jpegColor8x8,
+      graft.ext.MediaFixtures.gifTwoFrames,
+      graft.ext.MediaFixtures.bmp3x2,
+      graft.ext.AudioFixtures.wavSquare,
+      graft.ext.AudioFixtures.wavStereo8)
+    val rnd = new scala.util.Random(99)
+    def decodeAll(b: Array[Byte]): Unit = {
+      Multimodal.pngPixels(b); Multimodal.jpegPixels(b)
+      Multimodal.gifFrames(b); Multimodal.bmpPixels(b)
+      Multimodal.imagePixels(b); Multimodal.imageDims(b)
+      graft.ext.Audio.wavSamples(b)
+      graft.streaming.MediaGate.probe(0L, b)
+      ()
+    }
+    for (_ <- 0 until 200) {
+      decodeAll(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    }
+    for (fix <- fixtures; _ <- 0 until 60) {
+      val m = fix.clone()
+      // 1-3 random byte corruptions, keeping the signature intact often
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      decodeAll(m)
+      decodeAll(m.take(rnd.nextInt(m.length))) // truncations too
+    }
+    succeed // reaching here means no decoder threw
+  }
+
   test("featureExtract: fixed-dim deterministic vectors") {
     val a = Multimodal.featureExtract(spark, media, dim = 8)
       .select("media_id", "features").collect()
