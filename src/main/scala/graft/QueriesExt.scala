@@ -1418,6 +1418,32 @@ object QueriesExt {
       },
       Some(bpeSegmentOracle(8))),
 
+    // Tokenizer FERTILITY under the induced merge table — the metric a
+    // tokenizer ships with (BPE tokens emitted per word, frequency-
+    // weighted over the corpus census): one integer-exact summary row
+    // derived from the same segmentation artifact as q_bpe_segment, so
+    // the oracle just aggregates the segmentation oracle.
+    QueryCase("q_bpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Materialized(s, s"bpe_merges:$dir") {
+            graft.ext.Bpe.induceMerges(docs, "text", rounds = 8)
+          }.orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ext.Bpe.segment(docs, "text", merges)
+          .agg(sum(col("f")).as("n_words"),
+            sum(col("f") * size(col("sym"))).as("n_bpe_tokens"))
+          .withColumn("fertility_milli",
+            floor(col("n_bpe_tokens") * 1000 / col("n_words")))
+      },
+      Some(s"""WITH segd AS (${bpeSegmentOracle(8).replace("\n", "\n|")})
+        |SELECT CAST(sum(f) AS BIGINT) AS n_words,
+        |  CAST(sum(f * len(string_split(seg, ' '))) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(floor(sum(f * len(string_split(seg, ' '))) * 1000.0
+        |    / sum(f)) AS BIGINT) AS fertility_milli
+        |FROM segd""".stripMargin)),
+
     // ----------------------------------------------------- text analysis
     QueryCase("q_text_tokens",
       (s, dir) => TextStats.tokenCounts(t(s, dir, "documents"), "text")
