@@ -1418,6 +1418,39 @@ object QueriesExt {
       },
       Some(bpeSegmentOracle(8))),
 
+    // The DATASET CARD: the one-row manifest a training-data pipeline
+    // publishes with every corpus snapshot — volume (docs/tokens/chars),
+    // diversity (sources/langs), exact-dup rate (distinct normalized-md5
+    // fingerprints, same normalization as q_dedup_fingerprint), and the
+    // short-doc fraction. One scan, integer-exact, map-side-combined
+    // aggregates only.
+    QueryCase("q_dataset_card",
+      (s, dir) => t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(col("n_chars").cast("long")).as("n_chars"),
+          countDistinct(md5(Dedup.normalizedText(col("text"))))
+            .as("n_unique_fp"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L))
+            .as("n_short_docs"))
+        .withColumn("unique_milli",
+          floor(col("n_unique_fp") * 1000 / col("n_docs"))),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_unique_fp,
+        |  CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short_docs,
+        |  CAST(floor(count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')))) * 1000.0 / count(*)) AS BIGINT)
+        |    AS unique_milli
+        |FROM documents""".stripMargin)),
+
     // Tokenizer FERTILITY under the induced merge table — the metric a
     // tokenizer ships with (BPE tokens emitted per word, frequency-
     // weighted over the corpus census): one integer-exact summary row
