@@ -1451,6 +1451,31 @@ object QueriesExt {
         |    AS unique_milli
         |FROM documents""".stripMargin)),
 
+    // The per-SOURCE card — the mixture-planning manifest (what each
+    // mixture component contributes before weights are chosen): same
+    // integer-exact stats as q_dataset_card, grouped by source.
+    QueryCase("q_dataset_card_by_source",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(col("n_chars").cast("long")).as("n_chars"),
+          countDistinct(md5(Dedup.normalizedText(col("text"))))
+            .as("n_unique_fp"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L))
+            .as("n_short_docs")),
+      Some(s"""SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_unique_fp,
+        |  CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short_docs
+        |FROM documents GROUP BY source""".stripMargin)),
+
     // Tokenizer FERTILITY under the induced merge table — the metric a
     // tokenizer ships with (BPE tokens emitted per word, frequency-
     // weighted over the corpus census): one integer-exact summary row
