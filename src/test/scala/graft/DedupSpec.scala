@@ -202,6 +202,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(got == inline && got.map(_._1) == Set(2L))
   }
 
+  test("probeShardedBandIndexText ≡ unsharded text probe over the same corpus") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "completely unrelated words about other topics entirely"))
+    val sigs = Dedup.minhashSignaturesPortable(d, "text", "doc_id", 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shardtext_").toString
+    Dedup.writeShardedBandIndex(sigs, dir, numHashes = 16, bands = 4,
+      shards = 8)
+    val qtext = "alpha beta gamma delta epsilon zeta eta theta kappa"
+    val sharded = Dedup.probeShardedBandIndexText(spark, dir, qtext,
+        numHashes = 16, bands = 4, threshold = 0.2, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val flat = Dedup.minhashProbeTextPortable(sigs, qtext,
+        numHashes = 16, bands = 4, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(sharded == flat && sharded.map(_._1).contains(1L))
+    // unshingleable query text → empty result, correct schema
+    val empty = Dedup.probeShardedBandIndexText(spark, dir, "",
+      numHashes = 16, bands = 4, threshold = 0.2, shards = 8)
+    assert(empty.columns.toSeq == Seq("doc_id", "est_jaccard") &&
+      empty.count() == 0)
+  }
+
+  test("mergeGramCensus additivity: census(A ∪ B) ≡ merge(census(A), census(B))") {
+    val a = docs((1L, "x y z x y"), (2L, "x y q"))
+    val b = docs((10L, "x y z w"), (11L, "q r s t"))
+    val gA = Dedup.ngramGramTable(a, "text", "doc_id", n = 2)
+    val gB = Dedup.ngramGramTable(b, "text", "doc_id", n = 2)
+    val merged = Dedup.mergeGramCensus(
+        Dedup.ngramGramCensus(gA), Dedup.ngramGramCensus(gB))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Dedup.ngramGramCensus(gA.unionByName(gB))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == whole && merged("x y") == 3L)
+  }
+
   test("simhashProbeFromFingerprints ≡ brute-force hamming (pigeonhole lossless)") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
