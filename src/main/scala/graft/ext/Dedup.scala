@@ -507,13 +507,13 @@ object Dedup {
     * ≤ 1 partition, and the probe result is row-identical to the
     * unsharded [[minhashProbeFromSignatures]]. */
   def writeShardedBandIndex(sigs: DataFrame, path: String, numHashes: Int,
-      bands: Int, shards: Int = 64): Unit = {
+      bands: Int, shards: Int = 64, mode: String = "overwrite"): Unit = {
     val bk = portableBandKeys(numHashes, bands)
     sigs.select(col("id"), col("sig"), explode(bk(col("sig"))).as("bk"))
       .select(col("id"), col("sig"), col("bk.bucket").as("bucket"),
         col("bk.band").as("band"),
         pmod(xxhash64(col("bk.bucket")), lit(shards)).as("shard"))
-      .write.partitionBy("band", "shard").mode("overwrite").parquet(path)
+      .write.partitionBy("band", "shard").mode(mode).parquet(path)
   }
 
   /** Probe the sharded band index with a raw query signature: one scan
@@ -576,6 +576,69 @@ object Dedup {
     }
   }
 
+  /** Ingest-time MinHash DELTA (cross ∪ self) against the SHARDED BAND
+    * INDEX — the slice-sized dual of [[probeShardedBandIndex]]: the
+    * slice's signatures explode to their band buckets, the bounded
+    * (≤ bands × `shards`) set of (band, shard) pairs they touch becomes
+    * literal partition predicates over the index (a realistic ingest
+    * slice has |slice| × bands bucket values — FEW keys per doc, so the
+    * read prunes to a minority of directories; ShardedArtifactsSpec
+    * locks the `PartitionFilters`), and candidates join on
+    * (band, bucket). Index rows carry the full signature
+    * ([[writeShardedBandIndex]]) so the estimate needs no second
+    * old-corpus lookup. Semantics = the cross ∪ self arms of
+    * [[minhashPairsIncrementalPortable]] exactly: per-side `maxBucket`
+    * caps count within (band, bucket) — a bucket lives wholly inside
+    * one shard, so counts over the pruned read are exact.
+    *
+    * Ingest ordering: the returned frame is a LAZY plan over
+    * `indexPath`, and an append to that path invalidates (and
+    * recomputes) plans over it (Spark's `recacheByPath`) — so a chained
+    * ingest must COMMIT the delta (write it to the pairs artifact)
+    * BEFORE appending the slice's rows to the index, or the delta
+    * re-reads its own slice as "old" (self-pairs at 1.0).
+    * ChainedAppendSpec locks the law under that ordering. */
+  def minhashDeltaSharded(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newSigs0: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 1000,
+      shards: Int = 16): DataFrame = {
+    val bk = portableBandKeys(numHashes, bands)
+    val newSigs = graft.ops.Caches.track(newSigs0)
+    val nb0 = newSigs
+      .select(col("id"), col("sig"), explode(bk(col("sig"))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.bucket").as("bucket"),
+        col("bk.band").as("band"),
+        Sharded.shardOf(col("bk.bucket"), shards).as("shard"))
+    val nb = graft.ops.Caches.track(nb0)
+    val touched = nb.select("band", "shard").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+    val pruned = spark.read.parquet(indexPath)
+      .filter(touched.map { case (b, sh) =>
+        col("band") === lit(b) && col("shard") === lit(sh)
+      }.reduce(_ || _))
+    def bounded(buckets: DataFrame): DataFrame = {
+      val ok = buckets.groupBy("band", "bucket").count()
+        .filter(col("count") <= maxBucket)
+      buckets.join(ok.select("band", "bucket"), Seq("band", "bucket"))
+    }
+    val cross = bounded(pruned.select("band", "bucket", "id", "sig"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      .join(bounded(nb.select("band", "bucket", "id", "sig"))
+        .select(col("band"), col("bucket"), col("id").as("id_b"),
+          col("sig").as("sig_b")), Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("est_jaccard"))
+    val newSelf = minhashDupPairsPortableFromSignatures(newSigs, numHashes,
+      bands, threshold, maxBucket)
+    cross.unionByName(newSelf)
+  }
+
   /** [[minhashProbeFromSignatures]] with the signatures computed inline
     * from the corpus (portable md5 family, so the whole probe is
     * oracle-reproducible). Convenience for one-off probes; a serving
@@ -607,6 +670,37 @@ object Dedup {
       idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Write a near-dup PAIRS table as a shard-partitioned ADJACENCY — one
+    * row per DIRECTION ((doc, other, score) and (other, doc, score)),
+    * partitioned by doc-id-hash shard: the serving layout for "what
+    * duplicates THIS doc" over the pairs artifact. A canonical
+    * (id_a < id_b) pairs table answers that query only with two scans or
+    * an OR filter over the whole artifact; the exploded adjacency costs
+    * 2× the (small) pairs bytes and prunes a probe to ONE directory.
+    * Ingest appends the day's delta rows as new files — old partitions
+    * are never rewritten. */
+  def writeShardedAdjacency(pairs: DataFrame, path: String,
+      scoreCol: String, shards: Int = 16): Unit = {
+    val fwd = pairs.select(col("id_a").as("doc_id"),
+      col("id_b").as("other"), col(scoreCol).as("score"))
+    val rev = pairs.select(col("id_b").as("doc_id"),
+      col("id_a").as("other"), col(scoreCol).as("score"))
+    Sharded.writeByKey(fwd.unionByName(rev), path, "doc_id", shards)
+  }
+
+  /** Point probe over a [[writeShardedAdjacency]] artifact: the query
+    * id's shard is computed by the ENGINE's own hash in one 1-row job
+    * (as [[probeShardedBandIndex]] does), then the scan pins the literal
+    * (shard, doc_id) — one directory of the index, no join. */
+  def probeAdjacency(spark: org.apache.spark.sql.SparkSession,
+      path: String, docId: Long, shards: Int = 16): DataFrame = {
+    val qShard = spark.range(1)
+      .select(Sharded.shardOf(lit(docId), shards)).head().getInt(0)
+    spark.read.parquet(path)
+      .filter(col("shard") === lit(qShard) && col("doc_id") === lit(docId))
+      .select("other", "score")
+  }
 
   // ------------------------------------------- connected-components dedup
 
@@ -699,6 +793,74 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("component").as("id_b"))
     assignComponents(df,
       starEdges.unionByName(deltaPairs.select("id_a", "id_b")), idCol)
+  }
+
+  /** Write the CC LABEL artifact TWICE, partitioned by id-hash shard and
+    * by component-hash shard — the two access paths label maintenance
+    * needs: "labels of THESE delta-adjacent ids" (by id) and "full
+    * membership of THESE touched components" (by component). The dual
+    * copy is the standard adjacency trade (a graph artifact stored by
+    * src and by dst); labels are one row per doc, so the duplication is
+    * corpus-linear and tiny next to the pairs tables. */
+  def writeShardedLabels(labels: DataFrame, pathById: String,
+      pathByComp: String, idCol: String, shards: Int = 16): Unit = {
+    Sharded.writeByKey(labels.select(col(idCol), col("component")),
+      pathById, idCol, shards)
+    Sharded.writeByKey(labels.select(col(idCol), col("component")),
+      pathByComp, "component", shards)
+  }
+
+  /** INCREMENTAL connected components with the propagation PRUNED to the
+    * components the delta actually touches — the sharded upgrade of
+    * [[assignComponentsIncremental]], which re-propagates over star
+    * edges of the WHOLE corpus:
+    *
+    *   1. delta-adjacent ids → pruned by-id read → their old labels →
+    *      the TOUCHED component set (slice-proportional);
+    *   2. pruned by-component read → full membership of touched
+    *      components (their star edges are the only old edges that can
+    *      interact with the delta);
+    *   3. CC over (touched star edges ∪ delta) relabels exactly the
+    *      affected docs — iteration cost bounded by the DELTA's chain
+    *      structure over a slice-proportional subgraph, never the corpus;
+    *   4. untouched labels re-enter by one scan + anti-join on the
+    *      touched component set (on a real ingest those partitions stay
+    *      on disk untouched — only affected rows are rewritten); slice
+    *      docs in no delta pair are their own singleton components.
+    *
+    * Lossless: new edges only join delta-adjacent docs, so any component
+    * whose labeling can change contains a delta endpoint and is in the
+    * touched set; a touched component's new min can only come from a
+    * component connected to it through delta edges — also touched. Old
+    * labels are min-reachable ids, so star edges preserve classes AND
+    * label values. */
+  def assignComponentsIncrementalSharded(
+      spark: org.apache.spark.sql.SparkSession, pathById: String,
+      pathByComp: String, sliceDocs: DataFrame, deltaPairs: DataFrame,
+      idCol: String, shards: Int = 16): DataFrame = {
+    val delta = graft.ops.Caches.track(deltaPairs.select("id_a", "id_b"))
+    val deltaIds = graft.ops.Caches.track(
+      delta.select(col("id_a").as(idCol))
+        .union(delta.select(col("id_b").as(idCol))).distinct())
+    val touchedComps = graft.ops.Caches.track(
+      Sharded.fetchKeys(spark, pathById, deltaIds, idCol, shards)
+        .select("component").distinct())
+    val members = graft.ops.Caches.track(
+      Sharded.fetchKeys(spark, pathByComp, touchedComps, "component",
+        shards).select(col(idCol), col("component")))
+    val star = members.filter(col(idCol) =!= col("component"))
+      .select(col(idCol).as("id_a"), col("component").as("id_b"))
+    val affectedDocs = members.select(col(idCol))
+      .union(deltaIds.select(col(idCol))).distinct()
+    val relabeled = assignComponents(affectedDocs,
+      star.unionByName(delta), idCol)
+    val untouchedOld = spark.read.parquet(pathById).drop("shard")
+      .join(touchedComps, Seq("component"), "left_anti")
+      .select(col(idCol), col("component"))
+    val sliceSingletons = sliceDocs.select(col(idCol))
+      .join(deltaIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("component"))
+    untouchedOld.unionByName(relabeled).unionByName(sliceSingletons)
   }
 
   /** Transitive dedup: keep one representative (the min id) per duplicate
@@ -825,6 +987,70 @@ object Dedup {
         bit_count(col("fp").bitwiseXOR(lit(q))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id").as("doc_id"), col("hamming"))
+  }
+
+  /** Write the pigeonhole CHUNK INDEX of a fingerprint table as
+    * shard-partitioned parquet — the SimHash analog of
+    * [[writeShardedBandIndex]]: one row per (doc, chunk) carrying the
+    * doc's full fingerprint (so verification needs no second lookup),
+    * partitioned on disk by (ci, shard = xxhash64(cv) % shards). A doc
+    * contributes exactly `maxHamming`+1 chunk values, so both probes and
+    * realistic ingest slices touch few of the (chunks × shards)
+    * directories and the old-corpus read prunes AT THE SCAN. */
+  def writeShardedChunkIndex(fps: DataFrame, path: String, bits: Int = 60,
+      maxHamming: Int = 3, shards: Int = 16): Unit = {
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    fps.withColumn("chunk", explode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("ci"),
+          call_function("shiftrightunsigned", col("fp"), c * lit(width))
+            .bitwiseAND(lit((1L << width) - 1)).as("cv")))))
+      .select(col("id"), col("fp"), col("chunk.ci"), col("chunk.cv"),
+        Sharded.shardOf(col("chunk.cv"), shards).as("shard"))
+      .write.partitionBy("ci", "shard").mode("overwrite").parquet(path)
+  }
+
+  /** Ingest-time SimHash DELTA (cross ∪ self) against the SHARDED CHUNK
+    * INDEX: the slice's fingerprints chunk to a bounded
+    * (≤ chunks × `shards`) set of (ci, shard) pairs — literal partition
+    * predicates over the index — and candidacy joins on (ci, cv).
+    * Semantics = the cross ∪ self arms of
+    * [[simhashPairsIncrementalPortable]] exactly (pigeonhole candidacy
+    * is a per-pair property; no caps to approximate around). */
+  def simhashDeltaSharded(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newFps0: DataFrame, bits: Int = 60,
+      maxHamming: Int = 3, shards: Int = 16): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    val newFps = graft.ops.Caches.track(newFps0)
+    val nb = graft.ops.Caches.track(newFps
+      .withColumn("chunk", explode(transform(
+        sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("ci"),
+          call_function("shiftrightunsigned", col("fp"), c * lit(width))
+            .bitwiseAND(lit((1L << width) - 1)).as("cv")))))
+      .select(col("id"), col("fp"), col("chunk.ci"), col("chunk.cv"),
+        Sharded.shardOf(col("chunk.cv"), shards).as("shard")))
+    val touched = nb.select("ci", "shard").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+    val pruned = spark.read.parquet(indexPath)
+      .filter(touched.map { case (ci, sh) =>
+        col("ci") === lit(ci) && col("shard") === lit(sh)
+      }.reduce(_ || _))
+    val cross = pruned
+      .select(col("ci"), col("cv"), col("id").as("id_a"),
+        col("fp").as("fp_a"))
+      .join(nb.select(col("ci"), col("cv"), col("id").as("id_b"),
+        col("fp").as("fp_b")), Seq("ci", "cv"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+    val newSelf = hammingPairs(newFps, bits, maxHamming)
+    cross.unionByName(newSelf)
   }
 
   /** CROSS-CORPUS SimHash pairs (portable 60-bit md5 family): incoming
@@ -992,6 +1218,53 @@ object Dedup {
     * df_A + df_B for id-disjoint corpora). */
   def mergeGramCensus(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("g").agg(sum(col("df")).as("df"))
+
+  /** Write the GRAM INDEX ([[ngramGramTable]] rows) as parquet
+    * partitioned by gram-hash shard. Selectivity honesty (see
+    * [[Sharded]]): a doc contributes HUNDREDS of distinct grams, so the
+    * layout prunes for probes and small slices but degrades to a full
+    * scan for large ingest slices — there the lever is the slice-side
+    * bloom semi-join, not the directory layout. Both the layout and the
+    * stress measurement carry that caveat. */
+  def writeShardedGramIndex(grams: DataFrame, path: String,
+      shards: Int = 16): Unit =
+    Sharded.writeByKey(grams.select("id", "nsz", "g"), path, "g", shards)
+
+  /** Write the summable GRAM CENSUS as parquet partitioned by the SAME
+    * gram-hash shard function as [[writeShardedGramIndex]] — per-shard
+    * censuses merge independently, and an append's census read prunes
+    * with the same shard set as its postings read. */
+  def writeShardedGramCensus(census: DataFrame, path: String,
+      shards: Int = 16): Unit =
+    Sharded.writeByKey(census.select("g", "df"), path, "g", shards)
+
+  /** Ingest-time exact-Jaccard DELTA (cross ∪ self) over the SHARDED
+    * gram index + census: the slice's grams touch a bounded (≤ `shards`)
+    * shard set, which prunes BOTH old-corpus reads (postings + census)
+    * at the scan; candidacy and blocking then proceed exactly as
+    * [[ngramPairsIncrementalWithCensus]] — pruning is lossless because a
+    * cross pair needs a SHARED gram (an old posting whose gram is not in
+    * any slice shard cannot share a gram with the slice), and every
+    * retained gram's census row lives in a retained shard. */
+  def ngramDeltaSharded(spark: org.apache.spark.sql.SparkSession,
+      gramIndexPath: String, censusPath: String, gramsNew0: DataFrame,
+      threshold: Double, maxDf: Int = 1000, shards: Int = 16): DataFrame = {
+    val gramsNew = graft.ops.Caches.track(gramsNew0)
+    val sliceShards = Sharded.touchedShards(gramsNew, "g", shards)
+    val gramsOld = Sharded.readTouched(spark, gramIndexPath, sliceShards)
+      .select("id", "nsz", "g")
+    val censusOld = Sharded.readTouched(spark, censusPath, sliceShards)
+      .select("g", "df")
+    val merged = graft.ops.Caches.track(
+      mergeGramCensus(censusOld, ngramGramCensus(gramsNew)))
+    val cross = ngramJaccardCrossPairsFromGramsWithCensus(gramsOld,
+        gramsNew, merged, threshold, maxDf)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+    val newSelf = ngramJaccardPairsFromGramsWithCensus(gramsNew, merged,
+      threshold, maxDf)
+    cross.unionByName(newSelf)
+  }
 
   /** Direct count-join exact-Jaccard pairs with the df blocking cap read
     * from a PRECOMPUTED census artifact ([[ngramGramCensus]] output or a
@@ -1264,6 +1537,61 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     verifyCosine(pairs, vecsA, vecsB, vecCol, threshold)
+  }
+
+  /** Write the sign-sketch BUCKET TABLE ([[embeddingBucketTable]] rows)
+    * as parquet partitioned by (t, shard = xxhash64(bucket) % shards) —
+    * a vector contributes ONE bucket per table, so ingest slices and
+    * probes touch few of the (tables × shards) directories. */
+  def writeShardedBucketIndex(buckets: DataFrame, path: String,
+      shards: Int = 16): Unit =
+    Sharded.writeByKey(buckets.select("id", "t", "bucket"), path, "bucket",
+      shards, extraPartitionCols = Seq("t"))
+
+  /** Write a VECTOR table (id, vecCol) partitioned by id-hash shard —
+    * the fetch-side artifact: candidate verification pulls only the
+    * shards the candidate ids touch ([[Sharded.fetchKeys]]). */
+  def writeShardedVectors(vecs: DataFrame, path: String,
+      shards: Int = 16): Unit =
+    Sharded.writeByKey(vecs, path, "id", shards)
+
+  /** Ingest-time embedding DELTA (cross ∪ self) against the SHARDED
+    * bucket index + sharded vector table: the slice's buckets touch a
+    * bounded (≤ tables × `shards`) partition set (pruned candidate
+    * join), and the exact-cosine verify fetches ONLY the old vectors the
+    * candidates name — a two-phase pruned fetch (bounded shard-set job,
+    * then a pruned scan + semi-join) instead of a full old-vector scan.
+    * Semantics = the cross ∪ self arms of
+    * [[embeddingPairsIncrementalFromBuckets]] exactly (bucket membership
+    * is a per-row property of the seeded family; no caps). */
+  def embeddingDeltaSharded(spark: org.apache.spark.sql.SparkSession,
+      bucketIndexPath: String, vecsPath: String, bucketsNew0: DataFrame,
+      vecsNew: DataFrame, vecCol: String, threshold: Double,
+      shards: Int = 16): DataFrame = {
+    val bucketsNew = graft.ops.Caches.track(bucketsNew0)
+    val touched = bucketsNew
+      .select(col("t"), Sharded.shardOf(col("bucket"), shards).as("shard"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sortBy(identity)
+    val pruned = spark.read.parquet(bucketIndexPath)
+      .filter(touched.map { case (t, sh) =>
+        col("t") === lit(t) && col("shard") === lit(sh)
+      }.reduce(_ || _))
+    val candidates = graft.ops.Caches.track(pruned
+      .select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(bucketsNew.select(col("t"), col("bucket"),
+        col("id").as("id_b")), Seq("t", "bucket"))
+      .select("id_a", "id_b")
+      .distinct())
+    val vecsOldNeeded = Sharded.fetchKeys(spark, vecsPath,
+      candidates.select(col("id_a").as("id")), "id", shards)
+    val cross = verifyCosine(candidates, vecsOldNeeded, vecsNew, vecCol,
+        threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+    val newSelf = embeddingDupPairsFromBuckets(bucketsNew, vecsNew, vecCol,
+      threshold)
+    cross.unionByName(newSelf)
   }
 
   private def verifyCosine(pairs: DataFrame, vecsA: DataFrame,

@@ -3,7 +3,10 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A decoded-media record produced by the (stubbed) decoder. */
+/** A decoded-media record produced by the container decoders
+  * ([[Multimodal.imageDims]] and kin — real header parses for
+  * PNG/JPEG/GIF/BMP, with [[Multimodal.decodeDims]] as the marked
+  * deterministic fallback for unrecognized blobs). */
 final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
     width: Int, height: Int, channels: Int)
 
@@ -18,13 +21,14 @@ final case class FrameRef(media_id: Long, frame_index: Long, ts_sec: Double)
   * The Spark-side plumbing — schema, partitioning, batched per-partition
   * processing (the JVM analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup), explode-based frame sampling —
-  * is real and tested. Dimension decode is REAL for PNG/JPEG containers
-  * ([[imageDims]]: pure-JVM header parse, no codec libraries); blobs
-  * that are not a recognized image container fall back to a clearly
-  * marked DETERMINISTIC STUB (`decodeDims`) so the text-bytes fixture
-  * stays oracle-checkable. Full pixel decoding (and audio/video
-  * probing) would slot into the same partition-batched body; every plan
-  * shape stays identical.
+  * is real and tested, and so is the decoding: full pixel decode for
+  * PNG ([[pngPixels]]), baseline JPEG ([[jpegPixels]] — pure-JVM T.81
+  * Huffman+IDCT, no codec libraries), GIF (multi-frame LZW,
+  * [[gifFrames]]) and BMP ([[bmpPixels]]), each cross-checked against
+  * the JDK codecs both directions. [[imageDims]] is the header-only
+  * fast path; blobs that are not a recognized container fall back to
+  * the clearly marked deterministic `decodeDims` so the text-bytes
+  * fixture stays oracle-checkable.
   *
   * Scale notes: binary payloads dominate row size, so these tables want
   * `spark.sql.files.maxPartitionBytes` sized for ~100-row partitions and

@@ -1,0 +1,234 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Dedup
+
+/** CHAINED multi-slice append law — the missing half of
+  * [[IncrementalStress]] (VERDICT r9 next-round #3): the single-slice
+  * harness proves |old| + |delta| ≡ recompute for ONE ingest; real
+  * pipelines apply appends DAILY, so errors that cancel in one round
+  * could accumulate across rounds (label stability across chained
+  * star-edge re-propagations is the non-obvious case — each round's
+  * labels become the NEXT round's star edges, so a single round's
+  * "right classes, shifted representatives" would poison every later
+  * round). This harness applies k successive id-disjoint slices
+  * (append ∘ append ∘ …) and asserts the END STATE equals the one-shot
+  * recompute over the union, per maintained artifact family:
+  *
+  *   minhash pairs — chained against the PHYSICAL sharded band index
+  *     ([[Dedup.minhashDeltaSharded]]), each round APPENDING the
+  *     slice's band rows as new files into the existing partition
+  *     directories (old files never rewritten) — the on-disk ingest
+  *     cadence itself, not a frame-level simulation of it;
+  *   ngram pairs + gram census — delta blocked on the MAINTAINED
+  *     census (merged, never recomputed), census checked against the
+  *     whole-union recompute as well (a drifted census would silently
+  *     mis-block later rounds long before pair counts diverge);
+  *   CC labels — chained star-edge re-propagation
+  *     ([[Dedup.assignComponentsIncremental]]), end labeling checked
+  *     (XOR-fold of (id, component) hashes) against one-shot CC over
+  *     the union of ALL pairs from ALL rounds;
+  *   span census — chained keyed-addition merges vs whole-union census.
+  *
+  * Exactness is REQUIRED (a mismatch fails the run); per-round append
+  * seconds are printed so the chain's cost profile (flat per round, not
+  * growing with the accumulated corpus beyond the artifact scan) lands
+  * in the same report. Slices are de-correlated replicas (vowel
+  * translate, disjoint id ranges) for the same fixture-realism reasons
+  * as IncrementalStress.
+  *
+  * Usage: runMain graft.tools.ChainedStress [sfDir] [nSlices]
+  */
+object ChainedStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val nSlices = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def persist(df: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"chstress_$tag")
+        .toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    def timed[A](body: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = body
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    /** Order-independent XOR-fold checksum over whole rows (unique per
+      * (id, …) rows, so cancellation cannot hide a discrepancy pair). */
+    def xorSum(df: DataFrame): Long = {
+      val h = xxhash64(df.columns.map(col): _*)
+      val r = df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def check(family: String, got: Long, want: Long, gotN: Long,
+        wantN: Long): Unit = {
+      val ok = got == want && gotN == wantN
+      println(f"[chstress] family=$family%-12s slices=$nSlices " +
+        f"chained_n=$gotN oneshot_n=$wantN chained_sum=$got " +
+        f"oneshot_sum=$want " + (if (ok) "EXACT" else "CHAIN-MISMATCH"))
+      require(ok, s"$family: chained end-state differs from one-shot")
+    }
+
+    val docs0 = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val vowelMaps = Seq("eioua", "iouae", "ouaei", "uaeio", "aeiuo",
+      "eioau", "oiaue", "uoiea")
+    // Slice s: a quarter of the base corpus, de-correlated per slice,
+    // ids in per-slice disjoint ranges (none overlap the corpus range).
+    def slice(s: Int): DataFrame =
+      docs0.filter(col("doc_id") % 4 === (s % 4))
+        .select((col("doc_id") + lit(900000000L * (s + 1))).as("doc_id"),
+          translate(col("text"), "aeiou", vowelMaps(s % 8)).as("text"))
+    val slices = (0 until nSlices)
+      .map(s => persist(slice(s), s"slice_$s")).toIndexedSeq
+    val allDocs = persist(slices.foldLeft(docs0)(_ unionByName _),
+      "all_docs")
+    println(s"[chstress] base=${docs0.count()} docs, $nSlices slices of " +
+      s"${slices.head.count()} docs each")
+    val cap = 1 << 30 // caps unbound: exactness regime
+
+    // ---------------------------------------------------------- minhash
+    // Chain against the PHYSICAL sharded band index: round s computes
+    // its delta from the index as it stands after rounds 0..s-1, then
+    // appends its own band rows as new files (mode=append — old
+    // partition files untouched).
+    {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("chstress_bandidx").toString
+      val baseSigs = persist(Dedup.minhashSignaturesPortable(
+        docs0, "text", "doc_id", numHashes = 32), "sigs_base")
+      Dedup.writeShardedBandIndex(baseSigs, idxDir, numHashes = 32,
+        bands = 8, shards = 16)
+      var pairs = persist(Dedup.minhashDupPairsPortableFromSignatures(
+        baseSigs, 32, 8, 0.5, cap), "mh_pairs_0")
+      var allSigs = baseSigs
+      slices.zipWithIndex.foreach { case (sl, s) =>
+        val sliceSigs = persist(Dedup.minhashSignaturesPortable(
+          sl, "text", "doc_id", numHashes = 32), s"sigs_$s")
+        val (secs, delta) = timed(persist(Dedup.minhashDeltaSharded(
+          spark, idxDir, sliceSigs, numHashes = 32, bands = 8,
+          threshold = 0.5, maxBucket = cap, shards = 16), s"mh_delta_$s"))
+        Dedup.writeShardedBandIndex(sliceSigs, idxDir, numHashes = 32,
+          bands = 8, shards = 16, mode = "append")
+        pairs = persist(pairs.unionByName(delta), s"mh_pairs_${s + 1}")
+        allSigs = persist(allSigs.unionByName(sliceSigs), s"sigs_acc_$s")
+        println(f"[chstress] minhash round ${s + 1}: append=$secs%6.2f s " +
+          s"delta=${delta.count()} pairs_total=${pairs.count()}")
+      }
+      val oneshot = persist(Dedup.minhashDupPairsPortableFromSignatures(
+        allSigs, 32, 8, 0.5, cap), "mh_oneshot")
+      check("minhash", xorSum(pairs), xorSum(oneshot), pairs.count(),
+        oneshot.count())
+    }
+
+    // ---------------------------------------------- ngram pairs + census
+    {
+      val baseGrams = persist(Dedup.ngramGramTable(
+        docs0, "text", "doc_id", n = 3), "grams_base")
+      var census = persist(Dedup.ngramGramCensus(baseGrams), "census_0")
+      var pairs = persist(Dedup.ngramJaccardPairsFromGramsWithCensus(
+        baseGrams, census, threshold = 0.1, maxDf = cap), "ng_pairs_0")
+      var allGrams = baseGrams
+      slices.zipWithIndex.foreach { case (sl, s) =>
+        val sliceGrams = persist(Dedup.ngramGramTable(
+          sl, "text", "doc_id", n = 3), s"grams_$s")
+        val (secs, delta) = timed(persist(
+          Dedup.ngramPairsIncrementalWithCensus(pairs.limit(0), allGrams,
+            sliceGrams, census, threshold = 0.1, maxDf = cap),
+          s"ng_delta_$s"))
+        census = persist(Dedup.mergeGramCensus(census,
+          Dedup.ngramGramCensus(sliceGrams)), s"census_${s + 1}")
+        pairs = persist(pairs.unionByName(delta), s"ng_pairs_${s + 1}")
+        allGrams = persist(allGrams.unionByName(sliceGrams),
+          s"grams_acc_$s")
+        println(f"[chstress] ngram   round ${s + 1}: append=$secs%6.2f s " +
+          s"delta=${delta.count()} pairs_total=${pairs.count()}")
+      }
+      val oneshotPairs = persist(Dedup.ngramJaccardPairsFromGrams(
+        allGrams, threshold = 0.1, maxDf = cap), "ng_oneshot")
+      check("ngram", xorSum(pairs), xorSum(oneshotPairs), pairs.count(),
+        oneshotPairs.count())
+      val oneshotCensus = persist(Dedup.ngramGramCensus(allGrams),
+        "census_oneshot")
+      check("gram_census", xorSum(census), xorSum(oneshotCensus),
+        census.count(), oneshotCensus.count())
+
+      // ------------------------------------------------------ CC labels
+      // Chained star-edge re-propagation over the ngram tier: round s's
+      // labels are round s+1's star edges. One-shot = CC over the union
+      // of every round's pairs (== oneshotPairs by the check above).
+      val basePairs = persist(Dedup.ngramJaccardPairsFromGramsWithCensus(
+        baseGrams, Dedup.ngramGramCensus(baseGrams), threshold = 0.1,
+        maxDf = cap), "cc_base_pairs")
+      var labels = persist(Dedup.assignComponents(
+        docs0.select("doc_id"), basePairs, "doc_id"), "labels_0")
+      var docsSoFar = docs0.select("doc_id")
+      var gramsSoFar = baseGrams
+      var censusSoFar = persist(Dedup.ngramGramCensus(baseGrams),
+        "cc_census_0")
+      slices.zipWithIndex.foreach { case (sl, s) =>
+        val sliceGrams = persist(Dedup.ngramGramTable(
+          sl, "text", "doc_id", n = 3), s"cc_grams_$s")
+        val merged = persist(Dedup.mergeGramCensus(censusSoFar,
+          Dedup.ngramGramCensus(sliceGrams)), s"cc_census_${s + 1}")
+        val delta = persist(
+          Dedup.ngramJaccardCrossPairsFromGramsWithCensus(gramsSoFar,
+            sliceGrams, merged, threshold = 0.1, maxDf = cap)
+          .unionByName(Dedup.ngramJaccardPairsFromGramsWithCensus(
+            sliceGrams, merged, threshold = 0.1, maxDf = cap)),
+          s"cc_delta_$s")
+        docsSoFar = persist(docsSoFar.unionByName(sl.select("doc_id")),
+          s"cc_docs_$s")
+        val (secs, nl) = timed(persist(Dedup.assignComponentsIncremental(
+          docsSoFar, labels, delta, "doc_id"), s"labels_${s + 1}"))
+        labels = nl
+        gramsSoFar = persist(gramsSoFar.unionByName(sliceGrams),
+          s"cc_grams_acc_$s")
+        censusSoFar = merged
+        println(f"[chstress] cc_labels round ${s + 1}: " +
+          f"append=$secs%6.2f s")
+      }
+      val oneshotLabels = persist(Dedup.assignComponents(
+        allDocs.select("doc_id"),
+        oneshotPairs.select("id_a", "id_b"), "doc_id"), "labels_oneshot")
+      check("cc_labels", xorSum(labels), xorSum(oneshotLabels),
+        labels.count(), oneshotLabels.count())
+    }
+
+    // -------------------------------------------------------- span census
+    {
+      var census = persist(graft.ext.Spans.spanCensus(
+        docs0, "text", "doc_id", 8), "spans_0")
+      slices.zipWithIndex.foreach { case (sl, s) =>
+        val (secs, merged) = timed(persist(
+          graft.ops.Maintenance.mergePartialAggregates(
+            Seq(census, graft.ext.Spans.spanCensus(sl, "text", "doc_id",
+              8)), Seq("sh"), Seq("n_docs", "n_occ")),
+          s"spans_${s + 1}"))
+        census = merged
+        println(f"[chstress] span_census round ${s + 1}: " +
+          f"append=$secs%6.2f s rows=${census.count()}")
+      }
+      val oneshot = persist(graft.ext.Spans.spanCensus(
+        allDocs, "text", "doc_id", 8), "spans_oneshot")
+      check("span_census", xorSum(census), xorSum(oneshot),
+        census.count(), oneshot.count())
+    }
+
+    println(s"[chstress] all families EXACT across $nSlices chained slices")
+    spark.stop()
+  }
+}
