@@ -3308,6 +3308,40 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 
+    // 4:2:0 / 4:2:2 chroma-subsampled JPEG decode (VERDICT r9 #2 — the
+    // layout most real-corpus JPEGs use, and the JDK writer's default):
+    // the same T.81 pipeline with hc×vc-blocks-per-MCU interleave and
+    // nearest-sample chroma upsampling. Fixtures are DC-only with
+    // CONSTANT chroma fields, where decode is exact in ANY decoder
+    // (constants survive every upsampling filter), so the oracle pins
+    // hand-computed stats; MultimodalSpec pins the general path against
+    // ImageIO both directions (incl. JDK-written 4:2:0 color).
+    QueryCase("q_multimodal_pixels_jpeg420",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decodePixelStats(s, Seq(
+            (1L, MediaFixtures.jpeg420Quad16x16),
+            (2L, MediaFixtures.jpeg420Color16x16),
+            (3L, MediaFixtures.jpeg420Gray10x6),
+            (4L, MediaFixtures.jpeg422Gray16x8),
+            (5L, MediaFixtures.jpeg4x2)) // header-only: no entropy scan
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 16, 16, 3, 768, 88320, 40, 190),
+        |             (2, 16, 16, 3, 768, 85760, 70, 151),
+        |             (3, 10, 6, 3, 180, 13860, 77, 77),
+        |             (4, 16, 8, 3, 384, 51840, 60, 210))
+        |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
+        |       px_min, px_max)""".stripMargin)),
+
     // REAL feature extraction over DECODED pixels (per-channel sums +
     // 8-bin intensity histogram) — the non-stub counterpart of
     // q_multimodal_features, dispatching PNG/JPEG/GIF through

@@ -171,10 +171,34 @@ object MediaFixtures {
     * pixels, so the encoder is pinned by a decoder this repo didn't
     * write (and vice versa for [[Multimodal.jpegPixels]]). */
   def buildJpeg(width: Int, height: Int,
-      planes: Seq[Seq[Int]]): Array[Byte] = {
+      planes: Seq[Seq[Int]]): Array[Byte] =
+    buildJpegSampled(width, height, planes,
+      planes.map(_ => 1), planes.map(_ => 1))
+
+  /** [[buildJpeg]] generalized to per-component sampling factors 1 or 2
+    * — `buildJpegSampled(w, h, Seq(y, cb, cr), Seq(2,1,1), Seq(2,1,1))`
+    * emits a REAL 4:2:0 JPEG (the dominant real-corpus layout): MCUs
+    * are 8·Hmax × 8·Vmax pixels carrying hc×vc blocks per component in
+    * the T.81 interleave order. `planes(c)` has the component's OWN
+    * dimensions, ceil(w·hc/Hmax) × ceil(h·vc/Vmax) — for 4:2:0 the
+    * chroma planes are quarter-size. The all-1s quant table + DC-only
+    * blocks exactness argument is unchanged; for subsampled fixtures
+    * the chroma field must additionally be CONSTANT for cross-decoder
+    * exactness (upsampling filters differ between decoders; a constant
+    * survives any of them). */
+  def buildJpegSampled(width: Int, height: Int, planes: Seq[Seq[Int]],
+      sampH: Seq[Int], sampV: Seq[Int]): Array[Byte] = {
     val nComp = planes.length
-    require((nComp == 1 || nComp == 3) &&
-      planes.forall(_.length == width * height), "plane shape mismatch")
+    require(nComp == 1 || nComp == 3, "1 or 3 components")
+    require(sampH.length == nComp && sampV.length == nComp &&
+      (sampH ++ sampV).forall(f => f == 1 || f == 2), "factors 1 or 2")
+    val hMax = sampH.max; val vMax = sampV.max
+    val compW = Array.tabulate(nComp)(c =>
+      (width * sampH(c) + hMax - 1) / hMax)
+    val compHt = Array.tabulate(nComp)(c =>
+      (height * sampV(c) + vMax - 1) / vMax)
+    require((0 until nComp).forall(c =>
+      planes(c).length == compW(c) * compHt(c)), "plane shape mismatch")
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, payload: Array[Byte]): Unit = {
       out.write(0xFF); out.write(marker)
@@ -185,10 +209,11 @@ object MediaFixtures {
     out.write(0xFF); out.write(0xD8) // SOI
     // DQT table 0: all 1s (64 bytes, zigzag order of a constant table)
     seg(0xDB, (Array(0x00) ++ Array.fill(64)(1)).map(_.toByte))
-    // SOF0: precision 8, dims, components with 1×1 sampling, qtable 0
+    // SOF0: precision 8, dims, components with declared sampling, qtable 0
     seg(0xC0, (Array(8, height >> 8, height & 0xFF, width >> 8,
       width & 0xFF, nComp) ++
-      (1 to nComp).flatMap(c => Array(c, 0x11, 0))).map(_.toByte))
+      (0 until nComp).flatMap(c =>
+        Array(c + 1, (sampH(c) << 4) | sampV(c), 0))).map(_.toByte))
     // DHT: canonical single-length tables — symbol i's code is i.
     val dcSyms = (0 until 12).toArray // categories 0..11 at 5 bits
     val acSyms = (Array(0x00, 0xF0) ++ // EOB, ZRL
@@ -221,19 +246,24 @@ object MediaFixtures {
     def putCoef(v: Int, s: Int): Unit =
       if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
     val acIndex: Map[Int, Int] = acSyms.zipWithIndex.toMap
-    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val zigzag = Array(
       0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
       12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
       58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
     val dcPred = new Array[Int](nComp)
-    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
-      // FDCT of the (edge-replicated) 8×8 block, quant = 1
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
+         blk <- 0 until sampH(c) * sampV(c)) {
+      // FDCT of the (edge-replicated) 8×8 block, quant = 1; block
+      // (bx2, by2) of this component's hc×vc MCU tile, raster order
+      val bx0 = mx * sampH(c) * 8 + (blk % sampH(c)) * 8
+      val by0 = my * sampV(c) * 8 + (blk / sampH(c)) * 8
       val block = Array.tabulate(8, 8) { (y, x) =>
-        val py = math.min(my * 8 + y, height - 1)
-        val px = math.min(mx * 8 + x, width - 1)
-        planes(c)(py * width + px) - 128.0
+        val py = math.min(by0 + y, compHt(c) - 1)
+        val px = math.min(bx0 + x, compW(c) - 1)
+        planes(c)(py * compW(c) + px) - 128.0
       }
       val coefs = new Array[Int](64) // natural order (vfreq*8 + ufreq)
       for (v <- 0 until 8; u <- 0 until 8) {
@@ -294,6 +324,47 @@ object MediaFixtures {
     * min=max=200. */
   val jpegColor8x8: Array[Byte] = buildJpeg(8, 8,
     Seq(Seq.fill(64)(200), Seq.fill(64)(128), Seq.fill(64)(128)))
+
+  /** 16×16 4:2:0 JPEG (one 16×16 MCU: four Y blocks + 1 Cb + 1 Cr):
+    * luma quadrants 40 / 90 / 140 / 190 (exercises the 2×2-blocks-per-
+    * MCU interleave and cross-block DC prediction INSIDE one MCU),
+    * chroma constant neutral 128 (8×8 quarter-size planes) — so every
+    * RGB channel equals the quadrant's Y exactly, in ANY decoder
+    * (DC-only blocks are IDCT-exact; a constant chroma field survives
+    * any upsampling filter). Expected stats: n=768,
+    * sum=3·64·(40+90+140+190)=88320, min=40, max=190. */
+  val jpeg420Quad16x16: Array[Byte] = buildJpegSampled(16, 16,
+    Seq((0 until 256).map(i =>
+        (if (i % 16 < 8) 0 else 50) + (if (i / 16 < 8) 40 else 140)),
+      Seq.fill(64)(128), Seq.fill(64)(128)),
+    Seq(2, 1, 1), Seq(2, 1, 1))
+
+  /** 16×16 4:2:0 JPEG with constant non-neutral chroma: Y=120, Cb=100,
+    * Cr=150 everywhere → every pixel decodes to RGB (151, 114, 70)
+    * under the T.81 color transform with round-half-up (R =
+    * 120+1.402·22 = 150.844 → 151; G = 120−0.344136·(−28)−0.714136·22
+    * = 113.92 → 114; B = 120+1.772·(−28) = 70.38 → 70; no .5 ties).
+    * Expected stats: n=768, sum=256·(151+114+70)=85760, min=70,
+    * max=151. */
+  val jpeg420Color16x16: Array[Byte] = buildJpegSampled(16, 16,
+    Seq(Seq.fill(256)(120), Seq.fill(64)(100), Seq.fill(64)(150)),
+    Seq(2, 1, 1), Seq(2, 1, 1))
+
+  /** 10×6 4:2:0 JPEG (chroma planes 5×3): constant Y=77, neutral
+    * chroma — non-multiple-of-16 dims force edge replication of BOTH
+    * plane resolutions and the decoder's crop + subsampled-index map.
+    * Expected stats: n=180, sum=3·60·77=13860, min=max=77. */
+  val jpeg420Gray10x6: Array[Byte] = buildJpegSampled(10, 6,
+    Seq(Seq.fill(60)(77), Seq.fill(15)(128), Seq.fill(15)(128)),
+    Seq(2, 1, 1), Seq(2, 1, 1))
+
+  /** 16×8 4:2:2 JPEG (Y 2×1-sampled; chroma 8×8 half-width planes):
+    * luma halves 60 / 210, neutral chroma. Expected stats: n=384,
+    * sum=3·64·(60+210)=51840, min=60, max=210. */
+  val jpeg422Gray16x8: Array[Byte] = buildJpegSampled(16, 8,
+    Seq((0 until 128).map(i => if (i % 16 < 8) 60 else 210),
+      Seq.fill(64)(128), Seq.fill(64)(128)),
+    Seq(2, 1, 1), Seq(1, 1, 1))
 
   // --------------------------------------------------- GIF89a encoder
 

@@ -245,9 +245,12 @@ object Multimodal {
     * level shift + clamp, and YCbCr→RGB for 3-component scans.
     *
     * Supported: 8-bit precision, 1 component (grayscale) or 3
-    * components with 1×1 sampling factors throughout (4:4:4 — chroma
-    * subsampling returns None; progressive/arithmetic/12-bit return
-    * None; header metadata still decodes via [[imageDims]]). The JPEG
+    * components with sampling factors 1 or 2 each way — 4:4:4, and the
+    * subsampled layouts 4:2:0 (the dominant real-corpus form and the
+    * JDK writer's default), 4:2:2 and 4:4:0, decoded with the full
+    * hc×vc-blocks-per-MCU interleave and nearest-sample chroma
+    * upsampling (progressive/arithmetic/12-bit return None; header
+    * metadata still decodes via [[imageDims]]). The JPEG
     * spec does not mandate a bit-exact IDCT, so cross-codec agreement
     * is ±1 per pixel (IEEE 1180 regime) — MultimodalSpec pins this
     * decoder against the JDK's independent ImageIO codec both ways
@@ -285,6 +288,8 @@ object Multimodal {
     val huff = Array.ofDim[Huff](2, 4)
     var w = 0; var h = 0; var nComp = 0
     var compQ: Array[Int] = null // per-component quant table id
+    var compH: Array[Int] = null // per-component horizontal sampling
+    var compV: Array[Int] = null // per-component vertical sampling
     var restartInterval = 0
     var scanStart = -1
     var scanComps: Array[(Int, Int)] = null // (dcTable, acTable) per comp
@@ -346,12 +351,24 @@ object Multimodal {
             h = u16(p0 + 1); w = u16(p0 + 3); nComp = u8(p0 + 5)
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
             compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
-              if (u8(p0 + 7 + 3 * c) != 0x11) return None // 1×1 only
+              val samp = u8(p0 + 7 + 3 * c)
+              // factors 1 or 2 each way: covers 4:4:4 (1×1 all), 4:2:0
+              // (2×2 luma — the dominant real-corpus layout, and the
+              // JDK writer's default), 4:2:2 and 4:4:0
+              compH(c) = samp >> 4; compV(c) = samp & 0x0F
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
               compQ(c) = u8(p0 + 8 + 3 * c)
               c += 1
             }
+            // a single-component scan is non-interleaved: its data unit
+            // is one 8×8 block regardless of declared factors (T.81
+            // A.2.2), so normalize to 1×1
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
           case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
             return None // progressive / arithmetic / hierarchical
@@ -407,8 +424,16 @@ object Multimodal {
       else t.vals(t.valptr(l) + code - t.mincode(l))
     }
 
-    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Byte](mcusX * 8 * mcusY * 8))
+    // MCU geometry from the max sampling factors: an MCU covers
+    // 8·Hmax × 8·Vmax image pixels and carries hc×vc blocks per
+    // component (T.81 A.2.3). 1×1 throughout degenerates to the old
+    // one-block MCU.
+    val hMax = compH.max; val vMax = compV.max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val strides = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](strides(c) * mcusY * compV(c) * 8))
     val dcPred = new Array[Int](nComp)
     val coefs = new Array[Int](64)
     val tmp = new Array[Double](64)
@@ -427,65 +452,72 @@ object Multimodal {
         val qt = qtables(compQ(c))
         val dcT = huff(0)(scanComps(c)._1); val acT = huff(1)(scanComps(c)._2)
         if (dcT == null || acT == null) return None
-        java.util.Arrays.fill(coefs, 0)
-        val s = decodeSym(dcT)
-        dcPred(c) += extend(receive(s), s)
-        coefs(0) = dcPred(c) * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob && !eos) {
-          val rs = decodeSym(acT)
-          val r = rs >> 4; val sz = rs & 0x0F
-          if (sz == 0) { if (r == 15) k += 16 else eob = true }
-          else {
-            k += r
-            // qt is stored in NATURAL order (de-zigzagged at parse), so
-            // the scan-position-k coefficient dequantizes by qt(zigzag(k))
-            if (k < 64) {
-              val nat = zigzag(k)
-              coefs(nat) = extend(receive(sz), sz) * qt(nat)
+        // hc×vc blocks of this component per MCU, raster order
+        var blk = 0
+        val blocksPerMcu = compH(c) * compV(c)
+        while (blk < blocksPerMcu && !eos) {
+          java.util.Arrays.fill(coefs, 0)
+          val s = decodeSym(dcT)
+          dcPred(c) += extend(receive(s), s)
+          coefs(0) = dcPred(c) * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob && !eos) {
+            val rs = decodeSym(acT)
+            val r = rs >> 4; val sz = rs & 0x0F
+            if (sz == 0) { if (r == 15) k += 16 else eob = true }
+            else {
+              k += r
+              // qt is stored in NATURAL order (de-zigzagged at parse), so
+              // the scan-position-k coefficient dequantizes by qt(zigzag(k))
+              if (k < 64) {
+                val nat = zigzag(k)
+                coefs(nat) = extend(receive(sz), sz) * qt(nat)
+              }
+              k += 1
             }
-            k += 1
           }
-        }
-        // separable IDCT: rows then columns (double precision)
-        var u = 0
-        while (u < 8) { // rows of the coefficient block
+          // separable IDCT: rows then columns (double precision)
+          var u = 0
+          while (u < 8) { // rows of the coefficient block
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) {
+                val cv = if (v == 0) 0.70710678118654752 else 1.0
+                acc += cv * coefs(u * 8 + v) *
+                  math.cos((2 * x + 1) * v * math.Pi / 16)
+                v += 1
+              }
+              tmp(u * 8 + x) = acc / 2
+              x += 1
+            }
+            u += 1
+          }
+          val bx = (mcu % mcusX) * compH(c) * 8 + (blk % compH(c)) * 8
+          val by = (mcu / mcusX) * compV(c) * 8 + (blk / compH(c)) * 8
+          val plane = planes(c); val stride = strides(c)
           var x = 0
           while (x < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) 0.70710678118654752 else 1.0
-              acc += cv * coefs(u * 8 + v) *
-                math.cos((2 * x + 1) * v * math.Pi / 16)
-              v += 1
+            var y = 0
+            while (y < 8) {
+              var acc = 0.0
+              var u2 = 0
+              while (u2 < 8) {
+                val cu = if (u2 == 0) 0.70710678118654752 else 1.0
+                acc += cu * tmp(u2 * 8 + x) *
+                  math.cos((2 * y + 1) * u2 * math.Pi / 16)
+                u2 += 1
+              }
+              val px = math.round(acc / 2 + 128.0).toInt
+              plane((by + y) * stride + bx + x) =
+                (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+              y += 1
             }
-            tmp(u * 8 + x) = acc / 2
             x += 1
           }
-          u += 1
-        }
-        val bx = (mcu % mcusX) * 8; val by = (mcu / mcusX) * 8
-        val plane = planes(c); val stride = mcusX * 8
-        var x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            var acc = 0.0
-            var u2 = 0
-            while (u2 < 8) {
-              val cu = if (u2 == 0) 0.70710678118654752 else 1.0
-              acc += cu * tmp(u2 * 8 + x) *
-                math.cos((2 * y + 1) * u2 * math.Pi / 16)
-              u2 += 1
-            }
-            val px = math.round(acc / 2 + 128.0).toInt
-            plane((by + y) * stride + bx + x) =
-              (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-            y += 1
-          }
-          x += 1
+          blk += 1
         }
         c += 1
       }
@@ -493,10 +525,18 @@ object Multimodal {
     }
     if (mcu < nMcus || eos) return None // truncated scan
 
-    // crop to (w, h) and convert color space
-    val stride = mcusX * 8
+    // crop to (w, h) and convert color space. Subsampled chroma is
+    // upsampled by SAMPLE REPLICATION (nearest): output pixel (x, y)
+    // reads component c at (x·hc/Hmax, y·vc/Vmax). The JPEG spec leaves
+    // the upsampling filter to the decoder; libjpeg-lineage decoders
+    // (incl. the JDK's) default to "fancy" triangular interpolation,
+    // so cross-codec comparison on subsampled fixtures is exact only
+    // where the chroma field is CONSTANT (any filter reproduces a
+    // constant) — which is what the 4:2:0 fixtures and their oracle pin
+    // (MultimodalSpec tolerates the usual ±1 IDCT skew on luma).
     val out = new Array[Byte](w * h * nComp)
     if (nComp == 1) {
+      val stride = strides(0)
       var y = 0
       while (y < h) {
         System.arraycopy(planes(0), y * stride, out, y * w, w)
@@ -505,11 +545,15 @@ object Multimodal {
     } else {
       var y = 0
       while (y < h) {
+        val y1 = y * compV(1) / vMax; val y2 = y * compV(2) / vMax
         var x = 0
         while (x < w) {
-          val yy = planes(0)(y * stride + x) & 0xFF
-          val cb = (planes(1)(y * stride + x) & 0xFF) - 128
-          val cr = (planes(2)(y * stride + x) & 0xFF) - 128
+          val yy = planes(0)(y * compV(0) / vMax * strides(0) +
+            x * compH(0) / hMax) & 0xFF
+          val cb = (planes(1)(y1 * strides(1) +
+            x * compH(1) / hMax) & 0xFF) - 128
+          val cr = (planes(2)(y2 * strides(2) +
+            x * compH(2) / hMax) & 0xFF) - 128
           def clamp(v: Double): Byte = {
             val r = math.round(v).toInt
             (if (r < 0) 0 else if (r > 255) 255 else r).toByte

@@ -16,13 +16,15 @@ class MediaGateSpec extends AnyFunSuite with SparkTestSupport {
     4L -> AudioFixtures.wavSquare,
     5L -> MediaFixtures.jpeg4x2,          // header-only: no scan → drop
     6L -> "junk bytes".getBytes,          // not a container → drop
-    7L -> MediaFixtures.pngRgb2x2.dropRight(30)) // truncated mid-IDAT → drop
+    7L -> MediaFixtures.pngRgb2x2.dropRight(30), // truncated mid-IDAT → drop
+    8L -> MediaFixtures.jpeg420Quad16x16) // 4:2:0: admitted since r10
 
   private val expected = Set(
     (1L, "png", 1, 1, 4, 1L, 0),
     (2L, "jpeg", 16, 8, 1, 1L, 0),
     (3L, "gif", 4, 2, 3, 2L, 0),
-    (4L, "wav", 0, 0, 1, 16L, 8000))
+    (4L, "wav", 0, 0, 1, 16L, 8000),
+    (8L, "jpeg", 16, 16, 3, 1L, 0))
 
   test("batch gate admits only fully-decodable blobs with verified metadata") {
     val s = spark

@@ -223,6 +223,102 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("jpegPixels decodes 4:2:0 / 4:2:2 fixtures exactly") {
+    // quadrant luma, neutral chroma: RGB == Y per quadrant, exactly
+    val q = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpeg420Quad16x16).get
+    assert((q.width, q.height, q.channels) == ((16, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 16; ch <- 0 until 3) {
+      val expect = (if (x < 8) 0 else 50) + (if (y < 8) 40 else 140)
+      assert((q.pixels((y * 16 + x) * 3 + ch) & 0xFF) == expect,
+        s"quad pixel ($x,$y,$ch)")
+    }
+    // constant non-neutral chroma: the hand-derived (151, 114, 70)
+    val c = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpeg420Color16x16).get
+    assert((c.width, c.height, c.channels) == ((16, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val o = (y * 16 + x) * 3
+      assert(((c.pixels(o) & 0xFF, c.pixels(o + 1) & 0xFF,
+        c.pixels(o + 2) & 0xFF)) == ((151, 114, 70)), s"color ($x,$y)")
+    }
+    // odd dims: crop + subsampled index map
+    val odd = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpeg420Gray10x6).get
+    assert((odd.width, odd.height, odd.channels) == ((10, 6, 3)))
+    assert(odd.pixels.length == 180 &&
+      odd.pixels.forall(p => (p & 0xFF) == 77))
+    // 4:2:2: horizontal-only subsampling
+    val h2 = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpeg422Gray16x8).get
+    assert((h2.width, h2.height, h2.channels) == ((16, 8, 3)))
+    for (y <- 0 until 8; x <- 0 until 16; ch <- 0 until 3)
+      assert((h2.pixels((y * 16 + x) * 3 + ch) & 0xFF) ==
+        (if (x < 8) 60 else 210), s"422 pixel ($x,$y,$ch)")
+  }
+
+  test("ImageIO decodes the 4:2:0 fixture bytes identically") {
+    // the JDK codec accepting buildJpegSampled's stream pins the
+    // subsampled SOF/MCU interleave as spec-valid; neutral-chroma
+    // pixels are exact in any decoder, non-neutral chroma within ±1
+    // (color-transform rounding differs between implementations)
+    val q = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.jpeg420Quad16x16))
+    assert(q != null && q.getWidth == 16 && q.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expect = (if (x < 8) 0 else 50) + (if (y < 8) 40 else 140)
+      val rgb = q.getRGB(x, y)
+      for (sh <- Seq(16, 8, 0))
+        assert(((rgb >> sh) & 0xFF) == expect, s"ImageIO quad ($x,$y)")
+    }
+    val c = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.jpeg420Color16x16))
+    assert(c != null)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val rgb = c.getRGB(x, y)
+      for ((sh, want) <- Seq((16, 151), (8, 114), (0, 70)))
+        assert(math.abs(((rgb >> sh) & 0xFF) - want) <= 1,
+          s"ImageIO color ($x,$y): ${(rgb >> sh) & 0xFF} vs $want")
+    }
+  }
+
+  test("jpegPixels matches the JDK codec on ImageIO-encoded 4:2:0 color images within ±1") {
+    // The reverse direction at the REAL corpus layout: the JDK writer
+    // emits 4:2:0 for RGB by default. Gray-valued color content keeps
+    // the chroma field constant (R=G=B → Cb=Cr=128), so the two
+    // decoders' different chroma upsampling filters agree exactly and
+    // the bound is the usual ±1 luma IDCT skew.
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((16, 16), (24, 17), (10, 6))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = rnd.nextInt(256)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      val bytes = baos.toByteArray
+      // the stream really is 4:2:0 (keeps this test meaningful if the
+      // JDK's default ever changes): find SOF0, check Y factors 0x22
+      val sof = (2 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC0).get
+      assert((bytes(sof + 11) & 0xFF) == 0x22, "JDK writer not 4:2:0")
+      val mine = Multimodal.jpegPixels(bytes)
+        .getOrElse(fail(s"jpegPixels rejected 4:2:0 at ${w}x$h"))
+      assert((mine.width, mine.height, mine.channels) == ((w, h, 3)))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w; (sh, ch) <- Seq((16, 0),
+          (8, 1), (0, 2))) {
+        val a = mine.pixels((y * w + x) * 3 + ch) & 0xFF
+        val b = (jdk.getRGB(x, y) >> sh) & 0xFF
+        assert(math.abs(a - b) <= 1,
+          s"pixel ($x,$y,$ch) at ${w}x$h: $a vs $b")
+      }
+    }
+  }
+
   test("decodePixelStats gates JPEG blobs through the real pixel decoder") {
     val s = spark
     import s.implicits._
