@@ -42,10 +42,19 @@ object Sharded {
     * successive slices against one physical artifact. */
   def writeByKey(df: DataFrame, path: String, keyCol: String, shards: Int,
       extraPartitionCols: Seq[String] = Nil,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
+    val parts = extraPartitionCols :+ "shard"
+    // repartition BY the partition columns before partitionBy: each
+    // directory then receives its rows from one task → one file per
+    // write (instead of one per upstream task per directory — at 32
+    // upstream tasks that is 32× the files, and at fixture scale the
+    // parquet footers outweigh the data; at corpus scale it is the
+    // classic small-files problem)
     df.withColumn("shard", shardOf(col(keyCol), shards))
-      .write.partitionBy(extraPartitionCols :+ "shard": _*)
+      .repartition(parts.map(col): _*)
+      .write.partitionBy(parts: _*)
       .mode(mode).parquet(path)
+  }
 
   /** The BOUNDED (≤ `shards`) distinct shard set touched by
     * `keys(keyCol)` — one slice-sized distinct-aggregate job whose
@@ -72,4 +81,46 @@ object Sharded {
     readTouched(spark, path, touchedShards(keys, keyCol, shards))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .drop("shard")
+
+  /** Execute `body` (AQE off) and return the summed
+    * (selectedBytes, selectedFiles) of its parquet scans over `path`
+    * AFTER partition pruning — the scale-relevant footprint metric: at
+    * fixture scale every pruning mechanism is Spark-job-overhead-
+    * dominated in wall-clock, but selected bytes grow with the CORPUS
+    * on an unpruned read and with the TOUCHED SLICE on a pruned one,
+    * so the bytes ratio is what survives a 1000× scale-up
+    * (ShardedStress reports it next to the wall-clock). Recurses
+    * through the cache/AQE wrappers that hide scan leaves. */
+  def scanFootprint(spark: SparkSession, paths: Seq[String])(
+      body: => DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val hidden: Seq[SparkPlan] = p match {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }) ++ (p.children ++ hidden).flatMap(allScans)
+    }
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val df = body
+      df.collect()
+      val scans = allScans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(rp =>
+          paths.exists(rp.toString.contains)))
+      (scans.map(_.selectedPartitions.totalFileSize).sum,
+        scans.map(_.selectedPartitions.totalNumberOfFiles).sum)
+    } finally spark.conf.set(aqeKey, prev)
+  }
 }

@@ -49,9 +49,11 @@ object ShardedStress {
     spark.sparkContext.setLogLevel("WARN")
     val shards = 64
 
+    val dirs = scala.collection.mutable.Map[String, String]()
     def persist(df: DataFrame, tag: String): DataFrame = {
       val dir = java.nio.file.Files.createTempDirectory(s"shstress_$tag")
         .toString
+      dirs(tag) = dir
       df.repartition(32).write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     }
@@ -78,6 +80,20 @@ object ShardedStress {
         f"check_flat=${flat._2} check_sharded=${sharded._2} " +
         (if (ok) "EXACT" else "CHECK-MISMATCH"))
       require(ok, s"$regime/$family at ${k}x: results differ")
+    }
+    /** Bytes/files selected at the artifact scans after pruning — the
+      * metric that scales (class doc): flat reads the whole artifact,
+      * sharded reads the touched directories. One execution per arm. */
+    def footprint(regime: String, family: String, k: Int,
+        flatPaths: Seq[String], shardedPaths: Seq[String],
+        flatArm: => DataFrame, shardedArm: => DataFrame): Unit = {
+      val (fb, ff) = graft.ext.Sharded.scanFootprint(spark, flatPaths)(flatArm)
+      val (sb, sf) = graft.ext.Sharded.scanFootprint(spark,
+        shardedPaths)(shardedArm)
+      spark.catalog.clearCache(); graft.ops.Caches.releaseAll()
+      println(f"[shstress] footprint regime=$regime%-7s family=$family%-9s " +
+        f"k=${k}x flat_bytes=$fb (files=$ff) sharded_bytes=$sb " +
+        f"(files=$sf) ratio=${sb.toDouble / math.max(fb, 1)}%.3f")
     }
 
     val docs0 = Tables(spark, sfDir, "documents").select("doc_id", "text")
@@ -211,6 +227,48 @@ object ShardedStress {
       report("bulk", "simhash", k, simhashFlat(bulkFps),
         simhashSh(bulkFps))
       report("bulk", "ngram", k, ngramFlat(bulkGrams), ngramSh(bulkGrams))
+
+      // ------------------------- bytes-touched footprints (one run each)
+      val sigsDir = dirs(s"old_sigs_$k"); val fpsDir = dirs(s"old_fps_$k")
+      val pairsDir = dirs(s"old_pairs_$k")
+      val gramPaths = Seq(dirs(s"old_grams_$k"), dirs(s"old_census_$k"))
+      footprint("probe", "minhash", k, Seq(sigsDir), Seq(bandDir),
+        Dedup.minhashProbeTextPortable(oldSigs, probeText,
+          numHashes = 32, bands = 8, threshold = 0.25),
+        Dedup.probeShardedBandIndexText(spark, bandDir, probeText,
+          numHashes = 32, bands = 8, threshold = 0.25, shards = shards))
+      footprint("probe", "adjacency", k, Seq(pairsDir), Seq(adjDir),
+        oldPairs.filter(col("id_a") === qid || col("id_b") === qid)
+          .select(when(col("id_a") === qid, col("id_b"))
+            .otherwise(col("id_a")).as("other"),
+            col("est_jaccard").as("score")),
+        Dedup.probeAdjacency(spark, adjDir, qid, shards = shards))
+      footprint("trickle", "minhash", k, Seq(sigsDir), Seq(bandDir),
+        Dedup.minhashPairsIncrementalPortable(oldPairs.limit(0), oldSigs,
+          trickleSigs, 32, 8, 0.5, cap),
+        Dedup.minhashDeltaSharded(spark, bandDir, trickleSigs, 32, 8,
+          0.5, cap, shards))
+      footprint("trickle", "simhash", k, Seq(fpsDir), Seq(chunkDir),
+        Dedup.simhashPairsIncrementalPortable(
+          oldPairs.limit(0).select(col("id_a"), col("id_b"),
+            lit(0).cast("int").as("hamming")),
+          oldFps, trickleFps, maxHamming = 3),
+        Dedup.simhashDeltaSharded(spark, chunkDir, trickleFps, bits = 60,
+          maxHamming = 3, shards = shards))
+      footprint("trickle", "ngram", k, gramPaths,
+        Seq(gramDir, censusDir),
+        Dedup.ngramPairsIncrementalWithCensus(
+          oldPairs.limit(0).select(col("id_a"), col("id_b"),
+            lit(0.0).as("jaccard")),
+          oldGrams, trickleGrams, oldCensus, threshold = 0.1,
+          maxDf = cap),
+        Dedup.ngramDeltaSharded(spark, gramDir, censusDir, trickleGrams,
+          threshold = 0.1, maxDf = cap, shards = shards))
+      footprint("bulk", "minhash", k, Seq(sigsDir), Seq(bandDir),
+        Dedup.minhashPairsIncrementalPortable(oldPairs.limit(0), oldSigs,
+          bulkSigs, 32, 8, 0.5, cap),
+        Dedup.minhashDeltaSharded(spark, bandDir, bulkSigs, 32, 8, 0.5,
+          cap, shards))
     }
     spark.stop()
   }

@@ -27,8 +27,30 @@ import graft.streaming.{Pipeline, ServingView}
   *
   * Context: the reference's replay producer tops out at ≈ 95 records/s BY
   * DESIGN (per-record sleep + flush, `stream_generator.py:10-11`).
+  *
+  * Round-10 arms (VERDICT r9 #6 — the composed streaming-curation path
+  * had specs but no throughput number):
+  *
+  *   - `curation`: rate source → synthetic documents with controlled
+  *     duplicate structure (20% exact dups from a 64-template pool, 10%
+  *     near-dup variants of those templates, 10% boilerplate-heavy
+  *     pages, all sharing a navigation-chrome prefix) → [[Curation]]
+  *     gate (Gopher rules + stateful exact-fingerprint dedup) →
+  *     [[NearDupAdmission]] → [[SpanAdmission]] → parquet corpus sink,
+  *     with BOTH registries' watermark-driven compaction live
+  *     (compactEvery=8). Reports sustained input rows/s, per-batch
+  *     admission latency p50/p95 (the foreachBatch body: both admits +
+  *     the sink write), and the per-stage admitted counts.
+  *   - `mediagate`: rate source → fixture media blobs (PNG / baseline
+  *     JPEG / 4:2:0 JPEG / multi-frame GIF / PCM WAV / junk, cycling)
+  *     → [[graft.streaming.MediaGate.gate]] full-decode admission →
+  *     noop sink. Reports sustained decode-gate rows/s (the per-blob
+  *     CPU kernel cost, the number the 100 TB multimodal ingest story
+  *     needs).
+  *
   * Usage: runMain graft.tools.StreamBench
-  *        [throughput|serving|serving-durable] [rowsPerSec] [secs]
+  *        [throughput|serving|serving-durable|curation|mediagate]
+  *        [rowsPerSec] [secs]
   * (`serving-durable` = the parquet-versioned snapshot mode.)
   */
 object StreamBench {
@@ -41,8 +63,12 @@ object StreamBench {
     val mode = args.headOption.filter(a => !a.forall(_.isDigit))
       .getOrElse("throughput")
     val numeric = args.dropWhile(a => !a.forall(_.isDigit))
-    val rps = numeric.headOption.map(_.toInt)
-      .getOrElse(if (mode == "serving") 100000 else 500000)
+    val rps = numeric.headOption.map(_.toInt).getOrElse(mode match {
+      case "serving" => 100000
+      case "curation" => 50000
+      case "mediagate" => 200000
+      case _ => 500000
+    })
     val seconds = if (numeric.length > 1) numeric(1).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,13 +98,116 @@ object StreamBench {
       (when(col("value") % 2 === 0, "true").otherwise("false"))
         .as("recommended"))).cast("binary").as("value"))
 
-    val summary = Pipeline.summarize(frames)
-
-    if (mode.startsWith("serving"))
-      runServing(spark, summary, rps, seconds,
-        durable = mode == "serving-durable")
-    else runThroughput(summary, rps, seconds)
+    mode match {
+      case "curation" => runCuration(spark, rate, rps, seconds)
+      case "mediagate" => runMediaGate(spark, rate, rps, seconds)
+      case m if m.startsWith("serving") =>
+        runServing(spark, Pipeline.summarize(frames), rps, seconds,
+          durable = m == "serving-durable")
+      case _ => runThroughput(Pipeline.summarize(frames), rps, seconds)
+    }
     spark.stop()
+  }
+
+  /** The composed streaming-curation chain, end to end (class doc). */
+  private def runCuration(spark: SparkSession, rate: DataFrame, rps: Int,
+      seconds: Int): Unit = {
+    import graft.streaming.{Curation, NearDupAdmission, SpanAdmission}
+    // Synthetic documents with controlled duplicate structure. All
+    // texts share a ~21-token navigation-chrome prefix (the span gate's
+    // target); the Gopher gate passes every row by construction (>20
+    // words, stopwords in the chrome, alnum-dense "wordNNNNN" tokens).
+    //   value%10 ∈ {0,1} → exact duplicate of template (value%64)
+    //   value%10 == 2   → near-dup: template text + one extra token
+    //   value%10 == 3   → boilerplate-heavy: only 4 unique body tokens
+    //   else            → unique 24-token body
+    val chrome = "the site menu and the footer of this page link to " +
+      "the home and about pages with more info for you"
+    def body(key: org.apache.spark.sql.Column, n: Int) =
+      concat_ws(" ", (0 until n).map(i =>
+        concat(lit("word"), pmod(key * 2654435761L + i * 40503L,
+          lit(99991L)))): _*)
+    val tplKey = col("value") % 64
+    val text = when(col("value") % 10 < 2,
+        concat_ws(" ", lit(chrome), body(tplKey, 24)))
+      .when(col("value") % 10 === 2,
+        concat_ws(" ", lit(chrome), body(tplKey, 24), lit("extratoken")))
+      .when(col("value") % 10 === 3,
+        concat_ws(" ", lit(chrome), body(col("value"), 4)))
+      .otherwise(concat_ws(" ", lit(chrome), body(col("value"), 24)))
+    val docs = rate.select(col("value").as("doc_id"), text.as("text"))
+
+    val curated = Curation.curate(docs, "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sb_curation_").toString
+    val near = new NearDupAdmission(s"$root/near", "text", "doc_id",
+      compactEvery = 8)
+    val span = new SpanAdmission(s"$root/span", "text", "doc_id",
+      k = 8, gatePct = 60, compactEvery = 8)
+    val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val counts = new java.util.concurrent.atomic.LongAdder()
+    val nearAdm = new java.util.concurrent.atomic.LongAdder()
+    val spanAdm = new java.util.concurrent.atomic.LongAdder()
+    val q = curated.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t0 = System.nanoTime()
+        val b = batch.persist()
+        counts.add(b.count())
+        val n = near.admit(b, id).persist()
+        nearAdm.add(n.count())
+        val s2 = span.admit(n, id)
+        val out = s2.persist()
+        spanAdm.add(out.count())
+        out.write.mode("append").parquet(s"$root/corpus")
+        b.unpersist(); n.unpersist(); out.unpersist()
+        batchMs.add((System.nanoTime() - t0) / 1e6)
+        ()
+      }.start()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val steady = progress.drop(1)
+    val rows = steady.map(_.numInputRows).sum
+    val secs = if (steady.size < 1) 0.0 else
+      (Instant.parse(steady.last.timestamp).toEpochMilli
+        + steady.last.batchDuration
+        - Instant.parse(steady.head.timestamp).toEpochMilli) / 1000.0
+    val lat = { import scala.jdk.CollectionConverters._
+      batchMs.asScala.toSeq }
+    println(f"[streambench] mode=curation batches=${steady.size} " +
+      f"rows=$rows wall=${secs}%.1f s " +
+      f"throughput=${rows / math.max(secs, 1e-9)}%.0f rows/s " +
+      f"admit_ms_p50=${pct(lat, 0.5)}%.0f admit_ms_p95=${pct(lat, 0.95)}%.0f " +
+      f"curated=${counts.sum()} near_admitted=${nearAdm.sum()} " +
+      f"span_admitted=${spanAdm.sum()} " +
+      f"(requested $rps rows/s for $seconds s)")
+  }
+
+  /** Decode-gate throughput over cycling fixture blobs (class doc). */
+  private def runMediaGate(spark: SparkSession, rate: DataFrame, rps: Int,
+      seconds: Int): Unit = {
+    import graft.ext.{AudioFixtures, MediaFixtures}
+    val blobs = array(Seq(MediaFixtures.png1x1, MediaFixtures.jpegGray16x8,
+      MediaFixtures.jpeg420Quad16x16, MediaFixtures.gifTwoFrames,
+      AudioFixtures.wavSquare, "junk bytes".getBytes).map(lit): _*)
+    val media = rate.select(col("value").as("media_id"),
+      element_at(blobs, (col("value") % 6 + 1).cast("int")).as("content"))
+    val gated = graft.streaming.MediaGate.gate(spark, media)
+    val q = gated.toDF().writeStream.format("noop").outputMode("append")
+      .start()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val steady = progress.drop(1)
+    val rows = steady.map(_.numInputRows).sum
+    val secs = if (steady.size < 1) 0.0 else
+      (Instant.parse(steady.last.timestamp).toEpochMilli
+        + steady.last.batchDuration
+        - Instant.parse(steady.head.timestamp).toEpochMilli) / 1000.0
+    println(f"[streambench] mode=mediagate batches=${steady.size} " +
+      f"rows=$rows wall=${secs}%.1f s " +
+      f"throughput=${rows / math.max(secs, 1e-9)}%.0f rows/s " +
+      f"(requested $rps rows/s for $seconds s)")
   }
 
   private def runThroughput(summary: DataFrame, rps: Int,

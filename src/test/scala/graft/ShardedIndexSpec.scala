@@ -43,11 +43,12 @@ class ShardedIndexSpec extends AnyFunSuite with SparkTestSupport {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == want && got.nonEmpty, s"sharded=$got unsharded=$want")
 
-    // physical proof: each of the 8 per-band scans selects at most ONE
-    // of the bands×shards directories (a probe reads 1/shards of the
-    // index), with the pruning visible as PartitionFilters at the scan.
-    // AQE wraps the union in query stages that hide the scan leaves, so
-    // inspect the plan with AQE off (the pruning itself is static).
+    // physical proof: the probe is ONE scan (round 10: collapsed from 8
+    // per-band scans + union) whose Or-of-And predicate still prunes to
+    // at most `bands` of the bands×shards directories — 1/shards of the
+    // index — with the pruning visible as PartitionFilters at the scan.
+    // AQE stage-wraps leaves, so inspect the plan with AQE off (the
+    // pruning itself is static).
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = s.conf.get(aqeKey)
     val scans = try {
@@ -58,9 +59,9 @@ class ShardedIndexSpec extends AnyFunSuite with SparkTestSupport {
       p2.queryExecution.executedPlan.collectLeaves()
         .collect { case f: FileSourceScanExec => f }
     } finally s.conf.set(aqeKey, prevAqe)
-    assert(scans.size == 8, s"expected 8 per-band scans, got ${scans.size}")
+    assert(scans.size == 1, s"expected one probe scan, got ${scans.size}")
     scans.foreach { f =>
-      assert(f.selectedPartitions.partitionCount <= 1,
+      assert(f.selectedPartitions.partitionCount <= 8,
         s"scan selected ${f.selectedPartitions.partitionCount} partitions")
       val str = f.toString
       assert(str.contains("PartitionFilters:") && str.contains("band") &&
