@@ -237,27 +237,39 @@ object Multimodal {
   final case class RawImage(width: Int, height: Int, channels: Int,
       pixels: Array[Byte])
 
-  /** REAL pixel decode for baseline JPEG (ITU T.81 sequential DCT,
-    * Huffman entropy coding) — pure JVM, no codec libraries: marker
-    * walk (DQT / DHT / SOF0-SOF1 / DRI / SOS), canonical-Huffman
-    * entropy decode with byte-stuffing and restart-marker handling, DC
-    * prediction, dequantization, separable double-precision IDCT,
-    * level shift + clamp, and YCbCr→RGB for 3-component scans.
+  /** REAL pixel decode for Huffman-coded JPEG (ITU T.81) — pure JVM, no
+    * codec libraries: marker walk (DQT / DHT / SOF / DRI / SOS),
+    * canonical-Huffman entropy decode with byte-stuffing and
+    * restart-marker handling, DC prediction, dequantization, separable
+    * double-precision IDCT, level shift + clamp, and YCbCr→RGB for
+    * 3-component images.
     *
-    * Supported: 8-bit precision, 1 component (grayscale) or 3
-    * components with sampling factors 1 or 2 each way — 4:4:4, and the
-    * subsampled layouts 4:2:0 (the dominant real-corpus form and the
-    * JDK writer's default), 4:2:2 and 4:4:0, decoded with the full
-    * hc×vc-blocks-per-MCU interleave and nearest-sample chroma
-    * upsampling (progressive/arithmetic/12-bit return None; header
-    * metadata still decodes via [[imageDims]]). The JPEG
-    * spec does not mandate a bit-exact IDCT, so cross-codec agreement
-    * is ±1 per pixel (IEEE 1180 regime) — MultimodalSpec pins this
-    * decoder against the JDK's independent ImageIO codec both ways
-    * (ImageIO-encoded bytes decoded here; [[MediaFixtures.buildJpegGray]]
-    * bytes decoded by ImageIO), and DC-only (per-block-constant)
-    * fixtures are EXACT in any correct IDCT, which is what the oracle
-    * query pins.
+    * Supported: 8-bit precision, 1 or 3 components, sampling factors 1
+    * or 2 each way (4:4:4 and the subsampled 4:2:0 / 4:2:2 / 4:4:0
+    * layouts, full hc×vc-blocks-per-MCU interleave, nearest-sample
+    * chroma upsampling), BOTH coding processes real corpora use:
+    *   - baseline / extended sequential (SOF0/SOF1), including
+    *     multi-scan non-interleaved files;
+    *   - PROGRESSIVE (SOF2, round 10): multiple scans assemble each
+    *     block's coefficients — spectral selection (Ss..Se bands) and
+    *     successive approximation (Ah/Al bit planes), with DC
+    *     first/refinement scans, AC first scans with EOB-run coding,
+    *     and AC refinement scans (the T.81 G.1.2.3 correction-bit
+    *     algorithm). Progressive inherently requires buffering every
+    *     block's 64 coefficients until all scans land — this decoder
+    *     does so for sequential files too (one unified path; ~8 B/px
+    *     transient vs 1 B/px streaming, irrelevant next to the decoded
+    *     planes and gone after the per-blob kernel returns).
+    * Arithmetic coding, hierarchical, and 12-bit return None; header
+    * metadata still decodes via [[imageDims]].
+    *
+    * The JPEG spec does not mandate a bit-exact IDCT, so cross-codec
+    * agreement is ±1 per pixel (IEEE 1180 regime) — MultimodalSpec pins
+    * this decoder against the JDK's independent ImageIO codec both ways
+    * (ImageIO-encoded sequential AND progressive bytes decoded here;
+    * [[MediaFixtures.buildJpeg]] / buildJpegProgressive bytes decoded by
+    * ImageIO), and DC-only (per-block-constant) fixtures are EXACT in
+    * any correct IDCT, which is what the oracle queries pin.
     *
     * Scale shape: identical to [[pngPixels]] — a per-blob CPU kernel
     * that belongs inside the partition-batched [[decodePixelStats]]
@@ -282,27 +294,253 @@ object Multimodal {
 
     // ---- header state ----
     val qtables = new Array[Array[Int]](4) // natural order
-    // Huffman tables: (class 0=DC / 1=AC)(id) → decode arrays
     final case class Huff(maxcode: Array[Int], valptr: Array[Int],
       mincode: Array[Int], vals: Array[Int])
     val huff = Array.ofDim[Huff](2, 4)
     var w = 0; var h = 0; var nComp = 0
-    var compQ: Array[Int] = null // per-component quant table id
-    var compH: Array[Int] = null // per-component horizontal sampling
-    var compV: Array[Int] = null // per-component vertical sampling
+    var progressive = false
+    var compId: Array[Int] = null // SOF component identifiers
+    var compQ: Array[Int] = null  // per-component quant table id
+    var compH: Array[Int] = null  // per-component horizontal sampling
+    var compV: Array[Int] = null  // per-component vertical sampling
     var restartInterval = 0
-    var scanStart = -1
-    var scanComps: Array[(Int, Int)] = null // (dcTable, acTable) per comp
+    // geometry + per-component coefficient buffers (zigzag order per
+    // block, quant-domain values — successive-approximation bit planes
+    // assemble here across scans; dequant + IDCT happen once at the end)
+    var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
+    var blocksX: Array[Int] = null; var blocksY: Array[Int] = null
+    var coefBuf: Array[Array[Int]] = null
+    val dcPred = new Array[Int](4)
+    var scansDone = 0
+    var sawEoi = false
 
+    /** Decode one entropy-coded scan starting at SOS payload `p0`;
+      * returns the byte position of the next marker's 0xFF, or -1 on a
+      * malformed/truncated scan. */
+    def decodeScan(p0: Int): Int = {
+      val ns = u8(p0)
+      if (ns < 1 || ns > nComp) return -1
+      val scanComp = new Array[Int](ns)     // component index
+      val scanTabs = new Array[(Int, Int)](ns) // (dc table, ac table)
+      var j = 0
+      while (j < ns) {
+        val sel = u8(p0 + 1 + 2 * j)
+        val c = compId.indexOf(sel)
+        if (c < 0) return -1
+        val t = u8(p0 + 2 + 2 * j)
+        scanComp(j) = c; scanTabs(j) = (t >> 4, t & 0x0F)
+        j += 1
+      }
+      val ss = u8(p0 + 1 + 2 * ns)
+      val se = u8(p0 + 2 + 2 * ns)
+      val aa = u8(p0 + 3 + 2 * ns)
+      val ah = aa >> 4; val al = aa & 0x0F
+      if (progressive) {
+        if (ss == 0 && se != 0) return -1         // DC scan covers only k=0
+        if (ss > 0 && (ns != 1 || se < ss || se > 63)) return -1
+      } else if (ss != 0 || se != 63 || ah != 0 || al != 0) return -1
+
+      // ---- bit reader over the entropy-coded segment ----
+      var bp = p0 + 4 + 2 * ns // first entropy byte
+      var bitBuf = 0; var bitCnt = 0
+      var eos = false
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          if (bp >= bytes.length) { eos = true; return 0 }
+          val b = u8(bp); bp += 1
+          if (b == 0xFF) {
+            val b2 = if (bp < bytes.length) u8(bp) else 0xD9
+            if (b2 == 0x00) bp += 1 // stuffed FF
+            else { eos = true; return 0 } // a marker: scan data ended
+          }
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+        v
+      }
+      def extend(v: Int, s: Int): Int =
+        if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      def decodeSym(t: Huff): Int = {
+        var code = nextBit(); var l = 1
+        while (l <= 16 && (t.maxcode(l) < 0 || code > t.maxcode(l))) {
+          code = (code << 1) | nextBit(); l += 1
+        }
+        if (l > 16 || eos) { eos = true; 0 }
+        else t.vals(t.valptr(l) + code - t.mincode(l))
+      }
+
+      java.util.Arrays.fill(dcPred, 0)
+      var eobrun = 0
+      def restart(): Unit = {
+        bitCnt = 0
+        if (bp + 1 < bytes.length && u8(bp) == 0xFF &&
+            u8(bp + 1) >= 0xD0 && u8(bp + 1) <= 0xD7) bp += 2
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+      // ---- per-block decoders over the zigzag-order coefficient slab
+      def dcFirst(c: Int, tab: Int, blk: Array[Int], off: Int): Unit = {
+        val t = huff(0)(tab)
+        if (t == null) { eos = true; return }
+        val s = decodeSym(t)
+        dcPred(c) += extend(receive(s), s)
+        blk(off) = dcPred(c) << al
+      }
+      def dcRefine(blk: Array[Int], off: Int): Unit =
+        if (nextBit() == 1) blk(off) |= 1 << al
+      def acFirst(tab: Int, blk: Array[Int], off: Int): Unit = {
+        val t = huff(1)(tab)
+        if (t == null) { eos = true; return }
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var stop = false
+        while (k <= se && !stop && !eos) {
+          val rs = decodeSym(t)
+          val r = rs >> 4; val s = rs & 0x0F
+          if (s != 0) {
+            k += r
+            if (k > se) { eos = true }
+            else blk(off + k) = extend(receive(s), s) << al
+            k += 1
+          } else if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) + (if (r > 0) receive(r) else 0) - 1
+            stop = true
+          }
+        }
+      }
+      /** T.81 G.1.2.3 AC refinement — correction bits for coefficients
+        * already nonzero, one new ±1<<Al placement per symbol. */
+      def acRefine(tab: Int, blk: Array[Int], off: Int): Unit = {
+        val t = huff(1)(tab)
+        if (t == null) { eos = true; return }
+        val p1 = 1 << al; val m1 = -1 << al
+        def correct(idx: Int): Unit =
+          if (nextBit() == 1 && (blk(idx) & p1) == 0)
+            blk(idx) += (if (blk(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var stop = false
+          while (k <= se && !stop && !eos) {
+            val rs = decodeSym(t)
+            var r = rs >> 4; val s0 = rs & 0x0F
+            var newVal = 0
+            if (s0 != 0) newVal = if (nextBit() == 1) p1 else m1
+            else if (r != 15) {
+              eobrun = (1 << r) + (if (r > 0) receive(r) else 0)
+              stop = true
+            }
+            if (!stop) {
+              // advance over r zero-history coefficients, correcting
+              // nonzero ones along the way; stop AT the landing zero
+              var inner = true
+              while (inner && k <= se && !eos) {
+                if (blk(off + k) != 0) { correct(off + k); k += 1 }
+                else { r -= 1; if (r < 0) inner = false else k += 1 }
+              }
+              if (newVal != 0 && k <= se) blk(off + k) = newVal
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se && !eos) {
+            if (blk(off + k) != 0) correct(off + k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      def decodeBlock(j: Int, blk: Array[Int], off: Int): Unit = {
+        val c = scanComp(j)
+        if (ss == 0) {
+          if (ah == 0) dcFirst(c, scanTabs(j)._1, blk, off)
+          else dcRefine(blk, off)
+          if (!progressive) { // sequential: AC rides in the same scan
+            val t = huff(1)(scanTabs(j)._2)
+            if (t == null) { eos = true; return }
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob && !eos) {
+              val rs = decodeSym(t)
+              val r = rs >> 4; val s = rs & 0x0F
+              if (s == 0) { if (r == 15) k += 16 else eob = true }
+              else {
+                k += r
+                if (k < 64) blk(off + k) = extend(receive(s), s)
+                k += 1
+              }
+            }
+          }
+        } else if (ah == 0) acFirst(scanTabs(j)._2, blk, off)
+        else acRefine(scanTabs(j)._2, blk, off)
+      }
+
+      // ---- block traversal: interleaved MCUs or single-component
+      if (ns > 1) {
+        val nMcus = mcusX * mcusY
+        var mcu = 0
+        while (mcu < nMcus && !eos) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) restart()
+          var j = 0
+          while (j < ns && !eos) {
+            val c = scanComp(j)
+            val hc = compH(c); val vc = compV(c)
+            var blk = 0
+            while (blk < hc * vc && !eos) {
+              val bx = (mcu % mcusX) * hc + blk % hc
+              val by = (mcu / mcusX) * vc + blk / hc
+              decodeBlock(j, coefBuf(c), (by * blocksX(c) + bx) * 64)
+              blk += 1
+            }
+            j += 1
+          }
+          mcu += 1
+        }
+        if (mcu < nMcus || eos) return -1
+      } else {
+        val c = scanComp(0)
+        // non-interleaved: the component's OWN block grid (T.81 A.2.2),
+        // NOT the MCU-padded one
+        val bw = ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+        val bh = ((h * compV(c) + vMax - 1) / vMax + 7) / 8
+        var b = 0
+        while (b < bw * bh && !eos) {
+          if (restartInterval > 0 && b > 0 &&
+            b % restartInterval == 0) restart()
+          val bx = b % bw; val by = b / bw
+          decodeBlock(0, coefBuf(c), (by * blocksX(c) + bx) * 64)
+          b += 1
+        }
+        if (b < bw * bh || eos) return -1
+      }
+
+      // position of the next marker (skip trailing bits/stuffing/RSTs)
+      var p = bp
+      while (p + 1 < bytes.length &&
+        !(u8(p) == 0xFF && u8(p + 1) != 0x00 &&
+          !(u8(p + 1) >= 0xD0 && u8(p + 1) <= 0xD7))) p += 1
+      if (p + 1 >= bytes.length) -1 else p
+    }
+
+    // ---- marker walk (now multi-scan: SOS decodes and continues) ----
     var i = 2
-    var done = false
-    while (!done && i + 4 <= bytes.length) {
+    var halt = false
+    while (!halt && i + 2 <= bytes.length) {
       if (u8(i) != 0xFF) return None
       val marker = u8(i + 1)
       if (marker == 0xFF) { i += 1 } // fill byte
       else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i += 2
-      else if (marker == 0xD9) return None // EOI before any scan
+      else if (marker == 0xD9) { sawEoi = true; halt = true } // EOI
       else {
+        if (i + 4 > bytes.length) return None
         val len = u16(i + 2)
         val p0 = i + 4
         if (i + 2 + len > bytes.length) return None
@@ -346,184 +584,119 @@ object Multimodal {
               huff(tc)(th) = Huff(maxcode, valptr, mincode, vals)
               p += 17 + n
             }
-          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+          case 0xC0 | 0xC1 | 0xC2 => // sequential Huffman / progressive
+            progressive = marker == 0xC2
             if (u8(p0) != 8) return None // precision
             h = u16(p0 + 1); w = u16(p0 + 3); nComp = u8(p0 + 5)
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            compId = new Array[Int](nComp)
             compQ = new Array[Int](nComp)
             compH = new Array[Int](nComp)
             compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
+              compId(c) = u8(p0 + 6 + 3 * c)
               val samp = u8(p0 + 7 + 3 * c)
-              // factors 1 or 2 each way: covers 4:4:4 (1×1 all), 4:2:0
-              // (2×2 luma — the dominant real-corpus layout, and the
-              // JDK writer's default), 4:2:2 and 4:4:0
+              // factors 1 or 2 each way: covers 4:4:4, 4:2:0 (2×2 luma
+              // — the dominant real-corpus layout, and the JDK
+              // writer's default), 4:2:2 and 4:4:0
               compH(c) = samp >> 4; compV(c) = samp & 0x0F
               if (compH(c) < 1 || compH(c) > 2 ||
                 compV(c) < 1 || compV(c) > 2) return None
               compQ(c) = u8(p0 + 8 + 3 * c)
               c += 1
             }
-            // a single-component scan is non-interleaved: its data unit
-            // is one 8×8 block regardless of declared factors (T.81
-            // A.2.2), so normalize to 1×1
+            // a single-component image is non-interleaved: its data
+            // unit is one 8×8 block regardless of declared factors
+            // (T.81 A.2.2), so normalize to 1×1
             if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            hMax = compH.max; vMax = compV.max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            blocksX = Array.tabulate(nComp)(c => mcusX * compH(c))
+            blocksY = Array.tabulate(nComp)(c => mcusY * compV(c))
+            coefBuf = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksX(c) * blocksY(c) * 64))
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // progressive / arithmetic / hierarchical
+            return None // lossless / arithmetic / hierarchical
           case 0xDD => restartInterval = u16(p0)
-          case 0xDA => // SOS
-            val ns = u8(p0)
-            if (ns != nComp) return None
-            scanComps = Array.tabulate(ns) { c =>
-              val t = u8(p0 + 2 + 2 * c)
-              (t >> 4, t & 0x0F)
-            }
-            scanStart = p0 + 1 + 2 * ns + 3
-            done = true
+          case 0xDA => // SOS: decode the scan, resume at its end marker
+            if (coefBuf == null) return None
+            val next = decodeScan(p0)
+            if (next < 0) return None
+            scansDone += 1
+            i = next
           case _ => () // APPn / COM / others: skip
         }
-        if (!done) i += 2 + len
+        if (marker != 0xDA && !halt) i += 2 + len
       }
     }
-    if (scanStart < 0 || w == 0 || compQ == null ||
+    if (scansDone == 0 || !sawEoi || w == 0 || compQ == null ||
       compQ.exists(q => qtables(q) == null)) return None
 
-    // ---- entropy-coded scan: bit reader with stuffing + restarts ----
-    var bp = scanStart // byte position
-    var bitBuf = 0; var bitCnt = 0
-    var eos = false
-    def nextBit(): Int = {
-      if (bitCnt == 0) {
-        if (bp >= bytes.length) { eos = true; return 0 }
-        var b = u8(bp); bp += 1
-        if (b == 0xFF) {
-          val b2 = if (bp < bytes.length) u8(bp) else 0xD9
-          if (b2 == 0x00) bp += 1 // stuffed FF
-          else { eos = true; return 0 } // a marker: scan data ended
-        }
-        bitBuf = b; bitCnt = 8
-      }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
-    }
-    def receive(n: Int): Int = {
-      var v = 0; var k = 0
-      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
-      v
-    }
-    def extend(v: Int, s: Int): Int =
-      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    def decodeSym(t: Huff): Int = {
-      var code = nextBit(); var l = 1
-      while (l <= 16 && (t.maxcode(l) < 0 || code > t.maxcode(l))) {
-        code = (code << 1) | nextBit(); l += 1
-      }
-      if (l > 16 || eos) { eos = true; 0 }
-      else t.vals(t.valptr(l) + code - t.mincode(l))
-    }
-
-    // MCU geometry from the max sampling factors: an MCU covers
-    // 8·Hmax × 8·Vmax image pixels and carries hc×vc blocks per
-    // component (T.81 A.2.3). 1×1 throughout degenerates to the old
-    // one-block MCU.
-    val hMax = compH.max; val vMax = compV.max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    val strides = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    // ---- dequantize + IDCT every block into the component planes ----
+    val strides = Array.tabulate(nComp)(c => blocksX(c) * 8)
     val planes = Array.tabulate(nComp)(c =>
-      new Array[Byte](strides(c) * mcusY * compV(c) * 8))
-    val dcPred = new Array[Int](nComp)
+      new Array[Byte](strides(c) * blocksY(c) * 8))
     val coefs = new Array[Int](64)
     val tmp = new Array[Double](64)
-    var mcu = 0
-    val nMcus = mcusX * mcusY
-    while (mcu < nMcus && !eos) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // byte-align and consume the RSTn marker; reset predictors
-        bitCnt = 0
-        if (bp + 1 < bytes.length && u8(bp) == 0xFF &&
-            u8(bp + 1) >= 0xD0 && u8(bp + 1) <= 0xD7) bp += 2
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      var c = 0
-      while (c < nComp && !eos) {
-        val qt = qtables(compQ(c))
-        val dcT = huff(0)(scanComps(c)._1); val acT = huff(1)(scanComps(c)._2)
-        if (dcT == null || acT == null) return None
-        // hc×vc blocks of this component per MCU, raster order
-        var blk = 0
-        val blocksPerMcu = compH(c) * compV(c)
-        while (blk < blocksPerMcu && !eos) {
-          java.util.Arrays.fill(coefs, 0)
-          val s = decodeSym(dcT)
-          dcPred(c) += extend(receive(s), s)
-          coefs(0) = dcPred(c) * qt(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob && !eos) {
-            val rs = decodeSym(acT)
-            val r = rs >> 4; val sz = rs & 0x0F
-            if (sz == 0) { if (r == 15) k += 16 else eob = true }
-            else {
-              k += r
-              // qt is stored in NATURAL order (de-zigzagged at parse), so
-              // the scan-position-k coefficient dequantizes by qt(zigzag(k))
-              if (k < 64) {
-                val nat = zigzag(k)
-                coefs(nat) = extend(receive(sz), sz) * qt(nat)
-              }
-              k += 1
-            }
-          }
-          // separable IDCT: rows then columns (double precision)
-          var u = 0
-          while (u < 8) { // rows of the coefficient block
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var v = 0
-              while (v < 8) {
-                val cv = if (v == 0) 0.70710678118654752 else 1.0
-                acc += cv * coefs(u * 8 + v) *
-                  math.cos((2 * x + 1) * v * math.Pi / 16)
-                v += 1
-              }
-              tmp(u * 8 + x) = acc / 2
-              x += 1
-            }
-            u += 1
-          }
-          val bx = (mcu % mcusX) * compH(c) * 8 + (blk % compH(c)) * 8
-          val by = (mcu / mcusX) * compV(c) * 8 + (blk / compH(c)) * 8
-          val plane = planes(c); val stride = strides(c)
+    var c = 0
+    while (c < nComp) {
+      val qt = qtables(compQ(c))
+      val slab = coefBuf(c); val plane = planes(c); val stride = strides(c)
+      var b = 0
+      val nBlocks = blocksX(c) * blocksY(c)
+      while (b < nBlocks) {
+        val off = b * 64
+        var k = 0
+        while (k < 64) { // zigzag slab → natural order, dequantized
+          val nat = zigzag(k)
+          coefs(nat) = slab(off + k) * qt(nat)
+          k += 1
+        }
+        // separable IDCT: rows then columns (double precision)
+        var u = 0
+        while (u < 8) {
           var x = 0
           while (x < 8) {
-            var y = 0
-            while (y < 8) {
-              var acc = 0.0
-              var u2 = 0
-              while (u2 < 8) {
-                val cu = if (u2 == 0) 0.70710678118654752 else 1.0
-                acc += cu * tmp(u2 * 8 + x) *
-                  math.cos((2 * y + 1) * u2 * math.Pi / 16)
-                u2 += 1
-              }
-              val px = math.round(acc / 2 + 128.0).toInt
-              plane((by + y) * stride + bx + x) =
-                (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-              y += 1
+            var acc = 0.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) 0.70710678118654752 else 1.0
+              acc += cv * coefs(u * 8 + v) *
+                math.cos((2 * x + 1) * v * math.Pi / 16)
+              v += 1
             }
+            tmp(u * 8 + x) = acc / 2
             x += 1
           }
-          blk += 1
+          u += 1
         }
-        c += 1
+        val bx = (b % blocksX(c)) * 8; val by = (b / blocksX(c)) * 8
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            var acc = 0.0
+            var u2 = 0
+            while (u2 < 8) {
+              val cu = if (u2 == 0) 0.70710678118654752 else 1.0
+              acc += cu * tmp(u2 * 8 + x) *
+                math.cos((2 * y + 1) * u2 * math.Pi / 16)
+              u2 += 1
+            }
+            val px = math.round(acc / 2 + 128.0).toInt
+            plane((by + y) * stride + bx + x) =
+              (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+            y += 1
+          }
+          x += 1
+        }
+        b += 1
       }
-      mcu += 1
+      c += 1
     }
-    if (mcu < nMcus || eos) return None // truncated scan
 
     // crop to (w, h) and convert color space. Subsampled chroma is
     // upsampled by SAMPLE REPLICATION (nearest): output pixel (x, y)

@@ -65,7 +65,7 @@ object StreamBench {
     val numeric = args.dropWhile(a => !a.forall(_.isDigit))
     val rps = numeric.headOption.map(_.toInt).getOrElse(mode match {
       case "serving" => 100000
-      case "curation" => 50000
+      case "curation" => 15000
       case "mediagate" => 200000
       case _ => 500000
     })

@@ -319,6 +319,89 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("jpegPixels decodes the progressive fixtures exactly; ImageIO agrees") {
+    // our spectral-selection progressive bytes (SOF2, DC scan + per-
+    // component AC scans), DC-only content → exact in any decoder
+    val g = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpegProgGray16x8).get
+    assert((g.width, g.height, g.channels) == ((16, 8, 1)))
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((g.pixels(y * 16 + x) & 0xFF) == (if (x < 8) 50 else 200))
+    val q = Multimodal.jpegPixels(
+      graft.ext.MediaFixtures.jpegProg420Quad16x16).get
+    assert((q.width, q.height, q.channels) == ((16, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 16; ch <- 0 until 3)
+      assert((q.pixels((y * 16 + x) * 3 + ch) & 0xFF) ==
+        (if (x < 8) 0 else 50) + (if (y < 8) 40 else 140),
+        s"prog quad ($x,$y,$ch)")
+    // the JDK's independent codec accepts and agrees on the same bytes
+    val jg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.jpegProgGray16x8))
+    assert(jg != null && jg.getWidth == 16 && jg.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(jg.getRaster.getSample(x, y, 0) == (if (x < 8) 50 else 200))
+    val jq = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.jpegProg420Quad16x16))
+    assert(jq != null && jq.getWidth == 16 && jq.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expect = (if (x < 8) 0 else 50) + (if (y < 8) 40 else 140)
+      for (sh <- Seq(16, 8, 0))
+        assert(((jq.getRGB(x, y) >> sh) & 0xFF) == expect,
+          s"ImageIO prog quad ($x,$y)")
+    }
+  }
+
+  test("jpegPixels matches the JDK codec on ImageIO-written PROGRESSIVE images within ±1") {
+    // The JDK progressive writer uses the IJG progression script —
+    // spectral selection AND successive approximation, including DC
+    // refinement and AC refinement scans (T.81 G.1.2.3) — so this
+    // exercises all four progressive block decoders on independently
+    // produced bytes. Gray-valued color content keeps the chroma field
+    // constant (upsampling-filter-proof), as in the 4:2:0 test.
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val rnd = new scala.util.Random(11)
+    for ((w, h, color) <- Seq((16, 16, false), (24, 17, false),
+        (16, 16, true), (10, 6, true))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (color) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = rnd.nextInt(256)
+        if (color) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        else img.getRaster.setSample(x, y, 0, g)
+      }
+      val bytes = writeProgressive(img)
+      // really progressive: SOF2 present
+      assert((2 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+        "JDK writer did not emit SOF2")
+      val mine = Multimodal.jpegPixels(bytes).getOrElse(
+        fail(s"jpegPixels rejected JDK progressive at ${w}x$h color=$color"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val nc = if (color) 3 else 1
+      assert((mine.width, mine.height, mine.channels) == ((w, h, nc)))
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until nc) {
+        val a = mine.pixels((y * w + x) * nc + ch) & 0xFF
+        val b = if (color) (jdk.getRGB(x, y) >> (16 - 8 * ch)) & 0xFF
+          else jdk.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - b) <= 1,
+          s"pixel ($x,$y,$ch) at ${w}x$h color=$color: $a vs $b")
+      }
+    }
+  }
+
   test("decodePixelStats gates JPEG blobs through the real pixel decoder") {
     val s = spark
     import s.implicits._
