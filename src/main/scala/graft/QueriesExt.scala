@@ -74,6 +74,18 @@ object QueriesExt {
       table: String): Long =
     graft.sources.ParquetMeta.rowCount(s, s"$dir/$table.parquet")
 
+  /** Range count for census-prefix global orders — a PARALLELISM knob,
+    * never a semantics one (Census.prefix output is partition-count
+    * invariant): ~2k docs per range so per-range window work stays
+    * bounded as the corpus grows, floored at the fixture default and
+    * capped so the broadcast census frame stays tiny. The 10× bench
+    * point surfaced the fixed-8 mis-sizing (q_ntile_difficulty 19.8 s,
+    * SURVEY §13). */
+  private def censusParts(s: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    math.max(8, math.min(256,
+      (nRows(s, dir, "documents") / 2000L).toInt))
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Materialized(s, s"minhash_pairs:$dir") {
@@ -1776,7 +1788,8 @@ object QueriesExt {
           TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
           size(col("__toks")).cast("long").as("n_tokens"))
         graft.ops.Budget.selectByBudget(scored, "n_tokens",
-            col("quality").desc, "doc_id", budget = 10000L, partitions = 8)
+            col("quality").desc, "doc_id", budget = 10000L,
+            partitions = censusParts(s, dir))
           .select("doc_id", "cum_tokens")
       },
       Some {
@@ -1884,7 +1897,8 @@ object QueriesExt {
         Dedup.parallelize(t(s, dir, "documents"))
           .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
         "n_chars", col("doc_id").asc,
-        qs = Seq(0.25, 0.5, 0.75, 0.875), partitions = 8),
+        qs = Seq(0.25, 0.5, 0.75, 0.875),
+        partitions = censusParts(s, dir)),
       Some("""WITH base AS (SELECT CAST(length(text) AS BIGINT) AS n_chars
         |              FROM documents)
         |SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(n_chars, 0.25) AS value FROM base
@@ -1986,7 +2000,8 @@ object QueriesExt {
           TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
           size(col("__toks")).cast("long").as("n_tokens"))
         val budgeted = graft.ops.Budget.selectByBudget(scored, "n_tokens",
-          col("quality").desc, "doc_id", budget = 5000L, partitions = 8)
+          col("quality").desc, "doc_id", budget = 5000L,
+          partitions = censusParts(s, dir))
         graft.ops.Shuffling.deterministicShuffle(
             budgeted.select("doc_id", "cum_tokens"),
             "doc_id", seed = "ep1", partitions = 8)
@@ -3028,7 +3043,7 @@ object QueriesExt {
           .select(col("doc_id"), round4(col("quality")).as("quality"))
         graft.ops.Census.prefix(scored,
             Seq(col("quality").desc, col("doc_id").asc), lit(1L),
-            partitions = 8)
+            partitions = censusParts(s, dir))
           .withColumn("bucket", graft.ops.Census.ntileBucket(
             col("__off") + col("__run"), col("__n"), 4))
           .select("doc_id", "quality", "bucket")

@@ -61,7 +61,13 @@ object Census {
     */
   def prefix(df: DataFrame, order: Seq[Column], value: Column,
       partitions: Int, gate: Column => Column = _ => lit(true)): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, order: _*)
+    // repartitionByRange picks its boundaries from a SAMPLING pass over
+    // `df`, and the shuffle then evaluates `df` again — persist so an
+    // expensive input lineage (regex-heavy quality scoring is the
+    // registry's common case) is computed once, not twice
+    // (MEMORY_AND_DISK; released by the runner's releaseAll).
+    val tracked = Caches.track(df).toDF()
+    val ranged = tracked.repartitionByRange(partitions, order: _*)
     // RDD-identity barrier: ONE range shuffle feeding both passes (see
     // object doc). Both branches below reference this same RDD object.
     val pinned = df.sparkSession.createDataFrame(ranged.rdd, ranged.schema)
