@@ -43,6 +43,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    replicateTo(spark, sfDir, outDir, factor)
+    spark.stop()
+  }
+
+  /** The replication itself (ScaleUpSpec locks FK consistency and
+    * duplicate-rate preservation at factor 2). */
+  def replicateTo(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
     val off = 10000000L
     val vowelMaps = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
       "aeiuo", "eioau", "oiaue", "uoiea", "euoia", "ioeua", "oueai")
@@ -81,7 +89,6 @@ object ScaleUp {
         concat(slice(col("embedding"), i % 64 + 1, 64 - i % 64),
           slice(col("embedding"), 1, i % 64)).cast("array<float>"))
     }
-    println(s"[scaleup] wrote ${factor}x sf0.1 → $outDir")
-    spark.stop()
+    println(s"[scaleup] wrote ${factor}x $sfDir → $outDir")
   }
 }

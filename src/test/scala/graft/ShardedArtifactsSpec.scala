@@ -258,6 +258,39 @@ class ShardedArtifactsSpec extends AnyFunSuite with SparkTestSupport {
       "labels by-id: the delta-adjacent label fetch did not prune")
   }
 
+  test("adjacency probe's bytes-touched footprint is a small fraction of the artifact") {
+    // the metric that scales (Sharded.scanFootprint doc): partition
+    // counts prove pruning happened; BYTES prove it matters — the probe
+    // must touch a strict minority of the artifact's bytes even at
+    // fixture scale, and the flat OR-filter must touch all of them
+    val s = spark
+    val sigs = Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
+      numHashes = 32, shingle = 3).cache()
+    val pairs = Dedup.minhashDupPairsPortableFromSignatures(sigs,
+      numHashes = 32, bands = 8, threshold = 0.2).cache()
+    val flatDir = Files.createTempDirectory("graft-fp-flat").toString
+    pairs.write.mode("overwrite").parquet(flatDir)
+    val adjDir = Files.createTempDirectory("graft-fp-adj").toString
+    Dedup.writeShardedAdjacency(pairs, adjDir, "est_jaccard", shards = 16)
+    val qid = pairs.agg(min("id_a")).head().getLong(0)
+    val (flatBytes, _) = Sharded.scanFootprint(s, Seq(flatDir)) {
+      s.read.parquet(flatDir)
+        .filter(col("id_a") === qid || col("id_b") === qid)
+    }
+    val (probeBytes, probeFiles) = Sharded.scanFootprint(s, Seq(adjDir)) {
+      Dedup.probeAdjacency(s, adjDir, qid, shards = 16)
+    }
+    val (totalBytes, _) = Sharded.scanFootprint(s, Seq(adjDir)) {
+      s.read.parquet(adjDir)
+    }
+    assert(flatBytes > 0 && probeBytes > 0)
+    assert(probeFiles == 1, s"probe touched $probeFiles files")
+    // ≤ 2/16 of the adjacency artifact (one shard; slack for file-size
+    // skew across shards at 30-doc fixture scale)
+    assert(probeBytes * 8 <= totalBytes,
+      s"probe read $probeBytes of $totalBytes artifact bytes")
+  }
+
   test("adjacency probe reads one shard and matches the pairs rows") {
     val s = spark
     val sigs = Dedup.minhashSignaturesPortable(corpus, "text", "doc_id",
