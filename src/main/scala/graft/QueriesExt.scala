@@ -385,6 +385,27 @@ object QueriesExt {
         .select(col("vec_id").as("id"), col("embedding"))
         .filter(col("id") % 2 === 0), p, shards = 16)
     }
+  // Whole-corpus serving artifacts for the ANN probe (round 10): the
+  // LSH-family bucket index partitioned by (t, bucket-shard) and the
+  // full vector table by id-shard — the physical layouts
+  // Similarity.lshTopKSharded reads.
+  private def lshBucketIdxPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    shardedArtifact(s"lsh_bucket_idx:$dir") { p =>
+      Dedup.writeShardedBucketIndex(
+        Dedup.embeddingBucketTable(
+          t(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", planes = LshPlanes, tables = LshTables,
+          dim = 64, seed = EmbSeed), p, shards = 16)
+    }
+  private def vecsAllPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    shardedArtifact(s"vecs_all:$dir") { p =>
+      Dedup.writeShardedVectors(t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding")), p, shards = 16)
+    }
+
   private def labelsOldPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     shardedArtifact(s"labels_old:$dir") { p =>
@@ -3119,6 +3140,24 @@ object QueriesExt {
         Similarity.lshTopK(embs, "embedding", "vec_id", q, k = 10,
             planes = LshPlanes, tables = LshTables)
           .select("vec_id")
+      },
+      Some(lshTopKOracle)),
+
+    // The SAME LSH top-k served from the PHYSICAL sharded index
+    // (round 10): query bucket per table evaluated at plan time, ONE
+    // Or-of-And scan pruned to ≤ tables of the tables×shards bucket-
+    // index directories, candidate vectors fetched by the pruned
+    // two-phase id-shard read — O(bucket + candidates) bytes touched,
+    // never the corpus. Same family, same exact-cosine re-rank → the
+    // SAME oracle as q_similarity_lsh certifies row-identity.
+    QueryCase("q_similarity_lsh_sharded",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.lshTopKSharded(s, lshBucketIdxPath(s, dir),
+            vecsAllPath(s, dir), q, k = 10, planes = LshPlanes,
+            tables = LshTables, seed = EmbSeed, shards = 16)
+          .select(col("id").as("vec_id"))
       },
       Some(lshTopKOracle)),
 

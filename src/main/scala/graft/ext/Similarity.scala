@@ -77,6 +77,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[lshTopK]] against the PHYSICAL sharded index — the ANN serving
+    * posture at corpus scale: the corpus's sign-bucket table lives on
+    * disk partitioned by (t, shard=h(bucket))
+    * ([[Dedup.writeShardedBucketIndex]]) and its vectors by id-hash
+    * shard ([[Dedup.writeShardedVectors]]); a probe evaluates the query
+    * vector's bucket per table in plain Scala (plan-time, zero jobs),
+    * computes the buckets' shard values with the ENGINE's own xxhash64
+    * (one 1-row job), and scans the index ONCE with an Or-of-And
+    * predicate that prunes to ≤ `tables` of the tables×shards
+    * directories (the [[Dedup.probeShardedBandIndex]] collapse);
+    * candidate vectors are then fetched by the pruned two-phase
+    * [[Sharded.fetchKeys]] read — the whole probe touches
+    * O(bucket + candidates) bytes of the corpus artifacts, never the
+    * corpus. Result ≡ [[lshTopK]] row-for-row (same family, same exact
+    * cosine re-rank; plan-locked in ShardedArtifactsSpec). */
+  def lshTopKSharded(spark: org.apache.spark.sql.SparkSession,
+      bucketIdxPath: String, vecsPath: String, query: Array[Float],
+      k: Int, planes: Int, tables: Int, seed: Long = 42L,
+      shards: Int = 16): DataFrame = {
+    val dim = query.length
+    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
+    val qBuckets: Seq[(Int, Long)] = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        val proj = (0 until dim).map(d =>
+          query(d).toDouble * hyper(t)(p)(d)).sum
+        if (proj > 0) 1L << p else 0L
+      }.sum
+      (t, bucket)
+    }
+    val qShards = spark.range(1)
+      .select(qBuckets.map { case (_, b) =>
+        Sharded.shardOf(lit(b), shards)
+      }: _*).head().toSeq.map(_.asInstanceOf[Int])
+    val cands = spark.read.parquet(bucketIdxPath)
+      .filter(qBuckets.zipWithIndex.map { case ((t, b), i) =>
+        col("t") === lit(t) && col("shard") === lit(qShards(i)) &&
+          col("bucket") === lit(b)
+      }.reduce(_ || _))
+      .select("id").distinct()
+    Sharded.fetchKeys(spark, vecsPath, cands, "id", shards)
+      .withColumn("score",
+        Vectors.cosineNative(spark, col("embedding"), asDoubleLit(query)))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Assign every corpus row to its nearest centroid cell (broadcast
     * argmax over `centroids`, evaluated as one fused projection — the
     * IVF build pass). Returns df + `cell` column. */

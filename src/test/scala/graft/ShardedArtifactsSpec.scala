@@ -258,6 +258,44 @@ class ShardedArtifactsSpec extends AnyFunSuite with SparkTestSupport {
       "labels by-id: the delta-adjacent label fetch did not prune")
   }
 
+  test("sharded LSH ANN probe ≡ flat lshTopK; index scan pruned to ≤ tables partitions") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val vecs = (0 until 60).map(i => (i.toLong, vec(i % 7).toSeq))
+      .toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>")
+        .as("embedding")).cache()
+    val buckets = graft.ext.Dedup.embeddingBucketTable(vecs, "embedding",
+      "id", planes = 3, tables = 4, dim = 8, seed = 7L).cache()
+    val bDir = Files.createTempDirectory("graft-sh-lshidx").toString
+    val vDir = Files.createTempDirectory("graft-sh-lshvecs").toString
+    graft.ext.Dedup.writeShardedBucketIndex(buckets, bDir, shards = 16)
+    graft.ext.Dedup.writeShardedVectors(vecs, vDir, shards = 16)
+    val q = vec(3)
+    val flat = graft.ext.Similarity.lshTopK(
+      vecs.withColumnRenamed("id", "vec_id"), "embedding", "vec_id", q,
+      k = 5, planes = 3, tables = 4, seed = 7L)
+      .select(col("vec_id").as("id"), col("score"))
+    val sharded = graft.ext.Similarity.lshTopKSharded(s, bDir, vDir, q,
+      k = 5, planes = 3, tables = 4, seed = 7L, shards = 16)
+    def r4(df: DataFrame) = df.withColumn("score",
+      floor(col("score") * 10000 + 0.5) / 10000).collect()
+      .map(_.mkString("|")).toSeq
+    assert(r4(sharded) == r4(flat) && r4(flat).nonEmpty)
+    assertPruned(scansOf(graft.ext.Similarity.lshTopKSharded(s, bDir,
+      vDir, q, k = 5, planes = 3, tables = 4, seed = 7L, shards = 16),
+      bDir), totalPartitions(bDir), "LSH bucket index")
+    scansOf(graft.ext.Similarity.lshTopKSharded(s, bDir, vDir, q, k = 5,
+      planes = 3, tables = 4, seed = 7L, shards = 16), bDir).foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 4,
+        s"probe selected ${f.selectedPartitions.partitionCount} > tables")
+    }
+  }
+
   test("adjacency probe's bytes-touched footprint is a small fraction of the artifact") {
     // the metric that scales (Sharded.scanFootprint doc): partition
     // counts prove pruning happened; BYTES prove it matters — the probe
