@@ -1552,16 +1552,16 @@ object Dedup {
     * a vector contributes ONE bucket per table, so ingest slices and
     * probes touch few of the (tables × shards) directories. */
   def writeShardedBucketIndex(buckets: DataFrame, path: String,
-      shards: Int = 16): Unit =
+      shards: Int = 16, mode: String = "overwrite"): Unit =
     Sharded.writeByKey(buckets.select("id", "t", "bucket"), path, "bucket",
-      shards, extraPartitionCols = Seq("t"))
+      shards, extraPartitionCols = Seq("t"), mode = mode)
 
   /** Write a VECTOR table (id, vecCol) partitioned by id-hash shard —
     * the fetch-side artifact: candidate verification pulls only the
     * shards the candidate ids touch ([[Sharded.fetchKeys]]). */
   def writeShardedVectors(vecs: DataFrame, path: String,
-      shards: Int = 16): Unit =
-    Sharded.writeByKey(vecs, path, "id", shards)
+      shards: Int = 16, mode: String = "overwrite"): Unit =
+    Sharded.writeByKey(vecs, path, "id", shards, mode = mode)
 
   /** Ingest-time embedding DELTA (cross ∪ self) against the SHARDED
     * bucket index + sharded vector table: the slice's buckets touch a

@@ -208,6 +208,62 @@ object ChainedStress {
         labels.count(), oneshotLabels.count())
     }
 
+    // ------------------------------------------------ embedding pairs
+    // Chained against BOTH physical artifacts (bucket index + vector
+    // table, appended per round — the second family proven against
+    // on-disk appends, after minhash): round s's delta reads the index
+    // as rounds 0..s-1 left it, is COMMITTED to parquet, and only then
+    // do the slice's bucket rows and vectors land as new files.
+    {
+      val embs0 = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      def rotate(df: DataFrame, i: Int, idOffset: Long): DataFrame =
+        df.select((col("id") + lit(idOffset)).as("id"),
+          (if (i == 0) col("embedding")
+           else concat(
+             org.apache.spark.sql.functions.slice(
+               col("embedding"), i + 1, 64 - i),
+             org.apache.spark.sql.functions.slice(
+               col("embedding"), 1, i)).cast("array<float>"))
+            .as("embedding"))
+      val eSlices = (0 until nSlices).map(i => persist(
+        rotate(embs0.filter(col("id") % 4 === (i % 4)), i + 1,
+          900000000L * (i + 1)), s"eslice_$i")).toIndexedSeq
+      val bDir = java.nio.file.Files
+        .createTempDirectory("chstress_bucketidx").toString
+      val vDir = java.nio.file.Files
+        .createTempDirectory("chstress_vecs").toString
+      val baseBuckets = persist(Dedup.embeddingBucketTable(embs0,
+        "embedding", "id", planes = 4, tables = 8, dim = 64), "eb_0")
+      Dedup.writeShardedBucketIndex(baseBuckets, bDir, shards = 16)
+      Dedup.writeShardedVectors(embs0, vDir, shards = 16)
+      var pairs = persist(Dedup.embeddingDupPairsFromBuckets(baseBuckets,
+        embs0, "embedding", threshold = 0.4), "em_pairs_0")
+      var allVecs = embs0
+      eSlices.zipWithIndex.foreach { case (sl, i) =>
+        val slB = persist(Dedup.embeddingBucketTable(sl, "embedding",
+          "id", planes = 4, tables = 8, dim = 64), s"eb_slice_$i")
+        val (secs, delta) = timed(persist(Dedup.embeddingDeltaSharded(
+          spark, bDir, vDir, slB, sl, "embedding", threshold = 0.4,
+          shards = 16), s"em_delta_$i"))
+        Dedup.writeShardedBucketIndex(slB, bDir, shards = 16,
+          mode = "append")
+        Dedup.writeShardedVectors(sl, vDir, shards = 16, mode = "append")
+        pairs = persist(pairs.unionByName(delta), s"em_pairs_${i + 1}")
+        allVecs = persist(allVecs.unionByName(sl), s"evecs_acc_$i")
+        println(f"[chstress] embedding round ${i + 1}: append=$secs%6.2f s " +
+          s"delta=${delta.count()} pairs_total=${pairs.count()}")
+      }
+      val oneshot = persist(Dedup.embeddingDupPairsFromBuckets(
+        persist(Dedup.embeddingBucketTable(allVecs, "embedding", "id",
+          planes = 4, tables = 8, dim = 64), "eb_all"),
+        allVecs, "embedding", threshold = 0.4), "em_oneshot")
+      def r4(df: DataFrame) = df.withColumn("cos",
+        floor(col("cos") * 10000 + 0.5) / 10000)
+      check("embedding", xorSum(r4(pairs)), xorSum(r4(oneshot)),
+        pairs.count(), oneshot.count())
+    }
+
     // -------------------------------------------------------- span census
     {
       var census = persist(graft.ext.Spans.spanCensus(
