@@ -639,6 +639,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.jpegGray8x8,
       graft.ext.MediaFixtures.jpegGray16x8,
       graft.ext.MediaFixtures.jpegColor8x8,
+      graft.ext.MediaFixtures.jpeg420Quad16x16,  // subsampled MCU path
+      graft.ext.MediaFixtures.jpegProg420Quad16x16, // progressive scans
+      graft.ext.MediaFixtures.jpegProgGray16x8,
       graft.ext.MediaFixtures.gifTwoFrames,
       graft.ext.MediaFixtures.bmp3x2,
       graft.ext.AudioFixtures.wavSquare,
