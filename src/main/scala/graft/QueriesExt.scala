@@ -385,6 +385,16 @@ object QueriesExt {
         .select(col("vec_id").as("id"), col("embedding"))
         .filter(col("id") % 2 === 0), p, shards = 16)
     }
+  // Whole-corpus sharded chunk index — the simhash PROBE serving
+  // artifact (the regime measurements: probe structure, not an ingest
+  // one; chunkIdxOldPath above is the even-half ingest-side twin).
+  private def chunkIdxAllPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    shardedArtifact(s"chunk_idx_all:$dir") { p =>
+      Dedup.writeShardedChunkIndex(simhashFpIndex(s, dir), p,
+        bits = 60, maxHamming = 3, shards = 16)
+    }
+
   // Whole-corpus serving artifacts for the ANN probe (round 10): the
   // LSH-family bucket index partitioned by (t, bucket-shard) and the
   // full vector table by id-shard — the physical layouts
@@ -1214,6 +1224,21 @@ object QueriesExt {
       // is non-empty where the driver runs it
       (s, dir) => Dedup.simhashProbeFromFingerprints(
         simhashFpIndex(s, dir), queryId = 70L, maxHamming = 3),
+      Some(simhashProbeOracle(3, 70L))),
+
+    // The simhash point probe served from the PHYSICAL sharded chunk
+    // index (round 10): chunk values are bit slices of the query
+    // fingerprint, one Or-of-And scan prunes to ≤ chunks of the
+    // chunks×shards directories, hamming verified on the carried
+    // fingerprint. Same whole-corpus oracle as q_dedup_probe_simhash —
+    // identical semantics through the partitioned layout.
+    QueryCase("q_dedup_probe_simhash_sharded",
+      (s, dir) => {
+        val q = simhashFpIndex(s, dir).filter(col("id") === 70L)
+          .select("fp").head().getLong(0)
+        Dedup.probeShardedChunkIndex(s, chunkIdxAllPath(s, dir), q,
+          bits = 60, maxHamming = 3, shards = 16, excludeId = Some(70L))
+      },
       Some(simhashProbeOracle(3, 70L))),
 
     // The probe against the SHARD-PARTITIONED inverted band index — the

@@ -1019,6 +1019,39 @@ object Dedup {
       .write.partitionBy("ci", "shard").mode("overwrite").parquet(path)
   }
 
+  /** Point probe over a [[writeShardedChunkIndex]] artifact — the
+    * simhash serving primitive the regime measurements say this layout
+    * is FOR (ShardedStress: the chunk index loses to the flat
+    * fingerprint scan for batch appends but a probe touches ≤ `chunks`
+    * of the chunks×shards directories): the query fingerprint's chunk
+    * values are bit slices computed in plain Scala, their shard values
+    * by the ENGINE's own xxhash64 (one 1-row job), then ONE Or-of-And
+    * scan prunes at the partition level and verifies exact hamming on
+    * the carried fingerprint — no second lookup, no join. Result ≡
+    * [[simhashProbeFromFingerprints]] row-for-row. */
+  def probeShardedChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryFp: Long, bits: Int = 60, maxHamming: Int = 3,
+      shards: Int = 16, excludeId: Option[Long] = None): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val qcv = (0 until chunks).map(c => (c, (queryFp >>> (c * width)) & mask))
+    val qShards = spark.range(1)
+      .select(qcv.map { case (_, v) => Sharded.shardOf(lit(v), shards) }: _*)
+      .head().toSeq.map(_.asInstanceOf[Int])
+    val cands = spark.read.parquet(path)
+      .filter(qcv.zipWithIndex.map { case ((c, v), i) =>
+        col("ci") === lit(c) && col("shard") === lit(qShards(i)) &&
+          col("cv") === lit(v)
+      }.reduce(_ || _))
+      .dropDuplicates("id")
+    excludeId.map(id => cands.filter(col("id") =!= id)).getOrElse(cands)
+      .withColumn("hamming",
+        bit_count(col("fp").bitwiseXOR(lit(queryFp))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as("doc_id"), col("hamming"))
+  }
+
   /** Ingest-time SimHash DELTA (cross ∪ self) against the SHARDED CHUNK
     * INDEX: the slice's fingerprints chunk to a bounded
     * (≤ chunks × `shards`) set of (ci, shard) pairs — literal partition

@@ -258,6 +258,29 @@ class ShardedArtifactsSpec extends AnyFunSuite with SparkTestSupport {
       "labels by-id: the delta-adjacent label fetch did not prune")
   }
 
+  test("sharded simhash point probe ≡ flat probe; one scan pruned to ≤ chunks partitions") {
+    val s = spark
+    val fps = Dedup.simhashFingerprintsPortable(corpus, "text", "doc_id")
+      .cache()
+    val dir = Files.createTempDirectory("graft-sh-chunkprobe").toString
+    Dedup.writeShardedChunkIndex(fps, dir, bits = 60, maxHamming = 3,
+      shards = 16)
+    val qid = 0L
+    val qfp = fps.filter(col("id") === qid).select("fp").head().getLong(0)
+    val flat = Dedup.simhashProbeFromFingerprints(fps, qid,
+      maxHamming = 3)
+    val sharded = Dedup.probeShardedChunkIndex(s, dir, qfp, bits = 60,
+      maxHamming = 3, shards = 16, excludeId = Some(qid))
+    assert(rows(sharded) == rows(flat) && rows(flat).nonEmpty)
+    val scans = scansOf(Dedup.probeShardedChunkIndex(s, dir, qfp,
+      bits = 60, maxHamming = 3, shards = 16, excludeId = Some(qid)), dir)
+    assert(scans.size == 1, s"expected one probe scan, got ${scans.size}")
+    scans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 4,
+        s"probe selected ${f.selectedPartitions.partitionCount} > chunks")
+    }
+  }
+
   test("sharded LSH ANN probe ≡ flat lshTopK; index scan pruned to ≤ tables partitions") {
     val s = spark
     import s.implicits._
