@@ -3369,7 +3369,8 @@ object QueriesExt {
             (2L, MediaFixtures.jpegGray16x8),
             (3L, MediaFixtures.jpegGray10x6),
             (4L, MediaFixtures.jpegColor8x8),
-            (5L, MediaFixtures.jpeg4x2)) // header-only: no entropy scan
+            (5L, MediaFixtures.jpeg4x2), // header-only: no entropy scan
+            (6L, MediaFixtures.jpegRestart32x8)) // DRI/RSTn resync path
           .toDF("media_id", "content")).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
@@ -3383,7 +3384,8 @@ object QueriesExt {
         |FROM (VALUES (1, 8, 8, 1, 64, 6400, 100, 100),
         |             (2, 16, 8, 1, 128, 16000, 50, 200),
         |             (3, 10, 6, 1, 60, 4620, 77, 77),
-        |             (4, 8, 8, 3, 192, 38400, 200, 200))
+        |             (4, 8, 8, 3, 192, 38400, 200, 200),
+        |             (6, 32, 8, 1, 256, 29440, 40, 190))
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 

@@ -981,17 +981,27 @@ object Dedup {
   def simhashProbeFromFingerprints(fps: DataFrame, queryId: Long,
       maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val q = fps.filter(col("id") === queryId).select("fp").head().getLong(0)
+    probeFingerprintTable(fps, q, bits, maxHamming,
+      excludeId = Some(queryId))
+  }
+
+  /** [[simhashProbeFromFingerprints]] with the query FINGERPRINT given
+    * directly (the incoming-doc serving shape — the query need not be a
+    * corpus row): pigeonhole chunk candidacy as scan-fused literal
+    * predicates over the flat fingerprint table, exact hamming verify. */
+  def probeFingerprintTable(fps: DataFrame, queryFp: Long, bits: Int = 60,
+      maxHamming: Int = 3, excludeId: Option[Long] = None): DataFrame = {
     val chunks = maxHamming + 1
     val width = bits / chunks
     val mask = (1L << width) - 1
     val anyChunk = (0 until chunks).map { c =>
       call_function("shiftrightunsigned", col("fp"), lit(c * width))
-        .bitwiseAND(lit(mask)) === lit((q >>> (c * width)) & mask)
+        .bitwiseAND(lit(mask)) === lit((queryFp >>> (c * width)) & mask)
     }.reduce(_ || _)
-    fps.filter(col("id") =!= queryId)
+    excludeId.map(id => fps.filter(col("id") =!= id)).getOrElse(fps)
       .filter(anyChunk)
       .withColumn("hamming",
-        bit_count(col("fp").bitwiseXOR(lit(q))).cast("int"))
+        bit_count(col("fp").bitwiseXOR(lit(queryFp))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id").as("doc_id"), col("hamming"))
   }

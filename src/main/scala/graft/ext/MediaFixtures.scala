@@ -187,7 +187,8 @@ object MediaFixtures {
     * exactness (upsampling filters differ between decoders; a constant
     * survives any of them). */
   def buildJpegSampled(width: Int, height: Int, planes: Seq[Seq[Int]],
-      sampH: Seq[Int], sampV: Seq[Int]): Array[Byte] = {
+      sampH: Seq[Int], sampV: Seq[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     val nComp = planes.length
     require(nComp == 1 || nComp == 3, "1 or 3 components")
     require(sampH.length == nComp && sampV.length == nComp &&
@@ -223,6 +224,9 @@ object MediaFixtures {
       seg(0xC4, (Array((tc << 4) | th) ++ counts ++ syms).map(_.toByte))
     }
     dht(0, 0, 5, dcSyms); dht(1, 0, 9, acSyms)
+    if (restartInterval > 0) // DRI must precede the scan it governs
+      seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)
+        .map(_.toByte))
     // SOS: every component uses DC table 0 / AC table 0
     seg(0xDA, (Array(nComp) ++
       (1 to nComp).flatMap(c => Array(c, 0x00)) ++
@@ -254,8 +258,19 @@ object MediaFixtures {
       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
       58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
     val dcPred = new Array[Int](nComp)
+    // RSTn every `restartInterval` MCUs: byte-align (1-padding), emit
+    // the cycling restart marker, reset DC predictors — the T.81 resync
+    // machinery the decoder's restart path consumes (the DRI segment is
+    // emitted before SOS, where T.81 requires it).
+    def maybeRestart(mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (bitCnt > 0) putBits(0xFF, 8 - bitCnt) // byte-align
+        out.write(0xFF); out.write(0xD0 + ((mcu / restartInterval - 1) % 8))
+        java.util.Arrays.fill(dcPred, 0)
+      }
     for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
          blk <- 0 until sampH(c) * sampV(c)) {
+      if (c == 0 && blk == 0) maybeRestart(my * mcusX + mx)
       // FDCT of the (edge-replicated) 8×8 block, quant = 1; block
       // (bx2, by2) of this component's hc×vc MCU tile, raster order
       val bx0 = mx * sampH(c) * 8 + (blk % sampH(c)) * 8
@@ -365,6 +380,16 @@ object MediaFixtures {
     Seq((0 until 128).map(i => if (i % 16 < 8) 60 else 210),
       Seq.fill(64)(128), Seq.fill(64)(128)),
     Seq(2, 1, 1), Seq(1, 1, 1))
+
+  /** 32×8 grayscale JPEG with DRI=2: a restart marker (and DC-predictor
+    * reset) lands between MCUs 2 and 3 — locks the decoder's RSTn
+    * resync + byte-align path, which no other fixture and no ImageIO-
+    * written stream exercises (the JDK writer omits restarts). Blocks
+    * 40/90/140/190. Expected stats: n=256, sum=64·460=29440, min=40,
+    * max=190. */
+  val jpegRestart32x8: Array[Byte] = buildJpegSampled(32, 8,
+    Seq((0 until 256).map(i => Seq(40, 90, 140, 190)((i % 32) / 8))),
+    Seq(1), Seq(1), restartInterval = 2)
 
   // ------------------------------------------- progressive JPEG encoder
 

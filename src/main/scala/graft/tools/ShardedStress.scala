@@ -172,16 +172,19 @@ object ShardedStress {
         timed(xorSum(Dedup.probeShardedBandIndexText(spark,
           bandDir, probeText, numHashes = 32, bands = 8,
           threshold = 0.25, shards = shards))))
-      // SimHash point probe = the delta function fed a 1-row slice
-      // (id excluded on both sides by the disjoint id range).
-      val oneFp = persist(trickleFps.orderBy("id").limit(1), s"onefp_$k")
+      // SimHash point probe: the dedicated serving primitives (flat
+      // pigeonhole filter vs the one-scan sharded chunk probe).
+      val qfp = trickleFps.orderBy("id").limit(1)
+        .select("id", "fp").head()
+      val (qfpId, qfpVal) = (qfp.getLong(0), qfp.getLong(1))
+      def simhashProbeFlat() = xorSum(
+        Dedup.probeFingerprintTable(oldFps, qfpVal, bits = 60,
+          maxHamming = 3, excludeId = Some(qfpId)))
       report("probe", "simhash", k,
-        timed(xorSum(Dedup.simhashPairsIncrementalPortable(
-          oldPairs.limit(0).select(col("id_a"), col("id_b"),
-            lit(0).cast("int").as("hamming")),
-          oldFps, oneFp, maxHamming = 3))),
-        timed(xorSum(Dedup.simhashDeltaSharded(spark, chunkDir,
-          oneFp, bits = 60, maxHamming = 3, shards = shards))))
+        timed(simhashProbeFlat()),
+        timed(xorSum(Dedup.probeShardedChunkIndex(spark, chunkDir,
+          qfpVal, bits = 60, maxHamming = 3, shards = shards,
+          excludeId = Some(qfpId)))))
       val qid = oldPairs.agg(min("id_a")).head().getLong(0)
       report("probe", "adjacency", k,
         timed(xorSum(oldPairs

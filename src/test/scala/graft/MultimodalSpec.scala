@@ -319,6 +319,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("restart-marker (DRI/RSTn) stream decodes exactly; ImageIO agrees") {
+    val fix = graft.ext.MediaFixtures.jpegRestart32x8
+    // the stream really carries DRI and at least one RSTn
+    assert((2 until fix.length - 1).exists(i =>
+      (fix(i) & 0xFF) == 0xFF && (fix(i + 1) & 0xFF) == 0xDD))
+    assert((2 until fix.length - 1).exists(i =>
+      (fix(i) & 0xFF) == 0xFF && (fix(i + 1) & 0xFF) >= 0xD0 &&
+        (fix(i + 1) & 0xFF) <= 0xD7))
+    def expect(x: Int): Int = Seq(40, 90, 140, 190)(x / 8)
+    val mine = Multimodal.jpegPixels(fix).get
+    assert((mine.width, mine.height, mine.channels) == ((32, 8, 1)))
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((mine.pixels(y * 32 + x) & 0xFF) == expect(x), s"($x,$y)")
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fix))
+    assert(jdk != null && jdk.getWidth == 32 && jdk.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert(jdk.getRaster.getSample(x, y, 0) == expect(x),
+        s"ImageIO ($x,$y)")
+  }
+
   test("jpegPixels decodes the progressive fixtures exactly; ImageIO agrees") {
     // our spectral-selection progressive bytes (SOF2, DC scan + per-
     // component AC scans), DC-only content → exact in any decoder
@@ -642,6 +663,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.jpeg420Quad16x16,  // subsampled MCU path
       graft.ext.MediaFixtures.jpegProg420Quad16x16, // progressive scans
       graft.ext.MediaFixtures.jpegProgGray16x8,
+      graft.ext.MediaFixtures.jpegRestart32x8,
       graft.ext.MediaFixtures.gifTwoFrames,
       graft.ext.MediaFixtures.bmp3x2,
       graft.ext.AudioFixtures.wavSquare,
