@@ -3333,7 +3333,9 @@ object QueriesExt {
             (1L, MediaFixtures.png1x1),
             (2L, MediaFixtures.pngRgb2x2),
             (3L, MediaFixtures.pngGray3x2),
-            (4L, MediaFixtures.jpeg4x2)) // not PNG: dropped by the gate
+            (4L, MediaFixtures.jpeg4x2), // not PNG: dropped by the gate
+            (5L, MediaFixtures.pngPalette4x2),   // type-3 PLTE → RGB
+            (6L, MediaFixtures.pngGray1bit10x2)) // 1-bit mask, scaled
           .toDF("media_id", "content")).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
@@ -3346,7 +3348,9 @@ object QueriesExt {
         |  CAST(px_max AS INTEGER) AS px_max
         |FROM (VALUES (1, 1, 1, 4, 4, 0, 0, 0),
         |             (2, 2, 2, 3, 12, 66, 0, 11),
-        |             (3, 3, 2, 1, 6, 105, 5, 30))
+        |             (3, 3, 2, 1, 6, 105, 5, 30),
+        |             (5, 4, 2, 3, 24, 2160, 10, 220),
+        |             (6, 10, 2, 1, 20, 2550, 0, 255))
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 

@@ -97,6 +97,59 @@ object MediaFixtures {
     rows = Seq(Seq(5, 10, 15), Seq(20, 25, 30)),
     filters = Seq(0, 1))
 
+  /** Build a REAL palette-indexed (or sub-byte grayscale) PNG: color
+    * type 3 with a PLTE chunk when `palette` is given, else type 0;
+    * `depth` ∈ {1,2,4,8}, indices/samples packed MSB-first into row
+    * bytes, one filter byte (None) per row — the indexed and mask
+    * forms real web corpora carry. */
+  def buildPngIndexed(width: Int, height: Int, depth: Int,
+      samples: Seq[Int], palette: Option[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    require(Seq(1, 2, 4, 8).contains(depth), "depth 1/2/4/8")
+    require(samples.length == width * height, "sample shape mismatch")
+    require(samples.forall(s => s >= 0 && s < (1 << depth)), "sample range")
+    val rowBytes = (width * depth + 7) / 8
+    val raw = Array.newBuilder[Byte]
+    for (y <- 0 until height) {
+      raw += 0.toByte // filter: None
+      var acc = 0; var nbits = 0
+      for (x <- 0 until width) {
+        acc = (acc << depth) | samples(y * width + x); nbits += depth
+        if (nbits == 8) { raw += acc.toByte; acc = 0; nbits = 0 }
+      }
+      if (nbits > 0) raw += (acc << (8 - nbits)).toByte // pad row tail
+    }
+    val rawB = raw.result()
+    val adler = new java.util.zip.Adler32()
+    adler.update(rawB)
+    val zlib = Array[Byte](0x78, 0x01, 0x01,
+        (rawB.length & 0xFF).toByte, ((rawB.length >> 8) & 0xFF).toByte,
+        ((~rawB.length) & 0xFF).toByte,
+        (((~rawB.length) >> 8) & 0xFF).toByte) ++
+      rawB ++ be32(adler.getValue)
+    val colorType = if (palette.isDefined) 3 else 0
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
+    hex("89504E470D0A1A0A") ++ chunk("IHDR", ihdr) ++
+      palette.map(p => chunk("PLTE", p.flatMap { case (r, g, b) =>
+        Seq(r.toByte, g.toByte, b.toByte) }.toArray))
+        .getOrElse(Array.emptyByteArray) ++
+      chunk("IDAT", zlib) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** 4×2 palette PNG at depth 2: indices 0..3 cycling over a 4-color
+    * palette. Expected stats: n=24, sum = 2·(10+20+30 + 40+50+60 +
+    * 70+80+90 + 200+210+220) = 2160, min=10, max=220. */
+  val pngPalette4x2: Array[Byte] = buildPngIndexed(4, 2, depth = 2,
+    samples = Seq(0, 1, 2, 3, 3, 2, 1, 0),
+    palette = Some(Seq((10, 20, 30), (40, 50, 60), (70, 80, 90),
+      (200, 210, 220))))
+
+  /** 10×2 1-bit grayscale PNG (the mask form; odd width → padded row
+    * tail bits): checkerboard. Samples scale 0/1 → 0/255. Expected
+    * stats: n=20, sum=10·255=2550, min=0, max=255. */
+  val pngGray1bit10x2: Array[Byte] = buildPngIndexed(10, 2, depth = 1,
+    samples = (0 until 20).map(i => (i % 2 + i / 10) % 2), palette = None)
+
   // ------------------------------------------------- 24-bit BMP encoder
 
   /** Build a REAL, spec-valid uncompressed 24-bit BMP (BITMAPFILEHEADER

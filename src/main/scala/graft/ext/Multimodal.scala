@@ -133,12 +133,17 @@ object Multimodal {
   final case class PngImage(width: Int, height: Int, channels: Int,
       pixels: Array[Byte])
 
-  /** REAL pixel decode for 8-bit PNG — pure JVM (`java.util.zip.Inflater`
+  /** REAL pixel decode for PNG — pure JVM (`java.util.zip.Inflater`
     * is the zlib the PNG spec mandates; no codec libraries): walk the
     * chunk stream, concatenate IDAT payloads, inflate, and undo the five
     * per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports
-    * color types 0/2/4/6 at bit depth 8 (palette and sub-byte depths
-    * return None — header metadata still decodes via [[imageDims]]).
+    * color types 0/2/4/6 at bit depth 8, PLUS (round 10) the
+    * real-corpus indexed/mask forms: PALETTE (type 3, PLTE lookup →
+    * 3-channel RGB) and sub-byte depths 1/2/4 for gray and palette
+    * (MSB-first bit unpacking; gray samples scaled to full 8-bit range,
+    * v·255/(2^depth−1), matching the JDK's expansion). 16-bit and
+    * interlaced return None — header metadata still decodes via
+    * [[imageDims]].
     *
     * Scale shape: pixel decode is a per-row CPU kernel over blob bytes —
     * it belongs inside the same partition-batched `mapPartitions` body as
@@ -164,30 +169,44 @@ object Multimodal {
     val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
     if (bytes.length < 33 ||
       !pngSig.indices.forall(i => u8(i) == pngSig(i))) return None
-    var w = 0; var h = 0; var channels = 0; var depth = 0
+    var w = 0; var h = 0; var colorType = -1; var depth = 0
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     while (i + 8 <= bytes.length) {
       val len = u32(i).toInt
       val ctype = bytes.slice(i + 4, i + 8).map(_.toChar).mkString
-      if (i + 8 + len > bytes.length) return None // truncated chunk
+      if (len < 0 || i + 8 + len > bytes.length) return None // truncated
       ctype match {
         case "IHDR" =>
           w = u32(i + 8).toInt; h = u32(i + 12).toInt
-          depth = u8(i + 16)
-          channels = u8(i + 17) match {
-            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-            case _ => return None // palette / unknown
-          }
+          depth = u8(i + 16); colorType = u8(i + 17)
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          palette = bytes.slice(i + 8, i + 8 + len)
         case "IDAT" => idat.write(bytes, i + 8, len)
         case _ => () // ancillary chunks skipped
       }
       i += 12 + len // len + type + data + crc
     }
-    if (w <= 0 || h <= 0 || depth != 8 || idat.size == 0) return None
-    val bpp = channels
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
+    // Supported layouts: depth-8 gray / RGB / gray+alpha / RGBA (the
+    // original set), PLUS palette-indexed (type 3) and sub-byte depths
+    // 1/2/4 for gray and palette — the mask and indexed-image forms
+    // real corpora carry. 16-bit and interlaced return None.
+    val baseChannels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 0 | 3 => Seq(1, 2, 4, 8).contains(depth)
+      case _ => depth == 8
+    }
+    if (w <= 0 || h <= 0 || !depthOk || idat.size == 0) return None
+    if (colorType == 3 && palette == null) return None
+    val bitsPerPx = depth * baseChannels
+    val rowBytes = (w * bitsPerPx + 7) / 8
+    val filterBpp = math.max(1, bitsPerPx / 8)
+    val raw = new Array[Byte](h * (1 + rowBytes))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -198,19 +217,21 @@ object Multimodal {
     }
     inf.end()
     if (off != raw.length) return None
-    val out = new Array[Byte](h * stride)
+    // unfilter over raw ROW BYTES (filter arithmetic is byte-wise with
+    // bpp = whole bytes per pixel, 1 for sub-byte layouts — RFC 2083)
+    val unf = new Array[Byte](h * rowBytes)
     var y = 0
     while (y < h) {
-      val filter = raw(y * (1 + stride)) & 0xFF
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
+      val filter = raw(y * (1 + rowBytes)) & 0xFF
+      val rowIn = y * (1 + rowBytes) + 1
+      val rowOut = y * rowBytes
       var x = 0
-      while (x < stride) {
+      while (x < rowBytes) {
         val cur = raw(rowIn + x) & 0xFF
-        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xFF else 0 // left
-        val b = if (y > 0) out(rowOut - stride + x) & 0xFF else 0 // up
-        val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xFF
-          else 0 // up-left
+        val a = if (x >= filterBpp) unf(rowOut + x - filterBpp) & 0xFF else 0
+        val b = if (y > 0) unf(rowOut - rowBytes + x) & 0xFF else 0
+        val c = if (x >= filterBpp && y > 0)
+          unf(rowOut - rowBytes + x - filterBpp) & 0xFF else 0
         val recon = filter match {
           case 0 => cur
           case 1 => cur + a
@@ -224,12 +245,40 @@ object Multimodal {
             cur + pred
           case _ => return None
         }
-        out(rowOut + x) = (recon & 0xFF).toByte
+        unf(rowOut + x) = (recon & 0xFF).toByte
         x += 1
       }
       y += 1
     }
-    Some(PngImage(w, h, channels, out))
+    // expand to 8-bit samples: palette lookup → RGB; sub-byte gray
+    // scaled to full range (v * 255 / (2^depth − 1)); depth-8
+    // non-palette rows pass through
+    if (colorType == 3 || depth < 8) {
+      val outCh = if (colorType == 3) 3 else 1
+      val out = new Array[Byte](w * h * outCh)
+      val maxV = (1 << depth) - 1
+      var y2 = 0
+      while (y2 < h) {
+        var x2 = 0
+        while (x2 < w) {
+          val bitPos = x2 * depth
+          val v = if (depth == 8) unf(y2 * rowBytes + x2) & 0xFF
+            else (unf(y2 * rowBytes + bitPos / 8) & 0xFF) >>
+              (8 - depth - bitPos % 8) & maxV
+          if (colorType == 3) {
+            if (3 * v + 2 >= palette.length) return None // index OOB
+            val o = (y2 * w + x2) * 3
+            out(o) = palette(3 * v); out(o + 1) = palette(3 * v + 1)
+            out(o + 2) = palette(3 * v + 2)
+          } else {
+            out(y2 * w + x2) = (v * 255 / maxV).toByte
+          }
+          x2 += 1
+        }
+        y2 += 1
+      }
+      Some(PngImage(w, h, outCh, out))
+    } else Some(PngImage(w, h, baseChannels, unf))
   }
 
   /** A fully decoded 8-bit image of any container: dimensions + raw

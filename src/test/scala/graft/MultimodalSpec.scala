@@ -84,6 +84,62 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(Multimodal.pngPixels("text".getBytes).isEmpty)
   }
 
+  test("pngPixels decodes palette and sub-byte depths; ImageIO agrees exactly") {
+    // palette (type 3, depth 2): PLTE lookup → RGB
+    val pal = Multimodal.pngPixels(graft.ext.MediaFixtures.pngPalette4x2).get
+    assert((pal.width, pal.height, pal.channels) == ((4, 2, 3)))
+    val expectPal = Seq(0, 1, 2, 3, 3, 2, 1, 0).flatMap(i =>
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220))(i)
+        .productIterator.map(_.asInstanceOf[Int]))
+    assert(pal.pixels.map(_ & 0xFF).toSeq == expectPal)
+    // 1-bit gray mask with padded row tails: 0/1 scale to 0/255
+    val mask = Multimodal.pngPixels(
+      graft.ext.MediaFixtures.pngGray1bit10x2).get
+    assert((mask.width, mask.height, mask.channels) == ((10, 2, 1)))
+    for (i <- 0 until 20)
+      assert((mask.pixels(i) & 0xFF) ==
+        (if ((i % 2 + i / 10) % 2 == 1) 255 else 0), s"mask[$i]")
+    // the JDK's independent codec reads the same bytes identically
+    val jp = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngPalette4x2))
+    assert(jp != null && jp.getWidth == 4 && jp.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val i = Seq(0, 1, 2, 3, 3, 2, 1, 0)(y * 4 + x)
+      val (r, g, b) = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90),
+        (200, 210, 220))(i)
+      assert((jp.getRGB(x, y) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+    }
+    val jm = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngGray1bit10x2))
+    assert(jm != null)
+    for (y <- 0 until 2; x <- 0 until 10) {
+      // the JDK reads 1-bit gray as raw 0/1 samples; ours scales to
+      // the 8-bit range — same bit, two conventions
+      val bit = jm.getRaster.getSample(x, y, 0)
+      assert(bit * 255 == (mask.pixels(y * 10 + x) & 0xFF),
+        s"jdk mask ($x,$y)")
+    }
+    // reverse direction: a JDK-written indexed PNG decodes here exactly
+    val img = new java.awt.image.BufferedImage(6, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val rnd = new scala.util.Random(5)
+    for (y <- 0 until 5; x <- 0 until 6)
+      img.setRGB(x, y, (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8)
+        | rnd.nextInt(256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val bytes = baos.toByteArray
+    val mine = Multimodal.pngPixels(bytes)
+      .getOrElse(fail("pngPixels rejected JDK indexed PNG"))
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert((mine.width, mine.height, mine.channels) == ((6, 5, 3)))
+    for (y <- 0 until 5; x <- 0 until 6; (sh, ch) <- Seq((16, 0), (8, 1),
+        (0, 2)))
+      assert((mine.pixels((y * 6 + x) * 3 + ch) & 0xFF) ==
+        ((jdk.getRGB(x, y) >> sh) & 0xFF), s"indexed ($x,$y,$ch)")
+  }
+
   test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
     val s = spark
     import s.implicits._
@@ -657,6 +713,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     val fixtures = Seq(
       graft.ext.MediaFixtures.png1x1, graft.ext.MediaFixtures.pngRgb2x2,
       graft.ext.MediaFixtures.pngGray3x2,
+      graft.ext.MediaFixtures.pngPalette4x2,
+      graft.ext.MediaFixtures.pngGray1bit10x2,
       graft.ext.MediaFixtures.jpegGray8x8,
       graft.ext.MediaFixtures.jpegGray16x8,
       graft.ext.MediaFixtures.jpegColor8x8,
