@@ -61,13 +61,14 @@ object Census {
     */
   def prefix(df: DataFrame, order: Seq[Column], value: Column,
       partitions: Int, gate: Column => Column = _ => lit(true)): DataFrame = {
-    // repartitionByRange picks its boundaries from a SAMPLING pass over
-    // `df`, and the shuffle then evaluates `df` again — persist so an
-    // expensive input lineage (regex-heavy quality scoring is the
-    // registry's common case) is computed once, not twice
-    // (MEMORY_AND_DISK; released by the runner's releaseAll).
-    val tracked = Caches.track(df).toDF()
-    val ranged = tracked.repartitionByRange(partitions, order: _*)
+    // NOTE repartitionByRange picks its boundaries from a SAMPLING pass
+    // over `df` and the shuffle then evaluates `df` again — when the
+    // input lineage is expensive (regex-heavy quality scoring is the
+    // registry's common case), CALLERS should persist it first
+    // (Caches.track at the query sites). prefix itself stays
+    // persist-free: the census-op contract (CensusSpec) is that only
+    // the dedup family holds tracked state.
+    val ranged = df.repartitionByRange(partitions, order: _*)
     // RDD-identity barrier: ONE range shuffle feeding both passes (see
     // object doc). Both branches below reference this same RDD object.
     val pinned = df.sparkSession.createDataFrame(ranged.rdd, ranged.schema)
