@@ -1830,9 +1830,10 @@ object QueriesExt {
         val toks = Dedup.parallelize(t(s, dir, "documents"))
           .select(col("doc_id"), col("text"),
             Dedup.tokens(col("text")).as("__toks"))
-        val scored = toks.select(col("doc_id"),
-          TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
-          size(col("__toks")).cast("long").as("n_tokens"))
+        val scored = graft.ops.Caches.track(
+          toks.select(col("doc_id"),
+            TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
+            size(col("__toks")).cast("long").as("n_tokens"))).toDF()
         graft.ops.Budget.selectByBudget(scored, "n_tokens",
             col("quality").desc, "doc_id", budget = 10000L,
             partitions = censusParts(s, dir))
@@ -3084,10 +3085,12 @@ object QueriesExt {
     QueryCase("q_ntile_difficulty",
       (s, dir) => {
         // parallelize: see q_select_budget — single-split fixture input
-        val scored = TextStats.qualityScore(
+        // track: Census.prefix's range sampling would otherwise evaluate
+        // the regex-heavy scoring lineage twice (Census.prefix doc note)
+        val scored = graft.ops.Caches.track(TextStats.qualityScore(
             Dedup.parallelize(t(s, dir, "documents")), "text")
-          .select(col("doc_id"), round4(col("quality")).as("quality"))
-        graft.ops.Census.prefix(scored,
+          .select(col("doc_id"), round4(col("quality")).as("quality")))
+        graft.ops.Census.prefix(scored.toDF(),
             Seq(col("quality").desc, col("doc_id").asc), lit(1L),
             partitions = censusParts(s, dir))
           .withColumn("bucket", graft.ops.Census.ntileBucket(
@@ -3335,9 +3338,17 @@ object QueriesExt {
             (3L, MediaFixtures.pngGray3x2),
             (4L, MediaFixtures.jpeg4x2), // not PNG: dropped by the gate
             (5L, MediaFixtures.pngPalette4x2),   // type-3 PLTE → RGB
-            (6L, MediaFixtures.pngGray1bit10x2)) // 1-bit mask, scaled
+            (6L, MediaFixtures.pngGray1bit10x2), // 1-bit mask, scaled
+            (7L, MediaFixtures.pngInterlacedGray9x7), // Adam7, 7 passes
+            (8L, MediaFixtures.pngInterlacedRgb5x5),  // Adam7 RGB
+            (9L, MediaFixtures.pngGray16bit4x3),  // 16-bit → high byte
+            (10L, MediaFixtures.pngRgb16bit2x2))
           .toDF("media_id", "content")).toDF()
       },
+      // Interlaced/16-bit expectations, hand-derived from the fixture
+      // formulas: 7 = (3y+5x+7) over 9×7 (max 65 < 256, sum 2268);
+      // 8 = (31y+17x+11c) over 5×5×3 (max 214, sum 8025); 9 = high
+      // bytes 1..12 (sum 78); 10 = 20·(i+1) (sum 1560).
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
         |  CAST(width AS INTEGER) AS width,
         |  CAST(height AS INTEGER) AS height,
@@ -3350,7 +3361,11 @@ object QueriesExt {
         |             (2, 2, 2, 3, 12, 66, 0, 11),
         |             (3, 3, 2, 1, 6, 105, 5, 30),
         |             (5, 4, 2, 3, 24, 2160, 10, 220),
-        |             (6, 10, 2, 1, 20, 2550, 0, 255))
+        |             (6, 10, 2, 1, 20, 2550, 0, 255),
+        |             (7, 9, 7, 1, 63, 2268, 7, 65),
+        |             (8, 5, 5, 3, 75, 8025, 0, 214),
+        |             (9, 4, 3, 1, 12, 78, 1, 12),
+        |             (10, 2, 2, 3, 12, 1560, 20, 240))
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 

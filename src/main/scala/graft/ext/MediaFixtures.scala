@@ -150,6 +150,144 @@ object MediaFixtures {
   val pngGray1bit10x2: Array[Byte] = buildPngIndexed(10, 2, depth = 1,
     samples = (0 until 20).map(i => (i % 2 + i / 10) % 2), palette = None)
 
+  /** Byte-wise PNG filter transform (the encoder side [[graft.ext
+    * .Multimodal.pngPixels]] must invert): `rows(y)` holds raw row
+    * bytes as 0-255 ints, `bpp` is whole bytes per pixel, `filters(y)`
+    * ∈ 0-4. Returns filter-byte-prefixed filtered rows. */
+  private def filterRows(rows: IndexedSeq[IndexedSeq[Int]], bpp: Int,
+      filters: Seq[Int]): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    for (y <- rows.indices) {
+      out += filters(y).toByte
+      for (x <- rows(y).indices) {
+        val cur = rows(y)(x)
+        val a = if (x >= bpp) rows(y)(x - bpp) else 0
+        val b = if (y > 0) rows(y - 1)(x) else 0
+        val c = if (x >= bpp && y > 0) rows(y - 1)(x - bpp) else 0
+        val enc = filters(y) match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = (p - a).abs; val pb = (p - b).abs; val pc = (p - c).abs
+            val pred = if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) b else c
+            cur - pred
+        }
+        out += (enc & 0xFF).toByte
+      }
+    }
+    out.result()
+  }
+
+  /** zlib container for raw filtered bytes: stored-deflate block +
+    * Adler32 — every byte spec-derived in plain code. */
+  private def storedZlib(raw: Array[Byte]): Array[Byte] = {
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    Array[Byte](0x78, 0x01, 0x01,
+      (raw.length & 0xFF).toByte, ((raw.length >> 8) & 0xFF).toByte,
+      ((~raw.length) & 0xFF).toByte,
+      (((~raw.length) >> 8) & 0xFF).toByte) ++
+      raw ++ be32(adler.getValue)
+  }
+
+  /** Build a REAL Adam7-INTERLACED 8-bit PNG from full-image row-major
+    * samples: the seven passes extracted by the spec's start/step
+    * lattice, each pass independently filtered (`filter(passIdx,
+    * passRow)` ∈ 0-4 — pass-local prev-row semantics, the exact
+    * contract the de-interlacing decoder must honor), all passes
+    * concatenated into ONE zlib stream per the spec. */
+  def buildPngInterlaced(width: Int, height: Int, colorType: Int,
+      samples: Seq[Int],
+      filter: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    }
+    require(samples.length == width * height * channels,
+      "sample shape mismatch")
+    val lattice = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+      (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = Array.newBuilder[Byte]
+    for (((xs, ys, xst, yst), pi) <- lattice.zipWithIndex) {
+      val pw = if (width > xs) (width - xs + xst - 1) / xst else 0
+      val ph = if (height > ys) (height - ys + yst - 1) / yst else 0
+      if (pw > 0 && ph > 0) {
+        val rows = (0 until ph).map { y =>
+          (0 until pw).flatMap { x =>
+            val o = ((ys + y * yst) * width + (xs + x * xst)) * channels
+            (0 until channels).map(c => samples(o + c))
+          }
+        }
+        raw ++= filterRows(rows, channels,
+          (0 until ph).map(y => filter(pi, y)))
+      }
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 1) // interlace = Adam7
+    hex("89504E470D0A1A0A") ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", storedZlib(raw.result())) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Build a REAL 16-bit PNG (gray `colorType=0` or RGB `colorType=2`)
+    * from row-major 16-bit samples, big-endian per the spec, with
+    * per-row filters (byte-wise arithmetic at bpp = 2·channels). */
+  def buildPng16(width: Int, height: Int, colorType: Int,
+      samples: Seq[Int], filters: Seq[Int]): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3 }
+    require(samples.length == width * height * channels,
+      "sample shape mismatch")
+    require(samples.forall(s => s >= 0 && s <= 0xFFFF), "sample range")
+    val rows = (0 until height).map { y =>
+      (0 until width * channels).flatMap { i =>
+        val v = samples(y * width * channels + i)
+        Seq((v >> 8) & 0xFF, v & 0xFF)
+      }
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](16, colorType.toByte, 0, 0, 0)
+    hex("89504E470D0A1A0A") ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", storedZlib(
+        filterRows(rows, 2 * channels, filters))) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** 9×7 Adam7 grayscale PNG (odd dims exercise every pass-edge case;
+    * all seven passes non-empty), samples (3·y+5·x+7) mod 256, filters
+    * cycling (pass+row) mod 5 so every kernel runs pass-locally.
+    * Expected stats: n=63, sum=Σ samples, min/max over the grid. */
+  val pngInterlacedGray9x7: Array[Byte] = buildPngInterlaced(9, 7, 0,
+    samples = interlacedGraySamples9x7,
+    filter = (pi, y) => (pi + y) % 5)
+  private def interlacedGraySamples9x7: Seq[Int] =
+    for (y <- 0 until 7; x <- 0 until 9) yield (3 * y + 5 * x + 7) % 256
+
+  /** 5×5 Adam7 RGB PNG (passes 1/2/4/6 single-pixel-wide), channel
+    * bytes (y·31+x·17+c·11) mod 256, Paeth-heavy filters. */
+  val pngInterlacedRgb5x5: Array[Byte] = buildPngInterlaced(5, 5, 2,
+    samples = interlacedRgbSamples5x5,
+    filter = (pi, y) => if ((pi + y) % 2 == 0) 4 else 3)
+  private def interlacedRgbSamples5x5: Seq[Int] =
+    for (y <- 0 until 5; x <- 0 until 5; c <- 0 until 3)
+      yield (y * 31 + x * 17 + c * 11) % 256
+
+  /** 4×3 16-bit grayscale PNG: samples 0x0100·(i+1)+0x40 — high bytes
+    * 1..12, so the 8-bit reduction is exactly i+1. Filters
+    * None/Sub/Up exercise the bpp=2 byte-wise arithmetic. */
+  val pngGray16bit4x3: Array[Byte] = buildPng16(4, 3, 0,
+    samples = (0 until 12).map(i => ((i + 1) << 8) | 0x40),
+    filters = Seq(0, 1, 2))
+
+  /** 2×2 16-bit RGB PNG: high bytes 20·(i+1) per channel sample i,
+    * Paeth on row 1 (bpp=6 byte-wise). 8-bit reduction: 20..240
+    * step 20. */
+  val pngRgb16bit2x2: Array[Byte] = buildPng16(2, 2, 2,
+    samples = (0 until 12).map(i => (math.min(240, 20 * (i + 1)) << 8) | 0x7F),
+    filters = Seq(0, 4))
+
   // ------------------------------------------------- 24-bit BMP encoder
 
   /** Build a REAL, spec-valid uncompressed 24-bit BMP (BITMAPFILEHEADER

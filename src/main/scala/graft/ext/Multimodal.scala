@@ -22,13 +22,15 @@ final case class FrameRef(media_id: Long, frame_index: Long, ts_sec: Double)
   * processing (the JVM analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup), explode-based frame sampling —
   * is real and tested, and so is the decoding: full pixel decode for
-  * PNG ([[pngPixels]]), baseline JPEG ([[jpegPixels]] — pure-JVM T.81
-  * Huffman+IDCT, no codec libraries), GIF (multi-frame LZW,
-  * [[gifFrames]]) and BMP ([[bmpPixels]]), each cross-checked against
-  * the JDK codecs both directions. [[imageDims]] is the header-only
-  * fast path; blobs that are not a recognized container fall back to
-  * the clearly marked deterministic `decodeDims` so the text-bytes
-  * fixture stays oracle-checkable.
+  * PNG ([[pngPixels]] — incl. palette-indexed and 1/2/4-bit forms),
+  * JPEG ([[jpegPixels]] — pure-JVM T.81 Huffman+IDCT, sequential AND
+  * progressive, 4:4:4/4:2:0/4:2:2 sampling, restart markers; no codec
+  * libraries), GIF (multi-frame LZW, [[gifFrames]]) and BMP
+  * ([[bmpPixels]]), each cross-checked against the JDK codecs both
+  * directions. [[imageDims]] is the header-only fast path; blobs that
+  * are not a recognized container fall back to the clearly marked
+  * deterministic `decodeDims` so the text-bytes fixture stays
+  * oracle-checkable.
   *
   * Scale notes: binary payloads dominate row size, so these tables want
   * `spark.sql.files.maxPartitionBytes` sized for ~100-row partitions and
@@ -141,9 +143,12 @@ object Multimodal {
     * real-corpus indexed/mask forms: PALETTE (type 3, PLTE lookup →
     * 3-channel RGB) and sub-byte depths 1/2/4 for gray and palette
     * (MSB-first bit unpacking; gray samples scaled to full 8-bit range,
-    * v·255/(2^depth−1), matching the JDK's expansion). 16-bit and
-    * interlaced return None — header metadata still decodes via
-    * [[imageDims]].
+    * v·255/(2^depth−1), matching the JDK's expansion), 16-bit samples
+    * (big-endian; reduced to their high byte, the standard 8-bit
+    * presentation v>>8), and ADAM7 INTERLACING (the progressive-render
+    * layout older web PNGs carry: seven sub-images, each with its own
+    * per-pass row filtering, de-interlaced by the spec's
+    * start/step lattice).
     *
     * Scale shape: pixel decode is a per-row CPU kernel over blob bytes —
     * it belongs inside the same partition-batched `mapPartitions` body as
@@ -170,6 +175,7 @@ object Multimodal {
     if (bytes.length < 33 ||
       !pngSig.indices.forall(i => u8(i) == pngSig(i))) return None
     var w = 0; var h = 0; var colorType = -1; var depth = 0
+    var interlace = 0
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
@@ -181,6 +187,7 @@ object Multimodal {
         case "IHDR" =>
           w = u32(i + 8).toInt; h = u32(i + 12).toInt
           depth = u8(i + 16); colorType = u8(i + 17)
+          interlace = u8(i + 20)
         case "PLTE" =>
           if (len % 3 != 0) return None
           palette = bytes.slice(i + 8, i + 8 + len)
@@ -189,24 +196,42 @@ object Multimodal {
       }
       i += 12 + len // len + type + data + crc
     }
-    // Supported layouts: depth-8 gray / RGB / gray+alpha / RGBA (the
-    // original set), PLUS palette-indexed (type 3) and sub-byte depths
-    // 1/2/4 for gray and palette — the mask and indexed-image forms
-    // real corpora carry. 16-bit and interlaced return None.
+    // Supported layouts: depth-8/16 gray / RGB / gray+alpha / RGBA,
+    // palette-indexed (type 3), sub-byte depths 1/2/4 for gray and
+    // palette, non-interlaced and Adam7 — the full still-image PNG
+    // matrix real corpora carry (16-bit reduced to its high byte).
     val baseChannels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
     val depthOk = colorType match {
-      case 0 | 3 => Seq(1, 2, 4, 8).contains(depth)
-      case _ => depth == 8
+      case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+      case 3 => Seq(1, 2, 4, 8).contains(depth)
+      case _ => depth == 8 || depth == 16
     }
     if (w <= 0 || h <= 0 || !depthOk || idat.size == 0) return None
     if (colorType == 3 && palette == null) return None
+    if (interlace != 0 && interlace != 1) return None
+    // adversarial-size guard: a lying IHDR must not OOM the task
+    if (w.toLong * h * baseChannels > (1L << 28)) return None
     val bitsPerPx = depth * baseChannels
-    val rowBytes = (w * bitsPerPx + 7) / 8
     val filterBpp = math.max(1, bitsPerPx / 8)
-    val raw = new Array[Byte](h * (1 + rowBytes))
+    // Pass lattice: one full-frame pass when non-interlaced; the seven
+    // Adam7 sub-images (xStart, yStart, xStep, yStep per the spec's
+    // 8×8 pattern) when interlaced. Each pass is independently
+    // filtered: its rows see only the previous row OF THE SAME PASS.
+    val lattice =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    final case class Pass(xs: Int, ys: Int, xst: Int, yst: Int,
+        pw: Int, ph: Int, rowBytes: Int)
+    val passes = lattice.map { case (xs, ys, xst, yst) =>
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      Pass(xs, ys, xst, yst, pw, ph, (pw * bitsPerPx + 7) / 8)
+    }.filter(p => p.pw > 0 && p.ph > 0)
+    val raw = new Array[Byte](passes.map(p => p.ph * (1 + p.rowBytes)).sum)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -217,68 +242,98 @@ object Multimodal {
     }
     inf.end()
     if (off != raw.length) return None
-    // unfilter over raw ROW BYTES (filter arithmetic is byte-wise with
-    // bpp = whole bytes per pixel, 1 for sub-byte layouts — RFC 2083)
-    val unf = new Array[Byte](h * rowBytes)
-    var y = 0
-    while (y < h) {
-      val filter = raw(y * (1 + rowBytes)) & 0xFF
-      val rowIn = y * (1 + rowBytes) + 1
-      val rowOut = y * rowBytes
-      var x = 0
-      while (x < rowBytes) {
-        val cur = raw(rowIn + x) & 0xFF
-        val a = if (x >= filterBpp) unf(rowOut + x - filterBpp) & 0xFF else 0
-        val b = if (y > 0) unf(rowOut - rowBytes + x) & 0xFF else 0
-        val c = if (x >= filterBpp && y > 0)
-          unf(rowOut - rowBytes + x - filterBpp) & 0xFF else 0
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + (a + b) / 2
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            cur + pred
-          case _ => return None
+    // samples(y, x, c) as 8-bit values: depth-8 bytes pass through,
+    // depth-16 keeps the big-endian HIGH byte, sub-byte keeps the RAW
+    // small value (palette index / gray level) for the expansion below.
+    val samples = new Array[Byte](w * h * baseChannels)
+    var passOff = 0
+    passes.foreach { p =>
+      // unfilter over raw ROW BYTES (filter arithmetic is byte-wise
+      // with bpp = whole bytes per pixel, 1 for sub-byte — RFC 2083)
+      val unf = new Array[Byte](p.ph * p.rowBytes)
+      var y = 0
+      while (y < p.ph) {
+        val filter = raw(passOff + y * (1 + p.rowBytes)) & 0xFF
+        val rowIn = passOff + y * (1 + p.rowBytes) + 1
+        val rowOut = y * p.rowBytes
+        var x = 0
+        while (x < p.rowBytes) {
+          val cur = raw(rowIn + x) & 0xFF
+          val a = if (x >= filterBpp) unf(rowOut + x - filterBpp) & 0xFF
+            else 0
+          val b = if (y > 0) unf(rowOut - p.rowBytes + x) & 0xFF else 0
+          val c = if (x >= filterBpp && y > 0)
+            unf(rowOut - p.rowBytes + x - filterBpp) & 0xFF else 0
+          val recon = filter match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case 4 => // Paeth predictor
+              val pd = a + b - c
+              val pa = math.abs(pd - a); val pb = math.abs(pd - b)
+              val pc = math.abs(pd - c)
+              val pred = if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) b else c
+              cur + pred
+            case _ => return None
+          }
+          unf(rowOut + x) = (recon & 0xFF).toByte
+          x += 1
         }
-        unf(rowOut + x) = (recon & 0xFF).toByte
-        x += 1
+        y += 1
       }
-      y += 1
-    }
-    // expand to 8-bit samples: palette lookup → RGB; sub-byte gray
-    // scaled to full range (v * 255 / (2^depth − 1)); depth-8
-    // non-palette rows pass through
-    if (colorType == 3 || depth < 8) {
-      val outCh = if (colorType == 3) 3 else 1
-      val out = new Array[Byte](w * h * outCh)
+      // scatter this pass's samples to their de-interlaced positions
       val maxV = (1 << depth) - 1
       var y2 = 0
-      while (y2 < h) {
+      while (y2 < p.ph) {
+        val imgY = p.ys + y2 * p.yst
         var x2 = 0
-        while (x2 < w) {
-          val bitPos = x2 * depth
-          val v = if (depth == 8) unf(y2 * rowBytes + x2) & 0xFF
-            else (unf(y2 * rowBytes + bitPos / 8) & 0xFF) >>
-              (8 - depth - bitPos % 8) & maxV
-          if (colorType == 3) {
-            if (3 * v + 2 >= palette.length) return None // index OOB
-            val o = (y2 * w + x2) * 3
-            out(o) = palette(3 * v); out(o + 1) = palette(3 * v + 1)
-            out(o + 2) = palette(3 * v + 2)
-          } else {
-            out(y2 * w + x2) = (v * 255 / maxV).toByte
+        while (x2 < p.pw) {
+          val imgX = p.xs + x2 * p.xst
+          val outBase = (imgY * w + imgX) * baseChannels
+          var ch = 0
+          while (ch < baseChannels) {
+            val v = depth match {
+              case 8 =>
+                unf(y2 * p.rowBytes + x2 * baseChannels + ch) & 0xFF
+              case 16 =>
+                unf(y2 * p.rowBytes + (x2 * baseChannels + ch) * 2) & 0xFF
+              case d => // sub-byte: baseChannels == 1
+                val bitPos = x2 * d
+                (unf(y2 * p.rowBytes + bitPos / 8) & 0xFF) >>
+                  (8 - d - bitPos % 8) & maxV
+            }
+            samples(outBase + ch) = v.toByte
+            ch += 1
           }
           x2 += 1
         }
         y2 += 1
       }
+      passOff += p.ph * (1 + p.rowBytes)
+    }
+    // expand to the output form: palette lookup → RGB; sub-byte gray
+    // scaled to full range (v * 255 / (2^depth − 1)); depth-8/16
+    // samples pass through
+    if (colorType == 3 || depth < 8) {
+      val outCh = if (colorType == 3) 3 else 1
+      val out = new Array[Byte](w * h * outCh)
+      val maxV = (1 << depth) - 1
+      var px = 0
+      while (px < w * h) {
+        val v = samples(px) & 0xFF
+        if (colorType == 3) {
+          if (3 * v + 2 >= palette.length) return None // index OOB
+          out(px * 3) = palette(3 * v); out(px * 3 + 1) = palette(3 * v + 1)
+          out(px * 3 + 2) = palette(3 * v + 2)
+        } else {
+          out(px) = (v * 255 / maxV).toByte
+        }
+        px += 1
+      }
       Some(PngImage(w, h, outCh, out))
-    } else Some(PngImage(w, h, baseChannels, unf))
+    } else Some(PngImage(w, h, baseChannels, samples))
   }
 
   /** A fully decoded 8-bit image of any container: dimensions + raw

@@ -140,6 +140,106 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
         ((jdk.getRGB(x, y) >> sh) & 0xFF), s"indexed ($x,$y,$ch)")
   }
 
+  test("pngPixels de-interlaces Adam7 (all passes, pass-local filters); ImageIO agrees") {
+    // 9×7 gray: odd dims exercise every pass-edge; filters cycle all
+    // five kernels pass-locally (the encoder applies them per-pass,
+    // which is exactly the contract the decoder must invert).
+    val expG = for (y <- 0 until 7; x <- 0 until 9)
+      yield (3 * y + 5 * x + 7) % 256
+    val g = Multimodal.pngPixels(
+      graft.ext.MediaFixtures.pngInterlacedGray9x7).get
+    assert((g.width, g.height, g.channels) == ((9, 7, 1)))
+    assert(g.pixels.map(_ & 0xFF).toSeq == expG)
+    val jg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngInterlacedGray9x7))
+    assert(jg != null)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(jg.getRaster.getSample(x, y, 0) == expG(y * 9 + x),
+        s"jdk interlaced gray ($x,$y)")
+    // 5×5 RGB: single-pixel-wide passes, Paeth/Average filters
+    val expC = for (y <- 0 until 5; x <- 0 until 5; c <- 0 until 3)
+      yield (y * 31 + x * 17 + c * 11) % 256
+    val cI = Multimodal.pngPixels(
+      graft.ext.MediaFixtures.pngInterlacedRgb5x5).get
+    assert((cI.width, cI.height, cI.channels) == ((5, 5, 3)))
+    assert(cI.pixels.map(_ & 0xFF).toSeq == expC)
+    val jc = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngInterlacedRgb5x5))
+    assert(jc != null)
+    for (y <- 0 until 5; x <- 0 until 5; ch <- 0 until 3)
+      assert(jc.getRaster.getSample(x, y, ch) == expC((y * 5 + x) * 3 + ch),
+        s"jdk interlaced rgb ($x,$y,$ch)")
+    // reverse direction: the JDK's own Adam7 writer (progressive mode)
+    // produces bytes this decoder reads back pixel-exactly
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 23)
+      img.setRGB(x, y, (((x * 13 + y * 7) % 256) << 16) |
+        (((x * 5 + y * 11) % 256) << 8) | ((x * 3 + y * 17) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val pbytes = baos.toByteArray
+    assert((pbytes(28) & 0xFF) == 1, "JDK progressive PNG is Adam7")
+    val mine = Multimodal.pngPixels(pbytes)
+      .getOrElse(fail("pngPixels rejected JDK Adam7 PNG"))
+    assert((mine.width, mine.height, mine.channels) == ((23, 17, 3)))
+    for (y <- 0 until 17; x <- 0 until 23; (sh, ch) <- Seq((16, 0),
+        (8, 1), (0, 2)))
+      assert((mine.pixels((y * 23 + x) * 3 + ch) & 0xFF) ==
+        ((img.getRGB(x, y) >> sh) & 0xFF), s"jdk-adam7 ($x,$y,$ch)")
+    // an undefined interlace method is rejected, not mis-decoded
+    val bad = graft.ext.MediaFixtures.pngInterlacedGray9x7.clone()
+    bad(28) = 2 // IHDR interlace byte (CRC now wrong too — either gate)
+    assert(Multimodal.pngPixels(bad).isEmpty)
+  }
+
+  test("pngPixels reduces 16-bit samples to their high byte; ImageIO raster agrees") {
+    // 4×3 gray16, filters None/Sub/Up at bpp=2: high bytes are 1..12
+    val g16 = Multimodal.pngPixels(
+      graft.ext.MediaFixtures.pngGray16bit4x3).get
+    assert((g16.width, g16.height, g16.channels) == ((4, 3, 1)))
+    assert(g16.pixels.map(_ & 0xFF).toSeq == (1 to 12))
+    val j16 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngGray16bit4x3))
+    assert(j16 != null)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(j16.getRaster.getSample(x, y, 0) ==
+        (((y * 4 + x + 1) << 8) | 0x40), s"jdk gray16 ($x,$y)")
+    // 2×2 rgb16 with Paeth at bpp=6
+    val expR = (0 until 12).map(i => math.min(240, 20 * (i + 1)))
+    val r16 = Multimodal.pngPixels(
+      graft.ext.MediaFixtures.pngRgb16bit2x2).get
+    assert((r16.width, r16.height, r16.channels) == ((2, 2, 3)))
+    assert(r16.pixels.map(_ & 0xFF).toSeq == expR)
+    val jr = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.pngRgb16bit2x2))
+    assert(jr != null)
+    for (y <- 0 until 2; x <- 0 until 2; ch <- 0 until 3)
+      assert(jr.getRaster.getSample(x, y, ch) >> 8 ==
+        expR((y * 2 + x) * 3 + ch), s"jdk rgb16 ($x,$y,$ch)")
+    // reverse direction: a JDK-written 16-bit gray PNG decodes here to
+    // the JDK raster's high bytes
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val wrRaster = img.getRaster
+    for (y <- 0 until 4; x <- 0 until 6)
+      wrRaster.setSample(x, y, 0, (x * 9181 + y * 12289) % 65536)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val mine = Multimodal.pngPixels(baos.toByteArray)
+      .getOrElse(fail("pngPixels rejected JDK 16-bit PNG"))
+    assert((mine.width, mine.height, mine.channels) == ((6, 4, 1)))
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert((mine.pixels(y * 6 + x) & 0xFF) ==
+        ((x * 9181 + y * 12289) % 65536) >> 8, s"jdk16 ($x,$y)")
+  }
+
   test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
     val s = spark
     import s.implicits._
@@ -715,6 +815,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.pngGray3x2,
       graft.ext.MediaFixtures.pngPalette4x2,
       graft.ext.MediaFixtures.pngGray1bit10x2,
+      graft.ext.MediaFixtures.pngInterlacedGray9x7, // Adam7 passes
+      graft.ext.MediaFixtures.pngInterlacedRgb5x5,
+      graft.ext.MediaFixtures.pngGray16bit4x3,      // 16-bit reduction
+      graft.ext.MediaFixtures.pngRgb16bit2x2,
       graft.ext.MediaFixtures.jpegGray8x8,
       graft.ext.MediaFixtures.jpegGray16x8,
       graft.ext.MediaFixtures.jpegColor8x8,
