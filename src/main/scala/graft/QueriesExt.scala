@@ -3643,9 +3643,14 @@ object QueriesExt {
             (1L, AudioFixtures.wavSquare),
             (2L, AudioFixtures.wavStereo8),
             (3L, MediaFixtures.jpeg4x2),
-            (4L, "not audio".getBytes))
+            (4L, "not audio".getBytes),
+            (5L, AudioFixtures.wav24Mono),      // 24-bit depth
+            (6L, AudioFixtures.wav32ExtStereo), // extensible int32
+            (7L, AudioFixtures.wavFloatMono))   // IEEE float → 16-bit
           .toDF("media_id", "content")).toDF()
       },
+      // Rows 5-7 hand-derived from the AudioFixtures sample lists
+      // (24-bit full-range, extensible 32-bit, float→round(f·32767)).
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
         |  CAST(sample_rate AS INTEGER) AS sample_rate,
         |  CAST(channels AS INTEGER) AS channels,
@@ -3656,7 +3661,12 @@ object QueriesExt {
         |  CAST(amp_sum_abs AS BIGINT) AS amp_sum_abs,
         |  CAST(zero_crossings AS BIGINT) AS zero_crossings
         |FROM (VALUES (1, 8000, 1, 16, 16, -1000, 1000, 16000, 15),
-        |             (2, 4000, 2, 8, 4, -10, 20, 80, 3))
+        |             (2, 4000, 2, 8, 4, -10, 20, 80, 3),
+        |             (5, 48000, 1, 24, 5, -8388607, 8388607,
+        |              17377214, 2),
+        |             (6, 44100, 2, 32, 3, -1073741824, 1073741824,
+        |              6221225472, 2),
+        |             (7, 16000, 1, 32, 6, -16383, 32767, 98301, 4))
         |  AS t(media_id, sample_rate, channels, bits_per_sample,
         |       n_frames, amp_min, amp_max, amp_sum_abs,
         |       zero_crossings)""".stripMargin)),

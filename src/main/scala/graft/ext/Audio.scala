@@ -35,11 +35,16 @@ object Audio {
 
   /** Parse a WAV (RIFF/WAVE) byte blob to interleaved PCM samples.
     * Supported: format 1 (integer PCM) at 8 bits (unsigned, re-centered
-    * by −128) or 16 bits (signed little-endian), any channel count /
+    * by −128), 16/24/32 bits (signed little-endian), format 3 (IEEE
+    * float, 32-bit — samples presented in the 16-bit integer domain,
+    * round(f·32767) clamped, the standard float→int reduction), and
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — the container
+    * most tools emit for >2 channels or >16 bits (SubFormat GUID
+    * checked against the KSDATAFORMAT tail), any channel count /
     * sample rate; `fmt ` and `data` chunks in any order, unknown chunks
     * (LIST, fact, …) skipped by their declared length, word-aligned as
-    * RIFF requires (odd-length chunks carry a pad byte). Float PCM,
-    * WAVE_FORMAT_EXTENSIBLE, and truncated data return None. */
+    * RIFF requires (odd-length chunks carry a pad byte). 64-bit float
+    * and truncated data return None. */
   def wavSamples(bytes: Array[Byte]): Option[PcmAudio] =
     try wavSamplesImpl(bytes)
     catch { case scala.util.control.NonFatal(_) => None } // never throw on adversarial bytes (see Multimodal.safely)
@@ -55,7 +60,13 @@ object Audio {
       else ""
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var isFloat = false
     var data: Option[(Int, Int)] = None // (offset, length)
+    // KSDATAFORMAT_SUBTYPE GUID tail shared by the PCM and IEEE-float
+    // subformats (…-0000-0010-8000-00AA00389B71); the leading u16 is
+    // the wrapped format code.
+    val ksTail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+      0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
     var i = 12
     while (i + 8 <= bytes.length) {
       val ct = tag(i); val len = u32(i + 4).toInt
@@ -63,12 +74,24 @@ object Audio {
       ct match {
         case "fmt " =>
           if (len < 16) return None
-          val audioFormat = u16(i + 8)
+          var audioFormat = u16(i + 8)
           channels = u16(i + 10)
           rate = u32(i + 12).toInt
           bits = u16(i + 22)
-          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
-            channels > 0 && rate > 0
+          if (audioFormat == 0xFFFE) { // WAVE_FORMAT_EXTENSIBLE
+            if (len < 40) return None
+            // SubFormat GUID at +24 into the chunk body: u16 wrapped
+            // format code + the fixed KSDATAFORMAT tail
+            if (!ksTail.indices.forall(k => u8(i + 8 + 26 + k) == ksTail(k)))
+              return None
+            audioFormat = u16(i + 8 + 24)
+          }
+          isFloat = audioFormat == 3
+          fmtOk = channels > 0 && rate > 0 && (audioFormat match {
+            case 1 => Seq(8, 16, 24, 32).contains(bits)
+            case 3 => bits == 32
+            case _ => false
+          })
         case "data" => data = Some((i + 8, len))
         case _ => () // LIST / fact / cue … skipped
       }
@@ -81,9 +104,19 @@ object Audio {
         val out = new Array[Int](n)
         var s = 0
         while (s < n) {
+          val b = off + bytesPer * s
           out(s) =
-            if (bits == 8) u8(off + s) - 128
-            else (u16(off + 2 * s) << 16) >> 16 // sign-extend 16-bit LE
+            if (isFloat) { // 32-bit IEEE float → 16-bit integer domain
+              val f = java.lang.Float.intBitsToFloat(u32(b).toInt)
+              if (f.isNaN) 0
+              else math.max(-32768, math.min(32767, math.round(f * 32767f)))
+            } else bits match {
+              case 8 => u8(b) - 128
+              case 16 => (u16(b) << 16) >> 16 // sign-extend 16-bit LE
+              case 24 => (u8(b) | (u8(b + 1) << 8) | (u8(b + 2) << 16)
+                ) << 8 >> 8 // sign-extend 24-bit LE
+              case _ => u32(b).toInt // full signed 32-bit LE
+            }
           s += 1
         }
         Some(PcmAudio(rate, channels, bits, out))

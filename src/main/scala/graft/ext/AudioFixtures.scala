@@ -16,18 +16,51 @@ object AudioFixtures {
 
   /** Build a REAL, spec-valid PCM WAV from explicit interleaved signed
     * samples (−128..127 for 8-bit — stored unsigned per the WAV spec —
-    * or −32768..32767 for 16-bit little-endian). */
+    * signed little-endian for 16/24/32-bit). `extensible` wraps the
+    * format in a WAVE_FORMAT_EXTENSIBLE fmt chunk (format 0xFFFE +
+    * 22-byte extension with the KSDATAFORMAT_SUBTYPE_PCM GUID and a
+    * speaker mask) — the container most tools emit for >16 bits. */
   def buildWav(rate: Int, channels: Int, bits: Int,
-      samples: Seq[Int]): Array[Byte] = {
-    require(bits == 8 || bits == 16, "PCM 8/16-bit only")
+      samples: Seq[Int], extensible: Boolean = false): Array[Byte] = {
+    require(Seq(8, 16, 24, 32).contains(bits), "PCM 8/16/24/32-bit")
     require(samples.length % channels == 0, "partial frame")
     val bytesPer = bits / 8
-    val data: Array[Byte] =
-      if (bits == 8) samples.map(v => ((v + 128) & 0xFF).toByte).toArray
-      else samples.flatMap(v => le16(v & 0xFFFF)).toArray
-    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+    val data: Array[Byte] = bits match {
+      case 8 => samples.map(v => ((v + 128) & 0xFF).toByte).toArray
+      case 16 => samples.flatMap(v => le16(v & 0xFFFF)).toArray
+      case 24 => samples.flatMap(v => Seq((v & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte)).toArray
+      case _ => samples.flatMap(v => le32(v)).toArray
+    }
+    wrapWav(rate, channels, bits, formatCode = 1, extensible, data)
+  }
+
+  /** Build a 32-bit IEEE-float WAV (format 3, or extensible wrapping
+    * float) from explicit per-sample floats. */
+  def buildWavFloat(rate: Int, channels: Int, samples: Seq[Float],
+      extensible: Boolean = false): Array[Byte] = {
+    require(samples.length % channels == 0, "partial frame")
+    val data: Array[Byte] = samples.flatMap(f =>
+      le32(java.lang.Float.floatToIntBits(f))).toArray
+    wrapWav(rate, channels, bits = 32, formatCode = 3, extensible, data)
+  }
+
+  private def wrapWav(rate: Int, channels: Int, bits: Int,
+      formatCode: Int, extensible: Boolean,
+      data: Array[Byte]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val base = le16(if (extensible) 0xFFFE else formatCode) ++
+      le16(channels) ++ le32(rate) ++
       le32(rate * channels * bytesPer) ++ le16(channels * bytesPer) ++
       le16(bits)
+    val fmt =
+      if (!extensible) base
+      else base ++ le16(22) ++ // cbSize
+        le16(bits) ++ // validBitsPerSample
+        le32(0) ++    // channel/speaker mask (unspecified)
+        le16(formatCode) ++ // SubFormat GUID: wrapped code + KS tail
+        Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+          0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte)
     val chunks = "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
       "data".getBytes ++ le32(data.length) ++ data ++
       (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
@@ -59,4 +92,37 @@ object AudioFixtures {
     * zero_crossings=3. */
   val wavStereo8: Array[Byte] = buildWav(4000, 2, 8,
     Seq(10, 0, -10, 20, 10, 0, -10, 20))
+
+  /** 24-bit mono 48 kHz, 5 frames spanning the full 24-bit range
+    * (±(2^23−1) at the ends — the depth real music masters use).
+    * Expected stats: n_frames=5, amp −8388607..8388607,
+    * sum_abs=2·8388607+2·300000=17377214, zero_crossings=2
+    * (hand-walk: +8388607 → −300000 flip, → 0 none, → +300000 none —
+    * the zero broke the run, → −8388607 flip). */
+  val wav24Mono: Array[Byte] = buildWav(48000, 1, 24,
+    Seq(8388607, -300000, 0, 300000, -8388607))
+
+  /** 32-bit int stereo 44.1 kHz EXTENSIBLE container (0xFFFE +
+    * KSDATAFORMAT_SUBTYPE_PCM), 3 frames; ch0 ±2^30 alternating,
+    * ch1 constant 1 billion. Expected: n_frames=3,
+    * amp −1073741824..1073741824,
+    * sum_abs=3·2^30+3·10^9=6221225472, zero_crossings=2 (ch0). */
+  val wav32ExtStereo: Array[Byte] = buildWav(44100, 2, 32,
+    Seq(1073741824, 1000000000, -1073741824, 1000000000,
+      1073741824, 1000000000), extensible = true)
+
+  /** 32-bit float mono 16 kHz (format 3), 6 samples: ±0.5 alternating,
+    * then an out-of-range +2.0f (clamps to 32767) and NaN (→0).
+    * Float decode presents in the 16-bit domain: round(f·32767), where
+    * Math.round's half-up makes 0.5f → 16384 but −0.5f → −16383.
+    * Expected: n_frames=6, amp −16383..32767,
+    * sum_abs=2·16384+2·16383+32767+0=98301, zero_crossings=4
+    * (+→−→+→−→+ flips four times; →NaN-as-0 none). */
+  val wavFloatMono: Array[Byte] = buildWavFloat(16000, 1,
+    Seq(0.5f, -0.5f, 0.5f, -0.5f, 2.0f, Float.NaN))
+
+  /** [[wavFloatMono]]'s first four samples in an EXTENSIBLE float
+    * container (0xFFFE wrapping format 3). */
+  val wavFloatExt: Array[Byte] = buildWavFloat(16000, 1,
+    Seq(0.5f, -0.5f, 0.5f, -0.5f), extensible = true)
 }

@@ -87,6 +87,85 @@ class AudioSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("wavSamples decodes 24/32-bit, float, and extensible containers; JDK agrees") {
+    // 24-bit full-range
+    val w24 = Audio.wavSamples(AudioFixtures.wav24Mono).get
+    assert((w24.sampleRate, w24.channels, w24.bitsPerSample) ==
+      ((48000, 1, 24)))
+    assert(w24.samples.toSeq ==
+      Seq(8388607, -300000, 0, 300000, -8388607))
+    // the JDK's independent reader agrees byte-for-byte (24-bit LE)
+    val in24 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(AudioFixtures.wav24Mono))
+    assert(in24.getFormat.getSampleSizeInBits == 24)
+    val raw24 = in24.readAllBytes()
+    val jdk24 = (0 until 5).map { i =>
+      ((raw24(3 * i) & 0xFF) | ((raw24(3 * i + 1) & 0xFF) << 8) |
+        ((raw24(3 * i + 2) & 0xFF) << 16)) << 8 >> 8
+    }
+    assert(jdk24 == w24.samples.toSeq)
+    // extensible container wrapping 32-bit int PCM
+    val w32 = Audio.wavSamples(AudioFixtures.wav32ExtStereo).get
+    assert((w32.sampleRate, w32.channels, w32.bitsPerSample) ==
+      ((44100, 2, 32)))
+    assert(w32.samples.toSeq == Seq(1073741824, 1000000000,
+      -1073741824, 1000000000, 1073741824, 1000000000))
+    val in32 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(AudioFixtures.wav32ExtStereo))
+    assert(in32.getFormat.getSampleSizeInBits == 32 &&
+      in32.getFormat.getChannels == 2)
+    // IEEE float (format 3): presented in the 16-bit integer domain
+    // round(f·32767); out-of-range clamps, NaN → 0
+    val wf = Audio.wavSamples(AudioFixtures.wavFloatMono).get
+    assert((wf.sampleRate, wf.channels, wf.bitsPerSample) ==
+      ((16000, 1, 32)))
+    assert(wf.samples.toSeq ==
+      Seq(16384, -16383, 16384, -16383, 32767, 0))
+    // extensible wrapping float decodes to the same presentation
+    val wfe = Audio.wavSamples(AudioFixtures.wavFloatExt).get
+    assert(wfe.samples.toSeq == Seq(16384, -16383, 16384, -16383))
+    // reverse direction: the JDK writes 24-bit PCM and float WAVE
+    // streams; ours parses both bit-exact
+    val rnd = new scala.util.Random(11)
+    val s24 = Array.fill(23)(rnd.nextInt(1 << 24) - (1 << 23))
+    val pcm24 = s24.flatMap(v => Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte))
+    val fmt24 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 22050f, 24,
+      1, 3, 22050f, false)
+    val b24 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm24), fmt24, 23L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, b24)
+    val got24 = Audio.wavSamples(b24.toByteArray)
+      .getOrElse(fail("rejected JDK-written 24-bit WAVE"))
+    assert(got24.samples.toSeq == s24.toSeq)
+    val fls = Array.fill(17)(rnd.nextFloat() * 2f - 1f)
+    val pcmF = fls.flatMap { f =>
+      val b = java.lang.Float.floatToIntBits(f)
+      Array((b & 0xFF).toByte, ((b >> 8) & 0xFF).toByte,
+        ((b >> 16) & 0xFF).toByte, ((b >> 24) & 0xFF).toByte)
+    }
+    val fmtF = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 16000f, 32,
+      1, 4, 16000f, false)
+    val bF = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmF), fmtF, 17L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bF)
+    val gotF = Audio.wavSamples(bF.toByteArray)
+      .getOrElse(fail("rejected JDK-written float WAVE"))
+    assert(gotF.samples.toSeq == fls.toSeq.map(f =>
+      math.max(-32768, math.min(32767, math.round(f * 32767f)))))
+    // 64-bit float stays rejected, not mis-decoded
+    val w64 = AudioFixtures.wavFloatMono.clone()
+    assert((w64(34) & 0xFF) == 32) // bits field of the fmt chunk
+    w64(34) = 64.toByte
+    assert(Audio.wavSamples(w64).isEmpty)
+  }
+
   test("decodeStats: integer-exact statistics; non-WAV blobs gated out") {
     val s = spark
     import s.implicits._

@@ -829,7 +829,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.gifTwoFrames,
       graft.ext.MediaFixtures.bmp3x2,
       graft.ext.AudioFixtures.wavSquare,
-      graft.ext.AudioFixtures.wavStereo8)
+      graft.ext.AudioFixtures.wavStereo8,
+      graft.ext.AudioFixtures.wav24Mono,       // 24-bit depth
+      graft.ext.AudioFixtures.wav32ExtStereo,  // extensible int32
+      graft.ext.AudioFixtures.wavFloatMono,    // IEEE float
+      graft.ext.AudioFixtures.wavFloatExt)
     val rnd = new scala.util.Random(99)
     def decodeAll(b: Array[Byte]): Unit = {
       Multimodal.pngPixels(b); Multimodal.jpegPixels(b)
