@@ -3695,6 +3695,43 @@ object QueriesExt {
         |  (3, 4000, 2, '59abd762a4b59383420b8bbca63c57f7'))
         |  AS t(media_id, sample_rate, channels, pcm_md5)""".stripMargin)),
 
+    // Typed A/V CONTAINER METADATA for the compressed formats the engine
+    // does not sample-decode (MP3 frame-header walk, MP4/ISO-BMFF box
+    // walk — full decode needs external codec libraries, SURVEY §9) plus
+    // WAV, whose duration comes from the REAL decoded sample count.
+    // Duration/bitrate/dimensions are what curation needs for budgeting
+    // and dataset cards even with opaque samples; every fixture byte and
+    // expected value is hand-derived in ContainerFixtures.
+    QueryCase("q_multimodal_av_meta",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.Containers.avMeta(s, Seq(
+            (1L, graft.ext.ContainerFixtures.mp3Cbr),
+            (2L, graft.ext.ContainerFixtures.mp3Vbr),
+            (3L, graft.ext.ContainerFixtures.mp4Video),
+            (4L, graft.ext.ContainerFixtures.m4aAudio),
+            (5L, AudioFixtures.wavSquare),
+            (6L, MediaFixtures.jpeg4x2), // not A/V: gated out
+            (7L, "not media".getBytes))
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(n_tracks AS INTEGER) AS n_tracks,
+        |  CAST(has_video AS BOOLEAN) AS has_video,
+        |  CAST(has_audio AS BOOLEAN) AS has_audio
+        |FROM (VALUES (1, 'mp3', 130, 44100, 5, 0, 0, 1, false, true),
+        |             (2, 'mp3', 72, 24000, 3, 0, 0, 1, false, true),
+        |             (3, 'mp4', 5400, 0, 0, 640, 360, 2, true, true),
+        |             (4, 'mp4', 2056, 0, 0, 0, 0, 1, false, true),
+        |             (5, 'wav', 2, 8000, 16, 0, 0, 1, false, true))
+        |  AS t(media_id, kind, duration_ms, sample_rate, n_frames,
+        |       width, height, n_tracks, has_video, has_audio)""".stripMargin)),
+
     // Windowed audio features (the encoder front-end shape): one row per
     // (blob, window of 4 frames), integer energy/peak/zero-crossings.
     QueryCase("q_multimodal_audio_windows",
