@@ -3567,6 +3567,35 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 
+    // Uncompressed baseline TIFF decode — the scan/dataset-archive
+    // format (both byte orders, multi-strip assembly, WhiteIsZero
+    // inversion to the shared black-is-zero convention); fixtures and
+    // their statistics hand-derived in MediaFixtures.buildTiff, the
+    // general path pinned against the JDK's independent TIFF plugin
+    // both directions in MultimodalSpec. Junk with a TIFF-ish prefix
+    // gates out (IFD walk rejects it).
+    QueryCase("q_multimodal_pixels_tiff",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decodePixelStats(s, Seq(
+            (1L, MediaFixtures.tiffGrayBe5x4), // BE, 2-row strips
+            (2L, MediaFixtures.tiffRgbLe3x3),  // LE, single strip
+            (3L, "II* junk that is not an IFD".getBytes("ISO-8859-1")))
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 5, 4, 1, 20, 330, 0, 33),
+        |             (2, 3, 3, 3, 27, 945, 0, 70))
+        |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
+        |       px_min, px_max)""".stripMargin)),
+
     // CONTENT-ADDRESSED image identity: md5 over DECODED pixels (width/
     // channel-prefixed), the exact-dedup key that survives re-encoding —
     // media 1 and 2 are the SAME pixels stored with different PNG row

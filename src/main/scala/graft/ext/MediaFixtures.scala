@@ -288,6 +288,95 @@ object MediaFixtures {
     samples = (0 until 12).map(i => (math.min(240, 20 * (i + 1)) << 8) | 0x7F),
     filters = Seq(0, 4))
 
+  // ---------------------------------------------- baseline TIFF encoder
+
+  /** Build a REAL, spec-valid uncompressed baseline TIFF (6.0) from
+    * row-major 8-bit samples: header + first IFD with the baseline tag
+    * set, pixel data split into `stripRows`-row strips (exercising
+    * multi-strip assembly), either byte order. `photometric`: 0
+    * WhiteIsZero (gray, stored inverted), 1 BlackIsZero (gray),
+    * 2 RGB (`spp` 3, or 4 with an alpha ExtraSample). */
+  def buildTiff(width: Int, height: Int, spp: Int, photometric: Int,
+      samples: Seq[Int], littleEndian: Boolean,
+      stripRows: Int): Array[Byte] = {
+    require(samples.length == width * height * spp, "sample shape")
+    def u16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Long): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // IFD entry: tag, type (3 SHORT / 4 LONG), count, inline value or
+    // offset — SHORT singletons pack into the first 2 bytes of the
+    // 4-byte value field
+    def entry(tag: Int, ftype: Int, count: Int,
+        value: Long): Array[Byte] =
+      u16(tag) ++ u16(ftype) ++ u32(count.toLong) ++
+        (if (ftype == 3 && count == 1) u16(value.toInt) ++ u16(0)
+         else u32(value))
+    val nStrips = (height + stripRows - 1) / stripRows
+    val rowBytes = width * spp
+    val stripLens = (0 until nStrips).map(s =>
+      (math.min(stripRows, height - s * stripRows)) * rowBytes)
+    // layout: header(8) + IFD + [bps array if spp>2] +
+    //   [strip tables if nStrips>1] + pixel strips
+    val nEntries = 9 + (if (spp == 4) 1 else 0)
+    val ifdBytes = 2 + 12 * nEntries + 4
+    var tail = 8 + ifdBytes
+    val bpsOff = tail
+    if (spp > 2) tail += 2 * spp
+    val offTableOff = tail
+    if (nStrips > 1) tail += 4 * nStrips
+    val cntTableOff = tail
+    if (nStrips > 1) tail += 4 * nStrips
+    val stripOffs = stripLens.scanLeft(tail.toLong)(_ + _).init
+    val stored = samples.map(v =>
+      (if (photometric == 0) 255 - v else v).toByte).toArray
+    val entries =
+      entry(256, 4, 1, width.toLong) ++        // ImageWidth
+      entry(257, 4, 1, height.toLong) ++       // ImageLength
+      (if (spp > 2) entry(258, 3, spp, bpsOff.toLong)
+       else entry(258, 3, 1, 8L)) ++           // BitsPerSample
+      entry(259, 3, 1, 1L) ++                  // Compression: none
+      entry(262, 3, 1, photometric.toLong) ++  // Photometric
+      (if (nStrips > 1) entry(273, 4, nStrips, offTableOff.toLong)
+       else entry(273, 4, 1, stripOffs(0))) ++ // StripOffsets
+      entry(277, 3, 1, spp.toLong) ++          // SamplesPerPixel
+      entry(278, 3, 1, stripRows.toLong) ++    // RowsPerStrip
+      (if (nStrips > 1) entry(279, 4, nStrips, cntTableOff.toLong)
+       else entry(279, 4, 1, stripLens(0).toLong)) ++ // StripByteCounts
+      (if (spp == 4) entry(338, 3, 1, 2L)      // ExtraSamples: alpha
+       else Array.emptyByteArray)
+    val header =
+      (if (littleEndian) "II".getBytes ++ u16(42)
+       else "MM".getBytes ++ u16(42)) ++ u32(8L)
+    header ++ u16(nEntries) ++ entries ++ u32(0L) ++
+      (if (spp > 2) (0 until spp).flatMap(_ => u16(8)).toArray
+       else Array.emptyByteArray) ++
+      (if (nStrips > 1) stripOffs.flatMap(u32).toArray
+       else Array.emptyByteArray) ++
+      (if (nStrips > 1) stripLens.flatMap(l => u32(l.toLong)).toArray
+       else Array.emptyByteArray) ++
+      stored
+  }
+
+  /** 5×4 big-endian WhiteIsZero gray TIFF in 2-row strips (samples
+    * (7y+3x) — stored inverted, decoded back to BlackIsZero).
+    * Expected stats: n=20, sum=7·6·5+3·10·4=330, min=0, max=33. */
+  val tiffGrayBe5x4: Array[Byte] = buildTiff(5, 4, 1, photometric = 0,
+    samples = for (y <- 0 until 4; x <- 0 until 5) yield 7 * y + 3 * x,
+    littleEndian = false, stripRows = 2)
+
+  /** 3×3 little-endian RGB TIFF, single strip, channel bytes
+    * 10·y+20·x+5·c. Expected: n=27, sum=(10+20+5)·3·9=945, min=0,
+    * max=70. */
+  val tiffRgbLe3x3: Array[Byte] = buildTiff(3, 3, 3, photometric = 2,
+    samples = for (y <- 0 until 3; x <- 0 until 3; c <- 0 until 3)
+      yield 10 * y + 20 * x + 5 * c,
+    littleEndian = true, stripRows = 3)
+
   // ------------------------------------------------- 24-bit BMP encoder
 
   /** Build a REAL, spec-valid uncompressed 24-bit BMP (BITMAPFILEHEADER

@@ -107,6 +107,13 @@ object Multimodal {
       def sle32(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       Some((sle32(18), math.abs(sle32(22)), 3))
+    } else if (bytes.length >= 8 &&
+        ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF: dims/channels from the first IFD — parses even for
+      // compressed files whose pixels tiffPixels declines
+      tiffInfo(bytes).filter(i => i.width > 0 && i.height > 0)
+        .map(i => (i.width, i.height, i.spp))
     } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       while (i + 9 < bytes.length) {
@@ -900,9 +907,128 @@ object Multimodal {
     Some(RawImage(w, h, 3, out))
   }
 
+  /** Parsed TIFF structure from the first IFD — enough for both the
+    * header fast path (dims/channels regardless of compression) and
+    * the uncompressed pixel assembly. */
+  private final case class TiffInfo(width: Int, height: Int, spp: Int,
+      bitsOk: Boolean, compression: Int, photometric: Int,
+      planarOk: Boolean, stripOffsets: Array[Long],
+      stripCounts: Array[Long])
+
+  /** Walk a TIFF header + first IFD (both byte orders — `II*\0`
+    * little-endian, `MM\0*` big-endian; TIFF 6.0 baseline tags). */
+  private def tiffInfo(bytes: Array[Byte]): Option[TiffInfo] = {
+    if (bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + 12 * n > bytes.length) return None
+    var w = 0; var h = 0; var spp = 1; var bitsOk = true
+    var compression = 1; var photometric = -1; var planarOk = true
+    var offTags: Array[Long] = Array.empty
+    var cntTags: Array[Long] = Array.empty
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + 12 * k
+      val tag = u16(e); val ftype = u16(e + 2)
+      val count = u32(e + 4).toInt
+      if (count < 0) return None
+      // SHORT(3) = 2 bytes, LONG(4) = 4 bytes; values fit inline in
+      // the 4-byte field when size·count ≤ 4, else live at an offset
+      val elemSize = ftype match {
+        case 3 => 2; case 4 => 4; case _ => 0 }
+      def value(idx: Int): Long = {
+        val base =
+          if (elemSize * count <= 4) e + 8 else u32(e + 8).toInt
+        if (base < 0 || base + elemSize * (idx + 1) > bytes.length)
+          return -1L
+        if (elemSize == 2) u16(base + 2 * idx).toLong
+        else u32(base + 4 * idx)
+      }
+      tag match {
+        case 256 => w = value(0).toInt          // ImageWidth
+        case 257 => h = value(0).toInt          // ImageLength
+        case 258 =>                             // BitsPerSample: all 8
+          bitsOk = elemSize > 0 &&
+            (0 until count).forall(value(_) == 8L)
+        case 259 => compression = value(0).toInt
+        case 262 => photometric = value(0).toInt
+        case 273 =>                             // StripOffsets
+          if (elemSize == 0) return None
+          offTags = Array.tabulate(count)(value(_))
+        case 277 => spp = value(0).toInt        // SamplesPerPixel
+        case 279 =>                             // StripByteCounts
+          if (elemSize == 0) return None
+          cntTags = Array.tabulate(count)(value(_))
+        case 284 => planarOk = value(0) == 1L   // chunky only
+        case _ => () // RowsPerStrip etc. — strip tables carry the layout
+      }
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || offTags.exists(_ < 0) ||
+      cntTags.exists(_ < 0)) None
+    else Some(TiffInfo(w, h, spp, bitsOk, compression, photometric,
+      planarOk, offTags, cntTags))
+  }
+
+  /** REAL pixel decode for baseline UNCOMPRESSED TIFF, both byte
+    * orders: IFD tag walk, multi-strip assembly, 8-bit gray
+    * (PhotometricInterpretation 0 WhiteIsZero inverted to the shared
+    * black-is-zero convention / 1 BlackIsZero), RGB, and RGBA (chunky
+    * planar only). Compressed (LZW/PackBits/JPEG-in-TIFF) and tiled
+    * files return None — dimensions still parse via [[imageDims]]. */
+  def tiffPixels(bytes: Array[Byte]): Option[RawImage] =
+    safely(tiffPixelsImpl(bytes))
+
+  private def tiffPixelsImpl(bytes: Array[Byte]): Option[RawImage] = {
+    val info = tiffInfo(bytes) match {
+      case Some(i) => i; case None => return None }
+    if (info.compression != 1 || !info.bitsOk || !info.planarOk)
+      return None
+    val channels = info.spp
+    if (channels != 1 && channels != 3 && channels != 4) return None
+    if (info.photometric != 0 && info.photometric != 1 &&
+      info.photometric != 2) return None
+    if (info.stripOffsets.isEmpty ||
+      info.stripOffsets.length != info.stripCounts.length) return None
+    val total = info.width.toLong * info.height * channels
+    if (total > (1L << 28)) return None // lying-IFD OOM guard
+    if (info.stripCounts.sum != total) return None
+    val out = new Array[Byte](total.toInt)
+    var o = 0
+    var s = 0
+    while (s < info.stripOffsets.length) {
+      val off = info.stripOffsets(s).toInt
+      val len = info.stripCounts(s).toInt
+      if (off < 0 || len < 0 || off + len > bytes.length) return None
+      System.arraycopy(bytes, off, out, o, len)
+      o += len
+      s += 1
+    }
+    if (info.photometric == 0) { // WhiteIsZero → invert to BlackIsZero
+      var i = 0
+      while (i < out.length) { out(i) = (255 - (out(i) & 0xFF)).toByte
+        i += 1 }
+    }
+    Some(RawImage(info.width, info.height, channels, out))
+  }
+
   /** Container-dispatching full pixel decode: 8-bit PNG, baseline JPEG,
-    * GIF (first frame, RGB), or uncompressed BMP → [[RawImage]];
-    * anything else None. */
+    * GIF (first frame, RGB), uncompressed BMP, or uncompressed TIFF →
+    * [[RawImage]]; anything else None. */
   def imagePixels(bytes: Array[Byte]): Option[RawImage] =
     pngPixels(bytes)
       .map(p => RawImage(p.width, p.height, p.channels, p.pixels))
@@ -910,6 +1036,7 @@ object Multimodal {
       .orElse(gifFrames(bytes).flatMap(_.headOption)
         .map(f => RawImage(f.width, f.height, 3, f.pixels)))
       .orElse(bmpPixels(bytes))
+      .orElse(tiffPixels(bytes))
 
   /** One decoded GIF frame: geometry + frame delay (centiseconds, from
     * the preceding Graphic Control Extension; 0 if none) + RGB pixels

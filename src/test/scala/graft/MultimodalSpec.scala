@@ -240,6 +240,55 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
         ((x * 9181 + y * 12289) % 65536) >> 8, s"jdk16 ($x,$y)")
   }
 
+  test("tiffPixels decodes both byte orders, strips, WhiteIsZero; ImageIO agrees") {
+    // big-endian WhiteIsZero gray in 2-row strips: decode inverts back
+    val expG = for (y <- 0 until 4; x <- 0 until 5) yield 7 * y + 3 * x
+    val g = Multimodal.tiffPixels(graft.ext.MediaFixtures.tiffGrayBe5x4).get
+    assert((g.width, g.height, g.channels) == ((5, 4, 1)))
+    assert(g.pixels.map(_ & 0xFF).toSeq == expG)
+    // dims fast path parses the same IFD
+    assert(Multimodal.imageDims(graft.ext.MediaFixtures.tiffGrayBe5x4)
+      .contains((5, 4, 1)))
+    // little-endian RGB single-strip
+    val expC = for (y <- 0 until 3; x <- 0 until 3; c <- 0 until 3)
+      yield 10 * y + 20 * x + 5 * c
+    val cT = Multimodal.tiffPixels(graft.ext.MediaFixtures.tiffRgbLe3x3).get
+    assert((cT.width, cT.height, cT.channels) == ((3, 3, 3)))
+    assert(cT.pixels.map(_ & 0xFF).toSeq == expC)
+    // the JDK's independent TIFF plugin reads our fixtures identically
+    val jg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.tiffGrayBe5x4))
+    assert(jg != null, "JDK TIFF reader rejected the gray fixture")
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(jg.getRaster.getSample(x, y, 0) == expG(y * 5 + x),
+        s"jdk tiff gray ($x,$y)")
+    val jc = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.tiffRgbLe3x3))
+    assert(jc != null)
+    for (y <- 0 until 3; x <- 0 until 3; ch <- 0 until 3)
+      assert(jc.getRaster.getSample(x, y, ch) == expC((y * 3 + x) * 3 + ch),
+        s"jdk tiff rgb ($x,$y,$ch)")
+    // reverse direction: a JDK-written uncompressed TIFF decodes here
+    val img = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 11)
+      img.setRGB(x, y, (((x * 19 + y * 3) % 256) << 16) |
+        (((x * 7 + y * 13) % 256) << 8) | ((x * 29 + y * 5) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", baos))
+    val mine = Multimodal.tiffPixels(baos.toByteArray)
+      .getOrElse(fail("tiffPixels rejected JDK-written TIFF"))
+    assert((mine.width, mine.height, mine.channels) == ((11, 6, 3)))
+    for (y <- 0 until 6; x <- 0 until 11; (sh, ch) <- Seq((16, 0),
+        (8, 1), (0, 2)))
+      assert((mine.pixels((y * 11 + x) * 3 + ch) & 0xFF) ==
+        ((img.getRGB(x, y) >> sh) & 0xFF), s"jdk-tiff ($x,$y,$ch)")
+    // imagePixels dispatch includes TIFF; non-TIFF rejected by signature
+    assert(Multimodal.imagePixels(graft.ext.MediaFixtures.tiffRgbLe3x3)
+      .exists(_.channels == 3))
+    assert(Multimodal.tiffPixels(graft.ext.MediaFixtures.pngRgb2x2).isEmpty)
+  }
+
   test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
     val s = spark
     import s.implicits._
@@ -828,6 +877,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.jpegRestart32x8,
       graft.ext.MediaFixtures.gifTwoFrames,
       graft.ext.MediaFixtures.bmp3x2,
+      graft.ext.MediaFixtures.tiffGrayBe5x4, // IFD walk, both endians
+      graft.ext.MediaFixtures.tiffRgbLe3x3,
       graft.ext.AudioFixtures.wavSquare,
       graft.ext.AudioFixtures.wavStereo8,
       graft.ext.AudioFixtures.wav24Mono,       // 24-bit depth
@@ -838,6 +889,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     def decodeAll(b: Array[Byte]): Unit = {
       Multimodal.pngPixels(b); Multimodal.jpegPixels(b)
       Multimodal.gifFrames(b); Multimodal.bmpPixels(b)
+      Multimodal.tiffPixels(b)
       Multimodal.imagePixels(b); Multimodal.imageDims(b)
       graft.ext.Audio.wavSamples(b)
       graft.streaming.MediaGate.probe(0L, b)
