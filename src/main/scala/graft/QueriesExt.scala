@@ -3580,7 +3580,9 @@ object QueriesExt {
         Multimodal.decodePixelStats(s, Seq(
             (1L, MediaFixtures.tiffGrayBe5x4), // BE, 2-row strips
             (2L, MediaFixtures.tiffRgbLe3x3),  // LE, single strip
-            (3L, "II* junk that is not an IFD".getBytes("ISO-8859-1")))
+            (3L, ("II*" + "\u0000" + "junk: not an IFD").getBytes("ISO-8859-1")),
+            (4L, MediaFixtures.tiffRgbDeflatePred4x4), // zlib+predictor
+            (5L, MediaFixtures.tiffGrayPackBits6x3))   // PackBits RLE
           .toDF("media_id", "content")).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
@@ -3592,7 +3594,9 @@ object QueriesExt {
         |  CAST(px_min AS INTEGER) AS px_min,
         |  CAST(px_max AS INTEGER) AS px_max
         |FROM (VALUES (1, 5, 4, 1, 20, 330, 0, 33),
-        |             (2, 3, 3, 3, 27, 945, 0, 70))
+        |             (2, 3, 3, 3, 27, 945, 0, 70),
+        |             (4, 4, 4, 3, 48, 1224, 0, 51),
+        |             (5, 6, 3, 1, 18, 1680, 40, 200))
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 

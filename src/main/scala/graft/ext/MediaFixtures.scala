@@ -290,16 +290,19 @@ object MediaFixtures {
 
   // ---------------------------------------------- baseline TIFF encoder
 
-  /** Build a REAL, spec-valid uncompressed baseline TIFF (6.0) from
-    * row-major 8-bit samples: header + first IFD with the baseline tag
-    * set, pixel data split into `stripRows`-row strips (exercising
-    * multi-strip assembly), either byte order. `photometric`: 0
-    * WhiteIsZero (gray, stored inverted), 1 BlackIsZero (gray),
-    * 2 RGB (`spp` 3, or 4 with an alpha ExtraSample). */
+  /** Build a REAL, spec-valid baseline TIFF (6.0) from row-major 8-bit
+    * samples: header + first IFD with the baseline tag set, pixel data
+    * split into `stripRows`-row strips (exercising multi-strip
+    * assembly), either byte order. `photometric`: 0 WhiteIsZero (gray,
+    * stored inverted), 1 BlackIsZero (gray), 2 RGB (`spp` 3, or 4 with
+    * an alpha ExtraSample). `compression`: 1 none, 8 Deflate (one zlib
+    * stream per strip), 32773 PackBits (maximal literal runs);
+    * `predictor` 2 applies horizontal differencing before encoding. */
   def buildTiff(width: Int, height: Int, spp: Int, photometric: Int,
-      samples: Seq[Int], littleEndian: Boolean,
-      stripRows: Int): Array[Byte] = {
+      samples: Seq[Int], littleEndian: Boolean, stripRows: Int,
+      compression: Int = 1, predictor: Int = 1): Array[Byte] = {
     require(samples.length == width * height * spp, "sample shape")
+    require(Seq(1, 8, 32773).contains(compression), "none/deflate/packbits")
     def u16(v: Int): Array[Byte] =
       if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
       else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -318,11 +321,46 @@ object MediaFixtures {
          else u32(value))
     val nStrips = (height + stripRows - 1) / stripRows
     val rowBytes = width * spp
-    val stripLens = (0 until nStrips).map(s =>
-      (math.min(stripRows, height - s * stripRows)) * rowBytes)
+    val stored = samples.map(v =>
+      (if (photometric == 0) 255 - v else v).toByte).toArray
+    if (predictor == 2) { // horizontal differencing, per row in place
+      for (y <- (height - 1) to 0 by -1; x <- (rowBytes - 1) until
+          (spp - 1) by -1)
+        stored(y * rowBytes + x) =
+          (stored(y * rowBytes + x) - stored(y * rowBytes + x - spp)).toByte
+    }
+    // per-strip encoding: identity, one zlib Deflate stream per strip,
+    // or PackBits (emitted as maximal literal runs — valid RLE)
+    def encode(strip: Array[Byte]): Array[Byte] = compression match {
+      case 1 => strip
+      case 8 =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(strip); d.finish()
+        val buf = new Array[Byte](strip.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        buf.take(n)
+      case _ =>
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < strip.length) {
+          val run = math.min(128, strip.length - i)
+          out += (run - 1).toByte
+          out ++= strip.slice(i, i + run)
+          i += run
+        }
+        out.result()
+    }
+    val rawStrips = (0 until nStrips).map { s =>
+      val from = s * stripRows * rowBytes
+      val until = math.min(height, (s + 1) * stripRows) * rowBytes
+      stored.slice(from, until)
+    }
+    val encStrips = rawStrips.map(encode)
+    val stripLens = encStrips.map(_.length)
     // layout: header(8) + IFD + [bps array if spp>2] +
     //   [strip tables if nStrips>1] + pixel strips
-    val nEntries = 9 + (if (spp == 4) 1 else 0)
+    val nEntries = 9 + (if (spp == 4) 1 else 0) +
+      (if (predictor == 2) 1 else 0)
     val ifdBytes = 2 + 12 * nEntries + 4
     var tail = 8 + ifdBytes
     val bpsOff = tail
@@ -332,14 +370,12 @@ object MediaFixtures {
     val cntTableOff = tail
     if (nStrips > 1) tail += 4 * nStrips
     val stripOffs = stripLens.scanLeft(tail.toLong)(_ + _).init
-    val stored = samples.map(v =>
-      (if (photometric == 0) 255 - v else v).toByte).toArray
     val entries =
       entry(256, 4, 1, width.toLong) ++        // ImageWidth
       entry(257, 4, 1, height.toLong) ++       // ImageLength
       (if (spp > 2) entry(258, 3, spp, bpsOff.toLong)
        else entry(258, 3, 1, 8L)) ++           // BitsPerSample
-      entry(259, 3, 1, 1L) ++                  // Compression: none
+      entry(259, 3, 1, compression.toLong) ++  // Compression
       entry(262, 3, 1, photometric.toLong) ++  // Photometric
       (if (nStrips > 1) entry(273, 4, nStrips, offTableOff.toLong)
        else entry(273, 4, 1, stripOffs(0))) ++ // StripOffsets
@@ -347,6 +383,8 @@ object MediaFixtures {
       entry(278, 3, 1, stripRows.toLong) ++    // RowsPerStrip
       (if (nStrips > 1) entry(279, 4, nStrips, cntTableOff.toLong)
        else entry(279, 4, 1, stripLens(0).toLong)) ++ // StripByteCounts
+      (if (predictor == 2) entry(317, 3, 1, 2L) // horizontal diff
+       else Array.emptyByteArray) ++
       (if (spp == 4) entry(338, 3, 1, 2L)      // ExtraSamples: alpha
        else Array.emptyByteArray)
     val header =
@@ -359,7 +397,7 @@ object MediaFixtures {
        else Array.emptyByteArray) ++
       (if (nStrips > 1) stripLens.flatMap(l => u32(l.toLong)).toArray
        else Array.emptyByteArray) ++
-      stored
+      encStrips.flatten
   }
 
   /** 5×4 big-endian WhiteIsZero gray TIFF in 2-row strips (samples
@@ -376,6 +414,25 @@ object MediaFixtures {
     samples = for (y <- 0 until 3; x <- 0 until 3; c <- 0 until 3)
       yield 10 * y + 20 * x + 5 * c,
     littleEndian = true, stripRows = 3)
+
+  /** 4×4 little-endian RGB TIFF, Deflate-compressed 2-row strips WITH
+    * the horizontal-differencing predictor (the layout libtiff emits
+    * for photos), channel bytes (9y+6x+3c). Same decoded content
+    * regardless of compression. Expected: n=48,
+    * sum=9·Σy·12+6·Σx·12+3·Σc·16=648+432+144=1224, min=0, max=51. */
+  val tiffRgbDeflatePred4x4: Array[Byte] = buildTiff(4, 4, 3,
+    photometric = 2,
+    samples = for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      yield 9 * y + 6 * x + 3 * c,
+    littleEndian = true, stripRows = 2, compression = 8, predictor = 2)
+
+  /** 6×3 big-endian gray TIFF, PackBits-compressed single strip
+    * (run-friendly constant rows 40/200/40). Expected: n=18,
+    * sum=6·(40+200+40)=1680, min=40, max=200. */
+  val tiffGrayPackBits6x3: Array[Byte] = buildTiff(6, 3, 1,
+    photometric = 1,
+    samples = Seq.fill(6)(40) ++ Seq.fill(6)(200) ++ Seq.fill(6)(40),
+    littleEndian = false, stripRows = 3, compression = 32773)
 
   // ------------------------------------------------- 24-bit BMP encoder
 

@@ -912,7 +912,7 @@ object Multimodal {
     * the uncompressed pixel assembly. */
   private final case class TiffInfo(width: Int, height: Int, spp: Int,
       bitsOk: Boolean, compression: Int, photometric: Int,
-      planarOk: Boolean, stripOffsets: Array[Long],
+      planarOk: Boolean, predictor: Int, stripOffsets: Array[Long],
       stripCounts: Array[Long])
 
   /** Walk a TIFF header + first IFD (both byte orders — `II*\0`
@@ -938,6 +938,7 @@ object Multimodal {
     if (ifd + 2 + 12 * n > bytes.length) return None
     var w = 0; var h = 0; var spp = 1; var bitsOk = true
     var compression = 1; var photometric = -1; var planarOk = true
+    var predictor = 1
     var offTags: Array[Long] = Array.empty
     var cntTags: Array[Long] = Array.empty
     var k = 0
@@ -974,6 +975,7 @@ object Multimodal {
           if (elemSize == 0) return None
           cntTags = Array.tabulate(count)(value(_))
         case 284 => planarOk = value(0) == 1L   // chunky only
+        case 317 => predictor = value(0).toInt  // 2 = horizontal diff
         case _ => () // RowsPerStrip etc. — strip tables carry the layout
       }
       k += 1
@@ -981,23 +983,28 @@ object Multimodal {
     if (w <= 0 || h <= 0 || offTags.exists(_ < 0) ||
       cntTags.exists(_ < 0)) None
     else Some(TiffInfo(w, h, spp, bitsOk, compression, photometric,
-      planarOk, offTags, cntTags))
+      planarOk, predictor, offTags, cntTags))
   }
 
-  /** REAL pixel decode for baseline UNCOMPRESSED TIFF, both byte
-    * orders: IFD tag walk, multi-strip assembly, 8-bit gray
-    * (PhotometricInterpretation 0 WhiteIsZero inverted to the shared
-    * black-is-zero convention / 1 BlackIsZero), RGB, and RGBA (chunky
-    * planar only). Compressed (LZW/PackBits/JPEG-in-TIFF) and tiled
-    * files return None — dimensions still parse via [[imageDims]]. */
+  /** REAL pixel decode for baseline TIFF, both byte orders: IFD tag
+    * walk, multi-strip assembly, 8-bit gray (PhotometricInterpretation
+    * 0 WhiteIsZero inverted to the shared black-is-zero convention /
+    * 1 BlackIsZero), RGB, and RGBA (chunky planar only). Compression:
+    * none (1), Deflate (8 / legacy 32946 — `java.util.zip.Inflater`,
+    * the zlib TIFF mandates) and PackBits RLE (32773), with the
+    * horizontal-differencing predictor (tag 317 = 2) undone per row.
+    * LZW/JPEG-in-TIFF and tiled files return None — dimensions still
+    * parse via [[imageDims]]. */
   def tiffPixels(bytes: Array[Byte]): Option[RawImage] =
     safely(tiffPixelsImpl(bytes))
 
   private def tiffPixelsImpl(bytes: Array[Byte]): Option[RawImage] = {
     val info = tiffInfo(bytes) match {
       case Some(i) => i; case None => return None }
-    if (info.compression != 1 || !info.bitsOk || !info.planarOk)
-      return None
+    val comp = info.compression
+    if ((comp != 1 && comp != 8 && comp != 32946 && comp != 32773) ||
+      !info.bitsOk || !info.planarOk) return None
+    if (info.predictor != 1 && info.predictor != 2) return None
     val channels = info.spp
     if (channels != 1 && channels != 3 && channels != 4) return None
     if (info.photometric != 0 && info.photometric != 1 &&
@@ -1006,7 +1013,6 @@ object Multimodal {
       info.stripOffsets.length != info.stripCounts.length) return None
     val total = info.width.toLong * info.height * channels
     if (total > (1L << 28)) return None // lying-IFD OOM guard
-    if (info.stripCounts.sum != total) return None
     val out = new Array[Byte](total.toInt)
     var o = 0
     var s = 0
@@ -1014,9 +1020,54 @@ object Multimodal {
       val off = info.stripOffsets(s).toInt
       val len = info.stripCounts(s).toInt
       if (off < 0 || len < 0 || off + len > bytes.length) return None
-      System.arraycopy(bytes, off, out, o, len)
-      o += len
+      comp match {
+        case 1 =>
+          if (o + len > out.length) return None
+          System.arraycopy(bytes, off, out, o, len)
+          o += len
+        case 8 | 32946 => // zlib Deflate strip
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes, off, len)
+          try {
+            while (!inf.finished() && o < out.length) {
+              val n = inf.inflate(out, o, out.length - o)
+              if (n == 0 && inf.needsInput()) return None // truncated
+              o += n
+            }
+            if (!inf.finished()) return None // strip overran the image
+          } finally inf.end()
+        case _ => // PackBits RLE
+          var i = off
+          val end = off + len
+          while (i < end) {
+            val n = bytes(i).toInt // signed control byte
+            i += 1
+            if (n >= 0) { // n+1 literals
+              if (i + n + 1 > end || o + n + 1 > out.length) return None
+              System.arraycopy(bytes, i, out, o, n + 1)
+              i += n + 1; o += n + 1
+            } else if (n != -128) { // repeat next byte 1−n times
+              if (i >= end || o + 1 - n > out.length) return None
+              java.util.Arrays.fill(out, o, o + 1 - n, bytes(i))
+              i += 1; o += 1 - n
+            } // −128: noop
+          }
+      }
       s += 1
+    }
+    if (o != out.length) return None
+    if (info.predictor == 2) { // undo horizontal differencing per row
+      val rowBytes = info.width * channels
+      var y = 0
+      while (y < info.height) {
+        val r = y * rowBytes
+        var x = channels
+        while (x < rowBytes) {
+          out(r + x) = (out(r + x) + out(r + x - channels)).toByte
+          x += 1
+        }
+        y += 1
+      }
     }
     if (info.photometric == 0) { // WhiteIsZero → invert to BlackIsZero
       var i = 0

@@ -289,6 +289,64 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(Multimodal.tiffPixels(graft.ext.MediaFixtures.pngRgb2x2).isEmpty)
   }
 
+  test("tiffPixels handles Deflate + predictor and PackBits; ImageIO round-trips") {
+    // Deflate strips with horizontal differencing (libtiff's photo
+    // layout): decode inverts the predictor per row after inflate
+    val expD = for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      yield 9 * y + 6 * x + 3 * c
+    val d = Multimodal.tiffPixels(
+      graft.ext.MediaFixtures.tiffRgbDeflatePred4x4).get
+    assert((d.width, d.height, d.channels) == ((4, 4, 3)))
+    assert(d.pixels.map(_ & 0xFF).toSeq == expD)
+    // PackBits runs
+    val expP = Seq.fill(6)(40) ++ Seq.fill(6)(200) ++ Seq.fill(6)(40)
+    val p = Multimodal.tiffPixels(
+      graft.ext.MediaFixtures.tiffGrayPackBits6x3).get
+    assert((p.width, p.height, p.channels) == ((6, 3, 1)))
+    assert(p.pixels.map(_ & 0xFF).toSeq == expP)
+    // the JDK's TIFF plugin reads both compressed fixtures identically
+    for ((fix, w, h, ch, exp) <- Seq(
+        (graft.ext.MediaFixtures.tiffRgbDeflatePred4x4, 4, 4, 3, expD),
+        (graft.ext.MediaFixtures.tiffGrayPackBits6x3, 6, 3, 1, expP))) {
+      val j = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fix))
+      assert(j != null, "JDK TIFF reader rejected a compressed fixture")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(j.getRaster.getSample(x, y, c) == exp((y * w + x) * ch + c),
+          s"jdk compressed tiff ($x,$y,$c)")
+    }
+    // reverse direction: JDK-written Deflate and PackBits TIFFs
+    for (ctype <- Seq("Deflate", "PackBits")) {
+      val img = new java.awt.image.BufferedImage(9, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 5; x <- 0 until 9)
+        img.setRGB(x, y, (((x * 11 + y * 23) % 256) << 16) |
+          (((x * 17 + y * 7) % 256) << 8) | ((x * 5 + y * 31) % 256))
+      val baos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      wr.setOutput(ios)
+      val param = wr.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(ctype)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); wr.dispose()
+      val mine = Multimodal.tiffPixels(baos.toByteArray)
+        .getOrElse(fail(s"tiffPixels rejected JDK $ctype TIFF"))
+      assert((mine.width, mine.height, mine.channels) == ((9, 5, 3)))
+      for (y <- 0 until 5; x <- 0 until 9; (sh, c) <- Seq((16, 0),
+          (8, 1), (0, 2)))
+        assert((mine.pixels((y * 9 + x) * 3 + c) & 0xFF) ==
+          ((img.getRGB(x, y) >> sh) & 0xFF), s"jdk-$ctype ($x,$y,$c)")
+    }
+    // LZW stays gated (not mis-decoded): flip the compression tag
+    val lzw = graft.ext.MediaFixtures.tiffRgbLe3x3.clone()
+    // find the compression entry (tag 259 LE) and set value to 5
+    val idx = (0 until lzw.length - 12).find(i =>
+      (lzw(i) & 0xFF) == 3 && (lzw(i + 1) & 0xFF) == 1).get
+    lzw(idx + 8) = 5
+    assert(Multimodal.tiffPixels(lzw).isEmpty)
+  }
+
   test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
     val s = spark
     import s.implicits._
@@ -879,6 +937,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.bmp3x2,
       graft.ext.MediaFixtures.tiffGrayBe5x4, // IFD walk, both endians
       graft.ext.MediaFixtures.tiffRgbLe3x3,
+      graft.ext.MediaFixtures.tiffRgbDeflatePred4x4, // deflate+predictor
+      graft.ext.MediaFixtures.tiffGrayPackBits6x3,   // packbits RLE
       graft.ext.AudioFixtures.wavSquare,
       graft.ext.AudioFixtures.wavStereo8,
       graft.ext.AudioFixtures.wav24Mono,       // 24-bit depth
