@@ -3582,7 +3582,8 @@ object QueriesExt {
             (2L, MediaFixtures.tiffRgbLe3x3),  // LE, single strip
             (3L, ("II*" + "\u0000" + "junk: not an IFD").getBytes("ISO-8859-1")),
             (4L, MediaFixtures.tiffRgbDeflatePred4x4), // zlib+predictor
-            (5L, MediaFixtures.tiffGrayPackBits6x3))   // PackBits RLE
+            (5L, MediaFixtures.tiffGrayPackBits6x3),   // PackBits RLE
+            (6L, MediaFixtures.tiffGrayLzwPred7x5))    // LZW+predictor
           .toDF("media_id", "content")).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
@@ -3596,7 +3597,8 @@ object QueriesExt {
         |FROM (VALUES (1, 5, 4, 1, 20, 330, 0, 33),
         |             (2, 3, 3, 3, 27, 945, 0, 70),
         |             (4, 4, 4, 3, 48, 1224, 0, 51),
-        |             (5, 6, 3, 1, 18, 1680, 40, 200))
+        |             (5, 6, 3, 1, 18, 1680, 40, 200),
+        |             (6, 7, 5, 1, 35, 560, 0, 32))
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 

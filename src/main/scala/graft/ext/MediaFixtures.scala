@@ -290,19 +290,65 @@ object MediaFixtures {
 
   // ---------------------------------------------- baseline TIFF encoder
 
+  /** REAL TIFF 6.0 §13 LZW compressor (one strip → one stream):
+    * MSB-first variable-width codes, ClearCode 256 / EOI 257, string
+    * table as (prefix code, suffix byte) → code hash, width bumped at
+    * table sizes 511/1023/2047 — the "early change" every TIFF writer
+    * shares (the decoder, one entry behind, bumps at 510/1022/2046) —
+    * and a Clear emitted when the table reaches 4094 so no code ever
+    * needs a 13th bit. */
+  def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var cur = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      cur = (cur << width) | code; nbits += width
+      while (nbits >= 8) {
+        out += ((cur >> (nbits - 8)) & 0xFF).toByte; nbits -= 8
+      }
+    }
+    val table = scala.collection.mutable.HashMap[(Int, Int), Int]()
+    var next = 258
+    put(256) // Clear opens every stream
+    var w = -1
+    for (b0 <- data) {
+      val b = b0 & 0xFF
+      if (w < 0) w = b
+      else table.get((w, b)) match {
+        case Some(c) => w = c
+        case None =>
+          put(w)
+          table((w, b)) = next; next += 1
+          // early change: the decoder (one entry behind) bumps at
+          // 511/1023/2047, so the encoder bumps at 512/1024/2048 —
+          // pinned empirically against the JDK decoder
+          if (next == (1 << width) && width < 12) width += 1
+          if (next == 4094) {
+            put(256); table.clear(); next = 258; width = 9
+          }
+          w = b
+      }
+    }
+    if (w >= 0) put(w)
+    put(257) // EOI
+    if (nbits > 0) out += ((cur << (8 - nbits)) & 0xFF).toByte
+    out.result()
+  }
+
   /** Build a REAL, spec-valid baseline TIFF (6.0) from row-major 8-bit
     * samples: header + first IFD with the baseline tag set, pixel data
     * split into `stripRows`-row strips (exercising multi-strip
     * assembly), either byte order. `photometric`: 0 WhiteIsZero (gray,
     * stored inverted), 1 BlackIsZero (gray), 2 RGB (`spp` 3, or 4 with
-    * an alpha ExtraSample). `compression`: 1 none, 8 Deflate (one zlib
+    * an alpha ExtraSample). `compression`: 1 none, 5 LZW
+    * ([[tiffLzwEncode]], one stream per strip), 8 Deflate (one zlib
     * stream per strip), 32773 PackBits (maximal literal runs);
     * `predictor` 2 applies horizontal differencing before encoding. */
   def buildTiff(width: Int, height: Int, spp: Int, photometric: Int,
       samples: Seq[Int], littleEndian: Boolean, stripRows: Int,
       compression: Int = 1, predictor: Int = 1): Array[Byte] = {
     require(samples.length == width * height * spp, "sample shape")
-    require(Seq(1, 8, 32773).contains(compression), "none/deflate/packbits")
+    require(Seq(1, 5, 8, 32773).contains(compression),
+      "none/lzw/deflate/packbits")
     def u16(v: Int): Array[Byte] =
       if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
       else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -333,6 +379,7 @@ object MediaFixtures {
     // or PackBits (emitted as maximal literal runs — valid RLE)
     def encode(strip: Array[Byte]): Array[Byte] = compression match {
       case 1 => strip
+      case 5 => tiffLzwEncode(strip)
       case 8 =>
         val d = new java.util.zip.Deflater()
         d.setInput(strip); d.finish()
@@ -433,6 +480,15 @@ object MediaFixtures {
     photometric = 1,
     samples = Seq.fill(6)(40) ++ Seq.fill(6)(200) ++ Seq.fill(6)(40),
     littleEndian = false, stripRows = 3, compression = 32773)
+
+  /** 7×5 little-endian gray TIFF, LZW-compressed 2-row strips WITH the
+    * horizontal predictor (the classic scanned-document layout),
+    * samples (5y+2x). Expected: n=35, sum=5·10·7+2·21·5=560, min=0,
+    * max=32. */
+  val tiffGrayLzwPred7x5: Array[Byte] = buildTiff(7, 5, 1,
+    photometric = 1,
+    samples = for (y <- 0 until 5; x <- 0 until 7) yield 5 * y + 2 * x,
+    littleEndian = true, stripRows = 2, compression = 5, predictor = 2)
 
   // ------------------------------------------------- 24-bit BMP encoder
 

@@ -991,19 +991,97 @@ object Multimodal {
     * 0 WhiteIsZero inverted to the shared black-is-zero convention /
     * 1 BlackIsZero), RGB, and RGBA (chunky planar only). Compression:
     * none (1), Deflate (8 / legacy 32946 — `java.util.zip.Inflater`,
-    * the zlib TIFF mandates) and PackBits RLE (32773), with the
-    * horizontal-differencing predictor (tag 317 = 2) undone per row.
-    * LZW/JPEG-in-TIFF and tiled files return None — dimensions still
-    * parse via [[imageDims]]. */
+    * the zlib TIFF mandates), PackBits RLE (32773), and LZW (5 — the
+    * TIFF 6.0 §13 variant: MSB-first variable-width codes 9→12 bits,
+    * ClearCode 256 / EOI 257, "early change" width bump one entry
+    * before the power of two), with the horizontal-differencing
+    * predictor (tag 317 = 2) undone per row. JPEG-in-TIFF and tiled
+    * files return None — dimensions still parse via [[imageDims]]. */
   def tiffPixels(bytes: Array[Byte]): Option[RawImage] =
     safely(tiffPixelsImpl(bytes))
+
+  /** Inflate one TIFF-LZW strip into `out` starting at `o0`; returns
+    * the new write offset, or −1 on malformed input. TIFF 6.0 §13:
+    * MSB-first variable-width codes (9 bits after a Clear, widening at
+    * table sizes 511/1023/2047 — the "early change" off-by-one every
+    * TIFF writer shares), 256 = ClearCode resets the table, 257 =
+    * EndOfInformation. Table entries live as (prefix code, suffix
+    * byte) chains, emitted by a bounded back-walk — no per-entry byte
+    * arrays, so a 4096-entry table is two flat arrays. */
+  private def tiffLzwStrip(src: Array[Byte], off: Int, len: Int,
+      out: Array[Byte], o0: Int): Int = {
+    var bitPos = off.toLong * 8
+    val bitEnd = (off + len).toLong * 8
+    def read(width: Int): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val b = src((bitPos >> 3).toInt) & 0xFF
+        v = (v << 1) | ((b >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var size = 258; var width = 9; var prev = -1
+    var o = o0
+    // Write table entry `code` to out; returns its FIRST byte, or −1.
+    def emit(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= 258) {
+        if (sp >= stack.length || c >= size) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= 256) return -1 // chain must bottom out at a literal
+      stack(sp) = c.toByte; sp += 1
+      if (o + sp > out.length) return -1
+      var k = sp - 1
+      while (k >= 0) { out(o) = stack(k); o += 1; k -= 1 }
+      c
+    }
+    while (true) {
+      val code = read(width)
+      if (code < 0) return -1
+      if (code == 257) return o // EOI
+      else if (code == 256) { size = 258; width = 9; prev = -1 }
+      else if (prev < 0) { // first code after a Clear: a bare literal
+        if (code > 255 || emit(code) < 0) return -1
+        prev = code
+      } else {
+        var first = 0
+        if (code < size) {
+          first = emit(code)
+          if (first < 0) return -1
+        } else if (code == size) { // KwKwK: prev-string + its first byte
+          first = emit(prev)
+          if (first < 0 || o >= out.length) return -1
+          out(o) = first.toByte; o += 1
+        } else return -1
+        if (size < 4096) {
+          prefix(size) = prev; suffix(size) = first.toByte; size += 1
+          // Early change, seen from the decoder: bump one entry before
+          // the naive 512/1024/2048 (empirically pinned against the
+          // JDK's TIFF plugin in both directions — MultimodalSpec's
+          // boundary-crossing streams fail under either neighbouring
+          // off-by-one).
+          if ((size == 511 || size == 1023 || size == 2047) && width < 12)
+            width += 1
+        }
+        prev = code
+      }
+    }
+    o // unreachable
+  }
 
   private def tiffPixelsImpl(bytes: Array[Byte]): Option[RawImage] = {
     val info = tiffInfo(bytes) match {
       case Some(i) => i; case None => return None }
     val comp = info.compression
-    if ((comp != 1 && comp != 8 && comp != 32946 && comp != 32773) ||
-      !info.bitsOk || !info.planarOk) return None
+    if ((comp != 1 && comp != 8 && comp != 32946 && comp != 32773 &&
+      comp != 5) || !info.bitsOk || !info.planarOk) return None
     if (info.predictor != 1 && info.predictor != 2) return None
     val channels = info.spp
     if (channels != 1 && channels != 3 && channels != 4) return None
@@ -1036,6 +1114,9 @@ object Multimodal {
             }
             if (!inf.finished()) return None // strip overran the image
           } finally inf.end()
+        case 5 => // TIFF 6.0 §13 LZW
+          o = tiffLzwStrip(bytes, off, len, out, o)
+          if (o < 0) return None
         case _ => // PackBits RLE
           var i = off
           val end = off + len

@@ -338,13 +338,66 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
         assert((mine.pixels((y * 9 + x) * 3 + c) & 0xFF) ==
           ((img.getRGB(x, y) >> sh) & 0xFF), s"jdk-$ctype ($x,$y,$c)")
     }
-    // LZW stays gated (not mis-decoded): flip the compression tag
-    val lzw = graft.ext.MediaFixtures.tiffRgbLe3x3.clone()
-    // find the compression entry (tag 259 LE) and set value to 5
-    val idx = (0 until lzw.length - 12).find(i =>
-      (lzw(i) & 0xFF) == 3 && (lzw(i + 1) & 0xFF) == 1).get
-    lzw(idx + 8) = 5
-    assert(Multimodal.tiffPixels(lzw).isEmpty)
+  }
+
+  test("tiffPixels decodes LZW; ImageIO both directions across width bumps") {
+    // our LZW+predictor fixture decodes to the declared ramp
+    val expL = for (y <- 0 until 5; x <- 0 until 7) yield 5 * y + 2 * x
+    val l = Multimodal.tiffPixels(
+      graft.ext.MediaFixtures.tiffGrayLzwPred7x5).get
+    assert((l.width, l.height, l.channels) == ((7, 5, 1)))
+    assert(l.pixels.map(_ & 0xFF).toSeq == expL)
+    // the JDK's independent LZW implementation reads the same fixture
+    val j = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ext.MediaFixtures.tiffGrayLzwPred7x5))
+    assert(j != null, "JDK TIFF reader rejected the LZW fixture")
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(j.getRaster.getSample(x, y, 0) == expL(y * 7 + x),
+        s"jdk lzw ($x,$y)")
+    // deterministic LCG noise: incompressible, so a 96×80 gray plane
+    // (7680 bytes) drives the string table through the 9→10→11-bit
+    // early-change bumps, and 256×256 RGB (196 608 bytes) through
+    // repeated 12-bit table-full Clears
+    var seed = 12345L
+    def nextByte(): Int = {
+      seed = seed * 1103515245L + 12345L; ((seed >> 16) & 0xFF).toInt
+    }
+    // direction 1: OUR encoder (boundary-crossing single strip) read
+    // back by BOTH decoders
+    val noise = Seq.fill(96 * 80)(nextByte())
+    val ours = graft.ext.MediaFixtures.buildTiff(96, 80, 1,
+      photometric = 1, samples = noise, littleEndian = true,
+      stripRows = 80, compression = 5)
+    val mine = Multimodal.tiffPixels(ours).get
+    assert(mine.pixels.map(_ & 0xFF).toSeq == noise)
+    val jn = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(jn != null, "JDK rejected our boundary-crossing LZW stream")
+    for (y <- 0 until 80; x <- 0 until 96)
+      assert(jn.getRaster.getSample(x, y, 0) == noise(y * 96 + x),
+        s"jdk read of our lzw ($x,$y)")
+    // direction 2: a JDK-written LZW TIFF (table-full scale) decodes
+    // here bit-exactly
+    val img = new java.awt.image.BufferedImage(256, 256,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 256; x <- 0 until 256)
+      img.setRGB(x, y,
+        (nextByte() << 16) | (nextByte() << 8) | nextByte())
+    val baos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val big = Multimodal.tiffPixels(baos.toByteArray)
+      .getOrElse(fail("tiffPixels rejected JDK LZW TIFF"))
+    assert((big.width, big.height, big.channels) == ((256, 256, 3)))
+    for (y <- 0 until 256 by 7; x <- 0 until 256; (sh, c) <- Seq((16, 0),
+        (8, 1), (0, 2)))
+      assert((big.pixels((y * 256 + x) * 3 + c) & 0xFF) ==
+        ((img.getRGB(x, y) >> sh) & 0xFF), s"jdk-lzw ($x,$y,$c)")
   }
 
   test("decodePixelStats: real per-blob statistics; non-PNG blobs gated out") {
