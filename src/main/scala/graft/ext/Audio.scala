@@ -38,9 +38,13 @@ object Audio {
     * by −128), 16/24/32 bits (signed little-endian), format 3 (IEEE
     * float, 32-bit — samples presented in the 16-bit integer domain,
     * round(f·32767) clamped, the standard float→int reduction), and
-    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — the container
-    * most tools emit for >2 channels or >16 bits (SubFormat GUID
-    * checked against the KSDATAFORMAT tail), any channel count /
+    * format 6 (G.711 A-law) and 7 (G.711 μ-law) — 8-bit companded
+    * telephony samples expanded to 16-bit linear by the CCITT segment
+    * tables (μ-law full scale ±32124, A-law ±32256; pinned against the
+    * JDK's independent `javax.sound` codecs in AudioSpec), and
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them — the
+    * container most tools emit for >2 channels or >16 bits (SubFormat
+    * GUID checked against the KSDATAFORMAT tail), any channel count /
     * sample rate; `fmt ` and `data` chunks in any order, unknown chunks
     * (LIST, fact, …) skipped by their declared length, word-aligned as
     * RIFF requires (odd-length chunks carry a pad byte). 64-bit float
@@ -61,6 +65,7 @@ object Audio {
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
     var isFloat = false
+    var law = 0 // 0 none, 6 A-law, 7 μ-law
     var data: Option[(Int, Int)] = None // (offset, length)
     // KSDATAFORMAT_SUBTYPE GUID tail shared by the PCM and IEEE-float
     // subformats (…-0000-0010-8000-00AA00389B71); the leading u16 is
@@ -87,9 +92,11 @@ object Audio {
             audioFormat = u16(i + 8 + 24)
           }
           isFloat = audioFormat == 3
+          law = if (audioFormat == 6 || audioFormat == 7) audioFormat else 0
           fmtOk = channels > 0 && rate > 0 && (audioFormat match {
             case 1 => Seq(8, 16, 24, 32).contains(bits)
             case 3 => bits == 32
+            case 6 | 7 => bits == 8 // G.711 A-law / μ-law
             case _ => false
           })
         case "data" => data = Some((i + 8, len))
@@ -106,7 +113,9 @@ object Audio {
         while (s < n) {
           val b = off + bytesPer * s
           out(s) =
-            if (isFloat) { // 32-bit IEEE float → 16-bit integer domain
+            if (law == 7) ulaw2linear(u8(b))
+            else if (law == 6) alaw2linear(u8(b))
+            else if (isFloat) { // 32-bit IEEE float → 16-bit integer domain
               val f = java.lang.Float.intBitsToFloat(u32(b).toInt)
               if (f.isNaN) 0
               else math.max(-32768, math.min(32767, math.round(f * 32767f)))
@@ -122,6 +131,27 @@ object Audio {
         Some(PcmAudio(rate, channels, bits, out))
       case _ => None
     }
+  }
+
+  /** CCITT G.711 μ-law byte → 16-bit linear (full scale ±32124):
+    * complement, then expand the 3-bit segment / 4-bit mantissa with
+    * the 0x84 bias. */
+  private def ulaw2linear(u0: Int): Int = {
+    val u = ~u0 & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** CCITT G.711 A-law byte → 16-bit linear (full scale ±32256):
+    * un-invert the even bits (0x55), then segment-expand; a SET sign
+    * bit means positive in A-law. */
+  private def alaw2linear(a0: Int): Int = {
+    val a = (a0 ^ 0x55) & 0xFF
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** Partition-batched REAL audio decode → per-blob statistics, the

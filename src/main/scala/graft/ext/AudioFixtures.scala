@@ -67,6 +67,38 @@ object AudioFixtures {
     "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
   }
 
+  /** Build a G.711 WAV (format 6 A-law / 7 μ-law, 8 companded bits per
+    * sample) from explicit RAW companded bytes — expected linear
+    * values in the fixtures below are hand-expanded by the CCITT
+    * tables. */
+  def buildWavG711(rate: Int, channels: Int, law: Int,
+      companded: Seq[Int], extensible: Boolean = false): Array[Byte] = {
+    require(law == 6 || law == 7, "A-law 6 / μ-law 7")
+    require(companded.length % channels == 0, "partial frame")
+    wrapWav(rate, channels, bits = 8, formatCode = law, extensible,
+      companded.map(b => (b & 0xFF).toByte).toArray)
+  }
+
+  /** μ-law mono 8000 Hz, companded bytes 0x80,0x00,0xFF,0xEF,0x6F —
+    * hand-expanded: +32124 (positive full scale), −32124, 0, +132,
+    * −132. Expected stats: n_frames=5, amp −32124..32124,
+    * sum_abs=64248+264=64512, zero_crossings=2 (+→− flip; →0 none;
+    * →+132 none, the zero broke the run; →−132 flip). */
+  val wavUlaw: Array[Byte] = buildWavG711(8000, 1, law = 7,
+    Seq(0x80, 0x00, 0xFF, 0xEF, 0x6F))
+
+  /** A-law mono 8000 Hz, companded bytes 0xAA,0x2A,0xD5,0x55 —
+    * hand-expanded: +32256 (full scale), −32256, +8, −8. Expected:
+    * n_frames=4, amp −32256..32256, sum_abs=64528, zero_crossings=3
+    * (every step flips). */
+  val wavAlaw: Array[Byte] = buildWavG711(8000, 1, law = 6,
+    Seq(0xAA, 0x2A, 0xD5, 0x55))
+
+  /** [[wavUlaw]]'s bytes in an EXTENSIBLE container (0xFFFE wrapping
+    * SubFormat 7) — spec-only fixture. */
+  val wavUlawExt: Array[Byte] = buildWavG711(8000, 1, law = 7,
+    Seq(0x80, 0x00, 0xFF, 0xEF, 0x6F), extensible = true)
+
   /** 16-bit mono 8000 Hz square wave, 16 frames alternating ±1000.
     * Expected stats: n_frames=16, amp −1000..1000, sum_abs=16000,
     * zero_crossings=15. */

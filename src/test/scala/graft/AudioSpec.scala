@@ -166,6 +166,57 @@ class AudioSpec extends AnyFunSuite with SparkTestSupport {
     assert(Audio.wavSamples(w64).isEmpty)
   }
 
+  test("wavSamples expands G.711 u-law/A-law; JDK codecs agree both directions") {
+    import javax.sound.sampled._
+    // hand-expanded CCITT segment-table values (see AudioFixtures)
+    val expU = Seq(32124, -32124, 0, 132, -132)
+    val u = Audio.wavSamples(AudioFixtures.wavUlaw).get
+    assert(u.sampleRate == 8000 && u.channels == 1 && u.bitsPerSample == 8)
+    assert(u.samples.toSeq == expU)
+    val expA = Seq(32256, -32256, 8, -8)
+    assert(Audio.wavSamples(AudioFixtures.wavAlaw).get.samples.toSeq == expA)
+    // extensible container wrapping SubFormat 7, same payload
+    assert(Audio.wavSamples(AudioFixtures.wavUlawExt).get.samples.toSeq == expU)
+    // the JDK's independent G.711 codecs expand our fixture bytes to
+    // the same linear values
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+      16, 1, 2, 8000f, false)
+    def jdk16(dec: AudioInputStream): Seq[Int] = {
+      val raw = dec.readAllBytes()
+      (0 until raw.length / 2).map(i =>
+        ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt)
+    }
+    for ((fix, exp) <- Seq((AudioFixtures.wavUlaw, expU),
+        (AudioFixtures.wavAlaw, expA))) {
+      val enc = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fix))
+      assert(jdk16(AudioSystem.getAudioInputStream(pcmFmt, enc)) == exp,
+        "jdk expansion of our fixture")
+    }
+    // reverse: the JDK compands PCM and writes the WAVE container; our
+    // expansion must match the JDK's own re-expansion of that file
+    val rnd = new scala.util.Random(11)
+    val frames = Array.fill(50)(rnd.nextInt(65536) - 32768)
+    val pcmBytes = frames.flatMap(v =>
+      Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    for (lawEnc <- Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)) {
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBytes), pcmFmt, 50)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(AudioSystem.getAudioInputStream(lawEnc, src),
+        AudioFileFormat.Type.WAVE, baos)
+      val bytes = baos.toByteArray
+      val ours = Audio.wavSamples(bytes)
+        .getOrElse(fail(s"rejected JDK-written $lawEnc WAVE"))
+      assert(ours.bitsPerSample == 8 && ours.channels == 1)
+      val reread = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ours.samples.toSeq ==
+        jdk16(AudioSystem.getAudioInputStream(pcmFmt, reread)),
+        s"$lawEnc expansion parity with the JDK")
+    }
+  }
+
   test("decodeStats: integer-exact statistics; non-WAV blobs gated out") {
     val s = spark
     import s.implicits._
