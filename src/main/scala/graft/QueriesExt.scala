@@ -3683,12 +3683,14 @@ object QueriesExt {
             (6L, AudioFixtures.wav32ExtStereo), // extensible int32
             (7L, AudioFixtures.wavFloatMono),   // IEEE float → 16-bit
             (8L, AudioFixtures.wavUlaw),        // G.711 μ-law
-            (9L, AudioFixtures.wavAlaw))        // G.711 A-law
+            (9L, AudioFixtures.wavAlaw),        // G.711 A-law
+            (10L, AudioFixtures.wavAdpcmMono))  // IMA ADPCM
           .toDF("media_id", "content")).toDF()
       },
       // Rows 5-7 hand-derived from the AudioFixtures sample lists
       // (24-bit full-range, extensible 32-bit, float→round(f·32767));
-      // rows 8-9 hand-expanded by the CCITT G.711 segment tables.
+      // rows 8-9 hand-expanded by the CCITT G.711 segment tables; row
+      // 10 hand-walked through the IMA ADPCM step table.
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
         |  CAST(sample_rate AS INTEGER) AS sample_rate,
         |  CAST(channels AS INTEGER) AS channels,
@@ -3706,7 +3708,8 @@ object QueriesExt {
         |              6221225472, 2),
         |             (7, 16000, 1, 32, 6, -16383, 32767, 98301, 4),
         |             (8, 8000, 1, 8, 5, -32124, 32124, 64512, 2),
-        |             (9, 8000, 1, 8, 4, -32256, 32256, 64528, 3))
+        |             (9, 8000, 1, 8, 4, -32256, 32256, 64528, 3),
+        |             (10, 8000, 1, 4, 9, 100, 113, 952, 0))
         |  AS t(media_id, sample_rate, channels, bits_per_sample,
         |       n_frames, amp_min, amp_max, amp_sum_abs,
         |       zero_crossings)""".stripMargin)),

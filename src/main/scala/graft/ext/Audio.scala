@@ -41,7 +41,12 @@ object Audio {
     * format 6 (G.711 A-law) and 7 (G.711 μ-law) — 8-bit companded
     * telephony samples expanded to 16-bit linear by the CCITT segment
     * tables (μ-law full scale ±32124, A-law ±32256; pinned against the
-    * JDK's independent `javax.sound` codecs in AudioSpec), and
+    * JDK's independent `javax.sound` codecs in AudioSpec), format 17
+    * (IMA/DVI ADPCM — 4-bit block-coded deltas, the dominant compressed
+    * WAV layout: per-channel block headers carry the seed
+    * predictor/step index, nibbles decode through the 89-entry step
+    * table; the JDK has no ADPCM codec, so AudioSpec pins a hand-walked
+    * nibble stream instead), and
     * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them — the
     * container most tools emit for >2 channels or >16 bits (SubFormat
     * GUID checked against the KSDATAFORMAT tail), any channel count /
@@ -66,6 +71,7 @@ object Audio {
     var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
     var isFloat = false
     var law = 0 // 0 none, 6 A-law, 7 μ-law
+    var adpcm = false; var blockAlign = 0; var spb = 0
     var data: Option[(Int, Int)] = None // (offset, length)
     // KSDATAFORMAT_SUBTYPE GUID tail shared by the PCM and IEEE-float
     // subformats (…-0000-0010-8000-00AA00389B71); the leading u16 is
@@ -93,10 +99,17 @@ object Audio {
           }
           isFloat = audioFormat == 3
           law = if (audioFormat == 6 || audioFormat == 7) audioFormat else 0
+          adpcm = audioFormat == 17
+          blockAlign = u16(i + 20)
+          if (adpcm && len >= 20) spb = u16(i + 26) // cbSize=2 extension
           fmtOk = channels > 0 && rate > 0 && (audioFormat match {
             case 1 => Seq(8, 16, 24, 32).contains(bits)
             case 3 => bits == 32
             case 6 | 7 => bits == 8 // G.711 A-law / μ-law
+            case 17 => bits == 4 && blockAlign >= 4 * channels &&
+              blockAlign % (4 * channels) == 0 &&
+              // the canonical block geometry every IMA writer emits
+              spb == (blockAlign - 4 * channels) * 2 / channels + 1
             case _ => false
           })
         case "data" => data = Some((i + 8, len))
@@ -105,6 +118,8 @@ object Audio {
       i += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
     (data, fmtOk) match {
+      case (Some((off, len)), true) if adpcm =>
+        imaAdpcmSamples(bytes, off, len, rate, channels, blockAlign, spb)
       case (Some((off, len)), true) =>
         val bytesPer = bits / 8
         val n = len / (bytesPer * channels) * channels // whole frames only
@@ -131,6 +146,81 @@ object Audio {
         Some(PcmAudio(rate, channels, bits, out))
       case _ => None
     }
+  }
+
+  // IMA/DVI ADPCM quantizer step table (89 entries) and index
+  // adjustment, as published in the IMA Recommended Practices.
+  private val imaStep = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19,
+    21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97,
+    107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337,
+    371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+    1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+    10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+    24623, 27086, 29794, 32767)
+  private val imaIndexAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode IMA ADPCM `data`-chunk bytes: per block, a 4-byte header
+    * per channel (seed predictor int16 LE + step index — the header
+    * sample IS frame 0), then nibble data in 4-byte per-channel groups
+    * (stereo alternates ch0/ch1 groups), low nibble first. Each nibble
+    * updates predictor/index through [[imaStep]]/[[imaIndexAdj]] with
+    * the standard additive expansion `step>>3 (+step)(+step>>1)
+    * (+step>>2)`, clamped to ±32768/0..88. A trailing partial block is
+    * dropped (real writers pad to whole blocks; the `fact` chunk that
+    * would trim the tail is presentation-only here). */
+  private def imaAdpcmSamples(bytes: Array[Byte], off: Int, len: Int,
+      rate: Int, channels: Int, blockAlign: Int,
+      spb: Int): Option[PcmAudio] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    val nBlocks = len / blockAlign
+    val out = new Array[Int](nBlocks * spb * channels)
+    val pred = new Array[Int](channels); val idx = new Array[Int](channels)
+    var b = 0
+    while (b < nBlocks) {
+      val base = off + b * blockAlign
+      val outBase = b * spb * channels
+      var c = 0
+      while (c < channels) {
+        val h = base + 4 * c
+        pred(c) = ((u8(h) | (u8(h + 1) << 8)) << 16) >> 16
+        idx(c) = u8(h + 2)
+        if (idx(c) > 88) return None
+        out(outBase + c) = pred(c)
+        c += 1
+      }
+      val dataStart = base + 4 * channels
+      val groupsPerChan = (blockAlign - 4 * channels) / (4 * channels)
+      var g = 0
+      var frame = 1
+      while (g < groupsPerChan) {
+        c = 0
+        while (c < channels) {
+          val gOff = dataStart + (g * channels + c) * 4
+          var k = 0
+          while (k < 8) {
+            val byt = u8(gOff + k / 2)
+            val n = if (k % 2 == 0) byt & 0x0F else byt >> 4
+            val step = imaStep(idx(c))
+            var diff = step >> 3
+            if ((n & 4) != 0) diff += step
+            if ((n & 2) != 0) diff += step >> 1
+            if ((n & 1) != 0) diff += step >> 2
+            val p = if ((n & 8) != 0) pred(c) - diff else pred(c) + diff
+            pred(c) = math.max(-32768, math.min(32767, p))
+            idx(c) = math.max(0, math.min(88, idx(c) + imaIndexAdj(n & 7)))
+            val f = frame + k
+            if (f < spb) out(outBase + f * channels + c) = pred(c)
+            k += 1
+          }
+          c += 1
+        }
+        frame += 8
+        g += 1
+      }
+      b += 1
+    }
+    Some(PcmAudio(rate, channels, 4, out))
   }
 
   /** CCITT G.711 μ-law byte → 16-bit linear (full scale ±32124):

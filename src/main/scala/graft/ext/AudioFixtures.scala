@@ -99,6 +99,44 @@ object AudioFixtures {
   val wavUlawExt: Array[Byte] = buildWavG711(8000, 1, law = 7,
     Seq(0x80, 0x00, 0xFF, 0xEF, 0x6F), extensible = true)
 
+  /** Build an IMA ADPCM WAV (format 17, 4 bits) from explicit RAW
+    * block bytes (per-channel 4-byte headers + nibble groups, exactly
+    * as they sit in the data chunk); the canonical
+    * samples-per-block for `blockAlign` goes into the fmt extension. */
+  def buildWavAdpcm(rate: Int, channels: Int, blockAlign: Int,
+      data: Seq[Int]): Array[Byte] = {
+    val spb = (blockAlign - 4 * channels) * 2 / channels + 1
+    val fmt = le16(17) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * blockAlign / spb) ++ // nominal average byte rate
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(spb)
+    val d = data.map(b => (b & 0xFF).toByte).toArray
+    val chunks = "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes ++ le32(d.length) ++ d ++
+      (if (d.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+  }
+
+  /** IMA ADPCM mono 8000 Hz, ONE 8-byte block: header pred=100 idx=0,
+    * nibbles 0,4,8,3,15,0,2,9 — hand-walked through the step table:
+    * 100 (header), 100, 107, 106, 113, 102, 104, 112, 108. Expected
+    * stats: n_frames=9, amp 100..113, sum_abs=952, zero_crossings=0. */
+  val wavAdpcmMono: Array[Byte] = buildWavAdpcm(8000, 1, 8,
+    Seq(100, 0, 0, 0, // header: pred 100 LE, index 0, reserved
+      0x40, 0x38, 0x0F, 0x92)) // nibbles low-first: (0,4)(8,3)(15,0)(2,9)
+
+  /** IMA ADPCM stereo 4000 Hz, ONE 16-byte block: ch0 header pred=0
+    * idx=0 with nibbles (1,8)×4 — at step 7 the index stays pinned at
+    * 0 (both adjustments are −1), n=1 adds step>>2=1 and n=8 subtracts
+    * step>>3=0, so the predictor RATCHETS: 1,1,2,2,3,3,4,4; ch1 header
+    * pred=−5 with all-zero nibbles → −5 held. The 4-byte group
+    * interleave is the thing under test. Expected: n_frames=9,
+    * amp −5..4, sum_abs=20+45=65, zero_crossings=0. */
+  val wavAdpcmStereo: Array[Byte] = buildWavAdpcm(4000, 2, 16,
+    Seq(0, 0, 0, 0, // ch0 header
+      0xFB, 0xFF, 0, 0, // ch1 header: pred −5 LE int16
+      0x81, 0x81, 0x81, 0x81, // ch0 group
+      0, 0, 0, 0)) // ch1 group
+
   /** 16-bit mono 8000 Hz square wave, 16 frames alternating ±1000.
     * Expected stats: n_frames=16, amp −1000..1000, sum_abs=16000,
     * zero_crossings=15. */

@@ -217,6 +217,38 @@ class AudioSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("wavSamples decodes IMA ADPCM blocks (mono nibble walk, stereo interleave)") {
+    // mono: the hand-walked step-table expansion from AudioFixtures
+    val m = Audio.wavSamples(AudioFixtures.wavAdpcmMono).get
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.bitsPerSample == 4)
+    assert(m.samples.toSeq ==
+      Seq(100, 100, 107, 106, 113, 102, 104, 112, 108))
+    // stereo: 4-byte group interleave must route nibbles per channel
+    val st = Audio.wavSamples(AudioFixtures.wavAdpcmStereo).get
+    assert(st.channels == 2)
+    assert(st.samples.toSeq ==
+      (Seq(0, -5) ++ Seq(1, 1, 2, 2, 3, 3, 4, 4).flatMap(v => Seq(v, -5))))
+    // two consecutive mono blocks decode independently (fresh headers)
+    val twoBlocks = AudioFixtures.buildWavAdpcm(8000, 1, 8,
+      Seq(100, 0, 0, 0, 0x40, 0x38, 0x0F, 0x92,
+        0x38, 0xFF, 88, 0, 0x00, 0x00, 0x00, 0x00)) // pred −200, idx 88
+    val t = Audio.wavSamples(twoBlocks).get
+    assert(t.samples.length == 18)
+    assert(t.samples(9) == -200) // block 2's header seed
+    // block 2 seeds idx=88 (max step 32767); nibble 0 still adds the
+    // rounding term step>>3 = 4095
+    assert(t.samples(10) == -200 + (32767 >> 3))
+    // malformed: header step index out of range gates out
+    val bad = AudioFixtures.buildWavAdpcm(8000, 1, 8,
+      Seq(0, 0, 120, 0, 0, 0, 0, 0))
+    assert(Audio.wavSamples(bad).isEmpty)
+    // inconsistent samples-per-block (fmt says the wrong geometry):
+    // flip the spb field and the file gates out instead of mis-decoding
+    val wrongSpb = AudioFixtures.wavAdpcmMono.clone()
+    wrongSpb(38) = 99.toByte // spb LE lo byte inside the fmt extension
+    assert(Audio.wavSamples(wrongSpb).isEmpty)
+  }
+
   test("decodeStats: integer-exact statistics; non-WAV blobs gated out") {
     val s = spark
     import s.implicits._
