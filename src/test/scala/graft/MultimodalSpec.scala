@@ -992,12 +992,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       graft.ext.MediaFixtures.tiffRgbLe3x3,
       graft.ext.MediaFixtures.tiffRgbDeflatePred4x4, // deflate+predictor
       graft.ext.MediaFixtures.tiffGrayPackBits6x3,   // packbits RLE
+      graft.ext.MediaFixtures.tiffGrayLzwPred7x5,    // LZW+predictor
       graft.ext.AudioFixtures.wavSquare,
       graft.ext.AudioFixtures.wavStereo8,
       graft.ext.AudioFixtures.wav24Mono,       // 24-bit depth
       graft.ext.AudioFixtures.wav32ExtStereo,  // extensible int32
       graft.ext.AudioFixtures.wavFloatMono,    // IEEE float
-      graft.ext.AudioFixtures.wavFloatExt)
+      graft.ext.AudioFixtures.wavFloatExt,
+      graft.ext.AudioFixtures.wavUlaw,         // G.711 μ-law
+      graft.ext.AudioFixtures.wavAlaw,         // G.711 A-law
+      graft.ext.AudioFixtures.wavUlawExt,
+      graft.ext.AudioFixtures.wavAdpcmMono,    // IMA ADPCM blocks
+      graft.ext.AudioFixtures.wavAdpcmStereo)
     val rnd = new scala.util.Random(99)
     def decodeAll(b: Array[Byte]): Unit = {
       Multimodal.pngPixels(b); Multimodal.jpegPixels(b)
