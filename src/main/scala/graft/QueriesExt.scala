@@ -3542,6 +3542,48 @@ object QueriesExt {
         |  AS t(media_id, width, height, out_width, out_height, channels,
         |       n_px_bytes, px_sum, px_min, px_max)""".stripMargin)),
 
+    // Aspect-ratio bucketing — the batch-formation step a multimodal
+    // trainer runs so same-shape images share a batch: decode dims,
+    // floor(width·100/height) (floor on BOTH engines — a bare double
+    // cast would round differently in Spark vs DuckDB), then the
+    // wide/balanced/tall ladder, grouped per bucket. Mixed containers
+    // on purpose (PNG/BMP/TIFF/JPEG through one dispatch); junk drops.
+    QueryCase("q_multimodal_aspect_buckets",
+      (s, _) => {
+        import s.implicits._
+        val stats = Multimodal.decodePixelStats(s, Seq(
+            (1L, MediaFixtures.pngRgb2x2),            // 100 balanced
+            (2L, MediaFixtures.pngGray3x2),           // 150 wide
+            (3L, MediaFixtures.bmp3x2),               // 150 wide
+            (4L, MediaFixtures.tiffGrayBe5x4),        // 125 balanced
+            (5L, MediaFixtures.jpegGray16x8),         // 200 wide
+            (6L, MediaFixtures.pngInterlacedGray9x7), // 128 balanced
+            (7L, "junk".getBytes),                    // gated out
+            (8L, MediaFixtures.buildTiff(2, 6, 1, photometric = 1,
+              samples = Seq.fill(12)(9), littleEndian = true,
+              stripRows = 6)))                        // 33 tall
+          .toDF("media_id", "content")).toDF()
+        stats
+          .withColumn("ratio_pct",
+            floor(col("width") * lit(100) / col("height")).cast("int"))
+          .withColumn("bucket",
+            when(col("ratio_pct") >= 150, "wide")
+              .when(col("ratio_pct") <= 66, "tall")
+              .otherwise("balanced"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_images"),
+            min("ratio_pct").as("min_ratio_pct"),
+            max("ratio_pct").as("max_ratio_pct"))
+      },
+      Some("""SELECT bucket,
+        |  CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(min_ratio_pct AS INTEGER) AS min_ratio_pct,
+        |  CAST(max_ratio_pct AS INTEGER) AS max_ratio_pct
+        |FROM (VALUES ('balanced', 3, 100, 128),
+        |             ('tall', 1, 33, 33),
+        |             ('wide', 3, 150, 200))
+        |  AS t(bucket, n_images, min_ratio_pct, max_ratio_pct)""".stripMargin)),
+
     // BMP through the same partition-batched stats kernel — the fourth
     // real image container (PNG/JPEG/GIF/BMP; BMP is pure fixed layout,
     // no entropy coding). Fixture bytes built in judge-readable code
@@ -3796,6 +3838,64 @@ object QueriesExt {
         |             (1, 6, 2000, 1000, 1), (1, 7, 2000, 1000, 1),
         |             (2, 0, 40, 20, 1), (2, 1, 40, 20, 1))
         |  AS t(media_id, w, sum_abs, peak, zero_crossings)""".stripMargin)),
+
+    // Rate normalization — the "everything at 16 kHz" step before audio
+    // featurization, here to 6000 Hz so the 8000/4000 Hz fixtures
+    // exercise BOTH the fractional-interpolation and identity-stride
+    // paths. Integer-exact floor-semantics linear interpolation
+    // (Audio.resampleStats), oracle rows hand-walked: the square wave
+    // lands 1000,−334,−334 with period 3; the stereo clip midpoints to
+    // (−4,13); the μ-law clip interpolates its CCITT-expanded values.
+    QueryCase("q_multimodal_audio_resample",
+      (s, _) => {
+        import s.implicits._
+        Audio.resampleStats(s, Seq(
+            (1L, AudioFixtures.wavSquare),
+            (2L, AudioFixtures.wavStereo8),
+            (8L, AudioFixtures.wavUlaw),
+            (9L, "not audio".getBytes))
+          .toDF("media_id", "content"), dstRate = 6000).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(src_rate AS INTEGER) AS src_rate,
+        |  CAST(dst_rate AS INTEGER) AS dst_rate,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(amp_min AS INTEGER) AS amp_min,
+        |  CAST(amp_max AS INTEGER) AS amp_max,
+        |  CAST(amp_sum_abs AS BIGINT) AS amp_sum_abs
+        |FROM (VALUES (1, 8000, 6000, 1, 12, -334, 1000, 6672),
+        |             (2, 4000, 6000, 2, 5, -4, 13, 71),
+        |             (8, 8000, 6000, 1, 4, -21416, 32124, 53760))
+        |  AS t(media_id, src_rate, dst_rate, channels, n_frames,
+        |       amp_min, amp_max, amp_sum_abs)""".stripMargin)),
+
+    // Head/tail silence trim at threshold 5 (Audio.trimSilenceStats):
+    // the padded clip keeps exactly its loud extent (interior zeros are
+    // content), the square-wave-era stereo clip is all-loud, the quiet
+    // clip trims to nothing (all-lead convention). Oracle rows
+    // hand-walked from the fixture sample lists.
+    QueryCase("q_multimodal_audio_trim",
+      (s, _) => {
+        import s.implicits._
+        Audio.trimSilenceStats(s, Seq(
+            (1L, AudioFixtures.wavPadded),
+            (2L, AudioFixtures.wavStereo8),
+            (3L, AudioFixtures.wavQuiet),
+            (4L, "junk".getBytes))
+          .toDF("media_id", "content"), threshold = 5).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(lead_trimmed AS BIGINT) AS lead_trimmed,
+        |  CAST(trail_trimmed AS BIGINT) AS trail_trimmed,
+        |  CAST(kept_frames AS BIGINT) AS kept_frames,
+        |  CAST(kept_sum_abs AS BIGINT) AS kept_sum_abs
+        |FROM (VALUES (1, 9, 3, 3, 3, 1700),
+        |             (2, 4, 0, 0, 4, 80),
+        |             (3, 4, 4, 0, 0, 0))
+        |  AS t(media_id, n_frames, lead_trimmed, trail_trimmed,
+        |       kept_frames, kept_sum_abs)""".stripMargin)),
 
     // REAL video-ish frame decode: multi-frame GIF container through
     // full LZW decompression (Multimodal.gifFrames — variable-width

@@ -310,6 +310,116 @@ object Audio {
       }
   }
 
+  /** One resampled-clip row: stats over the rate-normalized samples. */
+  final case class ResampledStats(media_id: Long, src_rate: Int,
+      dst_rate: Int, channels: Int, n_frames: Long, amp_min: Int,
+      amp_max: Int, amp_sum_abs: Long)
+
+  /** Rate-normalize every decodable clip to `dstRate` by integer-exact
+    * per-channel linear interpolation — the "everything at 16 kHz"
+    * step an audio training pipeline runs before featurization. Frame
+    * j samples source position j·src/dst as the exact rational
+    * (idx = ⌊j·src/dst⌋, frac = j·src mod dst) and interpolates
+    * s0 + ⌊(s1−s0)·frac/dst⌋ (floor semantics, so the oracle's
+    * hand-computed rows are bit-determined; an integer decimation
+    * factor degenerates to taking every k-th frame exactly).
+    * n_out = ⌊(n_in−1)·dst/src⌋+1 keeps every sampled position inside
+    * the clip. Per-partition CPU kernel like [[decodeStats]];
+    * undecodable blobs drop. */
+  def resampleStats(spark: SparkSession, media: DataFrame,
+      dstRate: Int): Dataset[ResampledStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavSamples(bytes).map { pcm =>
+            val ch = pcm.channels
+            val nIn = pcm.samples.length / ch
+            val nOut =
+              if (nIn == 0) 0
+              else ((nIn - 1).toLong * dstRate / pcm.sampleRate).toInt + 1
+            var mn = Int.MaxValue; var mx = Int.MinValue; var sumAbs = 0L
+            var j = 0
+            while (j < nOut) {
+              val posNum = j.toLong * pcm.sampleRate
+              val idx = (posNum / dstRate).toInt
+              val frac = posNum % dstRate
+              var c = 0
+              while (c < ch) {
+                val s0 = pcm.samples(idx * ch + c)
+                val v =
+                  if (frac == 0 || idx + 1 >= nIn) s0
+                  else {
+                    val s1 = pcm.samples((idx + 1) * ch + c)
+                    s0 + Math.floorDiv((s1 - s0).toLong * frac,
+                      dstRate.toLong).toInt
+                  }
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                sumAbs += math.abs(v.toLong)
+                c += 1
+              }
+              j += 1
+            }
+            if (nOut == 0) { mn = 0; mx = 0 }
+            ResampledStats(id, pcm.sampleRate, dstRate, ch, nOut.toLong,
+              mn, mx, sumAbs)
+          }
+        }
+      }
+  }
+
+  /** One silence-trim row: the kept extent and its statistics. */
+  final case class TrimmedStats(media_id: Long, n_frames: Long,
+      lead_trimmed: Long, trail_trimmed: Long, kept_frames: Long,
+      kept_sum_abs: Long)
+
+  /** Strip leading/trailing silence — frames whose per-channel max
+    * |amplitude| is ≤ `threshold` — the head/tail gate a speech
+    * curation pipeline applies before windowing (interior silence is
+    * content and stays). All-silent clips keep zero frames.
+    * Integer-exact; undecodable blobs drop. */
+  def trimSilenceStats(spark: SparkSession, media: DataFrame,
+      threshold: Int): Dataset[TrimmedStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavSamples(bytes).map { pcm =>
+            val ch = pcm.channels
+            val n = pcm.samples.length / ch
+            def loud(f: Int): Boolean = {
+              var c = 0
+              while (c < ch) {
+                if (math.abs(pcm.samples(f * ch + c)) > threshold)
+                  return true
+                c += 1
+              }
+              false
+            }
+            var lo = 0
+            while (lo < n && !loud(lo)) lo += 1
+            var hi = n - 1
+            while (hi >= lo && !loud(hi)) hi -= 1
+            var sumAbs = 0L
+            var f = lo
+            while (f <= hi) {
+              var c = 0
+              while (c < ch) {
+                sumAbs += math.abs(pcm.samples(f * ch + c).toLong)
+                c += 1
+              }
+              f += 1
+            }
+            TrimmedStats(id, n.toLong, lo.toLong, (n - 1 - hi).toLong,
+              (hi - lo + 1).toLong.max(0L), sumAbs)
+          }
+        }
+      }
+  }
+
   /** Fixed-length windowed features over a decoded clip — the audio
     * encoder front-end shape (frames of `windowFrames` frames, hop =
     * window, per-window integer energy + peak + zero-crossings). Output

@@ -137,6 +137,18 @@ object AudioFixtures {
       0x81, 0x81, 0x81, 0x81, // ch0 group
       0, 0, 0, 0)) // ch1 group
 
+  /** 16-bit mono 8000 Hz clip with silent padding for the trim gate:
+    * frames 0,3,−2,900,0,−800,4,0,2 — at threshold 5 only frames 3
+    * and 5 are loud, so lead=3, trail=3, kept=3 (the interior zero is
+    * content and stays), kept_sum_abs=1700. */
+  val wavPadded: Array[Byte] = buildWav(8000, 1, 16,
+    Seq(0, 3, -2, 900, 0, -800, 4, 0, 2))
+
+  /** 16-bit mono clip that is silent throughout at threshold 5
+    * (1,−1,0,2): the trim convention counts an all-silent clip as all
+    * lead (lead=4, trail=0, kept=0). */
+  val wavQuiet: Array[Byte] = buildWav(8000, 1, 16, Seq(1, -1, 0, 2))
+
   /** 16-bit mono 8000 Hz square wave, 16 frames alternating ±1000.
     * Expected stats: n_frames=16, amp −1000..1000, sum_abs=16000,
     * zero_crossings=15. */

@@ -249,6 +249,43 @@ class AudioSpec extends AnyFunSuite with SparkTestSupport {
     assert(Audio.wavSamples(wrongSpb).isEmpty)
   }
 
+  test("resampleStats: floor-exact interpolation; identity at equal rates") {
+    val s = spark
+    import s.implicits._
+    def one(fix: Array[Byte], dst: Int) =
+      Audio.resampleStats(s, Seq((1L, fix)).toDF("media_id", "content"),
+        dstRate = dst).collect().head
+    // the hand-walked 8000→6000 square wave (period-3 ladder)
+    assert(one(AudioFixtures.wavSquare, 6000) ==
+      Audio.ResampledStats(1L, 8000, 6000, 1, 12, -334, 1000, 6672))
+    // stereo upsample interpolates per channel through the interleave
+    assert(one(AudioFixtures.wavStereo8, 6000) ==
+      Audio.ResampledStats(1L, 4000, 6000, 2, 5, -4, 13, 71))
+    // identity: dst == src touches no fractional positions
+    val id = one(AudioFixtures.wav24Mono, 48000)
+    assert(id.n_frames == 5 && id.amp_min == -8388607 &&
+      id.amp_max == 8388607 && id.amp_sum_abs == 17377214L)
+    // integer decimation takes every k-th frame exactly
+    val dec = one(AudioFixtures.wavSquare, 4000)
+    assert(dec.n_frames == 8 && dec.amp_min == 1000 && dec.amp_max == 1000)
+  }
+
+  test("trimSilenceStats: head/tail extent at the threshold, interior kept") {
+    val s = spark
+    import s.implicits._
+    val got = Audio.trimSilenceStats(s, Seq(
+        (1L, AudioFixtures.wavPadded),
+        (2L, AudioFixtures.wavStereo8),
+        (3L, AudioFixtures.wavQuiet),
+        (4L, "junk".getBytes))
+      .toDF("media_id", "content"), threshold = 5)
+      .collect().map(t => t.media_id -> t).toMap
+    assert(got.size == 3) // junk gated out
+    assert(got(1L) == Audio.TrimmedStats(1L, 9, 3, 3, 3, 1700))
+    assert(got(2L) == Audio.TrimmedStats(2L, 4, 0, 0, 4, 80))
+    assert(got(3L) == Audio.TrimmedStats(3L, 4, 4, 0, 0, 0))
+  }
+
   test("decodeStats: integer-exact statistics; non-WAV blobs gated out") {
     val s = spark
     import s.implicits._
