@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Audio, AudioFixtures, Chunking, Decontam, Dedup, Fuzzy, MediaFixtures, Multimodal, Similarity, Spans, TextStats, Vectors}
+import graft.ext.{Archives, ArchiveFixtures, Audio, AudioFixtures, Chunking, Decontam, Dedup, Fuzzy, MediaFixtures, Multimodal, Similarity, Spans, TextStats, Vectors}
 import graft.ops.{HeavyHitters, Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
@@ -3583,6 +3583,58 @@ object QueriesExt {
         |             ('tall', 1, 33, 33),
         |             ('wide', 3, 150, 200))
         |  AS t(bucket, n_images, min_ratio_pct, max_ratio_pct)""".stripMargin)),
+
+    // Archive-shard ingestion (Archives.memberStats): tar (hand-built
+    // POSIX ustar, checksum-validated) and zip (JDK-written, STORED +
+    // DEFLATE members) explode to per-member rows inside one partition
+    // — the WebDataset read path. The oracle RECOMPUTES each member's
+    // md5 from the same string literals, so content extraction (not
+    // just names/sizes) is hash-gated; the junk blob yields no rows.
+    QueryCase("q_archive_members",
+      (s, _) => {
+        import s.implicits._
+        Archives.memberStats(s, Seq(
+            (1L, ArchiveFixtures.tarDocs),
+            (2L, ArchiveFixtures.zipDocs),
+            (3L, "PK not actually an archive".getBytes))
+          .toDF("archive_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(archive_id AS BIGINT) AS archive_id,
+        |  member_name, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  md5(content) AS member_md5
+        |FROM (VALUES (1, '0001.txt', 12, 'hello graft' || chr(10)),
+        |             (1, '0001.cls', 1, '7'),
+        |             (1, '0002.txt', 24, 'tar shards ship corpora' || chr(10)),
+        |             (1, '0002.cls', 1, '3'),
+        |             (2, '0001.txt', 12, 'hello graft' || chr(10)),
+        |             (2, '0001.cls', 1, '7'),
+        |             (2, '0002.txt', 24, 'tar shards ship corpora' || chr(10)),
+        |             (2, '0002.cls', 1, '3'))
+        |  AS t(archive_id, member_name, n_bytes, content)""".stripMargin)),
+
+    // The composed WebDataset media path (Archives.mediaMembers):
+    // explode the shard AND probe each member's image dimensions in
+    // one partition-local pass — members that aren't decodable images
+    // (the caption) drop, four containers (PNG ×2 / JPEG / LZW TIFF)
+    // resolve through the one imageDims dispatch.
+    QueryCase("q_archive_media",
+      (s, _) => {
+        import s.implicits._
+        Archives.mediaMembers(s, Seq(
+            (1L, ArchiveFixtures.tarMedia),
+            (2L, "not a shard".getBytes))
+          .toDF("archive_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(archive_id AS BIGINT) AS archive_id,
+        |  member_name, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels
+        |FROM (VALUES (1, '000/a.png', 1, 1, 4),
+        |             (1, '001/b.png', 2, 2, 3),
+        |             (1, '002/c.jpg', 8, 8, 1),
+        |             (1, '003/d.tif', 7, 5, 1))
+        |  AS t(archive_id, member_name, width, height,
+        |       channels)""".stripMargin)),
 
     // BMP through the same partition-batched stats kernel — the fourth
     // real image container (PNG/JPEG/GIF/BMP; BMP is pure fixed layout,

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{ArchiveFixtures, Archives, MediaFixtures}
+
+class ArchivesSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("tarMembers walks hand-built ustar: names, sizes, content, trailer") {
+    val ms = Archives.tarMembers(ArchiveFixtures.tarDocs)
+    assert(ms.map(_.name) == Seq("0001.txt", "0001.cls", "0002.txt",
+      "0002.cls"))
+    assert(new String(ms.head.bytes, "UTF-8") == "hello graft\n")
+    assert(new String(ms(2).bytes, "UTF-8") == "tar shards ship corpora\n")
+    // binary members round-trip bit-exact (block padding stripped)
+    val media = Archives.tarMembers(ArchiveFixtures.tarMedia)
+    assert(media.map(_.name).contains("001/b.png"))
+    assert(media.find(_.name == "001/b.png").get.bytes
+      .sameElements(MediaFixtures.pngRgb2x2))
+    assert(media.find(_.name == "003/d.tif").get.bytes
+      .sameElements(MediaFixtures.tiffGrayLzwPred7x5))
+    // a corrupted checksum gates the walk instead of mis-parsing
+    val bad = ArchiveFixtures.tarDocs.clone()
+    bad(148) = '9' // first header's checksum field
+    assert(Archives.tarMembers(bad).isEmpty)
+    // a lying size field (8 GiB declared in a 2 KiB blob, checksum
+    // made valid again so ONLY the size lies) cannot read past the blob
+    val lying = ArchiveFixtures.buildTar(Seq("x.bin" -> Array[Byte](1, 2)))
+    System.arraycopy("77777777777 ".getBytes("US-ASCII"), 0,
+      lying, 124, 12)
+    var sum = 0
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) 32 else lying(i) & 0xFF)
+    System.arraycopy(("%06o".format(sum) + "\u0000 ").getBytes("US-ASCII"),
+      0, lying, 148, 8)
+    assert(Archives.tarMembers(lying).isEmpty)
+  }
+
+  test("zipMembers: JDK-written STORED+DEFLATE; JDK re-reads our picks") {
+    val ms = Archives.zipMembers(ArchiveFixtures.zipDocs)
+    assert(ms.map(_.name) == Seq("0001.txt", "0001.cls", "0002.txt",
+      "0002.cls"))
+    assert(new String(ms(2).bytes, "UTF-8") == "tar shards ship corpora\n")
+    // cross-check every member against the JDK's own reader
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(ArchiveFixtures.zipDocs))
+    var e = zin.getNextEntry
+    val jdk = scala.collection.mutable.Map[String, Array[Byte]]()
+    while (e != null) {
+      jdk(e.getName) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    for (m <- ms) assert(jdk(m.name).sameElements(m.bytes), m.name)
+    // binary payloads (compressed members holding a JPEG) survive
+    val zbin = ArchiveFixtures.buildZip(Seq(
+      ("a.jpg", MediaFixtures.jpegGray8x8, false),
+      ("b.png", MediaFixtures.pngRgb2x2, true)))
+    val got = Archives.zipMembers(zbin)
+    assert(got.find(_.name == "a.jpg").get.bytes
+      .sameElements(MediaFixtures.jpegGray8x8))
+    // zip with an archive comment still resolves its EOCD
+    val commented = zbin ++ "trailing comment bytes".getBytes("UTF-8")
+    // (comment length field now lies, but the backward scan finds the
+    // EOCD signature regardless — the tolerant path real tools need)
+    assert(Archives.zipMembers(commented).map(_.name) ==
+      Seq("a.jpg", "b.png"))
+  }
+
+  test("members dispatch + never-throw on junk/truncations/bit-flips") {
+    assert(Archives.members(ArchiveFixtures.tarDocs).size == 4)
+    assert(Archives.members(ArchiveFixtures.zipDocs).size == 4)
+    assert(Archives.members("PK junk".getBytes).isEmpty)
+    assert(Archives.members(Array.emptyByteArray).isEmpty)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 100)
+      Archives.members(Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte))
+    for (fix <- Seq(ArchiveFixtures.tarDocs, ArchiveFixtures.zipDocs,
+        ArchiveFixtures.tarMedia); _ <- 0 until 40) {
+      val m = fix.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Archives.members(m)
+      Archives.members(m.take(rnd.nextInt(m.length)))
+    }
+  }
+
+  test("memberStats/mediaMembers: distributed explode, junk drops") {
+    val s = spark
+    import s.implicits._
+    val stats = Archives.memberStats(s, Seq(
+        (1L, ArchiveFixtures.tarDocs),
+        (2L, ArchiveFixtures.zipDocs),
+        (3L, "nope".getBytes))
+      .toDF("archive_id", "content")).collect()
+    assert(stats.length == 8)
+    // identical content across containers shares its md5 (the dedup
+    // key a shard-level ingest would group on)
+    val byName = stats.groupBy(_.member_name)
+    assert(byName("0001.txt").map(_.member_md5).distinct.length == 1)
+    val media = Archives.mediaMembers(s, Seq(
+        (1L, ArchiveFixtures.tarMedia))
+      .toDF("archive_id", "content")).collect()
+    assert(media.map(m => m.member_name ->
+      ((m.width, m.height, m.channels))).toMap ==
+      Map("000/a.png" -> ((1, 1, 4)), "001/b.png" -> ((2, 2, 3)),
+        "002/c.jpg" -> ((8, 8, 1)), "003/d.tif" -> ((7, 5, 1))))
+  }
+}
