@@ -3596,7 +3596,8 @@ object QueriesExt {
         Archives.memberStats(s, Seq(
             (1L, ArchiveFixtures.tarDocs),
             (2L, ArchiveFixtures.zipDocs),
-            (3L, "PK not actually an archive".getBytes))
+            (3L, "PK not actually an archive".getBytes),
+            (4L, ArchiveFixtures.tarDocsGz)) // .tar.gz shard form
           .toDF("archive_id", "content")).toDF()
       },
       Some("""SELECT CAST(archive_id AS BIGINT) AS archive_id,
@@ -3609,7 +3610,11 @@ object QueriesExt {
         |             (2, '0001.txt', 12, 'hello graft' || chr(10)),
         |             (2, '0001.cls', 1, '7'),
         |             (2, '0002.txt', 24, 'tar shards ship corpora' || chr(10)),
-        |             (2, '0002.cls', 1, '3'))
+        |             (2, '0002.cls', 1, '3'),
+        |             (4, '0001.txt', 12, 'hello graft' || chr(10)),
+        |             (4, '0001.cls', 1, '7'),
+        |             (4, '0002.txt', 24, 'tar shards ship corpora' || chr(10)),
+        |             (4, '0002.cls', 1, '3'))
         |  AS t(archive_id, member_name, n_bytes, content)""".stripMargin)),
 
     // The composed WebDataset media path (Archives.mediaMembers):

@@ -89,6 +89,14 @@ object ArchiveFixtures {
     ("0002.txt", utf8("tar shards ship corpora\n"), false),
     ("0002.cls", utf8("3"), false)))
 
+  /** [[tarDocs]] gzip-wrapped — the `.tar.gz` shard form. */
+  val tarDocsGz: Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(baos)
+    g.write(tarDocs); g.close()
+    baos.toByteArray
+  }
+
   /** A media shard: image members under WebDataset stems plus a
     * caption that is not an image (the media walk skips it). */
   val tarMedia: Array[Byte] = buildTar(Seq(

@@ -199,11 +199,40 @@ object Archives {
       }
   }
 
-  /** Container dispatch: zip if an EOCD record resolves, else tar if
-    * the first header block's checksum validates, else no members. */
+  /** Expansion ceiling for [[gunzip]] — the zip-bomb guard: a member
+    * that inflates past this is dropped, matching the lying-IFD OOM
+    * guard in [[Multimodal]]. 256 MiB per blob is far above any sane
+    * shard and far below executor memory. */
+  val MaxGunzip: Int = 1 << 28
+
+  /** Inflate a gzip blob (1F 8B magic, `GZIPInputStream`) up to
+    * [[MaxGunzip]]; None for non-gzip, truncated, or bomb-sized
+    * input. */
+  def gunzip(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
+      (bytes(1) & 0xFF) != 0x8B) return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0 && out.size <= MaxGunzip) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      if (out.size > MaxGunzip) None else Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container dispatch: gzip unwraps first (`.tar.gz` shards walk as
+    * their inner tar), then zip if an EOCD record resolves, else tar
+    * if the first header block's checksum validates, else no
+    * members. */
   def members(bytes: Array[Byte]): Seq[Member] = {
-    val z = zipMembers(bytes)
-    if (z.nonEmpty) z else tarMembers(bytes)
+    val b = gunzip(bytes).getOrElse(bytes)
+    val z = zipMembers(b)
+    if (z.nonEmpty) z else tarMembers(b)
   }
 
   /** One decoded-media member row: the WebDataset ingest join — every

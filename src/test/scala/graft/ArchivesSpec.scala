@@ -66,6 +66,27 @@ class ArchivesSpec extends AnyFunSuite with SparkTestSupport {
       Seq("a.jpg", "b.png"))
   }
 
+  test("gunzip unwraps .tar.gz; the expansion guard drops a gzip bomb") {
+    // the gzip wrapper is transparent to the dispatch
+    val viaGz = Archives.members(ArchiveFixtures.tarDocsGz)
+    val direct = Archives.members(ArchiveFixtures.tarDocs)
+    assert(viaGz.map(_.name) == direct.map(_.name))
+    assert(viaGz.zip(direct).forall { case (a, b) =>
+      a.bytes.sameElements(b.bytes) })
+    // gunzip itself round-trips
+    assert(Archives.gunzip(ArchiveFixtures.tarDocsGz).get
+      .sameElements(ArchiveFixtures.tarDocs))
+    assert(Archives.gunzip("not gzip".getBytes).isEmpty)
+    // a ~1 GiB-of-zeros bomb (tiny on the wire) hits MaxGunzip and drops
+    val baos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(baos)
+    val zeros = new Array[Byte](1 << 20)
+    for (_ <- 0 until 1100) g.write(zeros)
+    g.close()
+    assert(baos.size() < (1 << 21), "bomb is small on the wire")
+    assert(Archives.gunzip(baos.toByteArray).isEmpty)
+  }
+
   test("members dispatch + never-throw on junk/truncations/bit-flips") {
     assert(Archives.members(ArchiveFixtures.tarDocs).size == 4)
     assert(Archives.members(ArchiveFixtures.zipDocs).size == 4)
