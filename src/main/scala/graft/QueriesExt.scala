@@ -3617,6 +3617,30 @@ object QueriesExt {
         |             (4, '0002.cls', 1, '3'))
         |  AS t(archive_id, member_name, n_bytes, content)""".stripMargin)),
 
+    // WebDataset SAMPLE assembly (Archives.samples): members sharing a
+    // stem become one training-sample row, partition-locally (a
+    // sample's members are adjacent in one shard by the format's
+    // contract — no shuffle). Same samples from the tar and the zip.
+    QueryCase("q_archive_samples",
+      (s, _) => {
+        import s.implicits._
+        Archives.samples(s, Seq(
+            (1L, ArchiveFixtures.tarDocs),
+            (2L, ArchiveFixtures.zipDocs))
+          .toDF("archive_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(archive_id AS BIGINT) AS archive_id, stem,
+        |  CAST(n_members AS BIGINT) AS n_members, txt, cls,
+        |  CAST(binary_bytes AS BIGINT) AS binary_bytes
+        |FROM (VALUES (1, '0001', 2, 'hello graft' || chr(10), '7', 0),
+        |             (1, '0002', 2, 'tar shards ship corpora' || chr(10),
+        |              '3', 0),
+        |             (2, '0001', 2, 'hello graft' || chr(10), '7', 0),
+        |             (2, '0002', 2, 'tar shards ship corpora' || chr(10),
+        |              '3', 0))
+        |  AS t(archive_id, stem, n_members, txt, cls,
+        |       binary_bytes)""".stripMargin)),
+
     // The composed WebDataset media path (Archives.mediaMembers):
     // explode the shard AND probe each member's image dimensions in
     // one partition-local pass — members that aren't decodable images

@@ -235,6 +235,47 @@ object Archives {
     if (z.nonEmpty) z else tarMembers(b)
   }
 
+  /** One assembled WebDataset training sample: members grouped by
+    * stem, text-bearing extensions surfaced as columns, binary sizes
+    * summed. */
+  final case class Sample(archive_id: Long, stem: String,
+      n_members: Long, txt: String, cls: String, binary_bytes: Long)
+
+  /** Assemble WebDataset SAMPLES: members sharing a stem (the name up
+    * to the first '.'-extension, directories included) become one row
+    * — `.txt`/`.cls` payloads decoded as UTF-8 columns, every other
+    * member contributing its byte count to `binary_bytes`. The
+    * grouping runs INSIDE the partition (WebDataset's contract is that
+    * a sample's members are adjacent in one shard, so no shuffle is
+    * needed — at 100 TB this is the whole point of the layout; a
+    * cross-shard straggler would need the groupBy variant, which is
+    * one `.groupBy("archive_id","stem")` away from the same rows). */
+  def samples(spark: SparkSession,
+      archives: DataFrame): Dataset[Sample] = {
+    import spark.implicits._
+    archives.select(col("archive_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          members(bytes)
+            .groupBy(m => m.name.lastIndexOf('.') match {
+              case -1 => m.name
+              case i => m.name.substring(0, i)
+            })
+            .toSeq.sortBy(_._1)
+            .map { case (stem, ms) =>
+              def text(ext: String): String =
+                ms.find(_.name == s"$stem.$ext")
+                  .map(m => new String(m.bytes, "UTF-8")).getOrElse("")
+              val bin = ms.filterNot(m => m.name.endsWith(".txt") ||
+                m.name.endsWith(".cls")).map(_.bytes.length.toLong).sum
+              Sample(id, stem, ms.size.toLong, text("txt"), text("cls"),
+                bin)
+            }
+        }
+      }
+  }
+
   /** One decoded-media member row: the WebDataset ingest join — every
     * archive member through the image-dimension probe, keeping the
     * decodable ones. */

@@ -185,7 +185,7 @@ object Profiling {
       .crossJoin(broadcast(prod.agg(max(col("__p")).as("__mx"))))
       .filter(col("__p") === col("__mx"))
       .agg(min(col("__key")).as("hot_key"))
-    stats.crossJoin(hot).select("est_rows", "max_key_rows", "hot_key",
-      "n_keys")
+    stats.crossJoin(broadcast(hot)).select("est_rows", "max_key_rows",
+      "hot_key", "n_keys")
   }
 }

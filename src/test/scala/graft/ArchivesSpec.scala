@@ -126,4 +126,20 @@ class ArchivesSpec extends AnyFunSuite with SparkTestSupport {
       Map("000/a.png" -> ((1, 1, 4)), "001/b.png" -> ((2, 2, 3)),
         "002/c.jpg" -> ((8, 8, 1)), "003/d.tif" -> ((7, 5, 1))))
   }
+
+  test("samples: stem grouping pairs captions with their binaries") {
+    val s = spark
+    import s.implicits._
+    val got = Archives.samples(s, Seq((1L, ArchiveFixtures.tarMedia))
+      .toDF("archive_id", "content")).collect()
+      .map(x => x.stem -> x).toMap
+    assert(got.keySet == Set("000/a", "001/b", "002/c", "003/d"))
+    assert(got("000/a").n_members == 2)
+    assert(got("000/a").txt == "a tiny png")
+    assert(got("000/a").binary_bytes ==
+      MediaFixtures.png1x1.length.toLong)
+    assert(got("001/b").n_members == 1 && got("001/b").txt == "")
+    assert(got("003/d").binary_bytes ==
+      MediaFixtures.tiffGrayLzwPred7x5.length.toLong)
+  }
 }
