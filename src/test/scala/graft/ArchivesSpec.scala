@@ -127,6 +127,39 @@ class ArchivesSpec extends AnyFunSuite with SparkTestSupport {
         "002/c.jpg" -> ((8, 8, 1)), "003/d.tif" -> ((7, 5, 1))))
   }
 
+  test("streaming shard ingest: memberStats batch = stream row-for-row") {
+    // the explode is stateless, so the same kernel serves readStream
+    // unchanged — shards arriving across micro-batches yield exactly
+    // the batch rows (the MediaGate parity property, archive tier)
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = Archives.memberStats(s,
+        stream.toDF().toDF("archive_id", "content")).toDF()
+      .writeStream.format("memory").queryName("archive_members_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(1L -> ArchiveFixtures.tarDocs)
+      q.processAllAvailable()
+      stream.addData(2L -> ArchiveFixtures.zipDocs,
+        3L -> "nope".getBytes, 4L -> ArchiveFixtures.tarDocsGz)
+      q.processAllAvailable()
+      val got = s.table("archive_members_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      val batch = Archives.memberStats(s, Seq(
+          (1L, ArchiveFixtures.tarDocs), (2L, ArchiveFixtures.zipDocs),
+          (3L, "nope".getBytes), (4L, ArchiveFixtures.tarDocsGz))
+        .toDF("archive_id", "content")).collect()
+        .map(m => (m.archive_id, m.member_name, m.n_bytes,
+          m.member_md5)).toSet
+      assert(got == batch)
+      assert(batch.size == 12) // 4 members × (tar, zip, tar.gz)
+    } finally q.stop()
+  }
+
   test("samples: stem grouping pairs captions with their binaries") {
     val s = spark
     import s.implicits._
