@@ -1692,6 +1692,36 @@ object QueriesExt {
         |FROM segd""".stripMargin)),
 
     // ----------------------------------------------------- text analysis
+    // HTML → text extraction (Html.extract): the boilerplate strip a
+    // web crawl runs before any scoring/dedup — script/style/comment
+    // removal, block-tag line structure, entity decode, whitespace
+    // normalization, all hand-walked in the oracle rows (doc 1 mixes
+    // every rule; doc 3's &lt;tags&gt; decode to literal text, never
+    // re-parsed).
+    QueryCase("q_text_html_extract",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.Html.extract(s, Seq(
+            (1L, "<html><head><title>Graft</title><style>p{color:red}" +
+              "</style></head><body><h1>Hello &amp; welcome</h1>" +
+              "<p>First   paragraph.</p><script>var x = '<p>not text" +
+              "</p>';</script><p>Second &#65;&#x42;.</p><!-- hidden -->" +
+              "<div>End</div></body></html>"),
+            (2L, "already plain text"),
+            (3L, "<ul><li>one</li><li>two &lt;tags&gt;</li></ul>"))
+          .toDF("doc_id", "html")).toDF()
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES
+        |  (1, 'Graft' || chr(10) || 'Hello & welcome' || chr(10) ||
+        |   'First paragraph.' || chr(10) || 'Second AB.' || chr(10) ||
+        |   'End', 5, 53),
+        |  (2, 'already plain text', 1, 18),
+        |  (3, 'one' || chr(10) || 'two <tags>', 2, 14))
+        |  AS t(doc_id, text, n_lines, n_chars)""".stripMargin)),
+
     QueryCase("q_text_tokens",
       (s, dir) => TextStats.tokenCounts(t(s, dir, "documents"), "text")
         .select("doc_id", "n_words", "n_bpe"),
