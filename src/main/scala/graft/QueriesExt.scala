@@ -1728,6 +1728,34 @@ object QueriesExt {
     // Every rule hand-walked in the oracle rows; the junk row drops;
     // percent-escapes are preserved (decoding would conflate distinct
     // resources).
+    // Mojibake repair (Encoding.repair): strict cp1252→UTF-8 unwind —
+    // accept only a round-trip that decodes cleanly AND shrinks, so
+    // legitimate accents/Cyrillic are provably untouched; the
+    // double-mangled row needs two passes. After repair, docs 1 and 4
+    // carry the same text — the dedup identity the cleanup restores.
+    QueryCase("q_text_fix_mojibake",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.Encoding.repair(s, Seq(
+            (1L, "cafÃ© menu"),
+            (2L, "donâ€™t stop"),
+            (3L, "plain ascii"),
+            (4L, "café menu"),
+            (5L, "cafÃƒÂ© twice"),
+            (6L, "naïve café"))
+          .toDF("doc_id", "text")).toDF()
+          .select(col("doc_id"), col("text"), col("n_passes"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |  CAST(n_passes AS BIGINT) AS n_passes
+        |FROM (VALUES (1, 'café menu', 1),
+        |             (2, 'don’t stop', 1),
+        |             (3, 'plain ascii', 0),
+        |             (4, 'café menu', 0),
+        |             (5, 'café twice', 2),
+        |             (6, 'naïve café', 0))
+        |  AS t(doc_id, text, n_passes)""".stripMargin)),
+
     QueryCase("q_text_url_canonical",
       (s, _) => {
         import s.implicits._
