@@ -1733,6 +1733,35 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // Unicode NFC (Encoding.nfcNormalized): a RARE fully-independent
+    // oracle — DuckDB's nfc_normalize is utf8proc, Spark's side is the
+    // JDK Normalizer; two unrelated UAX #15 implementations must agree
+    // byte-for-byte on combining sequences and Hangul jamo
+    // composition. Counts are codepoints on both engines.
+    QueryCase("q_text_nfc",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.Encoding.nfcNormalized(s, Seq(
+            (1L, "cafe\u0301"),      // e + combining acute
+            (2L, "caf\u00e9"),       // precomposed
+            (3L, "plain"),
+            (4L, "an\u0303o nuevo"), // n + combining tilde
+            (5L, "\u1100\u1161"))    // Hangul jamo pair -> U+AC00
+          .toDF("doc_id", "text")).toDF()
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  nfc_normalize(text) AS text_nfc,
+        |  CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END
+        |    AS INTEGER) AS changed,
+        |  CAST(length(text) AS BIGINT) AS n_cp_before,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp_after
+        |FROM (VALUES (1, 'cafe' || chr(769)),
+        |             (2, 'caf' || chr(233)),
+        |             (3, 'plain'),
+        |             (4, 'an' || chr(771) || 'o nuevo'),
+        |             (5, chr(4352) || chr(4449)))
+        |  AS t(doc_id, text)""".stripMargin)),
+
     QueryCase("q_text_fix_mojibake",
       (s, _) => {
         import s.implicits._

@@ -84,6 +84,31 @@ object Encoding {
     Repaired(s, p)
   }
 
+  /** One NFC-normalized row (codepoint counts, not UTF-16 units). */
+  final case class NfcDoc(doc_id: Long, text_nfc: String, changed: Int,
+      n_cp_before: Long, n_cp_after: Long)
+
+  /** Unicode NFC normalization over `(doc_id, text)` — the canonical-
+    * composition pass that makes `e`+COMBINING ACUTE and precomposed
+    * `é` one dedup identity (and one token for the BPE tier). The
+    * oracle is genuinely independent here: DuckDB's `nfc_normalize`
+    * is utf8proc, ours is the JDK's `java.text.Normalizer` — two
+    * unrelated implementations of UAX #15 that must agree
+    * byte-for-byte. */
+  def nfcNormalized(spark: SparkSession, docs: DataFrame): Dataset[NfcDoc] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t0) =>
+        val t = if (t0 == null) "" else t0
+        val nfc = java.text.Normalizer.normalize(t,
+          java.text.Normalizer.Form.NFC)
+        NfcDoc(id, nfc, if (nfc == t) 0 else 1,
+          t.codePointCount(0, t.length).toLong,
+          nfc.codePointCount(0, nfc.length).toLong)
+      }
+  }
+
   /** One repaired-document row. */
   final case class RepairedDoc(doc_id: Long, text: String,
       was_mojibake: Boolean, n_passes: Long)

@@ -37,6 +37,20 @@ class EncodingSpec extends AnyFunSuite with SparkTestSupport {
     assert(Encoding.fixMojibake(lossy) == Encoding.Repaired(lossy, 0))
   }
 
+  test("nfcNormalized: combining sequences and jamo compose; counts in codepoints") {
+    val s = spark
+    import s.implicits._
+    val rows = Encoding.nfcNormalized(s, Seq(
+        (1L, "cafe\u0301"), (2L, "caf\u00e9"), (3L, "\u1100\u1161"))
+      .toDF("doc_id", "text")).collect().map(r => r.doc_id -> r).toMap
+    assert(rows(1L).text_nfc == "caf\u00e9" && rows(1L).changed == 1 &&
+      rows(1L).n_cp_before == 5 && rows(1L).n_cp_after == 4)
+    assert(rows(2L).changed == 0)
+    assert(rows(3L).text_nfc == "\uac00" && rows(3L).n_cp_after == 1)
+    // the two spellings share one identity after NFC — the dedup point
+    assert(rows(1L).text_nfc == rows(2L).text_nfc)
+  }
+
   test("repair: distributed rows; dedup sees one identity after repair") {
     val s = spark
     import s.implicits._
