@@ -1733,6 +1733,52 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // The COMPOSED crawl-curation pipeline — the web tier end-to-end,
+    // exactly how the stages chain in production: canonical-URL dedup
+    // (three spellings of /a collapse; junk drops) → HTML extraction →
+    // mojibake repair → NFC → content-level exact dedup (the /b page
+    // carries the same text as /a once repaired+normalized — caught
+    // only BECAUSE the cleanup ran first). Two shuffles total (the two
+    // global dedups), both on already-reduced keys — the minimal
+    // shape. Survivors hand-walked in the oracle.
+    QueryCase("q_pipeline_web",
+      (s, _) => {
+        import s.implicits._
+        val crawl = Seq(
+          (1L, "http://Example.com/a?utm_source=x",
+            "<p>cafÃ© menu &amp; more</p>"),
+          (2L, "http://example.com:80/a#frag",
+            "<p>same page, other spelling</p>"),
+          (3L, "http://example.com/b",
+            "<html><script>x=1</script><p>cafe\u0301 menu &amp; " +
+              "more</p></html>"),
+          (4L, "http://example.com/c", "<p>unique content here</p>"),
+          (5L, "junk-url", "<p>whatever</p>"))
+          .toDF("doc_id", "url", "html")
+        val canon = graft.ext.Urls.canonicalized(s,
+          crawl.select(col("doc_id").as("url_id"), col("url"))).toDF()
+        val urlKeep = canon.groupBy("canonical")
+          .agg(min("url_id").as("doc_id"))
+        val docs = crawl.join(urlKeep, "doc_id")
+        val extracted = graft.ext.Html.extract(s,
+          docs.select(col("doc_id"), col("html"))).toDF()
+        val repaired = graft.ext.Encoding.repair(s,
+          extracted.select(col("doc_id"), col("text"))).toDF()
+        val nfc = graft.ext.Encoding.nfcNormalized(s,
+          repaired.select(col("doc_id"), col("text"))).toDF()
+        nfc.groupBy("text_nfc").agg(min("doc_id").as("doc_id"))
+          .join(canon.select(col("url_id").as("doc_id"),
+            col("canonical")), "doc_id")
+          .select(col("doc_id"), col("canonical"),
+            col("text_nfc").as("text"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, canonical, text
+        |FROM (VALUES
+        |  (1, 'http://example.com/a', 'caf' || chr(233) ||
+        |   ' menu & more'),
+        |  (4, 'http://example.com/c', 'unique content here'))
+        |  AS t(doc_id, canonical, text)""".stripMargin)),
+
     // Unicode NFC (Encoding.nfcNormalized): a RARE fully-independent
     // oracle — DuckDB's nfc_normalize is utf8proc, Spark's side is the
     // JDK Normalizer; two unrelated UAX #15 implementations must agree
