@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Archives, ArchiveFixtures, Audio, AudioFixtures, Chunking, Decontam, Dedup, Fuzzy, MediaFixtures, Multimodal, Similarity, Spans, TextStats, Vectors}
+import graft.ext.{Archives, ArchiveFixtures, Audio, AudioFixtures, Boilerplate, Chunking, Decontam, Dedup, Fuzzy, MediaFixtures, Multimodal, Similarity, Spans, TextStats, Vectors}
 import graft.ops.{HeavyHitters, Packing, Sampling}
 
 /** Extension-operator query registry: dedup, similarity search, text
@@ -1733,6 +1733,37 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // Inter-document boilerplate removal (Boilerplate.stripRepeatedLines,
+    // minDocs=2): nav/footer lines repeated across a domain's pages
+    // strip; the SAME line in a lone page of another domain survives
+    // (the per-group frequency is the point); a page that was ALL
+    // boilerplate keeps an empty row. Order-preserving rebuild via
+    // array_sort(collect_list(struct)) — built-ins only.
+    QueryCase("q_text_boilerplate",
+      (s, _) => {
+        import s.implicits._
+        Boilerplate.stripRepeatedLines(s, Seq(
+            (1L, "d1", "HOME | ABOUT\nWelcome to page one\nCopyright 2020"),
+            (2L, "d1", "HOME | ABOUT\nSecond page content\nCopyright 2020"),
+            (3L, "d1", "HOME | ABOUT\nThird unique thing"),
+            (4L, "d2", "HOME | ABOUT\nLone page elsewhere"),
+            (5L, "d1", "HOME | ABOUT\nCopyright 2020"))
+          .toDF("doc_id", "group", "text"), minDocs = 2)
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  grp AS "group", text,
+        |  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+        |  CAST(n_lines_dropped AS BIGINT) AS n_lines_dropped
+        |FROM (VALUES
+        |  (1, 'd1', 'Welcome to page one', 1, 2),
+        |  (2, 'd1', 'Second page content', 1, 2),
+        |  (3, 'd1', 'Third unique thing', 1, 1),
+        |  (4, 'd2', 'HOME | ABOUT' || chr(10) || 'Lone page elsewhere',
+        |   2, 0),
+        |  (5, 'd1', '', 0, 2))
+        |  AS t(doc_id, grp, text, n_lines_kept,
+        |       n_lines_dropped)""".stripMargin)),
+
     // The COMPOSED crawl-curation pipeline — the web tier end-to-end,
     // exactly how the stages chain in production: canonical-URL dedup
     // (three spellings of /a collapse; junk drops) → HTML extraction →
