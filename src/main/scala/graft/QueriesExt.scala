@@ -1733,6 +1733,39 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // JSONL schema-drift profile (JsonProfile.keyTypes): per-(key,type)
+    // document counts over raw JSON lines — key `a` carries number AND
+    // string, the drift a fixed-schema from_json read would silently
+    // null out. Dual-parser oracle: DuckDB's own JSON machinery
+    // (json_keys + json_type) re-derives the counts from the same
+    // literals; the malformed line can never poison the profile.
+    QueryCase("q_text_json_profile",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.JsonProfile.keyTypes(s, Seq(
+            (1L, """{"a":1,"b":"x","tags":[1,2]}"""),
+            (2L, """{"a":2.5,"b":"y","meta":{"k":1}}"""),
+            (3L, """{"a":"drifted","c":true,"d":null}"""),
+            (4L, """{not json at all"""))
+          .toDF("doc_id", "json")).toDF()
+      },
+      Some("""WITH docs(j) AS (VALUES
+        |  ('{"a":1,"b":"x","tags":[1,2]}'),
+        |  ('{"a":2.5,"b":"y","meta":{"k":1}}'),
+        |  ('{"a":"drifted","c":true,"d":null}')),
+        |keys AS (SELECT j, unnest(json_keys(j)) AS key FROM docs)
+        |SELECT key,
+        |  CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+        |       WHEN t = 'VARCHAR' THEN 'string'
+        |       WHEN t = 'BOOLEAN' THEN 'boolean'
+        |       WHEN t = 'OBJECT' THEN 'object'
+        |       WHEN t = 'ARRAY' THEN 'array'
+        |       ELSE 'null' END AS jtype,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT key, json_type(j, '$."' || key || '"') AS t
+        |      FROM keys) s
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Inter-document boilerplate removal (Boilerplate.stripRepeatedLines,
     // minDocs=2): nav/footer lines repeated across a domain's pages
     // strip; the SAME line in a lone page of another domain survives
