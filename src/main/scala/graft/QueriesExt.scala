@@ -1733,6 +1733,44 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // Character-trigram diversity — the repetition/gibberish signal
+    // (distinct trigrams / total trigrams: looping spam ~0, natural
+    // prose high) over the REAL documents table, built-ins only
+    // (transform(sequence) → array_distinct, codegen'd). The oracle is
+    // full SQL over the same table (correlated unnest(range)), not
+    // VALUES; the ratio follows the round4 float discipline with the
+    // identical operation order on both engines.
+    QueryCase("q_text_trigram_diversity",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .withColumn("tris",
+            when(length(col("t")) >= 3,
+              expr("transform(sequence(1, length(t)-2)," +
+                " i -> substring(t, i, 3))"))
+              .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"),
+            size(col("tris")).cast("long").as("n_trigrams"),
+            size(array_distinct(col("tris"))).cast("long")
+              .as("n_distinct"))
+          .withColumn("diversity4",
+            when(col("n_trigrams") > 0,
+              round4(col("n_distinct").cast("double") / col("n_trigrams")))
+              .otherwise(lit(0.0)))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(greatest(length(t) - 2, 0) AS BIGINT) AS n_trigrams,
+        |  CAST((SELECT count(DISTINCT substr(t, CAST(u.i AS INT), 3))
+        |        FROM unnest(range(1, greatest(length(t) - 1, 1))) AS u(i))
+        |    AS BIGINT) AS n_distinct,
+        |  CASE WHEN length(t) > 2 THEN
+        |    floor((CAST((SELECT count(DISTINCT
+        |        substr(t, CAST(u.i AS INT), 3))
+        |      FROM unnest(range(1, greatest(length(t) - 1, 1))) AS u(i))
+        |      AS DOUBLE) / (length(t) - 2)) * 10000 + 0.5) / 10000
+        |  ELSE 0.0 END AS diversity4
+        |FROM (SELECT doc_id, lower(text) AS t FROM documents) d""".stripMargin)),
+
     // JSONL schema-drift profile (JsonProfile.keyTypes): per-(key,type)
     // document counts over raw JSON lines — key `a` carries number AND
     // string, the drift a fixed-schema from_json read would silently
