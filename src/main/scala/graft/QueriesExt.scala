@@ -1733,6 +1733,39 @@ object QueriesExt {
     // legitimate accents/Cyrillic are provably untouched; the
     // double-mangled row needs two passes. After repair, docs 1 and 4
     // carry the same text — the dedup identity the cleanup restores.
+    // The drift REPORT (JsonProfile.drift): only keys observed with
+    // more than one type, types comma-joined with counts in sorted
+    // order on both engines (sort_array vs string_agg ORDER BY over
+    // the identical "type:count" strings).
+    QueryCase("q_text_json_drift",
+      (s, _) => {
+        import s.implicits._
+        graft.ext.JsonProfile.drift(s, Seq(
+            (1L, """{"a":1,"b":"x","n":7}"""),
+            (2L, """{"a":"one","b":"y","n":8}"""),
+            (3L, """{"a":null,"b":"z","n":"9"}"""))
+          .toDF("doc_id", "json"))
+      },
+      Some("""WITH docs(j) AS (VALUES
+        |  ('{"a":1,"b":"x","n":7}'),
+        |  ('{"a":"one","b":"y","n":8}'),
+        |  ('{"a":null,"b":"z","n":"9"}')),
+        |keys AS (SELECT j, unnest(json_keys(j)) AS key FROM docs),
+        |typed AS (SELECT key,
+        |  CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+        |       WHEN t = 'VARCHAR' THEN 'string'
+        |       WHEN t = 'BOOLEAN' THEN 'boolean'
+        |       WHEN t = 'OBJECT' THEN 'object'
+        |       WHEN t = 'ARRAY' THEN 'array'
+        |       ELSE 'null' END AS jtype, count(*) AS n
+        |  FROM (SELECT key, json_type(j, '$."' || key || '"') AS t
+        |        FROM keys) s
+        |  GROUP BY 1, 2)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_types,
+        |  string_agg(jtype || ':' || n, ','
+        |    ORDER BY jtype || ':' || n) AS types
+        |FROM typed GROUP BY key HAVING count(*) > 1""".stripMargin)),
+
     // Character-trigram diversity — the repetition/gibberish signal
     // (distinct trigrams / total trigrams: looping spam ~0, natural
     // prose high) over the REAL documents table, built-ins only
