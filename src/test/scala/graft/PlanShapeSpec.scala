@@ -256,4 +256,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!plan.contains("GlobalSort"), plan.take(4000))
     assert(!plan.contains("Join"), plan.take(4000))
   }
+
+  test("q_text_boilerplate broadcasts the repeated-line table into the anti-join") {
+    // The (group, line) frequency table is by definition small
+    // (boilerplate repeats); the corpus-sized side must never shuffle
+    // for the anti-join.
+    val plan = formatted("q_text_boilerplate")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(4000))
+  }
+
+  test("q_text_trigram_diversity is one scan of projects, no shuffle") {
+    // transform(sequence)/array_distinct are expression-level: the
+    // whole per-document signal rides the document scan as projects
+    // (the HOF project itself interprets — higher-order lambdas don't
+    // codegen — but nothing shuffles, joins, or aggregates).
+    val plan = formatted("q_text_trigram_diversity")
+    assert(!plan.contains("Exchange"), plan.take(4000))
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      plan.take(4000))
+    assert(plan.contains("codegen id"), plan.take(4000))
+  }
+
+  test("q_pipeline_web's two dedups are its only exchanges") {
+    // canonical-URL dedup + content dedup: exactly the two documented
+    // shuffles (each an Exchange pair around partial/final aggs plus
+    // the join re-use), and the extraction/repair stages add none.
+    val plan = formatted("q_pipeline_web")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 6, s"exchange count $n\n" + plan.take(4000))
+  }
 }
