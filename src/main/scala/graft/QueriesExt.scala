@@ -4239,7 +4239,8 @@ object QueriesExt {
             (1L, AudioFixtures.wavSquare),
             (2L, AudioFixtures.wavStereo8),
             (8L, AudioFixtures.wavUlaw),
-            (9L, "not audio".getBytes))
+            (9L, "not audio".getBytes),
+            (10L, AudioFixtures.wavAdpcmMono)) // ADPCM → resample chain
           .toDF("media_id", "content"), dstRate = 6000).toDF()
       },
       Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
@@ -4252,7 +4253,8 @@ object QueriesExt {
         |  CAST(amp_sum_abs AS BIGINT) AS amp_sum_abs
         |FROM (VALUES (1, 8000, 6000, 1, 12, -334, 1000, 6672),
         |             (2, 4000, 6000, 2, 5, -4, 13, 71),
-        |             (8, 8000, 6000, 1, 4, -21416, 32124, 53760))
+        |             (8, 8000, 6000, 1, 4, -21416, 32124, 53760),
+        |             (10, 8000, 6000, 1, 7, 100, 113, 740))
         |  AS t(media_id, src_rate, dst_rate, channels, n_frames,
         |       amp_min, amp_max, amp_sum_abs)""".stripMargin)),
 
