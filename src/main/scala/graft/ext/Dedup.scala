@@ -1015,7 +1015,8 @@ object Dedup {
     * realistic ingest slices touch few of the (chunks × shards)
     * directories and the old-corpus read prunes AT THE SCAN. */
   def writeShardedChunkIndex(fps: DataFrame, path: String, bits: Int = 60,
-      maxHamming: Int = 3, shards: Int = 16): Unit = {
+      maxHamming: Int = 3, shards: Int = 16,
+      mode: String = "overwrite"): Unit = {
     val chunks = maxHamming + 1
     val width = bits / chunks
     fps.withColumn("chunk", explode(transform(
@@ -1026,7 +1027,7 @@ object Dedup {
       .select(col("id"), col("fp"), col("chunk.ci"), col("chunk.cv"),
         Sharded.shardOf(col("chunk.cv"), shards).as("shard"))
       .repartition(col("ci"), col("shard")) // one file per directory
-      .write.partitionBy("ci", "shard").mode("overwrite").parquet(path)
+      .write.partitionBy("ci", "shard").mode(mode).parquet(path)
   }
 
   /** Point probe over a [[writeShardedChunkIndex]] artifact — the

@@ -30,4 +30,20 @@ class BoilerplateSpec extends AnyFunSuite with SparkTestSupport {
       .toDF("doc_id", "group", "text"), minDocs = 2).collect()
     assert(blanky.forall(_.getLong(4) == 0L)) // nothing dropped
   }
+
+  test("anti-join strategy is semantics-free: broadcast ≡ shuffle ≡ auto") {
+    val s = spark
+    import s.implicits._
+    // enough groups/lines that both join strategies do real work
+    val docs = (1L to 60L).map { i =>
+      val g = s"dom${i % 7}"
+      (i, g, s"NAV $g\nunique body $i\nFOOTER $g\nextra ${i % 3}")
+    }.toDF("doc_id", "group", "text")
+    val modes = Seq(Some(true), Some(false), None).map { m =>
+      Boilerplate.stripRepeatedLines(s, docs, minDocs = 2,
+        broadcastBoiler = m).collect().map(_.toSeq).toSet
+    }
+    assert(modes(0) == modes(1), "broadcast vs forced-shuffle differ")
+    assert(modes(0) == modes(2), "broadcast vs auto differ")
+  }
 }

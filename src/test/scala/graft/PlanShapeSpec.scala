@@ -257,13 +257,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(!plan.contains("Join"), plan.take(4000))
   }
 
-  test("q_text_boilerplate broadcasts the repeated-line table into the anti-join") {
-    // The (group, line) frequency table is by definition small
-    // (boilerplate repeats); the corpus-sized side must never shuffle
-    // for the anti-join.
+  test("q_text_boilerplate anti-join is size-gated, not hardwired") {
+    // The (group, line) frequency table grows with the number of
+    // groups (domains × boilerplate lines) — unconditional broadcast
+    // is a web-scale killer, so the strategy is size-gated (default:
+    // Catalyst/AQE decide). At THIS fixture size the gate must resolve
+    // DOWN to a broadcast — proving the gate works, without mandating
+    // the strategy at every size.
     val plan = formatted("q_text_boilerplate")
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftAnti"), plan.take(4000))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
+  test("boilerplate forced-shuffle anti-join adds no corpus-side exchange") {
+    // The at-scale invariant (the REAL lock, replacing the former
+    // BroadcastHashJoin mandate): forcing the shuffle anti-join must
+    // not add a corpus-side shuffle over the broadcast plan — the
+    // pre-partitioned exploded corpus feeds BOTH the frequency agg and
+    // the anti-join probe side, so the (group, line) exchange is
+    // shared and the total hash-exchange count stays ≤ the broadcast
+    // variant's (which pays its own agg-side shuffles).
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "d1", "NAV\nalpha\nFOOT\nbeta"),
+      (2L, "d1", "NAV\ngamma\nFOOT"),
+      (3L, "d2", "NAV\nsolo page"),
+      (4L, "d1", "NAV\nFOOT")).toDF("doc_id", "group", "text")
+    val bc = graft.ext.Boilerplate.stripRepeatedLines(s, docs, 2,
+      broadcastBoiler = Some(true))
+    val sh = graft.ext.Boilerplate.stripRepeatedLines(s, docs, 2,
+      broadcastBoiler = Some(false))
+    // execute both so AQE's final plans (post stage-reuse) are locked
+    assert(bc.collect().toSet == sh.collect().toSet)
+    def fmt(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    def nEx(p: String) =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val pBc = fmt(bc)
+    val pSh = fmt(sh)
+    assert(pSh.contains("ShuffledHashJoin") && pSh.contains("LeftAnti"),
+      pSh.take(4000))
+    assert(!"BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(pSh).isDefined,
+      pSh.take(4000))
+    assert(nEx(pSh) <= nEx(pBc),
+      s"shuffle-path exchanges ${nEx(pSh)} > broadcast-path ${nEx(pBc)}\n" +
+        pSh.take(4000))
   }
 
   test("q_text_trigram_diversity is one scan of projects, no shuffle") {
