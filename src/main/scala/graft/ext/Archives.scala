@@ -105,9 +105,24 @@ object Archives {
     * Members stored (method 0) copy out; DEFLATE (method 8) inflates
     * with `Inflater(nowrap)`; other methods and encrypted entries are
     * skipped. Directories (trailing '/') are skipped. Malformed
-    * records end the walk with what was extracted so far. */
-  def zipMembers(bytes: Array[Byte]): Seq[Member] = {
+    * records end the walk with what was extracted so far.
+    *
+    * Expansion budgets (the zip-bomb guard, mirroring [[MaxGunzip]] —
+    * the central-directory `usize` is UNTRUSTED and a DEFLATE stream
+    * can expand ~1000×, so allocation is gated BEFORE it happens,
+    * keeping OutOfMemoryError — an Error the NonFatal gate cannot
+    * catch — out of reach): a member whose declared size exceeds
+    * `maxMemberBytes` is skipped (the walk continues — one bomb member
+    * must not hide its honest neighbors); once CUMULATIVE extracted
+    * bytes would exceed `maxArchiveBytes` the walk stops with what fit
+    * (a many-small-bombs archive is a bomb too). Defaults: 256 MiB per
+    * member, 1 GiB per archive — far above any sane shard, far below
+    * executor memory. */
+  def zipMembers(bytes: Array[Byte],
+      maxMemberBytes: Int = MaxGunzip,
+      maxArchiveBytes: Long = MaxArchiveInflate): Seq[Member] = {
     val out = Seq.newBuilder[Member]
+    var extracted = 0L
     try {
       def u16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
       def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
@@ -138,7 +153,9 @@ object Archives {
         val name = new String(bytes, cd + 46, nameLen, "UTF-8")
         val encrypted = (flags & 1) != 0
         if (!encrypted && !name.endsWith("/") && lho + 30 <= bytes.length &&
-          csize >= 0 && usize >= 0) {
+          csize >= 0 && usize >= 0 &&
+          csize <= maxMemberBytes && usize <= maxMemberBytes) {
+          if (extracted + usize > maxArchiveBytes) return out.result()
           // local header: sizes there may be zero (bit-3 streaming);
           // trust the central directory, skip local name+extra
           val dataOff = lho + 30 + u16(lho + 26) + u16(lho + 28)
@@ -146,6 +163,7 @@ object Archives {
             case 0 if csize == usize =>
               out += Member(name, java.util.Arrays.copyOfRange(
                 bytes, dataOff, dataOff + csize))
+              extracted += usize
             case 8 =>
               val inf = new java.util.zip.Inflater(true)
               inf.setInput(bytes, dataOff, csize)
@@ -159,7 +177,7 @@ object Archives {
                     stuck = true
                   o += n
                 }
-                if (o == usize) out += Member(name, buf)
+                if (o == usize) { out += Member(name, buf); extracted += usize }
               } finally inf.end()
             case _ => ()
           }
@@ -205,6 +223,10 @@ object Archives {
     * shard and far below executor memory. */
   val MaxGunzip: Int = 1 << 28
 
+  /** Cumulative extracted-bytes ceiling per zip archive (see
+    * [[zipMembers]]) — many small bomb members are a bomb too. */
+  val MaxArchiveInflate: Long = 1L << 30
+
   /** Inflate a gzip blob (1F 8B magic, `GZIPInputStream`) up to
     * [[MaxGunzip]]; None for non-gzip, truncated, or bomb-sized
     * input. */
@@ -241,9 +263,12 @@ object Archives {
   final case class Sample(archive_id: Long, stem: String,
       n_members: Long, txt: String, cls: String, binary_bytes: Long)
 
-  /** Assemble WebDataset SAMPLES: members sharing a stem (the name up
-    * to the first '.'-extension, directories included) become one row
-    * — `.txt`/`.cls` payloads decoded as UTF-8 columns, every other
+  /** Assemble WebDataset SAMPLES: members sharing a stem — the name up
+    * to the FIRST '.' after the last '/' (the WebDataset convention:
+    * everything past the first period of the basename is the
+    * extension, so `000/a.seg.png` and `000/a.txt` are ONE sample with
+    * stem `000/a`; directories stay in the stem) — become one row,
+    * `.txt`/`.cls` payloads decoded as UTF-8 columns, every other
     * member contributing its byte count to `binary_bytes`. The
     * grouping runs INSIDE the partition (WebDataset's contract is that
     * a sample's members are adjacent in one shard, so no shuffle is
@@ -258,17 +283,27 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           members(bytes)
-            .groupBy(m => m.name.lastIndexOf('.') match {
-              case -1 => m.name
-              case i => m.name.substring(0, i)
-            })
+            .groupBy { m =>
+              val base = m.name.lastIndexOf('/') + 1
+              val dot = m.name.indexOf('.', base)
+              if (dot < 0) m.name else m.name.substring(0, dot)
+            }
             .toSeq.sortBy(_._1)
             .map { case (stem, ms) =>
+              // full extension = everything past the first basename dot
+              // ("seg.png" for a.seg.png) — txt/cls columns bind to the
+              // EXACT extensions "txt"/"cls", same convention as stems
+              def extOf(n: String): String = {
+                val base = n.lastIndexOf('/') + 1
+                val dot = n.indexOf('.', base)
+                if (dot < 0) "" else n.substring(dot + 1)
+              }
               def text(ext: String): String =
-                ms.find(_.name == s"$stem.$ext")
+                ms.find(m => extOf(m.name) == ext)
                   .map(m => new String(m.bytes, "UTF-8")).getOrElse("")
-              val bin = ms.filterNot(m => m.name.endsWith(".txt") ||
-                m.name.endsWith(".cls")).map(_.bytes.length.toLong).sum
+              val bin = ms.filter { m =>
+                val e = extOf(m.name); e != "txt" && e != "cls"
+              }.map(_.bytes.length.toLong).sum
               Sample(id, stem, ms.size.toLong, text("txt"), text("cls"),
                 bin)
             }

@@ -33,6 +33,13 @@ final case class AudioStats(media_id: Long, sample_rate: Int,
   */
 object Audio {
 
+  /** Decoded-sample ceiling per blob (2²⁸ samples = 1 GiB of ints) —
+    * the audio twin of [[Multimodal]]'s lying-header pixel cap and
+    * [[Archives.MaxGunzip]]: allocation is gated before it happens so
+    * OutOfMemoryError (an Error the NonFatal gate cannot catch) is
+    * unreachable from crafted headers. */
+  val MaxSamples: Int = 1 << 28
+
   /** Parse a WAV (RIFF/WAVE) byte blob to interleaved PCM samples.
     * Supported: format 1 (integer PCM) at 8 bits (unsigned, re-centered
     * by −128), 16/24/32 bits (signed little-endian), format 3 (IEEE
@@ -120,9 +127,12 @@ object Audio {
     (data, fmtOk) match {
       case (Some((off, len)), true) if adpcm =>
         imaAdpcmSamples(bytes, off, len, rate, channels, blockAlign, spb)
-      case (Some((off, len)), true) =>
+      case (Some((off, len0)), true) =>
         val bytesPer = bits / 8
+        // same lying-header clamp + sample cap as the ADPCM arm
+        val len = math.max(0, math.min(len0, bytes.length - off))
         val n = len / (bytesPer * channels) * channels // whole frames only
+        if (n.toLong > MaxSamples) return None
         val out = new Array[Int](n)
         var s = 0
         while (s < n) {
@@ -169,12 +179,21 @@ object Audio {
     * (+step>>2)`, clamped to ±32768/0..88. A trailing partial block is
     * dropped (real writers pad to whole blocks; the `fact` chunk that
     * would trim the tail is presentation-only here). */
-  private def imaAdpcmSamples(bytes: Array[Byte], off: Int, len: Int,
+  private def imaAdpcmSamples(bytes: Array[Byte], off: Int, len0: Int,
       rate: Int, channels: Int, blockAlign: Int,
       spb: Int): Option[PcmAudio] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
+    // Defense in depth against lying headers (ADVICE r10): the chunk
+    // walk already rejects a data length that overruns the blob, but
+    // the allocation below must stay safe even if a future caller
+    // skips that walk — clamp to bytes present and cap total decoded
+    // samples in Long space (an OOM/NegativeArraySize from Int
+    // overflow must be unreachable, not merely caught).
+    val len = math.max(0, math.min(len0, bytes.length - off))
     val nBlocks = len / blockAlign
-    val out = new Array[Int](nBlocks * spb * channels)
+    val total = nBlocks.toLong * spb * channels
+    if (total > MaxSamples) return None
+    val out = new Array[Int](total.toInt)
     val pred = new Array[Int](channels); val idx = new Array[Int](channels)
     var b = 0
     while (b < nBlocks) {

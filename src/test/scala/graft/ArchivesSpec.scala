@@ -160,6 +160,65 @@ class ArchivesSpec extends AnyFunSuite with SparkTestSupport {
     } finally q.stop()
   }
 
+  test("zip bomb guards: lying usize, per-member cap, per-archive budget") {
+    // (1) A central directory claiming a 512 MiB member (> MaxGunzip)
+    // in a tiny blob: the guard must reject BEFORE allocating — the
+    // honest sibling member still extracts.
+    val z = ArchiveFixtures.buildZip(Seq(
+      ("bomb.bin", Array.fill[Byte](4096)(0), false),
+      ("ok.txt", "fine".getBytes("UTF-8"), true)))
+    // locate EOCD, walk to the first central-directory entry, patch
+    // its usize field (cd+24, u32 LE) to 0x20000000
+    def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(b: Array[Byte], i: Int): Long =
+      u16(b, i).toLong | (u16(b, i + 2).toLong << 16)
+    var eocd = z.length - 22
+    while (!(z(eocd) == 'P' && z(eocd + 1) == 'K' && z(eocd + 2) == 5 &&
+      z(eocd + 3) == 6)) eocd -= 1
+    val cd = u32(z, eocd + 16).toInt
+    val lying = z.clone()
+    lying(cd + 24) = 0; lying(cd + 25) = 0; lying(cd + 26) = 0
+    lying(cd + 27) = 0x20
+    val got = Archives.zipMembers(lying)
+    assert(got.map(_.name) == Seq("ok.txt"))
+    // (2) per-member cap skips the oversize member, walk continues
+    val small = ArchiveFixtures.buildZip(Seq(
+      ("big.bin", Array.fill[Byte](100)(7), true),
+      ("tiny.txt", "ab".getBytes("UTF-8"), true)))
+    val capped = Archives.zipMembers(small, maxMemberBytes = 10)
+    assert(capped.map(_.name) == Seq("tiny.txt"))
+    // (3) per-archive budget stops the walk once cumulative bytes
+    // would exceed it — many small bombs are a bomb too
+    val many = ArchiveFixtures.buildZip(
+      (1 to 5).map(i => (s"m$i.bin", Array.fill[Byte](10)(i.toByte), true)))
+    val budgeted = Archives.zipMembers(many, maxArchiveBytes = 25L)
+    assert(budgeted.map(_.name) == Seq("m1.bin", "m2.bin"))
+    // (4) the real fixture is untouched by default caps
+    assert(Archives.zipMembers(ArchiveFixtures.zipDocs).size == 4)
+  }
+
+  test("samples: WebDataset stems split at the FIRST basename dot") {
+    val s = spark
+    import s.implicits._
+    // a.seg.png + a.txt are ONE sample (stem 000/a, extension seg.png)
+    val shard = ArchiveFixtures.buildTar(Seq(
+      "000/a.seg.png" -> MediaFixtures.png1x1,
+      "000/a.txt" -> "caption a".getBytes("UTF-8"),
+      "000/b.tar.gz.txt" -> "weird but text".getBytes("UTF-8")))
+    val got = Archives.samples(s, Seq((9L, shard))
+      .toDF("archive_id", "content")).collect()
+      .map(x => x.stem -> x).toMap
+    assert(got.keySet == Set("000/a", "000/b"))
+    assert(got("000/a").n_members == 2)
+    assert(got("000/a").txt == "caption a")
+    assert(got("000/a").binary_bytes ==
+      MediaFixtures.png1x1.length.toLong)
+    // extension "tar.gz.txt" != "txt": counts as binary, not caption
+    assert(got("000/b").txt == "")
+    assert(got("000/b").binary_bytes == "weird but text".length.toLong)
+  }
+
   test("samples: stem grouping pairs captions with their binaries") {
     val s = spark
     import s.implicits._
