@@ -509,6 +509,50 @@ object QueriesExt {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Width cap for the SELF-SIZED embedding sketch (the oracle embeds
+    * literals for this many planes per table and gates terms on the
+    * derived width, so one static SQL string serves every corpus
+    * size). */
+  private val MaxSizedPlanes = 16
+
+  /** Self-sized twin of [[embeddingPairsOracle]] (VERDICT r10 #5): the
+    * WIDTH itself is part of the checked contract. Both engines derive
+    * planes = least(16, 4 + floor(log2(n/1000))) from their own row
+    * count with INTEGER bit-length arithmetic (DuckDB:
+    * `length(bin(c // 1000)) - 1`; Spark: [[graft.ext.Dedup.sizedPlanes]]
+    * — no floating log2 whose boundary rounding could diverge), and
+    * both draw plane p of table t from the same fixed 16-wide family,
+    * so the oracle is one static SQL string that stays green at every
+    * SF while the sketch width scales with the corpus. */
+  private def embeddingPairsSizedOracle: String = {
+    val hyper = graft.ext.Vectors.hyperplanes(EmbSeed, EmbTables,
+      MaxSizedPlanes, EmbDim)
+    def gatedBucket(t: Int): String =
+      hyper(t).zipWithIndex.map { case (pl, p) =>
+        s"CASE WHEN $p < w.p AND list_dot_product(e, ${planeLit(pl)}) > 0 " +
+          s"THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val perTable = (0 until EmbTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${gatedBucket(t)} AS bucket FROM v, w"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |w AS (SELECT least($MaxSizedPlanes, 4 + CASE
+       |        WHEN count(*) // 1000 >= 1
+       |        THEN length(bin(count(*) // 1000)) - 1 ELSE 0 END) AS p
+       |      FROM embeddings),
+       |b AS (
+       |$perTable
+       |),
+       |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |      FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
+       |        AND x.vec_id < y.vec_id),
+       |s AS (SELECT id_a, id_b, ${cosSql("va.e", "vb.e")} AS cos
+       |      FROM p JOIN v va ON p.id_a = va.vec_id
+       |             JOIN v vb ON p.id_b = vb.vec_id)
+       |SELECT id_a, id_b, floor(cos * 10000 + 0.5) / 10000 AS cos
+       |FROM s WHERE cos >= 0.4""".stripMargin
+  }
+
   private def embeddingPairsOracle: String = {
     val hyper = graft.ext.Vectors.hyperplanes(EmbSeed, EmbTables, EmbPlanes, EmbDim)
     val perTable = (0 until EmbTables).map { t =>
@@ -1443,6 +1487,34 @@ object QueriesExt {
           threshold = 0.4, planes = EmbPlanes, tables = EmbTables, dim = 64)
         .withColumn("cos", round4(col("cos"))),
       Some(embeddingPairsOracle)),
+
+    // SELF-SIZED embedding pairs — the PRODUCTION width path in the
+    // registry (VERDICT r10 #5, closing the PlanesDemo gap): the plane
+    // count comes from the corpus itself (ParquetMeta.rowCount — footer
+    // metadata, no scan job) through Dedup.sizedPlanes, each doubling
+    // past 1 000 vectors adding one sign bit so bucket occupancy (and
+    // the candidate join's quadratic Σ bucket² term) stays ~constant as
+    // the corpus grows. The oracle derives the SAME width from its own
+    // count(*) with identical integer bit-length arithmetic and gates a
+    // fixed 16-wide literal family on it, so the query is hash-checked
+    // at EVERY sf — the width rule itself is inside the contract, not
+    // just the bucket math (sf0.01→4 planes, sf0.1→5, 10×-equiv→8).
+    QueryCase("q_dedup_embedding_pairs_sized",
+      (s, dir) => {
+        val n = graft.sources.ParquetMeta.rowCount(s,
+          s"$dir/embeddings.parquet")
+        val planes = Dedup.sizedPlanes(n, base = 4, n0 = 1000,
+          max = MaxSizedPlanes)
+        val hyper = graft.ext.Vectors.hyperplanes(EmbSeed, EmbTables,
+          MaxSizedPlanes, 64).map(_.take(planes))
+        val vecs = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        Dedup.embeddingDupPairsFromBuckets(
+            Dedup.embeddingBucketTableHyper(vecs, "embedding", "id", hyper),
+            vecs, "embedding", threshold = 0.4)
+          .withColumn("cos", round4(col("cos")))
+      },
+      Some(embeddingPairsSizedOracle)),
 
     // Incremental embedding-pairs maintenance — the vector-tier twin of
     // q_dedup_incremental: old slice (even vec_ids) pairs artifact +
@@ -3055,6 +3127,17 @@ object QueriesExt {
     // next to the exact count. The DuckDB oracle asserts the exact counts
     // and all-1 flags, so a drifting sketch flips a flag and FAILS the
     // driver's hash gate — full end-to-end validation, not a skip.
+    //
+    // merge_consistent is |merged − whole| ≤ max(1, 1%·exact), NOT
+    // equality (round 11): a directly-updated sketch answers with the
+    // order-dependent HIP estimator while a multi-part union answers
+    // with the composite estimator over the merged registers, so
+    // "merge == direct" is a SPARSE-MODE artifact — it held at
+    // sf0.01's 150 users/type and silently broke at sf0.1's 1 500
+    // (HIP 1480–1499 vs composite 1488 on identical value sets; see
+    // the Sketches.mergeSketches scaladoc). The invariant that scales
+    // is estimator agreement within bounds, and 1% is ~5× tighter
+    // than the sketch's own accuracy contract.
     QueryCase("q_distinct_sketch",
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -3075,7 +3158,8 @@ object QueriesExt {
           .select(col("event_type"), col("n_exact"),
             (abs(col("approx") - col("n_exact")) <=
               col("n_exact") * 0.05).cast("long").as("within_tol"),
-            (col("approx_merged") === col("approx"))
+            (abs(col("approx_merged") - col("approx")) <=
+              greatest(lit(1.0), col("n_exact") * 0.01))
               .cast("long").as("merge_consistent"))
       },
       Some("""SELECT event_type,

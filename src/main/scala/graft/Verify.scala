@@ -77,7 +77,7 @@ object Verify {
       val ds = read("q_distinct_sketch")
       checks("distinct_sketch.estimate_within_5pct_of_exact") =
         ds.filter(col("within_tol") =!= 1L).count() == 0
-      checks("distinct_sketch.merge_equals_whole") =
+      checks("distinct_sketch.merge_within_1pct_of_whole") =
         ds.filter(col("merge_consistent") =!= 1L).count() == 0
       val fs = read("q_freq_sketch")
       checks("freq_sketch.never_underestimates") =

@@ -1545,6 +1545,41 @@ object Dedup {
       vecs, vecCol, threshold)
   }
 
+  /** PRODUCTION sketch-width sizing rule: planes = `base` +
+    * floor(log2(n / n0)), clamped to [base, max] — each corpus doubling
+    * past `n0` adds one sign bit, keeping expected bucket occupancy
+    * (and so the candidate join's Σ bucket², the quadratic term)
+    * ~constant as the corpus grows. Integer-exact (bit-length, no
+    * floating log) so an engine-independent oracle derives the SAME
+    * width from its own count(*): DuckDB's
+    * `least(max, base + length(bin(n // n0)) - 1)` is this function.
+    * Feed `n` from [[graft.sources.ParquetMeta.rowCount]] (footer
+    * metadata, no scan job). */
+  def sizedPlanes(n: Long, base: Int = 4, n0: Long = 1000,
+      max: Int = 16): Int = {
+    val k = n / n0
+    val extra =
+      if (k >= 1) 63 - java.lang.Long.numberOfLeadingZeros(k) else 0
+    math.min(max, base + extra)
+  }
+
+  /** [[embeddingBucketTable]] with an EXPLICIT hyperplane family — the
+    * entry point for width-sized sketches drawn as a PREFIX of one
+    * fixed `max`-wide family (`Vectors.hyperplanes(seed, tables, max,
+    * dim).map(_.take(planes))`): plane p of table t is the same vector
+    * at every width, so a width-parametric oracle can embed the full
+    * family once and gate terms on `p < width`. (Generating a fresh
+    * `planes`-wide family instead would shift every table's planes —
+    * `Array.fill(tables, planes, dim)` draws sequentially.) */
+  def embeddingBucketTableHyper(vecs: DataFrame, vecCol: String,
+      idCol: String, hyper: Array[Array[Array[Double]]]): DataFrame =
+    vecs
+      .withColumn("tb", explode(array(hyper.indices.map(t =>
+        struct(lit(t).as("t"),
+          Vectors.signBucketNative(vecs.sparkSession, col(vecCol), hyper, t)
+            .as("bucket"))): _*)))
+      .select(col(idCol).as("id"), col("tb.t"), col("tb.bucket"))
+
   /** Sign-sketch BUCKET TABLE (id, t, bucket) — the persisted artifact of
     * the embedding tier (the analog of the MinHash signature index):
     * bucket membership is a per-row property of the seeded hyperplane

@@ -186,6 +186,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF assignment index ([[ivfAssign]] output) partitioned
+    * by `cell` — the on-disk layout the serving claim needs: a top-k
+    * probe's `cell IN (…)` filter becomes PartitionFilters at the scan,
+    * touching nprobe/nlist of the data. `mode="append"` is the ingest
+    * cadence (q_similarity_ivf_maintained semantics): a new slice is
+    * assigned with the FROZEN centroids and lands as new files inside
+    * its cell directories, old files untouched; retraining centroids
+    * rewrites with `mode="overwrite"`. One file per cell directory per
+    * write (the repartition), so file count grows with ingest rounds,
+    * not with parallelism. */
+  def writeIvfIndex(index: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    index.repartition(col("cell"))
+      .write.partitionBy("cell").mode(mode).parquet(path)
+
   /** Deterministic centroid sample for IVF: the first `nlist` rows by id.
     * (k-means init and the SQL-oracle-reproducible centroid choice;
     * driver-side but bounded by nlist, not corpus size.) */

@@ -34,7 +34,22 @@ object Sketches {
 
   /** Merge partial sketch frames (e.g. one per ingest day) into the
     * per-group sketch of their union — the incremental-maintenance path:
-    * the union reads |groups|-bounded frames, never the raw history. */
+    * the union reads |groups|-bounded frames, never the raw history.
+    *
+    * Estimator caveat (a REAL scale finding, round 11): DataSketches
+    * HLL answers a directly-updated sketch with the HIP estimator,
+    * which depends on insertion ORDER (and therefore on partitioning
+    * and partial-aggregation merge shape — a one-part union even
+    * preserves it, since an empty union gadget absorbs its first
+    * input wholesale), while a multi-input union degrades to the
+    * composite estimator over the merged registers. The two agree
+    * exactly only while sketches are sparse (coupon-exact): at sf0.01's
+    * 150 users/type "merge estimate == direct estimate" held, at
+    * sf0.1's 1 500 it silently broke (1480–1499 HIP vs 1488
+    * composite on IDENTICAL value sets). The invariant that scales is
+    * ESTIMATOR AGREEMENT WITHIN ERROR BOUNDS — both estimates within
+    * the sketch tolerance of exact, and within ~1% of each other —
+    * not bit equality of estimates across merge shapes. */
   def mergeSketches(parts: Seq[DataFrame], keys: Seq[String]): DataFrame = {
     require(parts.nonEmpty, "mergeSketches needs at least one part")
     parts.reduce(_.unionByName(_))
@@ -46,6 +61,7 @@ object Sketches {
   def estimate(df: DataFrame): DataFrame =
     df.withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
       .drop("sketch")
+
 
   // --------------------------------------------------------------------
   // Count-Min frequency sketches

@@ -49,9 +49,11 @@ import graft.streaming.{Pipeline, ServingView}
   *     needs).
   *
   * Usage: runMain graft.tools.StreamBench
-  *        [throughput|serving|serving-durable|curation|mediagate]
+  *        [throughput|serving|serving-durable|curation|curation-bounded|mediagate]
   *        [rowsPerSec] [secs]
-  * (`serving-durable` = the parquet-versioned snapshot mode.)
+  * (`serving-durable` = the parquet-versioned snapshot mode;
+  * `curation-bounded` takes batch-row sizes instead of rowsPerSec —
+  * fixed-size triggers via rate-micro-batch, see runCurationBounded.)
   */
 object StreamBench {
 
@@ -100,6 +102,9 @@ object StreamBench {
 
     mode match {
       case "curation" => runCuration(spark, rate, rps, seconds)
+      case "curation-bounded" => runCurationBounded(spark,
+        if (numeric.nonEmpty) numeric.map(_.toInt).toSeq
+        else Seq(10000, 50000))
       case "mediagate" => runMediaGate(spark, rate, rps, seconds)
       case m if m.startsWith("serving") =>
         runServing(spark, Pipeline.summarize(frames), rps, seconds,
@@ -109,18 +114,16 @@ object StreamBench {
     spark.stop()
   }
 
-  /** The composed streaming-curation chain, end to end (class doc). */
-  private def runCuration(spark: SparkSession, rate: DataFrame, rps: Int,
-      seconds: Int): Unit = {
-    import graft.streaming.{Curation, NearDupAdmission, SpanAdmission}
-    // Synthetic documents with controlled duplicate structure. All
-    // texts share a ~21-token navigation-chrome prefix (the span gate's
-    // target); the Gopher gate passes every row by construction (>20
-    // words, stopwords in the chrome, alnum-dense "wordNNNNN" tokens).
-    //   value%10 ∈ {0,1} → exact duplicate of template (value%64)
-    //   value%10 == 2   → near-dup: template text + one extra token
-    //   value%10 == 3   → boilerplate-heavy: only 4 unique body tokens
-    //   else            → unique 24-token body
+  /** Synthetic documents with controlled duplicate structure. All
+    * texts share a ~21-token navigation-chrome prefix (the span gate's
+    * target); the Gopher gate passes every row by construction (>20
+    * words, stopwords in the chrome, alnum-dense "wordNNNNN" tokens).
+    *   value%10 ∈ {0,1} → exact duplicate of template (value%64)
+    *   value%10 == 2   → near-dup: template text + one extra token
+    *   value%10 == 3   → boilerplate-heavy: only 4 unique body tokens
+    *   else            → unique 24-token body
+    */
+  private def syntheticCurationDocs(rate: DataFrame): DataFrame = {
     val chrome = "the site menu and the footer of this page link to " +
       "the home and about pages with more info for you"
     def body(key: org.apache.spark.sql.Column, n: Int) =
@@ -135,8 +138,14 @@ object StreamBench {
       .when(col("value") % 10 === 3,
         concat_ws(" ", lit(chrome), body(col("value"), 4)))
       .otherwise(concat_ws(" ", lit(chrome), body(col("value"), 24)))
-    val docs = rate.select(col("value").as("doc_id"), text.as("text"))
+    rate.select(col("value").as("doc_id"), text.as("text"))
+  }
 
+  /** The composed streaming-curation chain, end to end (class doc). */
+  private def runCuration(spark: SparkSession, rate: DataFrame, rps: Int,
+      seconds: Int): Unit = {
+    import graft.streaming.{Curation, NearDupAdmission, SpanAdmission}
+    val docs = syntheticCurationDocs(rate)
     val curated = Curation.curate(docs, "text")
     val root = java.nio.file.Files
       .createTempDirectory("graft_sb_curation_").toString
@@ -181,6 +190,62 @@ object StreamBench {
       f"curated=${counts.sum()} near_admitted=${nearAdm.sum()} " +
       f"span_admitted=${spanAdm.sum()} " +
       f"(requested $rps rows/s for $seconds s)")
+  }
+
+  /** BOUNDED-LATENCY curation measurement (VERDICT r10 #3): the plain
+    * `curation` arm reports admission p50/p95 at whatever batch size
+    * the rate source accumulated (arrival rate × trigger interval —
+    * 28–30 s per batch at 15 k rows/s in the r10 run, an honest but
+    * batch-size-driven number). This arm replaces the rate source with
+    * `rate-micro-batch`, whose `rowsPerBatch` pins EVERY trigger to a
+    * fixed row count, so per-batch admission latency is reported at
+    * declared batch sizes and the sustainable rate falls out as
+    * batch_rows / p95 (the chain is batch-synchronous: it keeps up
+    * with any arrival rate below that). */
+  private def runCurationBounded(spark: SparkSession,
+      batchSizes: Seq[Int], batchesPerPoint: Int = 12): Unit = {
+    import graft.streaming.{Curation, NearDupAdmission, SpanAdmission}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    println("[streambench] mode=curation-bounded " +
+      "(batch_rows, batches, p50_s, p95_s, sustainable rows/s = rows/p95)")
+    batchSizes.foreach { rows =>
+      val rate = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      val curated = Curation.curate(syntheticCurationDocs(rate), "text")
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_curb_$rows").toString
+      val near = new NearDupAdmission(s"$root/near", "text", "doc_id",
+        compactEvery = 8)
+      val span = new SpanAdmission(s"$root/span", "text", "doc_id",
+        k = 8, gatePct = 60, compactEvery = 8)
+      val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val admitted = new java.util.concurrent.atomic.LongAdder()
+      val q = curated.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val b = batch.persist()
+          val out = span.admit(near.admit(b, id), id).persist()
+          admitted.add(out.count())
+          out.write.mode("append").parquet(s"$root/corpus")
+          b.unpersist(); out.unpersist()
+          batchMs.add((System.nanoTime() - t0) / 1e6)
+          ()
+        }.start()
+      val deadline = System.currentTimeMillis() + 600000L
+      while (batchMs.size < batchesPerPoint + 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      q.stop()
+      val lat = { import scala.jdk.CollectionConverters._
+        batchMs.asScala.toSeq.drop(2) } // registry warmup batches
+      val p50 = pct(lat, 0.5) / 1000.0
+      val p95 = pct(lat, 0.95) / 1000.0
+      println(f"[streambench] batch_rows=$rows%7d batches=${lat.size}%3d " +
+        f"admit_s_p50=$p50%6.2f admit_s_p95=$p95%6.2f " +
+        f"sustainable=${rows / math.max(p95, 1e-9)}%8.0f rows/s " +
+        f"admitted=${admitted.sum()}")
+    }
   }
 
   /** Decode-gate throughput over cycling fixture blobs (class doc). */

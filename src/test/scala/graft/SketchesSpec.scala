@@ -28,11 +28,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestSupport {
       .toDF("g", "v", "odd")
     def sk(f: org.apache.spark.sql.DataFrame) =
       Sketches.distinctSketch(f, Seq("g"), "v")
+    // NOT equality: the direct sketch answers with the order-dependent
+    // HIP estimator, the multi-part union with the composite estimator
+    // over the merged registers — past sparse mode the two differ by a
+    // fraction of a percent on the SAME value set (the r11 scale
+    // finding; see the mergeSketches scaladoc). The merge contract is
+    // estimator agreement within bounds: both within the sketch
+    // tolerance of exact, and within 1% of each other.
     val whole = Sketches.estimate(sk(rows)).head().getLong(1)
     val merged = Sketches.estimate(Sketches.mergeSketches(
         Seq(sk(rows.filter(col("odd"))), sk(rows.filter(!col("odd")))),
         Seq("g"))).head().getLong(1)
-    assert(merged == whole) // same registers either way — merge is lossless
+    assert(math.abs(merged - whole) <= math.max(1L, (0.01 * 2000).toLong),
+      s"merged $merged vs whole $whole drifted past 1%")
+    assert(math.abs(merged - 2000L) <= 100, s"merged $merged off exact >5%")
   }
 
   test("freqSketch: probe never underestimates and stays within eps*N") {
