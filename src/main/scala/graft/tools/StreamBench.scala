@@ -241,10 +241,17 @@ object StreamBench {
         batchMs.asScala.toSeq.drop(2) } // registry warmup batches
       val p50 = pct(lat, 0.5) / 1000.0
       val p95 = pct(lat, 0.95) / 1000.0
+      val mean = lat.sum / math.max(lat.size, 1) / 1000.0
       println(f"[streambench] batch_rows=$rows%7d batches=${lat.size}%3d " +
         f"admit_s_p50=$p50%6.2f admit_s_p95=$p95%6.2f " +
-        f"sustainable=${rows / math.max(p95, 1e-9)}%8.0f rows/s " +
+        f"mean=$mean%6.2f " +
+        f"sustained=${rows / math.max(mean, 1e-9)}%8.0f rows/s " +
+        f"(p95-bound ${rows / math.max(p95, 1e-9)}%.0f) " +
         f"admitted=${admitted.sum()}")
+      // per-batch series: makes the compaction spike attributable
+      // (compactEvery=8) instead of hiding inside the percentile
+      println("[streambench]   series_s=" +
+        lat.map(ms => f"${ms / 1000.0}%.1f").mkString(","))
     }
   }
 

@@ -35,6 +35,7 @@ object WebScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sf10 = if (args.length > 1) args(1) else "target/sf1equiv"
+    val rep = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,29 +47,56 @@ object WebScale {
 
     run(spark, sfDir, "sf0.1")
     if (sf10 != "-") run(spark, sf10, "10x")
+    // optional bulk point: the 10× docs replicated `rep`× more
+    // (vowel-translated + id-offset, the ScaleUp de-correlation), so
+    // MB/s is measured where the kernels dominate job overhead
+    if (sf10 != "-" && rep > 1) run(spark, sf10, s"10x_$rep", rep)
     spark.stop()
   }
 
-  private def run(spark: SparkSession, dir: String, label: String): Unit = {
+  private val vowelMaps = Seq("aeiou", "eioua", "iouae", "ouaei",
+    "uaeio", "aeiuo", "eioau", "oiaue", "uoiea", "euoia", "ioeua",
+    "oueai")
+
+  private def run(spark: SparkSession, dir: String, label: String,
+      rep: Int = 1): Unit = {
     // Synthetic crawl wrap: 20% of docs share their URL path with a
     // neighbor (doc_id%5==0 → the 4-neighbor's path) and each id picks
     // one of four spellings of that path — all four canonicalize
     // identically, so URL dedup has real work at a known rate. The
     // HTML shell gives extraction a script to drop and entities +
     // mojibake for repair/NFC.
-    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+    val docs =
+      if (rep <= 1) base
+      else (0 until rep).map { i =>
+        if (i == 0) base
+        else base.select(
+          // offset far above ScaleUp's replica range (i·10⁷) so bulk
+          // replica ids never collide with the 10× fixture's
+          (col("doc_id") + lit(1000000000000L * i)).as("doc_id"),
+          translate(col("text"), "aeiou",
+            vowelMaps(i % vowelMaps.size)).as("text"))
+      }.reduce(_ unionByName _)
     val pathKey = when(col("doc_id") % 5 === 0, col("doc_id") - 1)
       .otherwise(col("doc_id"))
     val url = {
-      val base = concat(lit("site"), pmod(col("doc_id"), lit(997)),
-        lit(".com/p/"), pathKey)
-      when(col("doc_id") % 4 === 0, concat(lit("http://"), base))
+      // host derives from pathKey too, so the %5 neighbors really do
+      // share a canonical URL; the four spellings stay inside the
+      // documented canonicalization set (scheme/host case, default
+      // port, fragment, tracking params — path case is PRESERVED by
+      // design, so variants never touch it)
+      val host = concat(lit("site"), pmod(pathKey, lit(997)),
+        lit(".com"))
+      val path = concat(lit("/p/"), pathKey)
+      when(col("doc_id") % 4 === 0,
+          concat(lit("http://"), host, path))
         .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTP://"), upper(base)))
+          concat(lit("HTTP://"), upper(host), path))
         .when(col("doc_id") % 4 === 2,
-          concat(lit("http://"), base, lit("?utm_source=x")))
-        .otherwise(concat(lit("http://"), base, lit(":80/../p/"),
-          pathKey, lit("#frag")))
+          concat(lit("http://"), host, path, lit("?utm_source=x")))
+        .otherwise(
+          concat(lit("http://"), host, lit(":80"), path, lit("#frag")))
     }
     val crawl = docs.select(col("doc_id"), url.as("url"),
       concat(lit("<html><head><title>t</title><script>var x=1;</script>" +
@@ -80,36 +108,56 @@ object WebScale {
     val src = spark.read.parquet(s"/tmp/webscale_$label")
     val inBytes = src.agg(sum(length(col("html")))).head().getLong(0)
 
-    val t0 = System.nanoTime()
-    val canon = graft.ext.Urls.canonicalized(spark,
-      src.select(col("doc_id").as("url_id"), col("url"))).toDF()
-    val urlKeep = canon.groupBy("canonical")
-      .agg(min("url_id").as("doc_id"))
-    val kept = src.join(urlKeep, "doc_id")
-    val extracted = graft.ext.Html.extract(spark,
-      kept.select(col("doc_id"), col("html"))).toDF()
-    val repaired = graft.ext.Encoding.repair(spark,
-      extracted.select(col("doc_id"), col("text"))).toDF()
-    val nfc = graft.ext.Encoding.nfcNormalized(spark,
-      repaired.select(col("doc_id"), col("text"))).toDF()
-    val out = nfc.groupBy("text_nfc").agg(min("doc_id").as("doc_id"))
-      .join(canon.select(col("url_id").as("doc_id"), col("canonical")),
-        "doc_id")
-      .select(col("doc_id"), col("canonical"),
-        col("text_nfc").as("text"))
-    out.write.mode("overwrite").parquet(s"/tmp/webscale_out_$label")
-    val secs = (System.nanoTime() - t0) / 1e9
+    def chain(): org.apache.spark.sql.DataFrame = {
+      val canon = graft.ext.Urls.canonicalized(spark,
+        src.select(col("doc_id").as("url_id"), col("url"))).toDF()
+      val urlKeep = canon.groupBy("canonical")
+        .agg(min("url_id").as("doc_id"))
+      val kept = src.join(urlKeep, "doc_id")
+      val extracted = graft.ext.Html.extract(spark,
+        kept.select(col("doc_id"), col("html"))).toDF()
+      val repaired = graft.ext.Encoding.repair(spark,
+        extracted.select(col("doc_id"), col("text"))).toDF()
+      val nfc = graft.ext.Encoding.nfcNormalized(spark,
+        repaired.select(col("doc_id"), col("text"))).toDF()
+      nfc.groupBy("text_nfc").agg(min("doc_id").as("doc_id"))
+        .join(canon.select(col("url_id").as("doc_id"), col("canonical")),
+          "doc_id")
+        .select(col("doc_id"), col("canonical"),
+          col("text_nfc").as("text"))
+    }
+    // min of 2 runs: the first pays codegen/JIT warmup, which at
+    // fixture scale can exceed the chain itself
+    val secs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      chain().write.mode("overwrite").parquet(s"/tmp/webscale_out_$label")
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     val survivors = spark.read
       .parquet(s"/tmp/webscale_out_$label").count()
     val nIn = src.count()
+    val out = chain()
+    out.collect() // drive AQE to the final plan before counting
     val plan = out.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    println(f"[webscale] $label%5s docs=$nIn survivors=$survivors " +
+    // Count shuffle-exchange NODES from the final-plan tree section:
+    // " Exchange (" matches the bare shuffle node (BroadcastExchange /
+    // ReusedExchange spell it inside a longer word), and slicing at
+    // "== Initial Plan ==" keeps the executed tree only — the initial
+    // tree would double-count every shuffle. (The r10 counter matched
+    // the SIMPLE-mode spelling "Exchange hashpartitioning", which never
+    // occurs in formatted output — the bound was vacuous.)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val nEx = " Exchange \\(".r.findAllIn(finalPlan).length
+    println(f"[webscale] $label%6s docs=$nIn survivors=$survivors " +
       f"mb=${inBytes / 1e6}%.1f wall=$secs%.2f s " +
       f"mbps=${inBytes / 1e6 / secs}%.1f exchanges=$nEx")
-    require(nEx <= 6,
+    // ≤ 6: the two dedup shuffles + the two doc_id re-attach joins
+    // (each side shuffles once the build side outgrows broadcast —
+    // at fixture scale those joins broadcast and the count is 4).
+    // The extraction/repair/NFC stages must add none at ANY scale.
+    require(nEx >= 1 && nEx <= 6,
       s"web chain exchange bound broken at $label: $nEx\n" + plan.take(3000))
   }
 }

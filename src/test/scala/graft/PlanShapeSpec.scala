@@ -17,6 +17,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** Count HASH-shuffle exchanges in a FORMATTED plan. In formatted
+    * mode the node line is bare "(n) Exchange" and the partitioning
+    * lives on the detail block's "Arguments: hashpartitioning(…)" line
+    * — the r10 locks counted the SIMPLE-mode spelling
+    * "Exchange hashpartitioning", which never occurs in formatted
+    * output, so those bounds were vacuously 0 ≤ N (caught in r11 by
+    * WebScale printing exchanges=0 for a chain with two dedups).
+    * Counted from the TREE section (before the shared detail blocks),
+    * and for executed adaptive plans from the final-plan tree only —
+    * the "== Initial Plan ==" tree would double-count every shuffle.
+    * " Exchange (" matches the bare shuffle node; BroadcastExchange /
+    * ReusedExchange spell it inside a longer word and don't. */
+  private def nHashExchanges(plan: String): Int =
+    " Exchange \\(".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+
   test("q_serving_timeseries pushes its equality filter into the scan") {
     val plan = formatted("q_serving_timeseries")
     assert(plan.contains("PushedFilters:") &&
@@ -293,8 +309,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     def fmt(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-    def nEx(p: String) =
-      "Exchange hashpartitioning".r.findAllIn(p).length
+    def nEx(p: String) = nHashExchanges(p)
     val pBc = fmt(bc)
     val pSh = fmt(sh)
     assert(pSh.contains("ShuffledHashJoin") && pSh.contains("LeftAnti"),
@@ -323,7 +338,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     // shuffles (each an Exchange pair around partial/final aggs plus
     // the join re-use), and the extraction/repair stages add none.
     val plan = formatted("q_pipeline_web")
-    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val n = nHashExchanges(plan)
     assert(n <= 6, s"exchange count $n\n" + plan.take(4000))
+    assert(n >= 1, "counter broken: a two-dedup chain cannot be " +
+      "exchange-free\n" + plan.take(2000))
   }
 }
