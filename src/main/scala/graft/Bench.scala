@@ -285,7 +285,10 @@ object Bench {
     val movedCompact = moved.sortBy { case (_, r) => -math.abs(math.log(r)) }
       .take(8).map { case (k, r) => jstr(k) + ":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    // Same method label as the history/bench_out line (ADVICE r12: the
+    // stdout line said "min_of_retries" while history said the
+    // thresholded variant — two names for one measurement).
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length
     val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
     var used = 0

@@ -32,6 +32,12 @@ object Sharded {
   def shardOf(key: Column, shards: Int): Column =
     pmod(xxhash64(key), lit(shards)).cast("int")
 
+  /** [[shardOf]] over a COMPOSITE key (hash of all columns together) —
+    * the shard function of artifacts whose probe key is a tuple, e.g.
+    * the streaming admission registries' (band, bucket) / (t, bucket). */
+  def shardOfAll(keys: Seq[Column], shards: Int): Column =
+    pmod(xxhash64(keys: _*), lit(shards)).cast("int")
+
   /** Write `df` as parquet partitioned on disk by
     * `shard = xxhash64(keyCol) % shards` (plus `extraPartitionCols`
     * first, for families with a small categorical prefix such as the

@@ -30,19 +30,52 @@ object Sampling {
       salt: String = "s1"): DataFrame =
     df.filter(keep(col(keyCol), lit(rate), salt))
 
+  /** Above this stratum count the rate lookup becomes a broadcast join
+    * instead of a literal CASE chain: a when/otherwise tree is the
+    * fastest shape at human-scale config sizes (scan-fused, no join
+    * operator at all — the q_mix_temperature / q_sample_stratified plan
+    * locks assert exactly that), but it is O(#strata) EXPRESSION DEPTH,
+    * and at domain-level strata (10⁵–10⁸ registrable domains) it blows
+    * the JVM 64 KB method limit / constant pool long before the data
+    * is big. The rate table is config-sized either way, so the join
+    * side is always broadcast-able. */
+  private val maxCaseStrata = 128
+
+  /** Broadcast-joined rate lookup: keeps `df`'s schema and row identity
+    * (left join on the stratum column + coalesce to the default), so
+    * the kept set is IDENTICAL to the CASE chain's for the same rates —
+    * both are pure functions of (key, stratum rate, salt). */
+  private def keepByRateTable(df: DataFrame, keyCol: String,
+      stratumCol: String, rates: Seq[(String, Double)],
+      defaultRate: Double, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    val rateDf = spark.createDataFrame(rates).toDF(stratumCol, "__rate")
+    df.join(broadcast(rateDf), Seq(stratumCol), "left")
+      .filter(keep(col(keyCol),
+        coalesce(col("__rate"), lit(defaultRate)), salt))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (domain
     * mixing — e.g. downweight Common-Crawl-ish sources, keep all of a
-    * curated set), `defaultRate` for unlisted strata. Single scan-fused
-    * filter; the rate lookup is a literal CASE chain, not a join. */
+    * curated set), `defaultRate` for unlisted strata. Size-gated rate
+    * lookup: a scan-fused literal CASE chain at config-scale stratum
+    * counts, a broadcast-joined rate table above [[maxCaseStrata]]
+    * (identical kept set — see [[keepByRateTable]]); `caseGate`
+    * overrides the gate (tests pin each path). */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double,
-      salt: String = "s1"): DataFrame = {
-    val rate = rates.foldRight(lit(defaultRate): Column) {
-      case ((stratum, r), alt) =>
-        when(col(stratumCol) === stratum, lit(r)).otherwise(alt)
+      salt: String = "s1", caseGate: Int = maxCaseStrata): DataFrame =
+    if (rates.size > caseGate)
+      keepByRateTable(df, keyCol, stratumCol, rates.toSeq.sortBy(_._1),
+        defaultRate, salt)
+    else {
+      val rate = rates.foldRight(lit(defaultRate): Column) {
+        case ((stratum, r), alt) =>
+          when(col(stratumCol) === stratum, lit(r)).otherwise(alt)
+      }
+      df.filter(keep(col(keyCol), rate, salt))
     }
-    df.filter(keep(col(keyCol), rate, salt))
-  }
 
   /** Temperature-flattened source mixing (the multilingual-corpus
     * sampling rule of the mT5/XLM-R line): source s is kept at a rate
@@ -62,7 +95,8 @@ object Sampling {
     * iterative renormalization (bit-determinism beats the last 1-2 % of
     * target accuracy). */
   def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
-      targetFrac: Double, salt: String = "tm1"): DataFrame = {
+      targetFrac: Double, salt: String = "tm1",
+      caseGate: Int = maxCaseStrata): DataFrame = {
     // null-source rows get no CASE arm below → rate 0 → dropped; filter
     // them out of the rate table rather than NPE-ing the sort
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("cnt"))
@@ -76,10 +110,18 @@ object Sampling {
     val rates = counts.zip(ws).map { case ((src, c), w) =>
       src -> math.min(1.0, targetFrac * n * w / sw / c)
     }
-    val rate = rates.foldRight(lit(0.0): Column) { case ((src, r), alt) =>
-      when(col(sourceCol) === src, lit(r)).otherwise(alt)
+    if (rates.length > caseGate)
+      // Size-gated like [[stratifiedSample]]: the same integer-quantized
+      // rate VALUES ride a broadcast-joined table instead of a CASE
+      // chain (identical kept set; unlisted = null source → no match →
+      // dropped, the defaultRate-0 twin of the fold's lit(0.0) base).
+      keepByRateTable(df, keyCol, sourceCol, rates.toSeq, 0.0, salt)
+    else {
+      val rate = rates.foldRight(lit(0.0): Column) { case ((src, r), alt) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(alt)
+      }
+      df.filter(keep(col(keyCol), rate, salt))
     }
-    df.filter(keep(col(keyCol), rate, salt))
   }
 
   /** Deterministic weighted sampling without replacement (Efraimidis–

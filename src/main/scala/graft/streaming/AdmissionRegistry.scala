@@ -1,44 +1,106 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.ext.Sharded
 
 /** Shared persistent-registry core for the streaming admission family
   * ([[NearDupAdmission]] = MinHash buckets, [[SpanAdmission]] = span
-  * hashes, and any future registry-gated admission). One contract, three
-  * guarantees:
+  * hashes, [[EmbeddingAdmission]] = sign-sketch buckets + vectors, and
+  * any future registry-gated admission). One contract, four guarantees:
   *
   *   1. **Replay-safe appends.** Each micro-batch's rows land in their own
   *      `batch=<id>` subdirectory with OVERWRITE semantics, so a replayed
   *      batch rewrites its own append instead of duplicating it — and,
-  *      critically, [[history]] EXCLUDES the current batch's directory.
-  *      Without the exclusion, a batch that crashed between registry
-  *      append and sink commit would, on replay, find its own keys in
-  *      history and self-reject every doc it had admitted — silently
-  *      dropping them from the output forever. With it, replay recomputes
-  *      the exact same admission decisions (admit is deterministic given
-  *      (batch, history)) and the sink sees the same admitted rows.
-  *   2. **Fail-closed reads.** Only a genuinely absent registry (first
+  *      critically, the history reads EXCLUDE the current batch's
+  *      directory. Without the exclusion, a batch that crashed between
+  *      registry append and sink commit would, on replay, find its own
+  *      keys in history and self-reject every doc it had admitted —
+  *      silently dropping them from the output forever. With it, replay
+  *      recomputes the exact same admission decisions (admit is
+  *      deterministic given (batch, history)) and the sink sees the same
+  *      admitted rows.
+  *   2. **Self-sized shard pruning.** Inside every `batch=` directory
+  *      rows are partitioned by `shard = xxhash64(shardCols…) % P`, with
+  *      the directory's own P recorded in a `_shards` marker file. Fresh
+  *      appends use a small fixed P (`shards` — a micro-batch must not
+  *      write thousands of files); COMPACTION re-shards the folded
+  *      history to `P = bytes / targetShardBytes`, so the shard COUNT
+  *      grows with the registry while the shard SIZE stays constant.
+  *      A trigger's probe collects its distinct key-hash tokens
+  *      ([[probeTokens]], one micro-batch-sized distinct job, driver-
+  *      capped) and each directory is read through a literal
+  *      `shard IN (…)` predicate under ITS OWN modulus
+  *      ([[historyTouched]]) — partition pruning at the file index.
+  *      The at-scale law this buys (and the reason a FIXED shard count
+  *      cannot): per-trigger bytes ≈ min(registry, K × targetShardBytes)
+  *      + uncompacted tail, K = distinct probe keys. The first term is
+  *      CONSTANT in corpus lifetime — hash-uniform keys saturate any
+  *      fixed P once K ≳ P (measured: 256-doc batches × 8 bands touch
+  *      16/16 shards), but a registry that outgrows K × targetShardBytes
+  *      keeps adding shards the probe does NOT touch. The uncompacted
+  *      tail is bounded by compactEvery × trigger size. This is the
+  *      batch tier's pruning discipline ([[graft.ext.Sharded]],
+  *      `Dedup.minhashDeltaSharded`) plus the footer-derived self-sizing
+  *      of the embedding sketch (SURVEY §14.4), applied to stream state.
+  *   3. **Fail-closed reads.** Only a genuinely absent registry (first
   *      batch ever) yields empty history, via an explicit filesystem
   *      existence check. Real read errors — corrupt files, transient IO —
   *      PROPAGATE so the micro-batch retries, rather than admitting the
   *      batch as if history were empty and letting near-dups land
-  *      permanently.
-  *   3. **Compactable.** Micro-batch appends are the small-files disease
+  *      permanently. Pruning fails SAFE, not just closed: a directory
+  *      with no readable `_shards` marker (e.g. the crash window between
+  *      parquet commit and marker write on a replayed append) is read in
+  *      full — a superset, never a miss.
+  *   4. **Compactable.** Micro-batch appends are the small-files disease
   *      at 100 TB/day ingest; [[compact]] folds all batch directories at
-  *      or below a watermark into one, preserving the `batch=` layout so
-  *      exclusion semantics survive. Contract: only compact batches whose
-  *      sink writes are durably committed (i.e. strictly below the
-  *      stream's last committed batch) — a replay can then never target a
-  *      compacted batch.
+  *      or below a watermark into one, preserving the `batch=` level (so
+  *      exclusion semantics survive) and re-sharding per guarantee 2.
+  *      Contract: only compact batches whose sink writes are durably
+  *      committed (i.e. strictly below the stream's last committed
+  *      batch) — a replay can then never target a compacted batch. The
+  *      fold is ordered write-tmp → swap-target → delete-olds so a crash
+  *      leaves duplicate rows (harmless: registry reads are semi-joins;
+  *      the next compaction folds them) rather than missing history,
+  *      except during the swap of the single target directory itself.
   *
-  * Registry rows are payload-only (fixed-width hash/bucket longs); the
-  * batch id lives in the directory name, Hive-partition style, so a flat
-  * `spark.read.parquet(stateDir)` still sees every row (with an inferred
-  * `batch` column) for audits. */
-final class AdmissionRegistry(stateDir: String, schema: StructType)
+  * Registry rows are payload-only (fixed-width hash/bucket longs); batch
+  * id and shard live in directory names, Hive-partition style, so a flat
+  * `spark.read.parquet(stateDir)` still sees every row (with inferred
+  * `batch`/`shard` columns) for audits.
+  *
+  * @param shardCols payload columns whose composite hash routes a row to
+  *                  its shard — the PROBE KEY (the columns the admission
+  *                  join matches on), so a probe's touched-shard set is
+  *                  computable from its own keys alone.
+  * @param shards    shard count for fresh per-batch APPENDS (small: a
+  *                  micro-batch append writes ≤ `shards` files) and the
+  *                  floor for compacted history.
+  * @param targetShardBytes compacted shard size; the self-sizing rule
+  *                  P = bytes/target makes per-trigger probe bytes
+  *                  plateau at K × targetShardBytes as the registry
+  *                  grows. Smaller = flatter small-probe latency, more
+  *                  directories (P caps at 2²⁰). */
+final class AdmissionRegistry(stateDir: String, schema: StructType,
+    shardCols: Seq[String], shards: Int = 16,
+    targetShardBytes: Long = 16L << 20)
     extends Serializable {
+
+  require(shardCols.nonEmpty && shardCols.forall(schema.fieldNames.contains),
+    s"shardCols $shardCols must be payload columns of ${schema.fieldNames.toSeq}")
+
+  /** Read-side schema: payload + the `shard` partition column (needed in
+    * the schema for the isin predicate to prune at the file index). */
+  private val readSchema =
+    StructType(schema.fields :+ StructField("shard", IntegerType))
+
+  private def shardExpr(p: Int): Column =
+    Sharded.shardOfAll(shardCols.map(col), p)
 
   private def fs(spark: SparkSession) =
     new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -53,22 +115,117 @@ final class AdmissionRegistry(stateDir: String, schema: StructType)
       .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
   }
 
-  /** All registered rows EXCEPT batch `excludeBatchId`'s own append.
-    * Empty (with the registry's schema) iff no other batch has ever
-    * appended; read failures on existing data propagate (fail closed). */
-  def history(spark: SparkSession, excludeBatchId: Long): DataFrame = {
-    val dirs = batchDirs(spark).collect {
-      case (id, p) if id != excludeBatchId => p.toString
+  /** The shard modulus a directory was written with, from its `_shards`
+    * marker; -1 (= unprunable, read in full) when the marker is absent —
+    * the fail-safe side of guarantee 3. A PRESENT but corrupt marker
+    * throws (fail closed — pruning with a wrong modulus would MISS
+    * rows, which for an admission registry means silent duplicates). */
+  private def dirShards(spark: SparkSession, dir: Path): Int = {
+    val f = fs(spark)
+    val m = new Path(dir, "_shards")
+    if (!f.exists(m)) -1
+    else {
+      val in = f.open(m)
+      try new String(in.readAllBytes(), UTF_8).trim.toInt
+      finally in.close()
     }
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  private def writeShardsMarker(spark: SparkSession, dir: Path,
+      p: Int): Unit = {
+    val out = fs(spark).create(new Path(dir, "_shards"), true)
+    try out.write(p.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def emptyHistory(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def readDirs(spark: SparkSession, dirs: Seq[Path]): DataFrame =
+    // basePath anchors partition discovery at the registry root: the
+    // batch= roots themselves match the col=val directory pattern, and
+    // without the anchor Spark's upward walk from the shard= leaves
+    // reports conflicting structures. The discovered batch column is
+    // not in readSchema; the payload select drops it.
+    spark.read.option("basePath", stateDir)
+      .schema(readSchema).parquet(dirs.map(_.toString): _*)
+
+  /** The trigger's distinct probe-key hash tokens — ONE micro-batch-
+    * sized distinct job; each directory's touched-shard set is then
+    * token % its own modulus, driver-side. Returns None when the
+    * distinct count exceeds `cap` (driver safety: cap × 8 bytes
+    * collected): a probe that large saturates every realistic shard
+    * set, so the full read it falls back to is what pruning would have
+    * selected anyway. `keys` must carry the `shardCols`. */
+  def probeTokens(keys: DataFrame, cap: Int = 1 << 18): Option[Array[Long]] = {
+    import org.apache.spark.sql.functions.xxhash64
+    val toks = keys.select(xxhash64(shardCols.map(col): _*).as("h"))
+      .distinct().limit(cap + 1).collect().map(_.getLong(0))
+    if (toks.length > cap) None else Some(toks)
+  }
+
+  /** PRUNED history: rows of every batch except `excludeBatchId` whose
+    * shard (under the OWNING directory's modulus) is touched by
+    * `tokens` — the per-trigger probe read. Directories are grouped by
+    * modulus (at most a handful: the append P and the compaction Ps);
+    * each group gets a literal `shard IN (…)` predicate, static at
+    * planning, so the file index prunes untouched `shard=` directories
+    * before any task launches. Correctness: the admission joins match
+    * on `shardCols`, and a history row whose shard differs from every
+    * probe token's shard cannot equal any probe key, so pruning drops
+    * only rows the join would discard. `tokens = None` (saturated
+    * probe) reads everything, = Some(empty) reads nothing. */
+  def historyTouched(spark: SparkSession, excludeBatchId: Long,
+      tokens: Option[Array[Long]]): DataFrame = {
+    val dirs = batchDirs(spark).collect {
+      case (id, p) if id != excludeBatchId => p
+    }
+    if (dirs.isEmpty) return emptyHistory(spark)
+    tokens match {
+      case None => readDirs(spark, dirs)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      case Some(toks) if toks.isEmpty => emptyHistory(spark)
+      case Some(toks) =>
+        val byP = dirs.groupBy(d => dirShards(spark, d)).toSeq.sortBy(_._1)
+        byP.map { case (p, group) =>
+          val read = readDirs(spark, group)
+          val pruned =
+            if (p <= 0) read // no/unknown marker: full read (fail safe)
+            else {
+              val touched = toks.map(t => java.lang.Math.floorMod(t, p))
+                .distinct.sorted
+              if (touched.length >= p) read
+              else read.filter(col("shard")
+                .isin(touched.map(Integer.valueOf).toSeq: _*))
+            }
+          pruned.select(schema.fieldNames.map(col).toSeq: _*)
+        }.reduce(_ unionByName _)
+    }
+  }
+
+  /** FULL history: all registered rows EXCEPT batch `excludeBatchId`'s
+    * own append — the audit/measurement read (per-trigger probes use
+    * [[historyTouched]]). Empty (with the registry's schema) iff no
+    * other batch has ever appended; read failures on existing data
+    * propagate (fail closed). */
+  def history(spark: SparkSession, excludeBatchId: Long): DataFrame =
+    historyTouched(spark, excludeBatchId, None)
+
   /** Idempotent per-batch append: overwrites `batch=<batchId>`, so a
-    * replayed batch replaces its earlier (possibly partial) append. */
-  def append(rows: DataFrame, batchId: Long): Unit =
-    rows.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    * replayed batch replaces its earlier (possibly partial) append.
+    * Rows land under `shard=` subdirectories (repartitioned BY shard
+    * first → one file per touched shard per batch, not one per upstream
+    * task per shard), with the modulus recorded in the `_shards` marker
+    * AFTER the parquet commit (the overwrite wipes any stale marker, so
+    * the crash window yields marker-absent = full-read, never a wrong
+    * modulus). */
+  def append(rows: DataFrame, batchId: Long): Unit = {
+    val dir = new Path(s"$stateDir/batch=$batchId")
+    rows.withColumn("shard", shardExpr(shards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard")
+      .mode("overwrite").parquet(dir.toString)
+    writeShardsMarker(rows.sparkSession, dir, shards)
+  }
 
   /** Scheduled compaction driven by the stream's committed watermark:
     * call at the START of processing batch `batchId` (before this
@@ -86,26 +243,35 @@ final class AdmissionRegistry(stateDir: String, schema: StructType)
 
   /** Fold every `batch=` directory with id ≤ `uptoBatchId` into the
     * single directory `batch=<uptoBatchId>` (distinct rows — registry
-    * reads are semi-joins, so multiplicity is irrelevant). Returns the
-    * number of directories folded. Only call with a durably-committed
-    * watermark (see class doc). */
-  def compact(spark: SparkSession, uptoBatchId: Long,
-      targetFileBytes: Long = 128L << 20): Int = {
+    * reads are semi-joins, so multiplicity is irrelevant), re-sharded
+    * to the SELF-SIZED modulus P = max(`shards`, bytes/targetShardBytes)
+    * — the step that keeps shard size (and therefore small-probe bytes)
+    * constant as the registry grows. Returns the number of directories
+    * folded. Only call with a durably-committed watermark (see class
+    * doc). */
+  def compact(spark: SparkSession, uptoBatchId: Long): Int = {
     val olds = batchDirs(spark).filter(_._1 <= uptoBatchId)
     if (olds.size <= 1) return olds.size
     val f = fs(spark)
-    val bytes = olds.map { case (_, p) =>
-      f.listStatus(p).filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    }.sum
-    val nFiles = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val merged = spark.read.schema(schema)
-      .parquet(olds.map(_._2.toString): _*).distinct()
+    val bytes = olds.map { case (_, p) => f.getContentSummary(p).getLength }.sum
+    val p = math.min(1L << 20, math.max(shards.toLong,
+      (bytes + targetShardBytes - 1) / targetShardBytes)).toInt
+    val merged = readDirs(spark, olds.map(_._2))
+      .select(schema.fieldNames.map(col).toSeq: _*).distinct()
     val tmp = new Path(s"$stateDir/.compact_tmp")
-    merged.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    olds.foreach { case (_, p) => f.delete(p, true) }
-    f.rename(tmp, new Path(s"$stateDir/batch=$uptoBatchId"))
+    f.delete(tmp, true) // stale leftover from a crashed fold
+    merged.withColumn("shard", shardExpr(p))
+      .repartition(p, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
+    writeShardsMarker(spark, tmp, p)
+    // Swap order bounds the crash damage: after the target swap the
+    // not-yet-deleted olds merely DUPLICATE rows already in the target
+    // (semi-join-harmless; refolded next time) instead of being the
+    // only copy.
+    val target = new Path(s"$stateDir/batch=$uptoBatchId")
+    f.delete(target, true)
+    f.rename(tmp, target)
+    olds.foreach { case (id, dir) => if (id != uptoBatchId) f.delete(dir, true) }
     olds.size
   }
 }

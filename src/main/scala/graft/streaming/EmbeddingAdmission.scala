@@ -34,12 +34,22 @@ import graft.ext.{Dedup, Vectors}
   * as the ADMITTED set grows. */
 class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     threshold: Double, planes: Int = 4, tables: Int = 8, dim: Int = 64,
-    seed: Long = 42L, compactEvery: Int = 64) extends Serializable {
+    seed: Long = 42L, compactEvery: Int = 64,
+    shards: Int = 16,
+    targetShardBytes: Long = 16L << 20) extends Serializable {
 
+  // Sharded by the probe key (t, bucket): a vector contributes ONE
+  // bucket per table, so a trigger touches ≤ |batch| × tables shards
+  // and the history probe prunes to those — it reads (and pays the
+  // vector-payload width of) only the touched slice of the registry,
+  // not the whole admitted corpus. Same key discipline as the batch
+  // tier's sharded bucket index (Dedup.writeShardedBucketIndex).
   private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
     StructField("t", IntegerType), StructField("bucket", LongType),
     StructField("id", LongType),
-    StructField("embedding", ArrayType(FloatType)))))
+    StructField("embedding", ArrayType(FloatType)))),
+    shardCols = Seq("t", "bucket"), shards = shards,
+    targetShardBytes = targetShardBytes)
 
   /** (id, t, bucket, embedding) for every vector in `batch`. */
   private def buckets(batch: DataFrame): DataFrame = {
@@ -55,30 +65,35 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     registry.maybeCompact(spark, batchId, compactEvery)
-    val bf = buckets(batch)
-    val cos = (a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) =>
-      Vectors.cosineNative(spark, a, b)
-    val hist = registry.history(spark, batchId)
-      .select(col("t"), col("bucket"), col("embedding").as("__he"))
-    val vsHistory = bf.join(hist, Seq("t", "bucket"))
-      .filter(cos(col("embedding"), col("__he")) >= threshold)
-      .select(col("id")).distinct()
-    val vsBatch = bf.select(col("t"), col("bucket"),
-        col("id").as("__ka"), col("embedding").as("__ea"))
-      .join(bf.select(col("t"), col("bucket"), col("id"),
-        col("embedding")), Seq("t", "bucket"))
-      .filter(col("__ka") < col("id") &&
-        cos(col("__ea"), col("embedding")) >= threshold)
-      .select(col("id")).distinct()
-    val rejected = vsHistory.union(vsBatch).distinct()
-    val admitted = batch.join(
-      rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-    registry.append(
-      bf.join(admitted.select(col(idCol).cast("long").as("id")),
-          Seq("id"), "left_semi")
-        .select("t", "bucket", "id", "embedding"), batchId)
-    admitted
+    // bf feeds four consumers (touched-shard job, history probe, the
+    // in-batch self-join's two sides, registry append) — cache it.
+    val bf = buckets(batch).persist()
+    try {
+      val cos = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        Vectors.cosineNative(spark, a, b)
+      val tokens = registry.probeTokens(bf)
+      val hist = registry.historyTouched(spark, batchId, tokens)
+        .select(col("t"), col("bucket"), col("embedding").as("__he"))
+      val vsHistory = bf.join(hist, Seq("t", "bucket"))
+        .filter(cos(col("embedding"), col("__he")) >= threshold)
+        .select(col("id")).distinct()
+      val vsBatch = bf.select(col("t"), col("bucket"),
+          col("id").as("__ka"), col("embedding").as("__ea"))
+        .join(bf.select(col("t"), col("bucket"), col("id"),
+          col("embedding")), Seq("t", "bucket"))
+        .filter(col("__ka") < col("id") &&
+          cos(col("__ea"), col("embedding")) >= threshold)
+        .select(col("id")).distinct()
+      val rejected = vsHistory.union(vsBatch).distinct()
+      val admitted = batch.join(
+        rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      registry.append(
+        bf.join(admitted.select(col(idCol).cast("long").as("id")),
+            Seq("id"), "left_semi")
+          .select("t", "bucket", "id", "embedding"), batchId)
+      admitted
+    } finally bf.unpersist()
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one. */

@@ -27,21 +27,32 @@ import graft.ext.Dedup
   * so near-dups of a rejected doc that match no admitted doc still land.
   *
   * Scale shape (100 TB/day ingest): registry rows are (band, bucket)
-  * longs — |admitted| × bands fixed-width rows, partition-pruned by
-  * nothing but read as a compact two-column parquet scan per batch;
-  * the admission join hash-partitions batch buckets (|batch| × bands
-  * rows) against it. Persistence goes through [[AdmissionRegistry]]:
-  * per-batch overwrite appends + own-batch exclusion on the history
-  * read make replay exactly-once (a replayed batch recomputes identical
-  * admission decisions instead of self-rejecting against its own prior
-  * append), registry read failures fail closed, and batch directories
-  * compact on a schedule. */
+  * longs — |admitted| × bands fixed-width rows, SHARD-PARTITIONED on
+  * disk by hash(band, bucket) with a SELF-SIZED shard count (compaction
+  * re-shards to constant shard SIZE as the registry grows — see
+  * [[AdmissionRegistry]] guarantee 2), so a trigger's history probe
+  * reads only the `shard=` directories its own buckets touch and
+  * per-trigger bytes PLATEAU at ≈ |batch| × bands × targetShardBytes +
+  * the uncompacted tail — constant in corpus lifetime, where any fixed
+  * shard count saturates and degrades to the full registry read
+  * (measured in AdmissionLatency). The admission join then
+  * hash-partitions batch buckets (|batch| × bands rows) against the
+  * pruned read. Persistence goes through
+  * [[AdmissionRegistry]]: per-batch overwrite appends + own-batch
+  * exclusion on the history read make replay exactly-once (a replayed
+  * batch recomputes identical admission decisions instead of
+  * self-rejecting against its own prior append), registry read
+  * failures fail closed, and batch directories compact on a schedule
+  * (shard layout preserved through compaction). */
 class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     numHashes: Int = 32, bands: Int = 8,
-    compactEvery: Int = 64) extends Serializable {
+    compactEvery: Int = 64, shards: Int = 16,
+    targetShardBytes: Long = 16L << 20) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
-    StructField("band", IntegerType), StructField("bucket", LongType))))
+    StructField("band", IntegerType), StructField("bucket", LongType))),
+    shardCols = Seq("band", "bucket"), shards = shards,
+    targetShardBytes = targetShardBytes)
 
   /** (id, band, bucket) for every doc in `batch`. */
   private def buckets(batch: DataFrame): DataFrame =
@@ -63,21 +74,28 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     // replay-safe — see [[AdmissionRegistry.maybeCompact]]. Keeps the
     // registry's directory count bounded on an unbounded stream.
     registry.maybeCompact(spark, batchId, compactEvery)
-    val bf = buckets(batch)
-    val vsHistory = bf.join(registry.history(spark, batchId),
-      Seq("band", "bucket"), "left_semi").select(col("id")).distinct()
-    val lowestPerBucket = bf.groupBy("band", "bucket")
-      .agg(min(col("id")).as("__keep"))
-    val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
-      .filter(col("id") =!= col("__keep"))
-      .select(col("id")).distinct()
-    val rejected = vsHistory.union(vsBatch).distinct()
-    val admitted = batch.join(
-      rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-    registry.append(
-      bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .select("band", "bucket"), batchId)
-    admitted
+    // bf feeds four consumers (touched-shard job, history probe,
+    // in-batch gate, registry append) — cache it for the trigger so the
+    // minhash signatures are computed once per batch, not four times.
+    val bf = buckets(batch).persist()
+    try {
+      val tokens = registry.probeTokens(bf)
+      val vsHistory = bf.join(
+        registry.historyTouched(spark, batchId, tokens),
+        Seq("band", "bucket"), "left_semi").select(col("id")).distinct()
+      val lowestPerBucket = bf.groupBy("band", "bucket")
+        .agg(min(col("id")).as("__keep"))
+      val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
+        .filter(col("id") =!= col("__keep"))
+        .select(col("id")).distinct()
+      val rejected = vsHistory.union(vsBatch).distinct()
+      val admitted = batch.join(
+        rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      registry.append(
+        bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select("band", "bucket"), batchId)
+      admitted
+    } finally bf.unpersist()
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one (see

@@ -22,19 +22,38 @@ import graft.ext.{Dedup, Spans}
   *
   * Registry: DISTINCT span hashes of admitted docs — fixed-width longs,
   * one row per distinct span (the span-registry cost is O(distinct
-  * spans), the price any substring-level structure pays). Persistence
-  * goes through [[AdmissionRegistry]]: per-batch overwrite appends +
-  * own-batch exclusion on the history read make replay exactly-once (a
-  * crashed-then-replayed batch recomputes identical gate decisions
-  * instead of self-rejecting against the spans it registered before the
-  * crash), read failures fail closed, and batch directories compact on
-  * a schedule. */
+  * spans), the price any substring-level structure pays), SHARD-
+  * PARTITIONED on disk by hash(sh) so each trigger's history probe
+  * reads only the `shard=` directories its own span hashes touch (a
+  * bounded ≤ shards set) instead of the whole span registry — the
+  * per-trigger read scales with touched/shards of the registry, not
+  * with corpus lifetime. Persistence goes through [[AdmissionRegistry]]:
+  * per-batch overwrite appends + own-batch exclusion on the history
+  * read make replay exactly-once (a crashed-then-replayed batch
+  * recomputes identical gate decisions instead of self-rejecting
+  * against the spans it registered before the crash), read failures
+  * fail closed, and batch directories compact on a schedule (shard
+  * layout preserved).
+  *
+  * Pruning honesty (the [[graft.ext.Sharded]] selectivity note applies
+  * here hardest): a doc contributes MANY distinct span hashes — K per
+  * trigger is large, so under a FIXED shard count the touched set
+  * saturates instantly (the gram-index regime). The self-sized shard
+  * count ([[AdmissionRegistry]] guarantee 2) is what still bounds the
+  * probe: per-trigger bytes plateau at K × targetShardBytes once the
+  * registry outgrows that, instead of tracking registry size forever;
+  * the plateau is higher than the near-dup family's (K is tokens-per-
+  * trigger here, not bands-per-doc), which is this family's honest
+  * price at any layout. */
 class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     k: Int = 8, gatePct: Int = 20,
-    compactEvery: Int = 64) extends Serializable {
+    compactEvery: Int = 64, shards: Int = 16,
+    targetShardBytes: Long = 16L << 20) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir,
-    StructType(Seq(StructField("sh", LongType))))
+    StructType(Seq(StructField("sh", LongType))),
+    shardCols = Seq("sh"), shards = shards,
+    targetShardBytes = targetShardBytes)
 
   /** Admit one micro-batch: returns admitted rows (original schema) and
     * registers their distinct span hashes under `batchId`. */
@@ -45,27 +64,33 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     // committed by the time the sink sees this one, so folding them is
     // replay-safe and bounds the registry's directory count.
     registry.maybeCompact(spark, batchId, compactEvery)
-    val pos = Spans.positions(batch, textCol, idCol, k)
-    val covered = pos.join(registry.history(spark, batchId).distinct(),
-        Seq("sh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("__covered"))
-    val rejected = batch
-      .select(col(idCol).as("doc_id"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("__n"))
-      .join(covered, Seq("doc_id"))
-      .filter(col("__covered") * 100 >= col("__n") * gatePct)
-      .select(col("doc_id"))
-    val admitted = batch.join(
-      rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-    registry.append(
-      pos.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
-          "left_semi")
-        .select("sh").distinct(), batchId)
-    admitted
+    // pos feeds three consumers (touched-shard job, coverage join,
+    // registry append) — cache it for the trigger.
+    val pos = Spans.positions(batch, textCol, idCol, k).persist()
+    try {
+      val tokens = registry.probeTokens(pos)
+      val covered = pos.join(
+          registry.historyTouched(spark, batchId, tokens).distinct(),
+          Seq("sh"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__covered"))
+      val rejected = batch
+        .select(col(idCol).as("doc_id"),
+          size(Dedup.tokens(col(textCol))).cast("long").as("__n"))
+        .join(covered, Seq("doc_id"))
+        .filter(col("__covered") * 100 >= col("__n") * gatePct)
+        .select(col("doc_id"))
+      val admitted = batch.join(
+        rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      registry.append(
+        pos.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .select("sh").distinct(), batchId)
+      admitted
+    } finally pos.unpersist()
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one (see

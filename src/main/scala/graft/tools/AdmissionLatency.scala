@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.ext.Sharded
+import graft.streaming.{AdmissionRegistry, NearDupAdmission}
+
+/** Admission latency against a PRE-POPULATED registry (VERDICT r11/r12
+  * item #2): StreamBench's curation arms start from an EMPTY registry,
+  * so the history-size term of per-trigger cost — the term that grows
+  * with corpus lifetime and is the whole point of the shard-pruned
+  * probe — is invisible there. This harness populates a NearDup-shaped
+  * registry at several scales FIRST (appends + compaction, so the
+  * history sits in the SELF-SIZED compacted layout a long-lived stream
+  * converges to), then measures, per (registry_docs × batch_docs)
+  * point:
+  *
+  *   - flat probe: the pre-r13 read (`AdmissionRegistry.history`, every
+  *     batch dir, all shards) joined against the trigger's buckets —
+  *     seconds and scan bytes/files;
+  *   - pruned probe: the r13 production path ([[AdmissionRegistry
+  *     .historyTouched]] over the trigger's probe tokens) — same join,
+  *     same metrics;
+  *   - end-to-end: [[NearDupAdmission.admit]] wall seconds (p50/max of
+  *     `reps` triggers at distinct batch ids) on the same registry.
+  *
+  * The law this matrix exists to verify (AdmissionRegistry guarantee
+  * 2): pruned probe bytes ≈ min(registry, K × targetShardBytes), K =
+  * distinct probe keys — so as the registry grows at FIXED trigger
+  * size, flat bytes grow proportionally while pruned bytes PLATEAU.
+  * A fixed shard count cannot produce the plateau: the r13 first-cut
+  * measurement (fixed 16 shards) showed touched=16/16 at EVERY batch
+  * size ≥ 256 docs and pruned == flat bytes at every point — which is
+  * why compaction re-shards to constant shard size instead. Large
+  * triggers whose K × targetShardBytes exceeds the registry still
+  * degrade to the flat read (honest saturation; the probe detects it
+  * and skips the isin work).
+  *
+  * Usage: runMain graft.tools.AdmissionLatency \
+  *   [registryDocs...]      (default: 150000 1200000 4800000)
+  *   each tested at batch sizes 4 / 64 / 1024 / 16384 docs, demo
+  *   targetShardBytes = 64 KiB (small, so the plateau is visible at
+  *   fixture-scale registries; production default is 16 MiB).
+  */
+object AdmissionLatency {
+
+  private val bands = 8
+  private val shards = 16 // append floor
+  private val shardBytes = 64L << 10
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) Double.NaN
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val registryDocs =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(150000L, 1200000L, 4800000L)
+    val batchDocs = Seq(4L, 64L, 1024L, 16384L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("[admlat] mode=prepopulated-registry (NearDup shape: " +
+      s"bands=$bands append_shards=$shards " +
+      s"targetShardBytes=$shardBytes; probe keys K = docs x bands; " +
+      "law: pruned_mb ~ min(registry, K x targetShardBytes))")
+
+    val schema = StructType(Seq(
+      StructField("band", IntegerType), StructField("bucket", LongType)))
+
+    registryDocs.foreach { rdocs =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_admlat_$rdocs").toString + "/near"
+      val reg = new AdmissionRegistry(dir, schema, Seq("band", "bucket"),
+        shards, shardBytes)
+      // Pre-populate: rdocs admitted docs x bands bucket rows over 8
+      // committed batches, then compact — the compaction is what
+      // re-shards to the self-sized modulus.
+      val t0 = System.nanoTime()
+      (0 until 8).foreach { b =>
+        reg.append(spark.range(rdocs / 8)
+          .select((col("id") % bands).cast("int").as("band"),
+            xxhash64(col("id") * 8 + b, lit("reg")).as("bucket")), b.toLong)
+      }
+      reg.compact(spark, uptoBatchId = 7)
+      val modulus = {
+        val p = java.nio.file.Paths.get(s"$dir/batch=7/_shards")
+        new String(java.nio.file.Files.readAllBytes(p)).trim.toInt
+      }
+      val regRows = reg.history(spark, excludeBatchId = Long.MaxValue).count()
+      println(f"[admlat] registry_docs=$rdocs%9d rows=$regRows%10d " +
+        f"selfsized_shards=$modulus%5d " +
+        f"populate_s=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      batchDocs.foreach { bdocs =>
+        // The trigger's bucket frame: hash-uniform keys, disjoint from
+        // the registry's (admission semantics are covered by the specs;
+        // this harness measures the probe's read cost, which the match
+        // rate does not change).
+        val bf = spark.range(bdocs)
+          .select(col("id"), (col("id") % bands).cast("int").as("band"),
+            xxhash64(col("id"), lit("probe")).as("bucket"))
+          .persist()
+        val tokens = reg.probeTokens(bf)
+        val k = tokens.map(_.length).getOrElse(-1)
+        def probe(hist: DataFrame): Long =
+          bf.join(hist, Seq("band", "bucket"), "left_semi").count()
+        def timed(body: => Unit): Double = {
+          val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e9
+        }
+        val (flatBytes, flatFiles) = Sharded.scanFootprint(spark, Seq(dir)) {
+          reg.history(spark, excludeBatchId = 100)
+        }
+        val (prBytes, prFiles) = Sharded.scanFootprint(spark, Seq(dir)) {
+          reg.historyTouched(spark, excludeBatchId = 100, tokens)
+        }
+        val flatS = (1 to 3).map(_ => timed(
+          probe(reg.history(spark, excludeBatchId = 100)))).min
+        val prS = (1 to 3).map(_ => timed(
+          probe(reg.historyTouched(spark, 100, tokens)))).min
+        bf.unpersist()
+
+        // End-to-end admit on real synthetic text via the production
+        // class against the SAME pre-populated directory (distinct high
+        // batch ids; every doc unique so the registry keeps growing by
+        // bdocs x bands rows per rep, as a live stream would).
+        val adm = new NearDupAdmission(dir, "text", "doc_id",
+          numHashes = 32, bands = bands, compactEvery = 0,
+          shards = shards, targetShardBytes = shardBytes)
+        val reps = 5
+        val admitS = (0 until reps).map { r =>
+          val docs = spark.range(bdocs).select(
+            (col("id") + 5000000L + r * 100000L).as("doc_id"),
+            concat_ws(" ", (0 until 24).map(i =>
+              concat(lit("w"), pmod(col("id") * 48271L + i * 40503L + r,
+                lit(9999991L)))): _*).as("text"))
+          timed { adm.admit(docs, 100L + r).write.mode("overwrite")
+            .parquet(dir + "_out") }
+        }
+        println(f"[admlat] registry_docs=$rdocs%9d batch_docs=$bdocs%6d " +
+          f"K=$k%6d " +
+          f"flat_probe_s=$flatS%6.2f pruned_probe_s=$prS%6.2f " +
+          f"flat_mb=${flatBytes / 1e6}%8.1f pruned_mb=${prBytes / 1e6}%8.1f " +
+          f"flat_files=$flatFiles%5d pruned_files=$prFiles%5d " +
+          f"admit_s_p50=${pct(admitS, 0.5)}%6.2f " +
+          f"admit_s_max=${admitS.max}%6.2f")
+      }
+    }
+    spark.stop()
+  }
+}

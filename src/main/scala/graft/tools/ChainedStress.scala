@@ -384,6 +384,52 @@ object ChainedStress {
         census.count(), oneshot.count())
     }
 
+    // ----------------------------------- admission registry (streaming)
+    // The streaming twin of the batch families (VERDICT r12 #5): chain
+    // the SAME micro-batches through three NearDupAdmission instances
+    // whose registries differ ONLY physically —
+    //   interleaved: compaction after every batch (compactEvery=1),
+    //   none:        no compaction at all,
+    //   resharded:   compaction + tiny targetShardBytes (the self-sized
+    //                re-shard arm: the fold rewrites history under a
+    //                LARGER modulus between batches).
+    // Law: admission decisions are a pure function of (batch, admitted
+    // history) — compaction cadence and shard layout must change
+    // NOTHING. Checked: per-batch admitted id sets identical across
+    // arms, and the end-state registry CONTENT (distinct (band,bucket),
+    // XOR + count) identical.
+    {
+      import graft.streaming.NearDupAdmission
+      val admSlices = slices.zipWithIndex
+        .map { case (sl, s) => persist(sl.limit(4000), s"adm_slice_$s") }
+      def chain(tag: String, every: Int, tsb: Long)
+          : (Seq[Set[Long]], DataFrame) = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"chstress_adm_$tag").toString
+        val adm = new NearDupAdmission(s"$root/near", "text", "doc_id",
+          compactEvery = every, targetShardBytes = tsb)
+        val perBatch = admSlices.zipWithIndex.map { case (sl, s) =>
+          val (secs, ids) = timed(adm.admit(sl, s.toLong)
+            .select("doc_id").collect().map(_.getLong(0)).toSet)
+          println(f"[chstress] admission($tag%-11s) round ${s + 1}: " +
+            f"admit=$secs%6.2f s admitted=${ids.size}")
+          ids
+        }
+        val end = spark.read.parquet(s"$root/near")
+          .select("band", "bucket").distinct()
+        (perBatch, persist(end, s"adm_end_$tag"))
+      }
+      val (idsA, endA) = chain("interleaved", every = 1, tsb = 16L << 20)
+      val (idsB, endB) = chain("none", every = 0, tsb = 16L << 20)
+      val (idsC, endC) = chain("resharded", every = 1, tsb = 8L << 10)
+      require(idsA == idsB && idsA == idsC,
+        "admission: per-batch admitted sets diverge across registry layouts")
+      check("admission", xorSum(endA), xorSum(endB),
+        endA.count(), endB.count())
+      check("admission_rs", xorSum(endC), xorSum(endA),
+        endC.count(), endA.count())
+    }
+
     println(s"[chstress] all families EXACT across $nSlices chained slices")
     spark.stop()
   }

@@ -19,7 +19,7 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
   test("history excludes the current batch's own append (replay safety)") {
     val s = spark
     import s.implicits._
-    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema)
+    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema, Seq("k"))
     reg.append(Seq(1L, 2L).toDF("k"), batchId = 0)
     reg.append(Seq(3L).toDF("k"), batchId = 1)
     // Batch 1 replays: its own keys are invisible, batch 0's are not.
@@ -34,7 +34,7 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     val s = spark
     import s.implicits._
     val dir = tmp("graft_reg_")
-    val reg = new AdmissionRegistry(dir, keySchema)
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"))
     reg.append(Seq(1L, 2L).toDF("k"), batchId = 0)
     reg.append(Seq(1L, 2L).toDF("k"), batchId = 0) // replayed append
     assert(reg.history(s, excludeBatchId = 9).count() == 2)
@@ -42,26 +42,134 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
 
   test("missing registry is empty; corrupt registry data fails closed") {
     val s = spark
-    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema)
+    val reg = new AdmissionRegistry(tmp("graft_reg_"), keySchema, Seq("k"))
     assert(reg.history(s, excludeBatchId = 0).count() == 0)
 
     val dir = tmp("graft_reg_")
-    val bad = new java.io.File(dir + "/batch=0")
+    val bad = new java.io.File(dir + "/batch=0/shard=0")
     bad.mkdirs()
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir + "/batch=0/part-garbage.parquet"),
+      java.nio.file.Paths.get(dir + "/batch=0/shard=0/part-garbage.parquet"),
       "this is not parquet".getBytes)
-    val reg2 = new AdmissionRegistry(dir, keySchema)
+    val reg2 = new AdmissionRegistry(dir, keySchema, Seq("k"))
     assertThrows[Exception] {
       reg2.history(s, excludeBatchId = 9).count()
     }
+  }
+
+  test("appends land shard-partitioned and the probe prunes to touched shards") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_shard_")
+    val shards = 8
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"), shards)
+    // Two committed batches spanning many shards.
+    reg.append((1L to 64L).toDF("k"), batchId = 0)
+    reg.append((65L to 128L).toDF("k"), batchId = 1)
+    // Physical layout: shard= directories nested under each batch=.
+    val shardDirs = new java.io.File(dir + "/batch=0").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.nonEmpty && shardDirs.subsetOf(
+      (0 until shards).map(i => s"shard=$i").toSet), s"layout: $shardDirs")
+    // A small probe's token set is its distinct key hashes...
+    val probe = Seq(3L, 7L).toDF("k")
+    val tokens = reg.probeTokens(probe)
+    assert(tokens.exists(_.length == 2), s"tokens: $tokens")
+    // ...and the pruned read (a) returns every row the probe join could
+    // match (semantic completeness vs the full read)...
+    val full = reg.history(s, excludeBatchId = 9)
+    val pruned = reg.historyTouched(s, excludeBatchId = 9, tokens)
+    val fullMatch = probe.join(full, Seq("k"), "left_semi")
+      .as[Long].collect().toSet
+    val prunedMatch = probe.join(pruned, Seq("k"), "left_semi")
+      .as[Long].collect().toSet
+    assert(prunedMatch == fullMatch && fullMatch == Set(3L, 7L))
+    // ...while (b) the scan itself selects strictly fewer files/bytes —
+    // partition pruning at the file index, not a post-read filter.
+    val (fullBytes, fullFiles) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.history(s, excludeBatchId = 9)
+    }
+    val (prBytes, prFiles) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.historyTouched(s, excludeBatchId = 9, tokens)
+    }
+    assert(prFiles < fullFiles && prBytes < fullBytes,
+      s"pruned=($prBytes,$prFiles) full=($fullBytes,$fullFiles)")
+    // Empty token set (empty replayed batch) reads nothing but stays
+    // typed; a saturated probe (None) degrades to the full read.
+    assert(reg.historyTouched(s, 9, Some(Array.empty[Long])).count() == 0)
+    assert(reg.historyTouched(s, 9, None).count() == full.count())
+  }
+
+  test("probe pruning survives compaction (shard layout preserved)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_shardc_")
+    val shards = 8
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"), shards)
+    (0 to 3).foreach(b =>
+      reg.append((b * 50L until b * 50L + 50L).toDF("k"), batchId = b))
+    assert(reg.compact(s, uptoBatchId = 2) == 3)
+    val shardDirs = new java.io.File(dir + "/batch=2").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.nonEmpty, "compacted batch lost its shard layout")
+    val probe = Seq(11L, 171L).toDF("k") // one compacted row, one live
+    val tokens = reg.probeTokens(probe)
+    val pruned = reg.historyTouched(s, excludeBatchId = 9, tokens)
+    assert(probe.join(pruned, Seq("k"), "left_semi")
+      .as[Long].collect().toSet == Set(11L, 171L))
+    val (fullBytes, fullFiles) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.history(s, excludeBatchId = 9)
+    }
+    val (prBytes, prFiles) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.historyTouched(s, excludeBatchId = 9, tokens)
+    }
+    assert(prFiles < fullFiles && prBytes < fullBytes,
+      s"pruned=($prBytes,$prFiles) full=($fullBytes,$fullFiles)")
+  }
+
+  test("compaction self-sizes the shard count; a small probe's bytes plateau") {
+    val s = spark
+    import s.implicits._
+    // Tiny targetShardBytes forces the self-sizing arm at fixture scale:
+    // the folded registry must carry MORE shards than the append floor,
+    // record its modulus in the _shards marker, and a fixed-size probe
+    // must read FEWER bytes from the grown registry than a fixed-count
+    // layout would (which reads bytes ∝ registry size forever).
+    val dir = tmp("graft_selfsize_")
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"),
+      shards = 4, targetShardBytes = 4096L)
+    (0 to 3).foreach(b =>
+      reg.append(((b * 4000L) until (b * 4000L + 4000L)).toDF("k"), b))
+    assert(reg.compact(s, uptoBatchId = 3) == 4)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/batch=3/_shards"))).trim.toInt
+    assert(marker > 4, s"self-sized modulus $marker should exceed the floor")
+    val nDirs = new java.io.File(dir + "/batch=3").listFiles()
+      .count(_.getName.startsWith("shard="))
+    assert(nDirs > 4, s"expected >4 shard dirs, got $nDirs")
+    // Correctness under the grown modulus: pruned == full for the probe.
+    val probe = Seq(7L, 4001L, 15999L).toDF("k")
+    val tokens = reg.probeTokens(probe)
+    val pruned = reg.historyTouched(s, excludeBatchId = 9, tokens)
+    assert(probe.join(pruned, Seq("k"), "left_semi")
+      .as[Long].collect().toSet == Set(7L, 4001L, 15999L))
+    // The plateau law: the 3-key probe reads ≤ 3 shards ≈ 3 × target
+    // bytes, a small fraction of the 16k-row registry.
+    val (fullBytes, _) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.history(s, excludeBatchId = 9)
+    }
+    val (prBytes, _) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.historyTouched(s, excludeBatchId = 9, tokens)
+    }
+    assert(prBytes * 3 < fullBytes,
+      s"pruned=$prBytes full=$fullBytes — self-sizing should prune ≥3×")
   }
 
   test("compact folds committed batches and preserves exclusion layout") {
     val s = spark
     import s.implicits._
     val dir = tmp("graft_reg_")
-    val reg = new AdmissionRegistry(dir, keySchema)
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"))
     reg.append(Seq(1L).toDF("k"), batchId = 0)
     reg.append(Seq(2L).toDF("k"), batchId = 1)
     reg.append(Seq(3L).toDF("k"), batchId = 2)

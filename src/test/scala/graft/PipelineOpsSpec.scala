@@ -72,6 +72,48 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     assert(kept.length == 500 && kept.forall(_ % 2 == 0))
   }
 
+  test("sampling rate-table paths: CASE chain ≡ broadcast join, and 1e5 strata run") {
+    val s = spark
+    import s.implicits._
+    // Result identity across the size gate (caseGate=0 forces the
+    // broadcast-join path; the default keeps the CASE chain at 3 strata).
+    val d = (0L until 3000L)
+      .map(i => (i, s"src${i % 3}")).toDF("id", "stratum")
+    val rates = Map("src0" -> 0.9, "src1" -> 0.2, "src2" -> 0.0)
+    val viaCase = Sampling.stratifiedSample(d, "id", "stratum", rates,
+      defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    val viaJoin = Sampling.stratifiedSample(d, "id", "stratum", rates,
+      defaultRate = 0.5, caseGate = 0).collect().map(_.getLong(0)).toSet
+    assert(viaCase == viaJoin && viaCase.nonEmpty)
+    // defaultRate arm: an unlisted stratum samples at the default on
+    // BOTH paths (left join + coalesce vs the fold's otherwise).
+    val d2 = (0L until 2000L).map(i => (i, "unlisted")).toDF("id", "stratum")
+    val defCase = Sampling.stratifiedSample(d2, "id", "stratum", rates, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val defJoin = Sampling.stratifiedSample(d2, "id", "stratum", rates, 0.5,
+      caseGate = 0).collect().map(_.getLong(0)).toSet
+    assert(defCase == defJoin && defCase.nonEmpty)
+    val tmCase = Sampling.temperatureMix(d, "id", "stratum", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val tmJoin = Sampling.temperatureMix(d, "id", "stratum", 0.3,
+      caseGate = 0).collect().map(_.getLong(0)).toSet
+    assert(tmCase == tmJoin && tmCase.nonEmpty)
+    // The stress point the gate exists for: 1e5 domain-level strata —
+    // a CASE chain of that depth breaks JVM codegen limits (64 KB
+    // method / constant pool); the joined rate table must plan and run.
+    val nStrata = 100000
+    val big = (0L until 200000L).map(i => (i, s"d${i % nStrata}"))
+      .toDF("id", "stratum")
+    val bigRates = (0 until nStrata)
+      .map(i => s"d$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val kept = Sampling.stratifiedSample(big, "id", "stratum", bigRates,
+      defaultRate = 0.0).collect().map(_.getLong(0))
+    assert(kept.length == 100000 && kept.forall(_ % 2 == 0))
+    // temperatureMix at 1e5 sources: plans, runs, lands near target.
+    val tmBig = Sampling.temperatureMix(big, "id", "stratum", 0.5)
+    assert(math.abs(tmBig.count() / 200000.0 - 0.5) < 0.05)
+  }
+
   test("contaminationHits counts distinct shared n-grams, 0 for clean") {
     val train = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),

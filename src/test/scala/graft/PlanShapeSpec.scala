@@ -138,7 +138,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
   test("q_sample_weighted plans top-k heaps, not a global sort") {
     val plan = formatted("q_sample_weighted")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
-    assert(!plan.contains("Sort ["), plan.take(3000))
+    // r13 audit: the former !contains("Sort [") was vacuous in
+    // FormattedMode (node line is "(n) Sort"; the argument list lives
+    // in a detail block) — the same disease as the r10 "GlobalSort"
+    // and "Exchange hashpartitioning" spellings. Use the controlled
+    // helper instead.
+    assert(!hasGlobalSort(plan), plan.take(3000))
+  }
+
+  test("control arms: plan-lock helpers fire on real plans (not vacuous)") {
+    // Every negative lock in this suite is only as good as its spelling
+    // against FormattedMode output — three vacuous spellings have been
+    // caught across r10–r13 ("GlobalSort", "Exchange hashpartitioning",
+    // "Sort ["). These arms prove the helpers and the load-bearing
+    // spellings MATCH real executed plans, so the negative assertions
+    // above are falsifiable.
+    val s = spark
+    import org.apache.spark.sql.execution.FormattedMode
+    val df = s.range(1000).select(org.apache.spark.sql.functions.col("id"),
+      (org.apache.spark.sql.functions.col("id") % 7).as("k"))
+    def fmtExecuted(d: org.apache.spark.sql.DataFrame): String = {
+      d.collect() // lock the plan that actually ran (AQE-final)
+      d.queryExecution.explainString(FormattedMode)
+    }
+    // 1. hasGlobalSort FIRES on a real executed global orderBy...
+    val pSorted = fmtExecuted(df.orderBy(df("k").desc, df("id")))
+    assert(hasGlobalSort(pSorted), pSorted.take(3000))
+    // ...stays quiet on top-k (TakeOrderedAndProject, the shape the
+    // locks at q_similarity_* / q_sample_weighted demand)...
+    val pTopk = fmtExecuted(df.orderBy(df("k").desc).limit(5))
+    assert(pTopk.contains("TakeOrderedAndProject"), pTopk.take(3000))
+    assert(!hasGlobalSort(pTopk), pTopk.take(3000))
+    // ...and on a partition-local sort (global flag false).
+    val pLocal = fmtExecuted(df.sortWithinPartitions(df("k")))
+    assert(!hasGlobalSort(pLocal), pLocal.take(3000))
+    // 2. nHashExchanges counts a real shuffle (the q_pipeline_web lock
+    // also keeps a >=1 arm; this one pins the exact count on a known
+    // single-shuffle plan).
+    val pAgg = fmtExecuted(df.groupBy("k").count())
+    assert(nHashExchanges(pAgg) == 1, pAgg.take(3000))
+    // 3. The window-absence locks' spelling: "windowspecdefinition("
+    // and "Window" DO appear for a real window function in
+    // FormattedMode, so asserting their absence is falsifiable.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("id")
+    val pWin = fmtExecuted(df.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w)))
+    assert(pWin.contains("Window") &&
+      pWin.contains("windowspecdefinition("), pWin.take(3000))
   }
 
   test("q_mix_temperature filter is a single pruned scan — no shuffle, no join") {
