@@ -2820,6 +2820,28 @@ object QueriesExt {
         |                         WHEN lang = 'es' THEN 0.2
         |                         ELSE 0.5 END) * 4294967296.0) AS BIGINT)""".stripMargin)),
 
+    // The SIZE-GATED arm of stratifiedSample (r13): 500 strata exceed
+    // the 128-stratum CASE-chain gate, so the rate lookup rides a
+    // broadcast-joined (stratum, rate) table — the path that survives
+    // domain-level stratum counts (10^5-10^8) where a literal CASE tree
+    // dies on the JVM 64 KB codegen limit. Rates here are a pure
+    // function of the stratum index ((i%10)/10), so the oracle
+    // reproduces the SAME per-row rate arithmetically and the hash
+    // compare proves the joined lookup is value-identical to the
+    // formula — exercising the join path end-to-end under the oracle.
+    QueryCase("q_sample_stratified_joined",
+      (s, dir) => Sampling.stratifiedSample(
+          t(s, dir, "documents").withColumn("stratum",
+            concat(lit("d"), pmod(col("doc_id"), lit(500)).cast("string"))),
+          "doc_id", "stratum",
+          rates = (0 until 500).map(i => s"d$i" -> (i % 10) / 10.0).toMap,
+          defaultRate = 0.0)
+        .select("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
+        |      < CAST(floor(CAST((doc_id % 500) % 10 AS DOUBLE) / 10.0
+        |                   * 4294967296.0) AS BIGINT)""".stripMargin)),
+
     // Deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis): inclusion probability ∝ document length — the "sample
     // k docs proportional to token mass" mixing primitive. Selection is

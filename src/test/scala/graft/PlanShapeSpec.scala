@@ -188,6 +188,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
       pWin.contains("windowspecdefinition("), pWin.take(3000))
   }
 
+  test("q_sample_stratified_joined broadcasts the rate table, never shuffles the corpus") {
+    // The size-gated arm: 500 strata force the broadcast-join rate
+    // lookup. The corpus side must stay shuffle-free — the rate table
+    // is config-sized and broadcast, so the only acceptable join is a
+    // BroadcastHashJoin with zero Exchange on the scan side.
+    val plan = formatted("q_sample_stratified_joined")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(nHashExchanges(plan) == 0,
+      s"corpus-side shuffle in a broadcast rate lookup\n" + plan.take(3000))
+  }
+
   test("q_mix_temperature filter is a single pruned scan — no shuffle, no join") {
     // the per-source counts ran at plan-construction time (bounded
     // driver state); the RETURNED plan must be scan + CASE filter only
