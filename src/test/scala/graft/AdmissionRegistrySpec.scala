@@ -165,6 +165,49 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       s"pruned=$prBytes full=$fullBytes — self-sizing should prune ≥3×")
   }
 
+  test("_shards marker: absent = fail-safe full read; corrupt = fail closed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_marker_")
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"), shards = 8)
+    reg.append((1L to 40L).toDF("k"), batchId = 0)
+    reg.append((41L to 80L).toDF("k"), batchId = 1)
+    val probe = Seq(3L).toDF("k")
+    val tokens = reg.probeTokens(probe)
+    // Baseline: pruned probe reads a strict subset.
+    val (prBytes0, _) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.historyTouched(s, excludeBatchId = 9, tokens)
+    }
+    val (fullBytes, _) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.history(s, excludeBatchId = 9)
+    }
+    assert(prBytes0 < fullBytes)
+    // ABSENT marker (the crash window between parquet commit and marker
+    // write): that directory must be read IN FULL — a superset, never a
+    // miss. batch=0 loses its marker; the probe must still see ALL of
+    // batch=0's rows while batch=1 stays pruned.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir + "/batch=0/_shards"))
+    val pruned = reg.historyTouched(s, excludeBatchId = 9, tokens)
+    assert((1L to 40L).toDF("k").join(pruned, Seq("k"), "left_semi")
+      .count() == 40, "marker-less directory must be read unpruned")
+    val (prBytes1, _) = graft.ext.Sharded.scanFootprint(s, Seq(dir)) {
+      reg.historyTouched(s, excludeBatchId = 9, tokens)
+    }
+    assert(prBytes1 > prBytes0 && prBytes1 < fullBytes,
+      s"expected full batch=0 + pruned batch=1: $prBytes0 < $prBytes1 < $fullBytes")
+    // CORRUPT marker: pruning with a wrong modulus would silently MISS
+    // history rows (= duplicate admissions), so it must THROW instead.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "/batch=1/_shards"),
+      "not-a-number".getBytes)
+    assertThrows[Exception] {
+      reg.historyTouched(s, excludeBatchId = 9, tokens).count()
+    }
+    // The unpruned audit read ignores markers entirely and still works.
+    assert(reg.history(s, excludeBatchId = 9).count() == 80)
+  }
+
   test("compact folds committed batches and preserves exclusion layout") {
     val s = spark
     import s.implicits._
