@@ -57,17 +57,25 @@ import graft.ext.Sharded
   *      with no readable `_shards` marker (e.g. the crash window between
   *      parquet commit and marker write on a replayed append) is read in
   *      full — a superset, never a miss.
-  *   4. **Compactable.** Micro-batch appends are the small-files disease
-  *      at 100 TB/day ingest; [[compact]] folds all batch directories at
-  *      or below a watermark into one, preserving the `batch=` level (so
-  *      exclusion semantics survive) and re-sharding per guarantee 2.
-  *      Contract: only compact batches whose sink writes are durably
-  *      committed (i.e. strictly below the stream's last committed
-  *      batch) — a replay can then never target a compacted batch. The
-  *      fold is ordered write-tmp → swap-target → delete-olds so a crash
-  *      leaves duplicate rows (harmless: registry reads are semi-joins;
-  *      the next compaction folds them) rather than missing history,
-  *      except during the swap of the single target directory itself.
+  *   4. **Tiered compaction.** Micro-batch appends are the small-files
+  *      disease at 100 TB/day ingest. The scheduled path
+  *      ([[maybeCompact]]) folds runs GEOMETRICALLY (LSM size-tiered):
+  *      a run is rewritten only when the newer mass has caught up to
+  *      its size, so live directories number O(log lifetime) and every
+  *      row is rewritten O(log lifetime) times EVER — fold-everything
+  *      compaction would instead rewrite the whole registry every
+  *      cycle, an amortized per-trigger cost that grows with corpus
+  *      lifetime (the same disease the pruned probe cures on the read
+  *      side). [[compact]] remains the one-shot full consolidation.
+  *      Both preserve the `batch=` level (so exclusion semantics
+  *      survive) and re-shard per guarantee 2. Contract: only compact
+  *      batches whose sink writes are durably committed (i.e. strictly
+  *      below the stream's last committed batch) — a replay can then
+  *      never target a folded run. Folds are ordered write-tmp →
+  *      swap-target → delete-olds so a crash leaves duplicate rows
+  *      (harmless: registry reads are semi-joins; a later fold
+  *      deduplicates) rather than missing history, except during the
+  *      swap of the single target directory itself.
   *
   * Registry rows are payload-only (fixed-width hash/bucket longs); batch
   * id and shard live in directory names, Hive-partition style, so a flat
@@ -227,31 +235,81 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     writeShardsMarker(rows.sparkSession, dir, shards)
   }
 
-  /** Scheduled compaction driven by the stream's committed watermark:
-    * call at the START of processing batch `batchId` (before this
-    * batch's history read/append). When foreachBatch hands the sink
-    * batch N, the engine has already durably committed batch N−1 — a
-    * failure can only ever replay N itself — so every directory
-    * ≤ N−1 is compactable per [[compact]]'s contract, and folding them
-    * into `batch=N-1` leaves the replayed batch's own-dir exclusion
-    * semantics intact. No-ops unless `every > 0` and `batchId` is a
-    * multiple of it, and is idempotent on replay (a second call finds a
-    * single folded directory and returns early). */
-  def maybeCompact(spark: SparkSession, batchId: Long, every: Int): Unit =
-    if (every > 0 && batchId > 0 && batchId % every == 0)
-      compact(spark, batchId - 1)
+  /** Scheduled TIERED compaction driven by the stream's committed
+    * watermark: call at the START of processing batch `batchId` (before
+    * this batch's history read/append). When foreachBatch hands the
+    * sink batch N, the engine has already durably committed batch N−1 —
+    * a failure can only ever replay N itself — so every directory
+    * ≤ N−1 is foldable, and any fold target's id stays < N, leaving the
+    * replayed batch's own-dir exclusion semantics intact. No-ops unless
+    * `every > 0` and `batchId` is a multiple of it; idempotent on
+    * replay (layout never changes admission DECISIONS — the
+    * ChainedStress admission family proves it — and a re-run just finds
+    * the already-folded layout and selects little or nothing).
+    *
+    * Fold POLICY is geometric (LSM size-tiered), not fold-everything:
+    * walking newest → oldest, a run is included while its size ≤ the
+    * accumulated size of everything newer, and the selected suffix is
+    * folded into one run. Why not fold all (the r13-initial design):
+    * folding everything rewrites the ENTIRE registry every `every`
+    * batches — amortized O(registry / every) bytes per trigger, which
+    * GROWS with corpus lifetime and becomes the dominant per-trigger
+    * term precisely when the pruned probe has stopped growing. The
+    * geometric rule leaves run sizes super-increasing (each older run
+    * > the sum of everything newer), so (a) live `batch=` directories
+    * number O(log lifetime) — the probe's per-dir listing/marker reads
+    * stay bounded; (b) a row is rewritten only when the newer mass has
+    * caught up to its run — O(log lifetime) rewrites per row ever,
+    * amortized O(log) bytes written per ingested byte, lifetime-flat
+    * per trigger. Each folded run is re-sharded to its own self-sized
+    * modulus (guarantee 2; the per-dir `_shards` marker is what lets
+    * every run carry a different one), so the probe's pruned bytes are
+    * Σ over runs of min(run, K × targetShardBytes) ≤ O(log) × K ×
+    * targetShardBytes. */
+  def maybeCompact(spark: SparkSession, batchId: Long, every: Int): Unit = {
+    if (every <= 0 || batchId <= 0 || batchId % every != 0) return
+    val f = fs(spark)
+    val dirs = batchDirs(spark).filter(_._1 < batchId).sortBy(_._1)
+    if (dirs.size < 2) return
+    val sized = dirs.map { case (id, p) =>
+      (id, p, f.getContentSummary(p).getLength) }
+    // 1.5× slack on the inclusion rule tolerates byte jitter between
+    // same-generation runs (parquet overhead varies per fold) without
+    // breaking the invariant: surviving older runs still exceed 2/3 of
+    // the newer mass, so run count stays O(log) and each row is
+    // rewritten O(log) times.
+    var acc = 0L
+    var cut = sized.size
+    var i = sized.size - 1
+    while (i >= 0 && (acc == 0L || sized(i)._3 <= acc + (acc >> 1))) {
+      acc += sized(i)._3; cut = i; i -= 1
+    }
+    val selected = sized.drop(cut).map { case (id, p, _) => (id, p) }
+    if (selected.size >= 2)
+      fold(spark, selected, selected.map(_._1).max)
+  }
 
   /** Fold every `batch=` directory with id ≤ `uptoBatchId` into the
-    * single directory `batch=<uptoBatchId>` (distinct rows — registry
-    * reads are semi-joins, so multiplicity is irrelevant), re-sharded
-    * to the SELF-SIZED modulus P = max(`shards`, bytes/targetShardBytes)
-    * — the step that keeps shard size (and therefore small-probe bytes)
-    * constant as the registry grows. Returns the number of directories
-    * folded. Only call with a durably-committed watermark (see class
-    * doc). */
+    * single directory `batch=<uptoBatchId>` — FULL consolidation (the
+    * one-shot/offline form; the per-trigger schedule uses
+    * [[maybeCompact]]'s geometric policy instead). Returns the number
+    * of directories folded. Only call with a durably-committed
+    * watermark (see class doc). */
   def compact(spark: SparkSession, uptoBatchId: Long): Int = {
     val olds = batchDirs(spark).filter(_._1 <= uptoBatchId)
     if (olds.size <= 1) return olds.size
+    fold(spark, olds, uptoBatchId)
+  }
+
+  /** Fold the given batch directories into `batch=<targetId>` (distinct
+    * rows — registry reads are semi-joins, so multiplicity is
+    * irrelevant), re-sharded to the SELF-SIZED modulus P =
+    * max(`shards`, bytes/targetShardBytes) — the step that keeps shard
+    * size (and therefore small-probe bytes) constant as a run grows.
+    * `targetId` must be ≥ every folded id and ≤ the committed
+    * watermark, so a replay can never target the folded run. */
+  private def fold(spark: SparkSession, olds: Seq[(Long, Path)],
+      targetId: Long): Int = {
     val f = fs(spark)
     val bytes = olds.map { case (_, p) => f.getContentSummary(p).getLength }.sum
     val p = math.min(1L << 20, math.max(shards.toLong,
@@ -268,10 +326,10 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     // not-yet-deleted olds merely DUPLICATE rows already in the target
     // (semi-join-harmless; refolded next time) instead of being the
     // only copy.
-    val target = new Path(s"$stateDir/batch=$uptoBatchId")
+    val target = new Path(s"$stateDir/batch=$targetId")
     f.delete(target, true)
     f.rename(tmp, target)
-    olds.foreach { case (id, dir) => if (id != uptoBatchId) f.delete(dir, true) }
+    olds.foreach { case (id, dir) => if (id != targetId) f.delete(dir, true) }
     olds.size
   }
 }

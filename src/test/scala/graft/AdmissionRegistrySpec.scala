@@ -244,14 +244,17 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       assert(adm.admit(Seq(doc(b)).toDF("doc_id", "text"), b)
         .count() == 1, s"batch $b should admit its fresh doc")
     }
-    // Batches 0..8 folded at batch 9 (into batch=8); only 8 and 9 remain:
-    // directory count is BOUNDED by compactEvery+1 on an unbounded run.
-    assert(batchDirs() == Set("batch=8", "batch=9"),
+    // Geometric tiering: after 10 appends with compaction every 3, live
+    // run count is O(log), far below the 10 appends (exact layout is a
+    // size-jitter-dependent policy detail; the BOUND is the contract).
+    assert(batchDirs().size <= 4,
       s"unexpected registry layout: ${batchDirs()}")
-    // Replay of the compaction-triggering batch: idempotent (compact
-    // finds one folded dir and no-ops) and decisions are unchanged.
+    // Replay of the compaction-triggering batch: decisions unchanged
+    // (admission is layout-independent) and the layout stays bounded.
+    val layoutBefore = batchDirs()
     assert(adm.admit(Seq(doc(9L)).toDF("doc_id", "text"), 9L).count() == 1)
-    assert(batchDirs() == Set("batch=8", "batch=9"))
+    assert(batchDirs() == layoutBefore,
+      s"replay changed the layout: $layoutBefore -> ${batchDirs()}")
     // History folded into batch=8 still gates: a near-dup of batch 0's
     // doc (admitted 9 batches and one compaction ago) is rejected.
     val nearDup = Seq((100L, doc(0L)._2 + " tail")).toDF("doc_id", "text")
@@ -270,12 +273,56 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       0L).count() == 1)
     assert(adm.admit(Seq((2L, "fresh unrelated prose entirely new words"))
       .toDF("doc_id", "text"), 1L).count() == 1)
-    // Batch 2 compacts {0,1} into batch=1, then still rejects boilerplate.
+    // Batch 2 runs the tiered fold, then still rejects boilerplate
+    // (gating is layout-independent; dir count stays bounded).
     assert(adm.admit(Seq((3L, boiler + " tiny delta")).toDF("doc_id", "text"),
       2L).count() == 0)
     val dirs = new java.io.File(stateDir).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
-    assert(dirs == Set("batch=1", "batch=2"), s"layout: $dirs")
+    assert(dirs.size <= 3, s"layout: $dirs")
+  }
+
+  test("maybeCompact is geometric: small runs fold, a big base is not rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_geo_")
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"), shards = 4)
+    def dataFiles(batch: String): Set[String] = {
+      val root = new java.io.File(s"$dir/$batch")
+      if (!root.exists()) Set.empty
+      else root.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    def dirNames(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    // Four equal appends -> the first scheduled fold takes them all.
+    // (2000-row batches: data bytes must dominate parquet footers for
+    // the size comparisons below to mean what they say.)
+    (0 to 3).foreach(b => reg.append((b * 2000L until b * 2000L + 2000L)
+      .toDF("k"), b))
+    reg.maybeCompact(s, batchId = 4, every = 1)
+    assert(dirNames() == Set("batch=3"), s"layout: ${dirNames()}")
+    val baseFiles = dataFiles("batch=3")
+    // Two SMALL appends: the next fold must merge only them — the big
+    // base (8000 rows vs 100+100) stays byte-identical (same part
+    // files), which is the whole point: fold-everything would rewrite
+    // the registry every cycle, O(registry/every) amortized per trigger.
+    reg.append((90000L until 90100L).toDF("k"), 4)
+    reg.append((90100L until 90200L).toDF("k"), 5)
+    reg.maybeCompact(s, batchId = 6, every = 1)
+    assert(dirNames() == Set("batch=3", "batch=5"), s"layout: ${dirNames()}")
+    assert(dataFiles("batch=3") == baseFiles,
+      "geometric fold rewrote the big base for a tiny tail")
+    // Keep appending equal runs: once the newer mass catches up
+    // (geometric trigger), the base is folded in — one consolidated
+    // run, all rows present exactly once.
+    (6 to 13).foreach(b => reg.append((b * 2000L until b * 2000L + 2000L)
+      .toDF("k"), b))
+    reg.maybeCompact(s, batchId = 14, every = 1)
+    assert(dirNames().size <= 2, s"layout after catch-up: ${dirNames()}")
+    assert(reg.history(s, excludeBatchId = 99).count() == 8000 + 200 + 16000)
+    assert(reg.history(s, excludeBatchId = 99).distinct().count() ==
+      8000 + 200 + 16000)
   }
 
   test("NearDupAdmission replay admits the same docs (no self-rejection)") {
