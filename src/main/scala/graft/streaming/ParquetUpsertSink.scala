@@ -26,9 +26,11 @@ import graft.ops.Upsert
   *
   * Scale: the snapshot is the KEYED VIEW (|keys| rows), not the stream —
   * rewriting it per micro-batch is O(view), the same write amplification
-  * a copy-on-write lakehouse MERGE pays. For views too large to rewrite
-  * per batch, partition `baseDir` by a key prefix and rewrite only the
-  * partitions the batch touches (the batch's key set prunes the union).
+  * a copy-on-write lakehouse MERGE pays. Right for dashboard-scale views
+  * (the reference's serving store is a few hundred keys). For views too
+  * large to rewrite per batch, [[ShardedUpsertSink]] is the same
+  * contract with shard-partitioned snapshots and a per-version manifest:
+  * each merge rewrites only the shards the batch touches.
   */
 object ParquetUpsertSink {
 

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ParquetUpsertSink, ShardedUpsertSink}
+
+/** The manifest-pruned upsert sink: merge semantics identical to the
+  * whole-view [[ParquetUpsertSink]], per-batch rewrites limited to the
+  * touched shards (the write-amplification bound that is its reason to
+  * exist), replay-idempotent commits, shard-granular GC, and
+  * crashed-attempt (manifest-less) versions invisible to readers. */
+class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def viewMap(dir: String): Map[String, Double] =
+    ShardedUpsertSink.currentView(spark, dir).get
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+
+  private def dataFiles(dir: String, version: Long): Map[String, Set[String]] = {
+    val root = new java.io.File(s"$dir/v=$version")
+    if (!root.exists()) Map.empty
+    else root.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("shard="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+  }
+
+  test("merge semantics ≡ whole-view sink across batches (incl. stale rows)") {
+    val s = spark
+    import s.implicits._
+    val shardedDir = Files.createTempDirectory("graft-shup").toString
+    val legacyDir = Files.createTempDirectory("graft-shup-leg").toString
+    val sharded = ShardedUpsertSink.mergeBatch(s, shardedDir,
+      keys = Seq("k"), orderCols = Seq("seq"), shards = 8) _
+    val legacy = ParquetUpsertSink.mergeBatch(s, legacyDir,
+      keys = Seq("k"), orderCols = Seq("seq")) _
+    val batches = Seq(
+      Seq(("a", 1L, 1.0), ("b", 1L, 10.0), ("c", 1L, 7.0)),
+      Seq(("a", 2L, 2.0), ("d", 1L, 30.0)),
+      Seq(("a", 0L, -1.0), ("b", 3L, 11.0))) // stale a must NOT win
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      sharded(rows.toDF("k", "seq", "v"), i.toLong)
+      legacy(rows.toDF("k", "seq", "v"), i.toLong)
+    }
+    val shardedView = viewMap(shardedDir)
+    val legacyView = ParquetUpsertSink.currentView(s, legacyDir).get
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(shardedView == legacyView &&
+      shardedView == Map("a" -> 2.0, "b" -> 11.0, "c" -> 7.0, "d" -> 30.0))
+  }
+
+  test("a merge rewrites ONLY the touched shards; untouched carried by manifest") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shup-wa").toString
+    val merge = ShardedUpsertSink.mergeBatch(s, dir,
+      keys = Seq("k"), orderCols = Seq("seq"), shards = 16) _
+    // A wide base (many keys -> most shards occupied)...
+    merge((0 until 400).map(i => (s"key$i", 1L, i.toDouble))
+      .toDF("k", "seq", "v"), 0L)
+    val baseFiles = dataFiles(dir, 0L)
+    assert(baseFiles.size >= 8, s"expected a wide base, got ${baseFiles.keys}")
+    // ...then a single-key batch: exactly ONE shard dir in the new
+    // version, and the base version's part files stay byte-identical
+    // (nothing else was rewritten — the write-amplification bound).
+    merge(Seq(("key7", 2L, 777.0)).toDF("k", "seq", "v"), 1L)
+    val v1Files = dataFiles(dir, 1L)
+    assert(v1Files.size == 1, s"touched-shard rewrite leaked: ${v1Files.keys}")
+    assert(dataFiles(dir, 0L) == baseFiles,
+      "merging one key rewrote base shards")
+    // The view is still complete and keep-latest.
+    val view = viewMap(dir)
+    assert(view.size == 400 && view("key7") == 777.0 && view("key0") == 0.0)
+    // Read pruning: fetching the updated key's shard reads v=1's one
+    // shard dir plus the base's matching shard only — not the view.
+    assert(ShardedUpsertSink.currentView(s, dir).get
+      .filter(org.apache.spark.sql.functions.col("k") === "key7")
+      .collect().map(_.getAs[Double]("v")).toSeq == Seq(777.0))
+  }
+
+  test("replaying a batchId is idempotent; GC is shard-granular") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shup-rp").toString
+    val merge = ShardedUpsertSink.mergeBatch(s, dir,
+      keys = Seq("k"), orderCols = Seq("seq"), shards = 8) _
+    merge((0 until 100).map(i => (s"key$i", 1L, i.toDouble))
+      .toDF("k", "seq", "v"), 0L)
+    merge(Seq(("key3", 2L, 33.0)).toDF("k", "seq", "v"), 1L)
+    val before = viewMap(dir)
+    // crash-replay of batch 1 (same data, same id) -> identical view,
+    // same committed chain.
+    merge(Seq(("key3", 2L, 33.0)).toDF("k", "seq", "v"), 1L)
+    assert(viewMap(dir) == before && before("key3") == 33.0)
+    assert(ShardedUpsertSink.versions(s, dir).last == 1L)
+    // More single-key batches: manifests roll forward, GC keeps the
+    // retention window plus every version still OWNING a live shard
+    // (v=0 owns most shards, so it must survive), and the view stays
+    // complete.
+    merge(Seq(("key5", 2L, 55.0)).toDF("k", "seq", "v"), 2L)
+    merge(Seq(("key6", 2L, 66.0)).toDF("k", "seq", "v"), 3L)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(dirs.contains("v=0"), s"GC deleted the shard-owning base: $dirs")
+    val view = viewMap(dir)
+    assert(view.size == 100 && view("key5") == 55.0 && view("key6") == 66.0
+      && view("key3") == 33.0)
+    // Uncommitted (manifest-less) version dirs are invisible to readers.
+    val junk = new java.io.File(s"$dir/v=99/shard=0"); junk.mkdirs()
+    assert(ShardedUpsertSink.versions(s, dir).last == 3L)
+    assert(viewMap(dir) == view)
+  }
+
+  test("streaming end-to-end via foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val base = Files.createTempDirectory("graft-shup-st").toString
+    val ckpt = Files.createTempDirectory("graft-shup-st-ck").toString
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = ShardedUpsertSink.start(
+      stream.toDF().toDF("k", "seq", "v"),
+      base, ckpt, keys = Seq("k"), orderCols = Seq("seq"), shards = 8)
+    try {
+      stream.addData(("a", 1L, 1.0), ("b", 1L, 10.0))
+      q.processAllAvailable()
+      assert(viewMap(base) == Map("a" -> 1.0, "b" -> 10.0))
+      stream.addData(("a", 2L, 2.0), ("c", 1L, 30.0))
+      q.processAllAvailable()
+      assert(viewMap(base) == Map("a" -> 2.0, "b" -> 10.0, "c" -> 30.0))
+      stream.addData(("a", 0L, -1.0)) // stale seq -> must NOT win
+      q.processAllAvailable()
+      assert(viewMap(base) == Map("a" -> 2.0, "b" -> 10.0, "c" -> 30.0))
+    } finally q.stop()
+  }
+}
