@@ -35,11 +35,35 @@ object Sampling {
     * fastest shape at human-scale config sizes (scan-fused, no join
     * operator at all — the q_mix_temperature / q_sample_stratified plan
     * locks assert exactly that), but it is O(#strata) EXPRESSION DEPTH,
-    * and at domain-level strata (10⁵–10⁸ registrable domains) it blows
-    * the JVM 64 KB method limit / constant pool long before the data
-    * is big. The rate table is config-sized either way, so the join
-    * side is always broadcast-able. */
+    * and it blows the JVM 64 KB method limit / constant pool long
+    * before the data is big. Honesty bound: both Map-based paths
+    * materialize the rate table on the DRIVER (the API takes a Scala
+    * Map) and broadcast it — comfortable to ~10⁶-10⁷ strata, NOT to
+    * 10⁸ (driver heap + the 8 GB broadcast ceiling). Rate tables at
+    * data scale are data, not config: pass them as a DataFrame via
+    * [[stratifiedSampleByTable]], which never touches the driver and
+    * lets Catalyst/AQE choose broadcast vs shuffle join. */
   private val maxCaseStrata = 128
+
+  /** [[stratifiedSample]] with the rate table AS DATA: `rates` is a
+    * DataFrame with columns (`stratumCol`, rate Double). No driver
+    * materialization, no forced broadcast — the join strategy is left
+    * to Catalyst/AQE, which is the only correct answer once the
+    * stratum domain is itself data-scale (10⁷+ registrable domains).
+    * Same kept set as the other paths for the same rates: membership
+    * is hex32(key#salt) < floor(rate·2³²) either way. Strata absent
+    * from `rates` keep at `defaultRate`; a null stratum keeps at
+    * `defaultRate` (no join match). */
+  def stratifiedSampleByTable(df: DataFrame, keyCol: String,
+      stratumCol: String, rates: DataFrame, defaultRate: Double,
+      salt: String = "s1"): DataFrame = {
+    val rateCol = rates.columns.filterNot(_ == stratumCol).head
+    df.join(rates.withColumnRenamed(rateCol, "__rate"),
+        Seq(stratumCol), "left")
+      .filter(keep(col(keyCol),
+        coalesce(col("__rate"), lit(defaultRate)), salt))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Broadcast-joined rate lookup: keeps `df`'s schema and row identity
     * (left join on the stratum column + coalesce to the default), so

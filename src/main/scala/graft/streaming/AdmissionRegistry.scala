@@ -277,11 +277,17 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     // same-generation runs (parquet overhead varies per fold) without
     // breaking the invariant: surviving older runs still exceed 2/3 of
     // the newer mass, so run count stays O(log) and each row is
-    // rewritten O(log) times.
+    // rewritten O(log) times. The newest run is included POSITIONALLY,
+    // not via an acc==0 escape hatch: with that hatch, a tail of
+    // zero-byte runs (empty/all-rejected micro-batches) left acc at 0
+    // and the walk fell through into the base — a full registry rewrite
+    // on every quiet cycle, the exact disease this policy prevents
+    // (r13 review finding).
     var acc = 0L
     var cut = sized.size
     var i = sized.size - 1
-    while (i >= 0 && (acc == 0L || sized(i)._3 <= acc + (acc >> 1))) {
+    while (i >= 0 &&
+        (i == sized.size - 1 || sized(i)._3 <= acc + (acc >> 1))) {
       acc += sized(i)._3; cut = i; i -= 1
     }
     val selected = sized.drop(cut).map { case (id, p, _) => (id, p) }
@@ -325,10 +331,14 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     // Swap order bounds the crash damage: after the target swap the
     // not-yet-deleted olds merely DUPLICATE rows already in the target
     // (semi-join-harmless; refolded next time) instead of being the
-    // only copy.
+    // only copy. Hadoop FileSystem reports most rename/delete failures
+    // by RETURNING FALSE, not throwing — check them, or a failed swap
+    // followed by the olds deletion would destroy the only copy of the
+    // folded history (fail-open in a fail-closed module).
     val target = new Path(s"$stateDir/batch=$targetId")
-    f.delete(target, true)
-    f.rename(tmp, target)
+    if (f.exists(target))
+      require(f.delete(target, true), s"compact: cannot clear $target")
+    require(f.rename(tmp, target), s"compact: rename $tmp -> $target failed")
     olds.foreach { case (id, dir) => if (id != targetId) f.delete(dir, true) }
     olds.size
   }

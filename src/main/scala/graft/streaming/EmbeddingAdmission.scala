@@ -85,7 +85,10 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
         .filter(col("__ka") < col("id") &&
           cos(col("__ea"), col("embedding")) >= threshold)
         .select(col("id")).distinct()
-      val rejected = vsHistory.union(vsBatch).distinct()
+      // localCheckpoint: see NearDupAdmission — stops the caller's
+      // consumption of `admitted` from re-running the sketch/cosine DAG
+      // after bf is unpersisted.
+      val rejected = vsHistory.union(vsBatch).distinct().localCheckpoint()
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       registry.append(

@@ -88,7 +88,12 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
       val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
         .filter(col("id") =!= col("__keep"))
         .select(col("id")).distinct()
-      val rejected = vsHistory.union(vsBatch).distinct()
+      // Materialize the (batch-bounded) rejected-id set and truncate
+      // its lineage: the returned `admitted` frame is consumed by the
+      // caller AFTER bf is unpersisted, and without the checkpoint that
+      // consumption re-ran the whole decision DAG (signatures, history
+      // probe, joins) a second time per trigger.
+      val rejected = vsHistory.union(vsBatch).distinct().localCheckpoint()
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       registry.append(

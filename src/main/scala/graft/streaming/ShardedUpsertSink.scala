@@ -72,28 +72,47 @@ object ShardedUpsertSink {
       .sorted
   }
 
+  /** (modulus, shard → owning version). The modulus rides the manifest
+    * header (`#shards P`) — the store's layout truth, ADOPTED by every
+    * later merge: a restart with a different `shards` parameter must
+    * not re-hash keys under a new modulus against shard dirs laid out
+    * under the old one (a key would silently stop meeting its own
+    * previous version — duplicate keys in the view). -1 when a legacy
+    * manifest has no header (caller falls back to its parameter). */
   private def readManifest(spark: SparkSession, baseDir: String,
-      version: Long): Map[Int, Long] = {
+      version: Long): (Int, Map[Int, Long]) = {
     val in = fs(spark, baseDir).open(
       new Path(s"$baseDir/v=$version/_manifest"))
-    try new String(in.readAllBytes(), UTF_8).linesIterator
-      .filter(_.nonEmpty).map { l =>
-        val Array(s, v) = l.trim.split("\\s+"); s.toInt -> v.toLong
-      }.toMap
-    finally in.close()
+    val lines =
+      try new String(in.readAllBytes(), UTF_8).linesIterator
+        .filter(_.nonEmpty).toSeq
+      finally in.close()
+    val modulus = lines.collectFirst {
+      case l if l.startsWith("#shards ") =>
+        l.stripPrefix("#shards ").trim.toInt
+    }.getOrElse(-1)
+    val refs = lines.filterNot(_.startsWith("#")).map { l =>
+      val Array(s, v) = l.trim.split("\\s+"); s.toInt -> v.toLong
+    }.toMap
+    (modulus, refs)
   }
 
   private def writeManifest(spark: SparkSession, baseDir: String,
-      version: Long, manifest: Map[Int, Long]): Unit = {
+      version: Long, modulus: Int, manifest: Map[Int, Long]): Unit = {
     val f = fs(spark, baseDir)
     val tmp = new Path(s"$baseDir/v=$version/_manifest.tmp")
     val out = f.create(tmp, true)
-    try out.write(manifest.toSeq.sorted
-      .map { case (s, v) => s"$s $v" }.mkString("\n").getBytes(UTF_8))
+    try out.write((s"#shards $modulus" +: manifest.toSeq.sorted
+      .map { case (s, v) => s"$s $v" }).mkString("\n").getBytes(UTF_8))
     finally out.close()
     val target = new Path(s"$baseDir/v=$version/_manifest")
     f.delete(target, false) // rename won't overwrite on HDFS semantics
-    f.rename(tmp, target)
+    // rename failures surface as FALSE on Hadoop FileSystems; returning
+    // normally here would let the engine commit a batch whose updates
+    // no reader can see (the manifest IS the commit marker) — throw so
+    // the micro-batch retries instead.
+    require(f.rename(tmp, target),
+      s"upsert commit: rename $tmp -> $target failed")
   }
 
   /** Rows of `manifest`'s shards restricted to `wanted` (None = all):
@@ -123,7 +142,7 @@ object ShardedUpsertSink {
     * column); None before the first commit. */
   def currentView(spark: SparkSession, baseDir: String): Option[DataFrame] =
     versions(spark, baseDir).lastOption.flatMap { v =>
-      readShards(spark, baseDir, readManifest(spark, baseDir, v), None)
+      readShards(spark, baseDir, readManifest(spark, baseDir, v)._2, None)
     }.map(_.drop("shard"))
 
   /** The foreachBatch merge body (public for direct testing — replaying
@@ -131,15 +150,20 @@ object ShardedUpsertSink {
   def mergeBatch(spark: SparkSession, baseDir: String, keys: Seq[String],
       orderCols: Seq[String], shards: Int)(
       batch: DataFrame, batchId: Long): Unit = {
+    val (prevModulus, prevManifest) =
+      versions(spark, baseDir).filter(_ < batchId)
+        .lastOption.map(readManifest(spark, baseDir, _))
+        .getOrElse((-1, Map.empty[Int, Long]))
+    // Adopt the store's recorded modulus over the parameter: re-hashing
+    // under a different P against the existing layout would silently
+    // duplicate keys (see readManifest).
+    val p = if (prevModulus > 0) prevModulus else shards
     val tagged = batch.withColumn("__batch", lit(batchId))
-      .withColumn("shard", shardExpr(keys, shards))
+      .withColumn("shard", shardExpr(keys, p))
       .persist()
     try {
       val touched = tagged.select("shard").distinct()
         .collect().map(_.getInt(0)).toSet
-      val prevManifest = versions(spark, baseDir).filter(_ < batchId)
-        .lastOption.map(readManifest(spark, baseDir, _))
-        .getOrElse(Map.empty[Int, Long])
       val unioned = readShards(spark, baseDir, prevManifest,
           Some(touched)) match {
         case Some(prev) => prev.unionByName(tagged)
@@ -154,7 +178,7 @@ object ShardedUpsertSink {
         .mode("overwrite").parquet(s"$baseDir/v=$batchId")
       val manifest =
         prevManifest ++ touched.map(_ -> batchId).toMap
-      writeManifest(spark, baseDir, batchId, manifest)
+      writeManifest(spark, baseDir, batchId, p, manifest)
       gc(spark, baseDir, batchId)
     } finally tagged.unpersist()
   }
@@ -171,7 +195,7 @@ object ShardedUpsertSink {
     val liveRefs: Set[(Long, Int)] = pinned.flatMap { v =>
       // .toSeq first: mapping the Map directly would re-key by owner
       // version and collapse every shard it owns to one entry
-      readManifest(spark, baseDir, v).toSeq
+      readManifest(spark, baseDir, v)._2.toSeq
         .map { case (s, owner) => (owner, s) }
     }.toSet
     val root = new Path(baseDir)

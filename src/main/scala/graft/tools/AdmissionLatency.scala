@@ -99,7 +99,16 @@ object AdmissionLatency {
         f"selfsized_shards=$modulus%5d " +
         f"populate_s=${(System.nanoTime() - t0) / 1e9}%.1f")
 
-      batchDocs.foreach { bdocs =>
+      def timed(body: => Unit): Double = {
+        val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e9
+      }
+      // PHASE 1 — probe metrics for every batch size, measured BEFORE
+      // any admit() appends touch the directory (pure reads): the
+      // matrix's law must be a function of the PRE-POPULATED registry,
+      // not of earlier matrix points' side effects (r13 review
+      // finding: the original interleaving let each point's admits
+      // pollute the next point's registry and byte counts).
+      val probeRows = batchDocs.map { bdocs =>
         // The trigger's bucket frame: hash-uniform keys, disjoint from
         // the registry's (admission semantics are covered by the specs;
         // this harness measures the probe's read cost, which the match
@@ -112,45 +121,49 @@ object AdmissionLatency {
         val k = tokens.map(_.length).getOrElse(-1)
         def probe(hist: DataFrame): Long =
           bf.join(hist, Seq("band", "bucket"), "left_semi").count()
-        def timed(body: => Unit): Double = {
-          val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e9
-        }
         val (flatBytes, flatFiles) = Sharded.scanFootprint(spark, Seq(dir)) {
-          reg.history(spark, excludeBatchId = 100)
+          reg.history(spark, excludeBatchId = 1000)
         }
         val (prBytes, prFiles) = Sharded.scanFootprint(spark, Seq(dir)) {
-          reg.historyTouched(spark, excludeBatchId = 100, tokens)
+          reg.historyTouched(spark, excludeBatchId = 1000, tokens)
         }
         val flatS = (1 to 3).map(_ => timed(
-          probe(reg.history(spark, excludeBatchId = 100)))).min
+          probe(reg.history(spark, excludeBatchId = 1000)))).min
         val prS = (1 to 3).map(_ => timed(
-          probe(reg.historyTouched(spark, 100, tokens)))).min
+          probe(reg.historyTouched(spark, 1000, tokens)))).min
         bf.unpersist()
-
-        // End-to-end admit on real synthetic text via the production
-        // class against the SAME pre-populated directory (distinct high
-        // batch ids; every doc unique so the registry keeps growing by
-        // bdocs x bands rows per rep, as a live stream would).
-        val adm = new NearDupAdmission(dir, "text", "doc_id",
-          numHashes = 32, bands = bands, compactEvery = 0,
-          shards = shards, targetShardBytes = shardBytes)
-        val reps = 5
-        val admitS = (0 until reps).map { r =>
-          val docs = spark.range(bdocs).select(
-            (col("id") + 5000000L + r * 100000L).as("doc_id"),
-            concat_ws(" ", (0 until 24).map(i =>
-              concat(lit("w"), pmod(col("id") * 48271L + i * 40503L + r,
-                lit(9999991L)))): _*).as("text"))
-          timed { adm.admit(docs, 100L + r).write.mode("overwrite")
-            .parquet(dir + "_out") }
-        }
-        println(f"[admlat] registry_docs=$rdocs%9d batch_docs=$bdocs%6d " +
-          f"K=$k%6d " +
-          f"flat_probe_s=$flatS%6.2f pruned_probe_s=$prS%6.2f " +
-          f"flat_mb=${flatBytes / 1e6}%8.1f pruned_mb=${prBytes / 1e6}%8.1f " +
-          f"flat_files=$flatFiles%5d pruned_files=$prFiles%5d " +
-          f"admit_s_p50=${pct(admitS, 0.5)}%6.2f " +
-          f"admit_s_max=${admitS.max}%6.2f")
+        (bdocs, k, flatS, prS, flatBytes, prBytes, flatFiles, prFiles)
+      }
+      // PHASE 2 — end-to-end admit on real synthetic text via the
+      // production class against the SAME pre-populated directory.
+      // Batch ids and doc-id/text spaces are unique per (point, rep):
+      // every doc is globally fresh, so each trigger measures admission
+      // of new material against the registry (which grows by
+      // bdocs x bands rows per rep, as a live stream's would).
+      val adm = new NearDupAdmission(dir, "text", "doc_id",
+        numHashes = 32, bands = bands, compactEvery = 0,
+        shards = shards, targetShardBytes = shardBytes)
+      val reps = 5
+      batchDocs.zipWithIndex.zip(probeRows).foreach {
+        case ((bdocs, bi), (_, k, flatS, prS, flatBytes, prBytes,
+            flatFiles, prFiles)) =>
+          val admitS = (0 until reps).map { r =>
+            val docBase = 5000000L + bi * 500000000L + r * 50000000L
+            val docs = spark.range(bdocs).select(
+              (col("id") + docBase).as("doc_id"),
+              concat_ws(" ", (0 until 24).map(i =>
+                concat(lit("w"), pmod((col("id") + docBase) * 48271L +
+                  i * 40503L, lit(982451653L)))): _*).as("text"))
+            timed { adm.admit(docs, 1000L + bi * 100 + r)
+              .write.mode("overwrite").parquet(dir + "_out") }
+          }
+          println(f"[admlat] registry_docs=$rdocs%9d batch_docs=$bdocs%6d " +
+            f"K=$k%6d " +
+            f"flat_probe_s=$flatS%6.2f pruned_probe_s=$prS%6.2f " +
+            f"flat_mb=${flatBytes / 1e6}%8.1f pruned_mb=${prBytes / 1e6}%8.1f " +
+            f"flat_files=$flatFiles%5d pruned_files=$prFiles%5d " +
+            f"admit_s_p50=${pct(admitS, 0.5)}%6.2f " +
+            f"admit_s_max=${admitS.max}%6.2f")
       }
     }
     spark.stop()

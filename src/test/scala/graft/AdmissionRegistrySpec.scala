@@ -323,6 +323,19 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     assert(reg.history(s, excludeBatchId = 99).count() == 8000 + 200 + 16000)
     assert(reg.history(s, excludeBatchId = 99).distinct().count() ==
       8000 + 200 + 16000)
+    // Quiet-stream arm (r13 review finding): a tail of EMPTY appends
+    // (all-rejected micro-batches) must not pull the consolidated base
+    // into the fold — zero-byte runs once left the accumulator at 0 and
+    // the old acc==0 escape hatch folded (rewrote) the whole registry
+    // on every idle cycle.
+    val consolidated = dirNames().map(_.stripPrefix("batch=").toLong).max
+    val baseAfter = dataFiles(s"batch=$consolidated")
+    reg.append(spark.range(0).selectExpr("id as k"), 14)
+    reg.append(spark.range(0).selectExpr("id as k"), 15)
+    reg.maybeCompact(s, batchId = 16, every = 1)
+    assert(dataFiles(s"batch=$consolidated") == baseAfter,
+      "empty-append tail triggered a full registry rewrite")
+    assert(reg.history(s, excludeBatchId = 99).count() == 8000 + 200 + 16000)
   }
 
   test("NearDupAdmission replay admits the same docs (no self-rejection)") {

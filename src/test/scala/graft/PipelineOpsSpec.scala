@@ -112,6 +112,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     // temperatureMix at 1e5 sources: plans, runs, lands near target.
     val tmBig = Sampling.temperatureMix(big, "id", "stratum", 0.5)
     assert(math.abs(tmBig.count() / 200000.0 - 0.5) < 0.05)
+    // The rates-as-DATA variant (stratum domain too big for any
+    // driver-side Map): identical kept set for identical rates.
+    val ratesDf = rates.toSeq.toDF("stratum", "rate")
+    val viaTable = Sampling.stratifiedSampleByTable(d, "id", "stratum",
+      ratesDf, defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(viaTable == viaCase)
+    val defTable = Sampling.stratifiedSampleByTable(d2, "id", "stratum",
+      ratesDf, defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(defTable == defCase)
   }
 
   test("contaminationHits counts distinct shared n-grams, 0 for clean") {

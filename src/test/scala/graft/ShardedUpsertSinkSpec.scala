@@ -114,6 +114,28 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
     assert(viewMap(dir) == view)
   }
 
+  test("restart with a different shards parameter adopts the store's modulus") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shup-mod").toString
+    ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 8)(
+      (0 until 50).map(i => (s"key$i", 1L, i.toDouble)).toDF("k", "seq", "v"),
+      0L)
+    // A restart comes back with shards=3 (config drift). Re-hashing keys
+    // under the new modulus against the 8-way layout would miss the
+    // previous row for updated keys -> duplicate keys in the view. The
+    // merge must ADOPT the manifest's recorded modulus instead.
+    ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 3)(
+      Seq(("key7", 2L, 777.0)).toDF("k", "seq", "v"), 1L)
+    val view = ShardedUpsertSink.currentView(s, dir).get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("v"))
+    assert(view.length == 50, s"duplicate/lost keys: ${view.length}")
+    assert(view.toMap.apply("key7") == 777.0)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v=1/_manifest")))
+    assert(manifest.startsWith("#shards 8"), manifest.linesIterator.next())
+  }
+
   test("streaming end-to-end via foreachBatch") {
     val s = spark
     import s.implicits._
