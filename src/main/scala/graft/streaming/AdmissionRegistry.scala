@@ -96,7 +96,14 @@ import graft.ext.Sharded
   *                  directories (P caps at 2²⁰). */
 final class AdmissionRegistry(stateDir: String, schema: StructType,
     shardCols: Seq[String], shards: Int = 16,
-    targetShardBytes: Long = 16L << 20)
+    targetShardBytes: Long = 16L << 20,
+    /** Applied to the merged payload inside [[compact]]/[[maybeCompact]]
+      * folds, BEFORE re-sharding and dedup — the hook that lets a family
+      * rewrite DERIVED columns while history is being rewritten anyway
+      * (zero extra write cost). [[EmbeddingAdmission]] re-buckets folded
+      * runs under a self-sized sketch width here. Must preserve the
+      * registry schema. */
+    foldTransform: DataFrame => DataFrame = identity)
     extends Serializable {
 
   require(shardCols.nonEmpty && shardCols.forall(schema.fieldNames.contains),
@@ -156,6 +163,41 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     // not in readSchema; the payload select drops it.
     spark.read.option("basePath", stateDir)
       .schema(readSchema).parquet(dirs.map(_.toString): _*)
+
+  /** EXACT registered row count from parquet FOOTER metadata — no scan
+    * job, no executor: a driver-side walk of the registry's data files
+    * summing block row counts (the streaming twin of
+    * [[graft.sources.ParquetMeta.rowCount]], which feeds the batch
+    * tier's self-sized sketch). Cost is O(files) footer opens, bounded
+    * by shards × O(log runs) under the tiered layout; families use it
+    * to derive per-trigger SIZE-DEPENDENT parameters (the embedding
+    * sketch width) without scanning history.
+    * `excludeBatchId` mirrors the history reads' own-batch exclusion:
+    * parameters derived from the count must be REPLAY-DETERMINISTIC —
+    * a replayed batch whose own earlier append inflated the count would
+    * derive a different width and recompute different decisions. */
+  def approxRows(spark: SparkSession,
+      excludeBatchId: Long = Long.MinValue): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark)
+    def walk(p: Path): Long = {
+      val st = f.listStatus(p)
+      st.filter(_.isDirectory).map(s => walk(s.getPath)).sum +
+        st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromStatus(s, conf))
+            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally r.close()
+          }.sum
+    }
+    batchDirs(spark).collect {
+      case (id, p) if id != excludeBatchId => walk(p)
+    }.sum
+  }
 
   /** The trigger's distinct probe-key hash tokens — ONE micro-batch-
     * sized distinct job; each directory's touched-shard set is then
@@ -320,7 +362,8 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     val bytes = olds.map { case (_, p) => f.getContentSummary(p).getLength }.sum
     val p = math.min(1L << 20, math.max(shards.toLong,
       (bytes + targetShardBytes - 1) / targetShardBytes)).toInt
-    val merged = readDirs(spark, olds.map(_._2))
+    val merged = foldTransform(readDirs(spark, olds.map(_._2))
+        .select(schema.fieldNames.map(col).toSeq: _*))
       .select(schema.fieldNames.map(col).toSeq: _*).distinct()
     val tmp = new Path(s"$stateDir/.compact_tmp")
     f.delete(tmp, true) // stale leftover from a crashed fold

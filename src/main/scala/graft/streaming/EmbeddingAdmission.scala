@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 
@@ -17,70 +17,143 @@ import graft.ext.{Dedup, Vectors}
   * family. You dedup against the corpus you KEPT: only admitted
   * vectors register.
   *
-  * Registry rows carry (t, bucket, id, embedding): sketch AND vector
-  * ride together, so candidate blocking and the exact-cosine verify
-  * read ONE registry (a bucket-only registry would reject on sketch
-  * collision alone — cheap but precision-lossy; the vector payload is
-  * the price of exact-threshold semantics, `tables` × dim floats per
-  * admitted doc). Same foreachBatch-against-[[AdmissionRegistry]]
-  * shape as the siblings: per-batch overwrite appends + own-batch
-  * exclusion make replay exactly-once, reads fail closed, directories
-  * compact on the committed-watermark schedule.
+  * Registry rows carry (planes, t, bucket, id, embedding): sketch AND
+  * vector ride together, so candidate blocking and the exact-cosine
+  * verify read ONE registry (a bucket-only registry would reject on
+  * sketch collision alone — cheap but precision-lossy; the vector
+  * payload is the price of exact-threshold semantics).
   *
-  * Scale shape (100 TB/day): the admission join hash-partitions batch
-  * buckets against registry buckets — Σ bucket² work per table, the
-  * same S-curve economics as the batch family; `planes` must follow
-  * the corpus sizing rule (planes ≈ log2(n/32), [[Dedup]] class doc)
-  * as the ADMITTED set grows. */
+  * SELF-SIZED SKETCH WIDTH — the streaming twin of the batch tier's
+  * footer-derived planes (SURVEY §14.4). A FIXED width is a scale bug:
+  * expected bucket occupancy is |admitted| / 2^planes per table, so the
+  * probe join's per-vector fanout (and the Σ bucket² term) grows
+  * linearly with corpus lifetime — at 10⁹ admitted vectors and
+  * planes=4, every probe key drags ~60 M history rows. Instead:
+  *
+  *   - Every width is a PREFIX of ONE `maxPlanes`-wide hyperplane
+  *     family (plane p of table t is the same vector at every width —
+  *     [[Dedup.embeddingBucketTableHyper]]'s contract), so buckets
+  *     computed at different times under different widths are mutually
+  *     consistent at equal width.
+  *   - `planes` rides every registry row as DATA (and leads the shard
+  *     key), so runs written under different widths coexist; the
+  *     admission join matches on (planes, t, bucket) — a probe never
+  *     collides across widths.
+  *   - The WRITE width for a trigger is [[Dedup.sizedPlanes]] of the
+  *     registered count from parquet FOOTERS
+  *     ([[AdmissionRegistry.approxRows]] — no scan job), EXCLUDING the
+  *     batch's own replayed append (width must be replay-deterministic
+  *     or a replay would re-block under a different geometry and change
+  *     decisions).
+  *   - History converges to the current width FOR FREE: the registry's
+  *     geometric folds rewrite runs anyway, and the `foldTransform`
+  *     hook re-buckets the folded rows under the width sized to the
+  *     fold's own row count (footer-free: the fold already scans what
+  *     it rewrites). Old widths linger only in the O(log) small
+  *     unfolded runs.
+  *   - The probe computes the batch's buckets at EVERY width in
+  *     [planes, wNow] (widths are monotone in registry size, so no run
+  *     can carry a larger one): ≤ (wNow − planes + 1) ≲ 17 levels, a
+  *     bounded constant factor on probe keys, in exchange for bucket
+  *     occupancy (the quadratic term) pinned ~constant for life.
+  *
+  * Same foreachBatch-against-[[AdmissionRegistry]] shape as the
+  * siblings: per-batch overwrite appends + own-batch exclusion make
+  * replay exactly-once, reads fail closed, directories fold on the
+  * geometric schedule with shard-pruned probes. */
 class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     threshold: Double, planes: Int = 4, tables: Int = 8, dim: Int = 64,
     seed: Long = 42L, compactEvery: Int = 64,
     shards: Int = 16,
-    targetShardBytes: Long = 16L << 20) extends Serializable {
+    targetShardBytes: Long = 16L << 20,
+    maxPlanes: Int = 20,
+    /** corpus size at which the width starts growing (one extra sign
+      * bit per doubling past it) — [[Dedup.sizedPlanes]]' n0. */
+    sizeDatum: Long = 1000L) extends Serializable {
 
-  // Sharded by the probe key (t, bucket): a vector contributes ONE
-  // bucket per table, so a trigger touches ≤ |batch| × tables shards
-  // and the history probe prunes to those — it reads (and pays the
-  // vector-payload width of) only the touched slice of the registry,
-  // not the whole admitted corpus. Same key discipline as the batch
-  // tier's sharded bucket index (Dedup.writeShardedBucketIndex).
+  require(planes >= 1 && planes <= maxPlanes && maxPlanes <= 62,
+    s"need 1 <= planes($planes) <= maxPlanes($maxPlanes) <= 62")
+
+  /** The one max-wide hyperplane family every width prefixes. */
+  private val hyperMax = Vectors.hyperplanes(seed, tables, maxPlanes, dim)
+  private def prefix(w: Int) = hyperMax.map(_.take(w))
+
+  private def width(nAdmitted: Long): Int =
+    Dedup.sizedPlanes(nAdmitted, base = planes, n0 = sizeDatum,
+      max = maxPlanes)
+
+  /** Row-wise bucket under width `w` for a row's OWN table (`tCol`) —
+    * the fold-time re-bucket expression (tables is config-small, so a
+    * CASE over t stays codegen-friendly). */
+  private def bucketByTable(spark: org.apache.spark.sql.SparkSession,
+      vec: Column, tCol: Column, w: Int): Column = {
+    val hp = prefix(w)
+    (0 until tables).foldRight(lit(null).cast("long"): Column) {
+      case (t, alt) => when(tCol === t,
+        Vectors.signBucketNative(spark, vec, hp, t)).otherwise(alt)
+    }
+  }
+
+  /** [[AdmissionRegistry]] fold hook: while a fold is rewriting runs
+    * anyway, re-bucket every row under the width sized to the folded
+    * row count — the zero-extra-write moment the self-sizing rides. */
+  private def rebucket(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // rows per admitted id is exactly `tables` (one bucket per table,
+    // ids registered once), so the admitted count needs no distinct
+    val w = width(df.count() / tables)
+    df.withColumn("bucket",
+        bucketByTable(spark, col("embedding"), col("t"), w))
+      .withColumn("planes", lit(w))
+  }
+
   private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
+    StructField("planes", IntegerType),
     StructField("t", IntegerType), StructField("bucket", LongType),
     StructField("id", LongType),
     StructField("embedding", ArrayType(FloatType)))),
-    shardCols = Seq("t", "bucket"), shards = shards,
-    targetShardBytes = targetShardBytes)
+    shardCols = Seq("planes", "t", "bucket"), shards = shards,
+    targetShardBytes = targetShardBytes,
+    foldTransform = rebucket)
 
-  /** (id, t, bucket, embedding) for every vector in `batch`. */
-  private def buckets(batch: DataFrame): DataFrame = {
-    val vecs = batch.select(col(idCol).cast("long").as("id"),
+  /** (id, embedding) of the batch. */
+  private def vecsOf(batch: DataFrame): DataFrame =
+    batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("embedding"))
-    Dedup.embeddingBucketTable(vecs, "embedding", "id", planes, tables,
-        dim, seed)
-      .join(vecs, Seq("id"))
-  }
 
   /** Admit one micro-batch: returns the admitted rows (original schema)
-    * and registers their (bucket, vector) rows under `batchId`. */
+    * and registers their (planes, bucket, vector) rows under `batchId`. */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     registry.maybeCompact(spark, batchId, compactEvery)
-    // bf feeds four consumers (touched-shard job, history probe, the
-    // in-batch self-join's two sides, registry append) — cache it.
-    val bf = buckets(batch).persist()
+    // Write width from the REGISTERED count, own batch excluded
+    // (replay determinism); footer metadata only, no scan job.
+    val wNow = width(registry.approxRows(spark, batchId) / tables)
+    val vecs = vecsOf(batch)
+    // The probe frame carries the batch's buckets at every width a
+    // history run can hold; cached for the trigger (probe tokens,
+    // history join, in-batch join, registry append all consume it).
+    val bf = (planes to wNow).map { w =>
+      Dedup.embeddingBucketTableHyper(vecs, "embedding", "id", prefix(w))
+        .withColumn("planes", lit(w))
+    }.reduce(_ unionByName _)
+      .join(vecs, Seq("id"))
+      .persist()
     try {
-      val cos = (a: org.apache.spark.sql.Column,
-          b: org.apache.spark.sql.Column) =>
-        Vectors.cosineNative(spark, a, b)
+      val cos = (a: Column, b: Column) => Vectors.cosineNative(spark, a, b)
       val tokens = registry.probeTokens(bf)
       val hist = registry.historyTouched(spark, batchId, tokens)
-        .select(col("t"), col("bucket"), col("embedding").as("__he"))
-      val vsHistory = bf.join(hist, Seq("t", "bucket"))
+        .select(col("planes"), col("t"), col("bucket"),
+          col("embedding").as("__he"))
+      val vsHistory = bf.join(hist, Seq("planes", "t", "bucket"))
         .filter(cos(col("embedding"), col("__he")) >= threshold)
         .select(col("id")).distinct()
-      val vsBatch = bf.select(col("t"), col("bucket"),
+      // In-batch arm blocks at the CURRENT width (one width suffices
+      // within a batch; both sides computed under the same prefix).
+      val bfNow = bf.filter(col("planes") === wNow)
+      val vsBatch = bfNow.select(col("t"), col("bucket"),
           col("id").as("__ka"), col("embedding").as("__ea"))
-        .join(bf.select(col("t"), col("bucket"), col("id"),
+        .join(bfNow.select(col("t"), col("bucket"), col("id"),
           col("embedding")), Seq("t", "bucket"))
         .filter(col("__ka") < col("id") &&
           cos(col("__ea"), col("embedding")) >= threshold)
@@ -92,14 +165,15 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       registry.append(
-        bf.join(admitted.select(col(idCol).cast("long").as("id")),
+        bfNow.join(admitted.select(col(idCol).cast("long").as("id")),
             Seq("id"), "left_semi")
-          .select("t", "bucket", "id", "embedding"), batchId)
+          .select("planes", "t", "bucket", "id", "embedding"), batchId)
       admitted
     } finally bf.unpersist()
   }
 
-  /** Fold committed batch directories ≤ `uptoBatchId` into one. */
+  /** Fold committed batch directories ≤ `uptoBatchId` into one
+    * (re-bucketed to the size-derived width via the fold hook). */
   def compact(spark: org.apache.spark.sql.SparkSession,
       uptoBatchId: Long): Int = registry.compact(spark, uptoBatchId)
 

@@ -27,6 +27,44 @@ class EmbeddingAdmissionSpec extends AnyFunSuite with SparkTestSupport {
     a.map(x => x + eps * (r.nextFloat() - 0.5f))
   }
 
+  test("sketch width self-sizes with registry growth; folds re-bucket history") {
+    val s = spark
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_embsz_").toString + "/state"
+    // sizeDatum=4: width = 3 + log2(admitted/4) -> grows at fixture scale.
+    val adm = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L,
+      compactEvery = 2, sizeDatum = 4L)
+    def widthsOnDisk(): Set[Int] = spark.read.parquet(stateDir)
+      .select("planes").distinct().collect().map(_.getInt(0)).toSet
+    def batchDf(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+
+    // batch 0 (registry empty -> width 3): 8 mutually-distant vectors
+    val b0 = (1 to 8).map(i => (i.toLong, v(i * 3).toSeq))
+    assert(adm.admit(batchDf(b0), 0L).count() == 8)
+    assert(widthsOnDisk() == Set(3), s"got ${widthsOnDisk()}")
+    // batch 1 (8 admitted -> width 3 + log2(8/4) = 4): fresh vectors
+    // REGISTER AT THE GROWN WIDTH while width-3 history still gates
+    val b1 = (11 to 18).map(i => (i.toLong, v(i * 7 + 1).toSeq))
+    assert(adm.admit(batchDf(b1), 1L).count() == 8)
+    assert(widthsOnDisk() == Set(3, 4), s"got ${widthsOnDisk()}")
+    // batch 2: compactEvery=2 folds batches 0+1 FIRST and the fold hook
+    // re-buckets all 16 admitted ids at width(16) = 5; the trigger then
+    // probes widths 3..5 and must still reject a near-copy of batch 0's
+    // very first vector THROUGH the re-bucketed history.
+    val b2 = Seq((21L, near(v(3), 0.01f, 99).toSeq), (22L, v(1000).toSeq))
+    val admitted2 = adm.admit(batchDf(b2), 2L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted2 == Set(22L),
+      s"near-dup must be rejected through re-bucketed history: $admitted2")
+    assert(widthsOnDisk() == Set(5), s"fold left mixed widths: ${widthsOnDisk()}")
+    // replay of batch 2: width derivation excludes the batch's own
+    // append, so the decisions (and the blocking geometry) are identical
+    assert(adm.admit(batchDf(b2), 2L)
+      .select("vec_id").as[Long].collect().toSet == Set(22L))
+  }
+
   test("semantic near-dups rejected across and within micro-batches; low-cos bucket-mates land") {
     val s = spark
     import s.implicits._
