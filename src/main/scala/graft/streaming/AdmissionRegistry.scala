@@ -177,26 +177,58 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     * a replayed batch whose own earlier append inflated the count would
     * derive a different width and recompute different decisions. */
   def approxRows(spark: SparkSession,
-      excludeBatchId: Long = Long.MinValue): Long = {
+      excludeBatchId: Long = Long.MinValue): Long =
+    footerStats(spark, excludeBatchId, None)._1
+
+  /** [[approxRows]] plus, when `statsCol` names an int32 payload column,
+    * the footer-derived SET OF VALUES that column takes across the
+    * registry (from per-block min/max statistics — each run writes a
+    * single value, so min==max per file and the union is exact). None
+    * when any block lacks statistics (fail safe: the caller must assume
+    * the full domain). One footer walk serves both numbers —
+    * [[EmbeddingAdmission]] reads (registered count → write width) and
+    * (widths present → probe levels) from the same pass. */
+  def footerStats(spark: SparkSession, excludeBatchId: Long,
+      statsCol: Option[String]): (Long, Option[Set[Int]]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val f = fs(spark)
-    def walk(p: Path): Long = {
+    var rows = 0L
+    var values = Set.empty[Int]
+    var statsOk = true
+    def walk(p: Path): Unit = {
       val st = f.listStatus(p)
-      st.filter(_.isDirectory).map(s => walk(s.getPath)).sum +
-        st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map { s =>
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromStatus(s, conf))
-            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-            finally r.close()
-          }.sum
+      st.filter(_.isDirectory).foreach(s => walk(s.getPath))
+      st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+          try r.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            statsCol.foreach { name =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == name) match {
+                case Some(c) if c.getStatistics != null &&
+                    !c.getStatistics.isEmpty &&
+                    c.getStatistics.hasNonNullValue =>
+                  (c.getStatistics.genericGetMin,
+                      c.getStatistics.genericGetMax) match {
+                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                      values += lo.intValue; values += hi.intValue
+                    case _ => statsOk = false
+                  }
+                case _ => statsOk = false
+              }
+            }
+          }
+          finally r.close()
+        }
     }
-    batchDirs(spark).collect {
-      case (id, p) if id != excludeBatchId => walk(p)
-    }.sum
+    batchDirs(spark).foreach { case (id, p) =>
+      if (id != excludeBatchId) walk(p)
+    }
+    (rows, if (statsCol.isDefined && statsOk) Some(values) else None)
   }
 
   /** The trigger's distinct probe-key hash tokens — ONE micro-batch-

@@ -126,14 +126,25 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     registry.maybeCompact(spark, batchId, compactEvery)
-    // Write width from the REGISTERED count, own batch excluded
-    // (replay determinism); footer metadata only, no scan job.
-    val wNow = width(registry.approxRows(spark, batchId) / tables)
+    // ONE footer walk (no scan job, own batch excluded for replay
+    // determinism) yields both size-dependent inputs: the registered
+    // count -> this trigger's WRITE width, and the widths actually
+    // PRESENT on disk -> the probe levels. History holds O(log runs)
+    // distinct widths (one per run), so probing only those — instead of
+    // the whole [planes, wNow] ladder — keeps the probe frame at the
+    // 1-3 levels that can match, with the full ladder as the fail-safe
+    // when footer statistics are unavailable.
+    val (regRows, widthsSeen) =
+      registry.footerStats(spark, batchId, Some("planes"))
+    val wNow = width(regRows / tables)
+    val probeWidths = (widthsSeen
+      .getOrElse((planes to wNow).toSet)
+      .filter(w => w >= planes && w <= maxPlanes) + wNow).toSeq.sorted
     val vecs = vecsOf(batch)
-    // The probe frame carries the batch's buckets at every width a
-    // history run can hold; cached for the trigger (probe tokens,
-    // history join, in-batch join, registry append all consume it).
-    val bf = (planes to wNow).map { w =>
+    // The probe frame carries the batch's buckets at each probed width;
+    // cached for the trigger (probe tokens, history join, in-batch
+    // join, registry append all consume it).
+    val bf = probeWidths.map { w =>
       Dedup.embeddingBucketTableHyper(vecs, "embedding", "id", prefix(w))
         .withColumn("planes", lit(w))
     }.reduce(_ unionByName _)
