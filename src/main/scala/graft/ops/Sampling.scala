@@ -57,9 +57,21 @@ object Sampling {
   def stratifiedSampleByTable(df: DataFrame, keyCol: String,
       stratumCol: String, rates: DataFrame, defaultRate: Double,
       salt: String = "s1"): DataFrame = {
+    // exactly (stratum, rate): a wider frame would silently pick an
+    // arbitrary column as the rate (review r13)
+    require(rates.columns.length == 2 &&
+      rates.columns.contains(stratumCol),
+      s"rates must be exactly ($stratumCol, <rate>); got " +
+        rates.columns.mkString(", "))
     val rateCol = rates.columns.filterNot(_ == stratumCol).head
-    df.join(rates.withColumnRenamed(rateCol, "__rate"),
-        Seq(stratumCol), "left")
+    // collapse duplicate stratum entries BEFORE the join: a duplicated
+    // stratum row would fan every matching corpus row out N ways —
+    // duplicate "sample" rows no Map path can produce (review r13).
+    // max() makes the pick deterministic; rate tables are expected
+    // unique per stratum, this is a guard not a feature.
+    val r = rates.groupBy(stratumCol)
+      .agg(max(col(rateCol)).as("__rate"))
+    df.join(r, Seq(stratumCol), "left")
       .filter(keep(col(keyCol),
         coalesce(col("__rate"), lit(defaultRate)), salt))
       .select(df.columns.map(col).toIndexedSeq: _*)

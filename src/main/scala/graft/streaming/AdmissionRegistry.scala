@@ -164,14 +164,115 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     spark.read.option("basePath", stateDir)
       .schema(readSchema).parquet(dirs.map(_.toString): _*)
 
-  /** EXACT registered row count from parquet FOOTER metadata — no scan
-    * job, no executor: a driver-side walk of the registry's data files
-    * summing block row counts (the streaming twin of
-    * [[graft.sources.ParquetMeta.rowCount]], which feeds the batch
-    * tier's self-sized sketch). Cost is O(files) footer opens, bounded
-    * by shards × O(log runs) under the tiered layout; families use it
-    * to derive per-trigger SIZE-DEPENDENT parameters (the embedding
-    * sketch width) without scanning history.
+  /** Int32 payload columns whose per-directory value RANGE rides the
+    * `_meta` cache (each run writes few distinct values — the embedding
+    * family's sketch width — so footer min/max per file unions exactly). */
+  private val intCols = schema.fields
+    .filter(_.dataType == IntegerType).map(_.name).toSeq
+
+  /** One directory's footer truth: (rows, per-int-column Some(min,max)
+    * or None when any block lacks statistics). FAILS CLOSED when a data
+    * file's footer is MISSING one of the schema's int columns — that is
+    * a foreign/pre-upgrade layout, and admitting against history this
+    * family cannot match would silently duplicate content. */
+  private def dirFooterWalk(spark: SparkSession,
+      dir: Path): (Long, Map[String, Option[(Int, Int)]]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark)
+    var rows = 0L
+    val ranges = scala.collection.mutable.Map[String, Option[(Int, Int)]](
+      intCols.map(_ -> Option.empty[(Int, Int)]): _*)
+    val seen = scala.collection.mutable.Map[String, Boolean](
+      intCols.map(_ -> true): _*)
+    def walk(p: Path): Unit = {
+      val st = f.listStatus(p)
+      st.filter(_.isDirectory).foreach(s => walk(s.getPath))
+      st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+          try r.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            intCols.foreach { name =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == name) match {
+                case None => throw new IllegalStateException(
+                  s"registry $stateDir: data file ${s.getPath} lacks " +
+                    s"column '$name' — foreign or pre-upgrade layout " +
+                    "(failing closed; migrate or clear the state dir)")
+                case Some(c) if c.getStatistics != null &&
+                    !c.getStatistics.isEmpty &&
+                    c.getStatistics.hasNonNullValue =>
+                  (c.getStatistics.genericGetMin,
+                      c.getStatistics.genericGetMax) match {
+                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                      ranges(name) = ranges(name) match {
+                        case Some((a, z)) => Some(
+                          (math.min(a, lo.intValue),
+                            math.max(z, hi.intValue)))
+                        case None => Some((lo.intValue, hi.intValue))
+                      }
+                    case _ => seen(name) = false
+                  }
+                case _ => seen(name) = false
+              }
+            }
+          }
+          finally r.close()
+        }
+    }
+    walk(dir)
+    (rows, intCols.map(n =>
+      n -> (if (seen(n)) ranges(n) else None)).toMap)
+  }
+
+  /** Write the directory's `_meta` cache (rows + int-column ranges) from
+    * its just-written footers — O(files of ONE run) at write time, so
+    * per-trigger reads of these numbers cost O(live dirs) = O(log)
+    * tiny-file opens instead of re-walking every footer in the registry
+    * (review r13: the naive walk was itself a lifetime-growing
+    * per-trigger term at 10⁵-file registries). The cache is DERIVED
+    * data: readers that find it missing or unparsable fall back to the
+    * footer walk (ground truth), never fail. */
+  private def writeDirMeta(spark: SparkSession, dir: Path): Unit = {
+    val (rows, ranges) = dirFooterWalk(spark, dir)
+    val body = (s"rows=$rows" +: intCols.map { n =>
+      ranges(n) match {
+        case Some((lo, hi)) => s"int:$n=$lo,$hi"
+        case None => s"int:$n=?"
+      }
+    }).mkString("\n")
+    val out = fs(spark).create(new Path(dir, "_meta"), true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def readDirMeta(spark: SparkSession,
+      dir: Path): Option[(Long, Map[String, Option[(Int, Int)]])] = {
+    val f = fs(spark)
+    val m = new Path(dir, "_meta")
+    if (!f.exists(m)) return None
+    try {
+      val in = f.open(m)
+      val lines =
+        try new String(in.readAllBytes(), UTF_8).linesIterator.toSeq
+        finally in.close()
+      val rows = lines.collectFirst {
+        case l if l.startsWith("rows=") => l.stripPrefix("rows=").toLong
+      }.get
+      val ranges = lines.filter(_.startsWith("int:")).map { l =>
+        val Array(n, v) = l.stripPrefix("int:").split("=", 2)
+        n -> (if (v == "?") None else {
+          val Array(lo, hi) = v.split(","); Some((lo.toInt, hi.toInt))
+        })
+      }.toMap
+      if (intCols.forall(ranges.contains)) Some((rows, ranges)) else None
+    } catch { case _: Exception => None } // cache, not truth: fall back
+  }
+
+  /** EXACT registered row count — from the per-directory `_meta` caches
+    * (fallback: that directory's parquet footers), no scan job.
     * `excludeBatchId` mirrors the history reads' own-batch exclusion:
     * parameters derived from the count must be REPLAY-DETERMINISTIC —
     * a replayed batch whose own earlier append inflated the count would
@@ -181,52 +282,30 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     footerStats(spark, excludeBatchId, None)._1
 
   /** [[approxRows]] plus, when `statsCol` names an int32 payload column,
-    * the footer-derived SET OF VALUES that column takes across the
-    * registry (from per-block min/max statistics — each run writes a
-    * single value, so min==max per file and the union is exact). None
-    * when any block lacks statistics (fail safe: the caller must assume
-    * the full domain). One footer walk serves both numbers —
-    * [[EmbeddingAdmission]] reads (registered count → write width) and
-    * (widths present → probe levels) from the same pass. */
+    * the SET OF VALUE RANGES that column takes across the registry
+    * (each run writes few distinct values, so per-file min/max unions
+    * exactly; the result is every int in the union of ranges). None
+    * when any directory lacks usable statistics (fail safe: the caller
+    * must assume the full domain). Served from `_meta` caches, one tiny
+    * read per live directory = O(log runs); cache misses fall back to
+    * that directory's footer walk. */
   def footerStats(spark: SparkSession, excludeBatchId: Long,
       statsCol: Option[String]): (Long, Option[Set[Int]]) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    val f = fs(spark)
     var rows = 0L
     var values = Set.empty[Int]
-    var statsOk = true
-    def walk(p: Path): Unit = {
-      val st = f.listStatus(p)
-      st.filter(_.isDirectory).foreach(s => walk(s.getPath))
-      st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
-          try r.getFooter.getBlocks.asScala.foreach { b =>
-            rows += b.getRowCount
-            statsCol.foreach { name =>
-              b.getColumns.asScala
-                .find(_.getPath.toDotString == name) match {
-                case Some(c) if c.getStatistics != null &&
-                    !c.getStatistics.isEmpty &&
-                    c.getStatistics.hasNonNullValue =>
-                  (c.getStatistics.genericGetMin,
-                      c.getStatistics.genericGetMax) match {
-                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                      values += lo.intValue; values += hi.intValue
-                    case _ => statsOk = false
-                  }
-                case _ => statsOk = false
-              }
-            }
-          }
-          finally r.close()
-        }
-    }
+    var statsOk = statsCol.forall(intCols.contains)
     batchDirs(spark).foreach { case (id, p) =>
-      if (id != excludeBatchId) walk(p)
+      if (id != excludeBatchId) {
+        val (r, ranges) = readDirMeta(spark, p)
+          .getOrElse(dirFooterWalk(spark, p))
+        rows += r
+        statsCol.foreach { name =>
+          ranges.getOrElse(name, None) match {
+            case Some((lo, hi)) => values ++= (lo to hi)
+            case None => if (r > 0) statsOk = false
+          }
+        }
+      }
     }
     (rows, if (statsCol.isDefined && statsOk) Some(values) else None)
   }
@@ -307,6 +386,7 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
       .write.partitionBy("shard")
       .mode("overwrite").parquet(dir.toString)
     writeShardsMarker(rows.sparkSession, dir, shards)
+    writeDirMeta(rows.sparkSession, dir)
   }
 
   /** Scheduled TIERED compaction driven by the stream's committed
@@ -403,6 +483,7 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
       .repartition(p, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
     writeShardsMarker(spark, tmp, p)
+    writeDirMeta(spark, tmp)
     // Swap order bounds the crash damage: after the target swap the
     // not-yet-deleted olds merely DUPLICATE rows already in the target
     // (semi-join-harmless; refolded next time) instead of being the

@@ -51,11 +51,12 @@ import graft.ext.{Dedup, Vectors}
   *     fold's own row count (footer-free: the fold already scans what
   *     it rewrites). Old widths linger only in the O(log) small
   *     unfolded runs.
-  *   - The probe computes the batch's buckets at EVERY width in
-  *     [planes, wNow] (widths are monotone in registry size, so no run
-  *     can carry a larger one): ≤ (wNow − planes + 1) ≲ 17 levels, a
-  *     bounded constant factor on probe keys, in exchange for bucket
-  *     occupancy (the quadratic term) pinned ~constant for life.
+  *   - The probe computes the batch's buckets only at the widths
+  *     actually PRESENT on disk (footer statistics, one value per run —
+  *     O(log runs) levels), falling back to the full [planes,
+  *     maxPlanes] ladder when statistics are unavailable: a bounded
+  *     constant factor on probe keys, in exchange for bucket occupancy
+  *     (the quadratic term) pinned ~constant for life.
   *
   * Same foreachBatch-against-[[AdmissionRegistry]] shape as the
   * siblings: per-batch overwrite appends + own-batch exclusion make
@@ -99,9 +100,10 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     * row count — the zero-extra-write moment the self-sizing rides. */
   private def rebucket(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    // rows per admitted id is exactly `tables` (one bucket per table,
-    // ids registered once), so the admitted count needs no distinct
-    val w = width(df.count() / tables)
+    // DISTINCT ids, not raw rows/tables: a crashed fold can leave
+    // duplicate physical rows (swap-then-delete ordering), and a count
+    // inflated by them would derive a too-wide width (review r13).
+    val w = width(df.select(col("id")).distinct().count())
     df.withColumn("bucket",
         bucketByTable(spark, col("embedding"), col("t"), w))
       .withColumn("planes", lit(w))
@@ -121,10 +123,36 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     batch.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("embedding"))
 
+  /** The layout-pinning parameters: `maxPlanes` shifts every table's
+    * hyperplane draws past table 0 (Array.fill draws sequentially), and
+    * seed/tables/dim define the family outright — restarting a store
+    * under ANY different value silently changes buckets and history
+    * stops matching (the modulus-drift bug class; review r13). Recorded
+    * once in `stateDir/_family` and required equal ever after. */
+  private def verifyFamilyParams(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_family")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val want = s"seed=$seed tables=$tables dim=$dim maxPlanes=$maxPlanes"
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val got = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      require(got == want,
+        s"embedding admission family drift: store built with [$got], " +
+          s"instance configured [$want] — refusing to admit against " +
+          "history these buckets cannot match")
+    } else {
+      val out = f.create(p, false)
+      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Admit one micro-batch: returns the admitted rows (original schema)
     * and registers their (planes, bucket, vector) rows under `batchId`. */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    verifyFamilyParams(spark)
     registry.maybeCompact(spark, batchId, compactEvery)
     // ONE footer walk (no scan job, own batch excluded for replay
     // determinism) yields both size-dependent inputs: the registered
@@ -137,8 +165,14 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     val (regRows, widthsSeen) =
       registry.footerStats(spark, batchId, Some("planes"))
     val wNow = width(regRows / tables)
+    // Fail-safe ladder spans to maxPlanes, NOT wNow: widths are only
+    // APPROXIMATELY monotone in registry size — crash-leftover duplicate
+    // rows can inflate a count past a doubling boundary and leave a run
+    // one width above what the deduplicated count later implies
+    // (review r13) — so when footer stats are unavailable the probe
+    // must cover everything a run could legally carry.
     val probeWidths = (widthsSeen
-      .getOrElse((planes to wNow).toSet)
+      .getOrElse((planes to maxPlanes).toSet)
       .filter(w => w >= planes && w <= maxPlanes) + wNow).toSeq.sorted
     val vecs = vecsOf(batch)
     // The probe frame carries the batch's buckets at each probed width;
@@ -169,10 +203,15 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
         .filter(col("__ka") < col("id") &&
           cos(col("__ea"), col("embedding")) >= threshold)
         .select(col("id")).distinct()
-      // localCheckpoint: see NearDupAdmission — stops the caller's
+      // Eager persist (NOT localCheckpoint): stops the caller's
       // consumption of `admitted` from re-running the sketch/cosine DAG
-      // after bf is unpersisted.
-      val rejected = vsHistory.union(vsBatch).distinct().localCheckpoint()
+      // after bf is unpersisted, while KEEPING lineage — checkpoint
+      // block loss (executor decommission mid-trigger) would fail the
+      // micro-batch outright, whereas a lost cache block just recomputes
+      // (review r13). Blocks are reclaimed by the ContextCleaner once
+      // the trigger's plans are unreachable.
+      val rejected = vsHistory.union(vsBatch).distinct().persist()
+      rejected.count()
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       registry.append(

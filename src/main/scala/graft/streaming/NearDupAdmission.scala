@@ -88,12 +88,17 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
       val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
         .filter(col("id") =!= col("__keep"))
         .select(col("id")).distinct()
-      // Materialize the (batch-bounded) rejected-id set and truncate
-      // its lineage: the returned `admitted` frame is consumed by the
-      // caller AFTER bf is unpersisted, and without the checkpoint that
+      // Eagerly materialize the (batch-bounded) rejected-id set into
+      // the cache: the returned `admitted` frame is consumed by the
+      // caller AFTER bf is unpersisted, and without this the
       // consumption re-ran the whole decision DAG (signatures, history
-      // probe, joins) a second time per trigger.
-      val rejected = vsHistory.union(vsBatch).distinct().localCheckpoint()
+      // probe, joins) a second time per trigger. persist, not
+      // localCheckpoint: lineage survives cache-block loss (an executor
+      // decommission mid-trigger recomputes instead of failing the
+      // micro-batch — review r13); the ContextCleaner reclaims the
+      // blocks once the trigger's plans are unreachable.
+      val rejected = vsHistory.union(vsBatch).distinct().persist()
+      rejected.count()
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       registry.append(

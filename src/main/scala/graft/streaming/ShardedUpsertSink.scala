@@ -150,14 +150,22 @@ object ShardedUpsertSink {
   def mergeBatch(spark: SparkSession, baseDir: String, keys: Seq[String],
       orderCols: Seq[String], shards: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    val (prevModulus, prevManifest) =
-      versions(spark, baseDir).filter(_ < batchId)
-        .lastOption.map(readManifest(spark, baseDir, _))
-        .getOrElse((-1, Map.empty[Int, Long]))
+    val prev = versions(spark, baseDir).filter(_ < batchId)
+      .lastOption.map(readManifest(spark, baseDir, _))
     // Adopt the store's recorded modulus over the parameter: re-hashing
     // under a different P against the existing layout would silently
-    // duplicate keys (see readManifest).
-    val p = if (prevModulus > 0) prevModulus else shards
+    // duplicate keys (see readManifest). A manifest WITHOUT the header
+    // is refused outright — guessing a modulus for an unknown layout
+    // and then stamping the guess as truth would lock corruption in
+    // (review r13).
+    val p = prev match {
+      case Some((m, _)) if m > 0 => m
+      case Some((m, _)) => throw new IllegalStateException(
+        s"upsert store $baseDir: manifest lacks a '#shards' header " +
+          s"(got modulus $m) — refusing to re-hash an unknown layout")
+      case None => shards
+    }
+    val prevManifest = prev.map(_._2).getOrElse(Map.empty[Int, Long])
     val tagged = batch.withColumn("__batch", lit(batchId))
       .withColumn("shard", shardExpr(keys, p))
       .persist()

@@ -77,16 +77,18 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
         .distinct()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("__covered"))
-      // localCheckpoint: see NearDupAdmission — the caller consumes
-      // `admitted` after pos is unpersisted; the checkpoint stops that
-      // from re-running the span/coverage DAG per trigger.
+      // Eager persist: see NearDupAdmission — the caller consumes
+      // `admitted` after pos is unpersisted; the cached rejected set
+      // stops that from re-running the span/coverage DAG per trigger,
+      // and lineage survives cache-block loss.
       val rejected = batch
         .select(col(idCol).as("doc_id"),
           size(Dedup.tokens(col(textCol))).cast("long").as("__n"))
         .join(covered, Seq("doc_id"))
         .filter(col("__covered") * 100 >= col("__n") * gatePct)
         .select(col("doc_id"))
-        .localCheckpoint()
+        .persist()
+      rejected.count()
       val admitted = batch.join(
         rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
       registry.append(

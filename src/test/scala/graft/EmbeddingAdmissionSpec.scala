@@ -65,6 +65,31 @@ class EmbeddingAdmissionSpec extends AnyFunSuite with SparkTestSupport {
       .select("vec_id").as[Long].collect().toSet == Set(22L))
   }
 
+  test("family-parameter drift on an existing store is refused") {
+    val s = spark
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_embfam_").toString + "/state"
+    val adm = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L)
+    assert(adm.admit(Seq((1L, v(1).toSeq)).toDF("vec_id", "embedding"), 0L)
+      .count() == 1)
+    // maxPlanes shifts every table's hyperplane draws past table 0 —
+    // restarting with a different value would silently stop matching
+    // history. The _family record must refuse it.
+    val drifted = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L,
+      maxPlanes = 24)
+    assertThrows[IllegalArgumentException] {
+      drifted.admit(Seq((2L, v(2).toSeq)).toDF("vec_id", "embedding"), 1L)
+    }
+    // same params -> accepted
+    val same = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L)
+    assert(same.admit(Seq((3L, v(3).toSeq)).toDF("vec_id", "embedding"), 1L)
+      .count() == 1)
+  }
+
   test("semantic near-dups rejected across and within micro-batches; low-cos bucket-mates land") {
     val s = spark
     import s.implicits._

@@ -121,6 +121,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
     val defTable = Sampling.stratifiedSampleByTable(d2, "id", "stratum",
       ratesDf, defaultRate = 0.5).collect().map(_.getLong(0)).toSet
     assert(defTable == defCase)
+    // guards: duplicate stratum rows must not fan the sample out, and a
+    // wider rates frame must be rejected instead of silently picking a
+    // column as the rate
+    val dupRates = (rates.toSeq ++ Seq("src0" -> 0.9)).toDF("stratum", "rate")
+    val viaDup = Sampling.stratifiedSampleByTable(d, "id", "stratum",
+      dupRates, defaultRate = 0.5).collect().map(_.getLong(0))
+    assert(viaDup.length == viaDup.distinct.length && // no duplicates
+      viaDup.toSet == viaTable)
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSampleByTable(d, "id", "stratum",
+        rates.toSeq.map { case (k, r) => (k, r, "note") }
+          .toDF("stratum", "rate", "comment"), 0.5)
+    }
   }
 
   test("contaminationHits counts distinct shared n-grams, 0 for clean") {

@@ -136,6 +136,27 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
     assert(manifest.startsWith("#shards 8"), manifest.linesIterator.next())
   }
 
+  test("a headerless (legacy/foreign) manifest is refused, not re-hashed") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shup-leg2").toString
+    ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 8)(
+      Seq(("a", 1L, 1.0)).toDF("k", "seq", "v"), 0L)
+    // strip the header: simulates a store written by a tool that does
+    // not record its modulus — guessing one would corrupt the view
+    val mp = java.nio.file.Paths.get(s"$dir/v=0/_manifest")
+    val body = new String(java.nio.file.Files.readAllBytes(mp))
+      .linesIterator.filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(mp, body.getBytes)
+    // drop the Hadoop local-FS checksum sidecar the raw rewrite broke
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v=0/._manifest.crc"))
+    assertThrows[IllegalStateException] {
+      ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 8)(
+        Seq(("b", 1L, 2.0)).toDF("k", "seq", "v"), 1L)
+    }
+  }
+
   test("streaming end-to-end via foreachBatch") {
     val s = spark
     import s.implicits._
