@@ -63,6 +63,12 @@ object Sampling {
       rates.columns.contains(stratumCol),
       s"rates must be exactly ($stratumCol, <rate>); got " +
         rates.columns.mkString(", "))
+    // the synthetic rate column must not collide with either input
+    // (ADVICE r13: a df that already carries __rate produced an
+    // ambiguous-column AnalysisException at join time instead of a
+    // clear precondition error — leakFreeSplit's guard, mirrored)
+    require(!df.columns.contains("__rate") && stratumCol != "__rate",
+      "stratifiedSampleByTable adds a `__rate` column; input already has one")
     val rateCol = rates.columns.filterNot(_ == stratumCol).head
     // collapse duplicate stratum entries BEFORE the join: a duplicated
     // stratum row would fan every matching corpus row out N ways —
@@ -84,6 +90,8 @@ object Sampling {
   private def keepByRateTable(df: DataFrame, keyCol: String,
       stratumCol: String, rates: Seq[(String, Double)],
       defaultRate: Double, salt: String): DataFrame = {
+    require(!df.columns.contains("__rate") && stratumCol != "__rate",
+      "rate-table sampling adds a `__rate` column; input already has one")
     val spark = df.sparkSession
     val rateDf = spark.createDataFrame(rates).toDF(stratumCol, "__rate")
     df.join(broadcast(rateDf), Seq(stratumCol), "left")

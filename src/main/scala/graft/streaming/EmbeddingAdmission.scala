@@ -127,12 +127,21 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     * hyperplane draws past table 0 (Array.fill draws sequentially), and
     * seed/tables/dim define the family outright — restarting a store
     * under ANY different value silently changes buckets and history
-    * stops matching (the modulus-drift bug class; review r13). Recorded
-    * once in `stateDir/_family` and required equal ever after. */
+    * stops matching (the modulus-drift bug class; review r13). `planes`
+    * and `sizeDatum` are pinned too (ADVICE r13): the probe's width
+    * filter and the fail-safe ladder both start at this instance's
+    * `planes`, so restarting an existing store with a LARGER base would
+    * silently drop legitimate on-disk widths below it from the probe —
+    * history at those widths would never match and near-dups of
+    * already-admitted vectors re-admit until folds re-bucket; a drifted
+    * `sizeDatum` likewise changes the size→width map and therefore
+    * replay-recomputed decisions. Recorded once in `stateDir/_family`
+    * and required equal ever after. */
   private def verifyFamilyParams(spark: org.apache.spark.sql.SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(stateDir, "_family")
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val want = s"seed=$seed tables=$tables dim=$dim maxPlanes=$maxPlanes"
+    val want = s"seed=$seed tables=$tables dim=$dim maxPlanes=$maxPlanes " +
+      s"planes=$planes sizeDatum=$sizeDatum"
     if (f.exists(p)) {
       val in = f.open(p)
       val got = try new String(in.readAllBytes(),

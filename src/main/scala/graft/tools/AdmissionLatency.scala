@@ -91,8 +91,10 @@ object AdmissionLatency {
       }
       reg.compact(spark, uptoBatchId = 7)
       val modulus = {
+        // first line of the merged marker = shard modulus (r14 layout)
         val p = java.nio.file.Paths.get(s"$dir/batch=7/_shards")
-        new String(java.nio.file.Files.readAllBytes(p)).trim.toInt
+        new String(java.nio.file.Files.readAllBytes(p))
+          .linesIterator.next().trim.toInt
       }
       val regRows = reg.history(spark, excludeBatchId = Long.MaxValue).count()
       println(f"[admlat] registry_docs=$rdocs%9d rows=$regRows%10d " +

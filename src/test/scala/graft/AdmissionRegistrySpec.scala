@@ -142,7 +142,8 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       reg.append(((b * 4000L) until (b * 4000L + 4000L)).toDF("k"), b))
     assert(reg.compact(s, uptoBatchId = 3) == 4)
     val marker = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir + "/batch=3/_shards"))).trim.toInt
+      java.nio.file.Paths.get(dir + "/batch=3/_shards")))
+      .linesIterator.next().trim.toInt // first line = modulus (r14 layout)
     assert(marker > 4, s"self-sized modulus $marker should exceed the floor")
     val nDirs = new java.io.File(dir + "/batch=3").listFiles()
       .count(_.getName.startsWith("shard="))
@@ -336,6 +337,85 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     assert(dataFiles(s"batch=$consolidated") == baseAfter,
       "empty-append tail triggered a full registry rewrite")
     assert(reg.history(s, excludeBatchId = 99).count() == 8000 + 200 + 16000)
+  }
+
+  test("fold swap crash windows recover without losing registered rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_crash_")
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"))
+    (0 to 2).foreach(b => reg.append(Seq(b * 10L, b * 10L + 1L).toDF("k"), b))
+    assert(reg.compact(s, uptoBatchId = 2) == 3)
+    // Window A (ADVICE r13): crash BETWEEN the target's rename-aside and
+    // the tmp→target rename — the folded run survives only as
+    // `.retire_batch=2` (+ the stale tmp). Pre-fix, reads silently
+    // missed every folded row and the next fold deleted the only copy.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/batch=2"),
+      java.nio.file.Paths.get(s"$dir/.retire_batch=2"))
+    val reg2 = new AdmissionRegistry(dir, keySchema, Seq("k")) // fresh caches
+    assert(reg2.history(s, excludeBatchId = 9).as[Long].collect().toSet ==
+      Set(0L, 1L, 10L, 11L, 20L, 21L),
+      "interrupted swap must be unwound — no registered row may vanish")
+    assert(new java.io.File(s"$dir/batch=2").exists() &&
+      !new java.io.File(s"$dir/.retire_batch=2").exists())
+    // Window B: crash AFTER the swap, before the aside delete — the
+    // aside duplicates rows the new target holds; reads drop it.
+    reg2.append(Seq(30L).toDF("k"), 3)
+    assert(reg2.compact(s, uptoBatchId = 3) == 2)
+    copyDir(java.nio.file.Paths.get(s"$dir/batch=3"),
+      java.nio.file.Paths.get(s"$dir/.retire_batch=3"))
+    val reg3 = new AdmissionRegistry(dir, keySchema, Seq("k"))
+    assert(reg3.history(s, excludeBatchId = 9).count() == 7)
+    assert(!new java.io.File(s"$dir/.retire_batch=3").exists(),
+      "completed swap's stale aside must be dropped")
+  }
+
+  private def copyDir(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+  }
+
+  test("footerStats: exact rows, value ranges, and the driver-safe span cap") {
+    import org.apache.spark.sql.types.IntegerType
+    val s = spark
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("w", IntegerType)))
+    val dir = tmp("graft_fstats_")
+    val reg = new AdmissionRegistry(dir, schema, Seq("k"))
+    reg.append(Seq((1L, 3), (2L, 3), (3L, 4)).toDF("k", "w"), 0)
+    reg.append(Seq((4L, 4)).toDF("k", "w"), 1)
+    // marker layout is MERGED (r14): one `_shards` file per dir, no _meta
+    assert(new java.io.File(s"$dir/batch=0/_shards").exists() &&
+      !new java.io.File(s"$dir/batch=0/_meta").exists())
+    val (rows, vals) = reg.footerStats(s, excludeBatchId = 9, Some("w"))
+    assert(rows == 4 && vals == Some(Set(3, 4)))
+    // exclusion mirrors the history reads' replay determinism
+    assert(reg.footerStats(s, excludeBatchId = 1, Some("w"))._1 == 3)
+    // legacy modulus-only marker (pre-r14 layout): stats lines absent →
+    // footer-walk fallback still yields the exact count and ranges
+    val m = java.nio.file.Paths.get(s"$dir/batch=0/_shards")
+    val modulus = new String(java.nio.file.Files.readAllBytes(m))
+      .linesIterator.next()
+    java.nio.file.Files.write(m, modulus.getBytes)
+    val reg1 = new AdmissionRegistry(dir, schema, Seq("k"))
+    assert(reg1.footerStats(s, excludeBatchId = 9, Some("w")) ==
+      (4L, Some(Set(3, 4))))
+    // SPAN CAP (ADVICE r13): a wide int range — corrupt stats or a
+    // wide-domain payload column — must degrade to stats-unavailable,
+    // not materialize (lo to hi) on the driver. 2^30-wide span here;
+    // pre-fix this allocated a billion-element Set.
+    val dirW = tmp("graft_fstatsw_")
+    val regW = new AdmissionRegistry(dirW, schema, Seq("k"))
+    regW.append(Seq((1L, 0), (2L, 1 << 30)).toDF("k", "w"), 0)
+    val (rowsW, valsW) = regW.footerStats(s, excludeBatchId = 9, Some("w"))
+    assert(rowsW == 2 && valsW.isEmpty,
+      "wide-span footer range must fail safe to None")
   }
 
   test("NearDupAdmission replay admits the same docs (no self-rejection)") {

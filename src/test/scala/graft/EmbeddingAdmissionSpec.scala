@@ -88,6 +88,23 @@ class EmbeddingAdmissionSpec extends AnyFunSuite with SparkTestSupport {
       threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L)
     assert(same.admit(Seq((3L, v(3).toSeq)).toDF("vec_id", "embedding"), 1L)
       .count() == 1)
+    // base-width drift (ADVICE r13): probeWidths filters `w >= planes`
+    // and the fail-safe ladder starts at `planes`, so a LARGER base on
+    // an existing store would silently drop legitimate on-disk widths
+    // from the probe — history at the old widths never matches and
+    // near-dups of admitted vectors re-admit. _family pins it.
+    val widerBase = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 5, tables = 4, dim = 8, seed = 7L)
+    assertThrows[IllegalArgumentException] {
+      widerBase.admit(Seq((4L, v(4).toSeq)).toDF("vec_id", "embedding"), 2L)
+    }
+    // sizeDatum drift changes the size→width map (replay determinism)
+    val driftedDatum = new EmbeddingAdmission(stateDir, "embedding",
+      "vec_id", threshold = 0.95, planes = 3, tables = 4, dim = 8,
+      seed = 7L, sizeDatum = 500L)
+    assertThrows[IllegalArgumentException] {
+      driftedDatum.admit(Seq((5L, v(5).toSeq)).toDF("vec_id", "embedding"), 2L)
+    }
   }
 
   test("semantic near-dups rejected across and within micro-batches; low-cos bucket-mates land") {

@@ -134,6 +134,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestSupport {
         rates.toSeq.map { case (k, r) => (k, r, "note") }
           .toDF("stratum", "rate", "comment"), 0.5)
     }
+    // a df that already carries __rate must be refused up front with a
+    // clear precondition error, not an ambiguous-column
+    // AnalysisException at join time (ADVICE r13)
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSampleByTable(d.withColumn("__rate", lit(1.0)),
+        "id", "stratum", ratesDf, 0.5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSample(d.withColumn("__rate", lit(1.0)),
+        "id", "stratum", rates, 0.5, caseGate = 0) // joined path
+    }
   }
 
   test("contaminationHits counts distinct shared n-grams, 0 for clean") {
