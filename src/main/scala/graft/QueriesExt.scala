@@ -429,6 +429,39 @@ object QueriesExt {
         scoreCol = "est_jaccard", shards = 16)
     }
 
+  /** A MULTI-VERSION [[graft.streaming.ShardedUpsertSink]] store over the
+    * events upsert stream (keys (user_id, day), latest by (ts,
+    * event_id)) — the serving-tier artifact q_upsert_sharded reads.
+    * Four merges are laid out so the final manifest carries shards from
+    * THREE owner versions (VERDICT r13 #1: the read path must be proven
+    * through real manifest indirection, not a single-version store):
+    * batch 1 = half the stream across every shard, batches 2-4 = the
+    * other half split by the KEY'S OWN shard range (shard is a pure
+    * function of the key, so the split is well-defined and every key
+    * still meets all its versions inside its shard's merge chain).
+    * Because (ts, event_id) is a total order that dominates the merge
+    * ordering, the final view ≡ keep-latest over the whole stream
+    * regardless of the batch split — exactly q_upsert_latest's oracle. */
+  private def upsertStorePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    shardedArtifact(s"upsert_store:$dir") { p =>
+      import graft.streaming.ShardedUpsertSink
+      val shards = 8
+      val ev = t(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .select("user_id", "day", "event_type", "value", "event_id", "ts")
+      val keyShard = graft.ext.Sharded.shardOfAll(
+        Seq(col("user_id"), col("day")), shards)
+      val merge = ShardedUpsertSink.mergeBatch(s, p,
+        keys = Seq("user_id", "day"), orderCols = Seq("ts", "event_id"),
+        shards = shards) _
+      merge(ev.filter(col("event_id") % 2 === 0), 1L)
+      merge(ev.filter(col("event_id") % 2 === 1 && keyShard <= 2), 2L)
+      merge(ev.filter(col("event_id") % 2 === 1 &&
+        keyShard >= 3 && keyShard <= 5), 3L)
+      merge(ev.filter(col("event_id") % 2 === 1 && keyShard >= 6), 4L)
+    }
+
   /** "Yesterday's" exact-Jaccard PAIRS artifact (even-id half, t=0.1)
     * and its census — persisted once; q_dedup_incremental_ngram READS
     * them, so its body is exactly the ingest path (artifact reads +
@@ -2841,6 +2874,30 @@ object QueriesExt {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
         |      < CAST(floor(CAST((doc_id % 500) % 10 AS DOUBLE) / 10.0
         |                   * 4294967296.0) AS BIGINT)""".stripMargin)),
+
+    // The ShardedUpsertSink READ path under the full oracle (VERDICT r13
+    // #1): a multi-version store — manifest spanning three owner
+    // versions, shard-granular GC already run — read through
+    // currentView's manifest-pruned union must hash-match DuckDB's
+    // keep-latest over the SAME upsert stream (row_number over
+    // (user_id, day) ordered by ts desc, event_id desc — the
+    // q_upsert_latest semantics, `visualizer.py:61-82`). Build layout:
+    // see upsertStorePath. Scale shape: each merge rewrote only the
+    // shards its batch touched; the read prunes to the live (version,
+    // shard) set at the file index. The one-shard point-lookup
+    // footprint is locked in ShardedUpsertSinkSpec.
+    QueryCase("q_upsert_sharded",
+      (s, dir) => graft.streaming.ShardedUpsertSink
+        .currentView(s, upsertStorePath(s, dir))
+        .getOrElse(sys.error("upsert store missing"))
+        .select(col("user_id"), col("day"), col("event_type"),
+          col("value"), col("event_id")),
+      Some("""SELECT user_id, day, event_type, value, event_id FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)),
 
     // Deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis): inclusion probability ∝ document length — the "sample

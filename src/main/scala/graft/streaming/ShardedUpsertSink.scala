@@ -145,6 +145,35 @@ object ShardedUpsertSink {
       readShards(spark, baseDir, readManifest(spark, baseDir, v)._2, None)
     }.map(_.drop("shard"))
 
+  /** POINT LOOKUP: the current view's rows for ONE key, reading only the
+    * key's own `shard=` directory under its owning version — the serving
+    * read the sharded layout exists for. The key's shard is computed
+    * with the writer's own expression under the manifest's recorded
+    * modulus (a one-row local projection, no scan), then `readShards`
+    * prunes to that single (version, shard) directory at the file
+    * index: bytes touched ≈ one shard ≈ view/P, independent of view
+    * size. `values` must match `keys` positionally AND by type (the
+    * hash is type-sensitive: pass java.sql.Date for a date key, not its
+    * string). None before the first commit. */
+  def lookup(spark: SparkSession, baseDir: String, keys: Seq[String],
+      values: Seq[Any]): Option[DataFrame] = {
+    require(values.length == keys.length,
+      s"lookup needs one value per key column ${keys.mkString(",")}")
+    versions(spark, baseDir).lastOption.flatMap { v =>
+      val (p, manifest) = readManifest(spark, baseDir, v)
+      require(p > 0, s"upsert store $baseDir: manifest lacks a '#shards' " +
+        "header — cannot compute the key's shard")
+      val shard = spark.range(1)
+        .select(Sharded.shardOfAll(values.map(lit), p).as("s"))
+        .head().getInt(0)
+      readShards(spark, baseDir, manifest, Some(Set(shard))).map { df =>
+        keys.zip(values).foldLeft(df) { case (d, (k, x)) =>
+          d.filter(col(k) === lit(x))
+        }.drop("shard")
+      }
+    }
+  }
+
   /** The foreachBatch merge body (public for direct testing — replaying
     * a batchId must be a no-op change to the committed chain). */
   def mergeBatch(spark: SparkSession, baseDir: String, keys: Seq[String],

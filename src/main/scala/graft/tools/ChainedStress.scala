@@ -430,6 +430,54 @@ object ChainedStress {
         endC.count(), endA.count())
     }
 
+    // --------------------------------------- sharded upsert sink (serving)
+    // 10th family (VERDICT r13 #6): the SAME upsert stream through
+    // ShardedUpsertSink stores that differ ONLY physically — shard
+    // count, merge cadence (3-way vs 6-way batch split), and GC timing
+    // (more merges = more GC cycles) — must yield an IDENTICAL final
+    // view, which must also equal the one-shot keep-latest over the
+    // whole stream (the layout-independence law the serving tier
+    // inherits from the admission families). __batch is excluded from
+    // the checksum: it records WHICH merge carried the winner — a
+    // cadence artifact by construction, not view content.
+    {
+      import graft.streaming.ShardedUpsertSink
+      val ev = persist(Tables(spark, sfDir, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .select("user_id", "day", "event_type", "value", "event_id", "ts"),
+        "upsert_stream")
+      val payload = Seq("user_id", "day", "event_type", "value", "event_id")
+      def store(tag: String, shards: Int, splits: Int,
+          replayLast: Boolean): DataFrame = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"chstress_upsert_$tag").toString + "/store"
+        val merge = ShardedUpsertSink.mergeBatch(spark, dir,
+          keys = Seq("user_id", "day"), orderCols = Seq("ts", "event_id"),
+          shards = shards) _
+        (0 until splits).foreach { b =>
+          val (secs, _) = timed(
+            merge(ev.filter(col("event_id") % splits === b), b.toLong))
+          println(f"[chstress] upsert($tag%-9s) merge ${b + 1}/$splits: " +
+            f"$secs%6.2f s")
+        }
+        if (replayLast) // crash-replay of the final batch: no-op change
+          merge(ev.filter(col("event_id") % splits === (splits - 1)),
+            (splits - 1).toLong)
+        persist(ShardedUpsertSink.currentView(spark, dir).get
+          .select(payload.map(col): _*), s"upsert_view_$tag")
+      }
+      val a = store("s4_c3", shards = 4, splits = 3, replayLast = false)
+      val b = store("s32_c6", shards = 32, splits = 6, replayLast = false)
+      val c = store("s8_replay", shards = 8, splits = 3, replayLast = true)
+      val oneshot = persist(graft.ops.Upsert.keepLatestPerKey(
+        ev, Seq("user_id", "day"), Seq("ts", "event_id"))
+        .select(payload.map(col): _*), "upsert_oneshot")
+      check("upsert_sharded", xorSum(a), xorSum(oneshot), a.count(),
+        oneshot.count())
+      check("upsert_rs", xorSum(b), xorSum(a), b.count(), a.count())
+      check("upsert_replay", xorSum(c), xorSum(a), c.count(), a.count())
+    }
+
     println(s"[chstress] all families EXACT across $nSlices chained slices")
     spark.stop()
   }
