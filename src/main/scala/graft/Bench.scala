@@ -234,6 +234,20 @@ object Bench {
       "q_text_fingerprint", "q_text_langid", "q_text_quality",
       "q_text_tokens", "q_upsert_latest")
     val r1Total = results.collect { case (k, v) if r1Names(k) => v }.sum
+    // ORACLE-ANCHOR subtotal (VERDICT r13 #8): these queries' plans are
+    // deliberately pinned to the literal-planes=4 blocking family so the
+    // DuckDB oracle can reproduce every bucket — that contract, not the
+    // engine, is what dominates the 10× profile (35.3 + 32.0 + 9.2 of
+    // 251.9 s in r13). The PRODUCTION path is the self-sized twin
+    // (q_dedup_embedding_pairs_sized: footer-derived width, 0.88 s at
+    // sf0.1). They stay in the registry (Verify correctness unchanged);
+    // the bench reports them as a separate subtotal so the headline
+    // tracks production plans.
+    val anchorNames = Set("q_dedup_embedding_pairs",
+      "q_dedup_cross_embedding", "q_dedup_incremental_embedding")
+    val anchorsTotal = results.collect {
+      case (k, v) if anchorNames(k) => v }.sum
+    val productionTotal = total - anchorsTotal
     // The box is a shared VM with 10-100× run-to-run swings on identical
     // code; record the load average so a slow total can be read against
     // host interference instead of blamed on the engine.
@@ -259,7 +273,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     // Full-precision history: a COMPLETE run (no query filter) appends its
     // line so the NEXT round's move detector compares against untruncated
@@ -288,7 +302,7 @@ object Bench {
     // Same method label as the history/bench_out line (ADVICE r12: the
     // stdout line said "min_of_retries" while history said the
     // thresholded variant — two names for one measurement).
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length
     val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
     var used = 0

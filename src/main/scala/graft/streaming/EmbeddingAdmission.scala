@@ -231,6 +231,31 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     } finally bf.unpersist()
   }
 
+  /** Register `batch`'s vectors WITHOUT admission gating — the
+    * backfill/seeding path: at 100 TB a new stream bootstraps its
+    * registry from the batch tier's already-deduplicated corpus (its
+    * vectors are admitted by definition), not by replaying history
+    * through [[admit]]'s probe joins. Buckets are computed at the
+    * size-derived write width for the registry AS IT STANDS (excluding
+    * this batch's own replayed append — same replay determinism as
+    * admit); fold cycles converge mixed widths exactly as for live
+    * appends. Also the population path of the width-crossover bench
+    * ([[graft.tools.EmbeddingWidthBench]]), where gating 10⁶ disjoint
+    * vectors through admit() would only measure the probe being
+    * admitted-anyway. */
+  def bootstrap(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    verifyFamilyParams(spark)
+    registry.maybeCompact(spark, batchId, compactEvery)
+    val wNow = width(registry.approxRows(spark, batchId) / tables)
+    val vecs = vecsOf(batch)
+    registry.append(
+      Dedup.embeddingBucketTableHyper(vecs, "embedding", "id", prefix(wNow))
+        .withColumn("planes", lit(wNow))
+        .join(vecs, Seq("id"))
+        .select("planes", "t", "bucket", "id", "embedding"), batchId)
+  }
+
   /** Fold committed batch directories ≤ `uptoBatchId` into one
     * (re-bucketed to the size-derived width via the fold hook). */
   def compact(spark: org.apache.spark.sql.SparkSession,

@@ -106,12 +106,134 @@ object StreamBench {
         if (numeric.nonEmpty) numeric.map(_.toInt).toSeq
         else Seq(10000, 50000))
       case "mediagate" => runMediaGate(spark, rate, rps, seconds)
+      case "upsert-sharded" => runUpsertSharded(spark,
+        numeric.headOption.map(_.toLong).getOrElse(10000000L),
+        if (numeric.length > 1) numeric.drop(1).map(_.toInt).toSeq
+        else Seq(64, 1024, 16384))
       case m if m.startsWith("serving") =>
         runServing(spark, Pipeline.summarize(frames), rps, seconds,
           durable = m == "serving-durable")
       case _ => runThroughput(Pipeline.summarize(frames), rps, seconds)
     }
     spark.stop()
+  }
+
+  /** The serving-durable tier at a LARGE key domain (VERDICT r13 #4):
+    * a `keyDomain`-key view (default 10⁷) is pre-populated, then
+    * fixed-size upsert triggers stream through [[graft.streaming
+    * .ShardedUpsertSink]] (shards = 1024) — per-trigger merge latency,
+    * touched shards, and bytes written must track the BATCH's key
+    * spread, not view size. [[graft.streaming.ParquetUpsertSink]]'s
+    * full-rewrite is measured once at the middle batch size as the
+    * baseline the manifest layout exists to beat (its per-trigger bytes
+    * ARE the view). Keys are hash-spread (worst-case locality: a
+    * `batchRows`-key trigger touches ≈ min(batchRows, P) shards — any
+    * real key clustering only lowers the sharded arm's cost). */
+  private def runUpsertSharded(spark: SparkSession, keyDomain: Long,
+      batchSizes: Seq[Int], batchesPerPoint: Int = 10): Unit = {
+    import graft.streaming.{ParquetUpsertSink, ShardedUpsertSink}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shards = 1024
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+    // ~96 B of entropy-rich payload per row: the component's own contract
+    // scopes it to views too large to rewrite per batch — skinny 3-long
+    // rows at 10⁷ keys compress to ~70 MB, where a full rewrite is one
+    // cheap sequential write and the manifest layout's per-trigger
+    // constant costs dominate instead of its byte savings. ~1 GB of
+    // incompressible view is the regime the sink exists for.
+    def payload(k: org.apache.spark.sql.Column) = concat(
+      md5(k.cast("string")), md5(concat(k.cast("string"), lit("b"))),
+      md5(concat(k.cast("string"), lit("c"))))
+    def upserts(rate: DataFrame) = rate.select(
+      pmod(xxhash64(col("value"), lit("k")), lit(keyDomain)).as("k"),
+      col("value").as("seq"),
+      (col("value") % 1000).cast("double").as("v"))
+      .withColumn("doc", payload(col("k")))
+    def seed(s: SparkSession) = s.range(keyDomain).select(
+      col("id").as("k"), lit(-1L).as("seq"),
+      (col("id") % 1000).cast("double").as("v"))
+      .withColumn("doc", payload(col("k")))
+    println(s"[streambench] mode=upsert-sharded key_domain=$keyDomain " +
+      s"shards=$shards batch_sizes=${batchSizes.mkString(",")} " +
+      "row=~96B payload (bytes/trigger = new version dir; baseline = " +
+      "full-rewrite sink)")
+
+    batchSizes.foreach { rows =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_ush_$rows").toString + "/store"
+      val merge = ShardedUpsertSink.mergeBatch(spark, base,
+        keys = Seq("k"), orderCols = Seq("seq"), shards = shards) _
+      val (seedS, _) = {
+        val t0 = System.nanoTime()
+        merge(seed(spark), 0L)
+        ((System.nanoTime() - t0) / 1e9, ())
+      }
+      val rate = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Int, Long)]()
+      val q = upserts(rate).writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          merge(batch, id + 1) // ids above the seed version
+          val ms = (System.nanoTime() - t0) / 1e6
+          val vdir = new java.io.File(s"$base/v=${id + 1}")
+          val touched = Option(vdir.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.startsWith("shard="))
+          stats.add((ms, touched, du(vdir)))
+          ()
+        }.start()
+      val deadline = System.currentTimeMillis() + 900000L
+      while (stats.size < batchesPerPoint + 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      q.stop()
+      val xs = { import scala.jdk.CollectionConverters._
+        stats.asScala.toSeq.drop(2) } // codegen/footer warmup triggers
+      val lat = xs.map(_._1)
+      val viewMb = du(new java.io.File(base)) / 1e6
+      println(f"[streambench] sharded  batch_rows=$rows%6d " +
+        f"batches=${xs.size}%3d seed_s=$seedS%6.1f " +
+        f"merge_ms_p50=${pct(lat, 0.5)}%7.0f merge_ms_p95=${pct(lat, 0.95)}%7.0f " +
+        f"touched_shards=${xs.map(_._2).sum / math.max(xs.size, 1)}%5d/$shards " +
+        f"mb_per_trigger=${xs.map(_._3).sum / math.max(xs.size, 1) / 1e6}%8.2f " +
+        f"store_mb=$viewMb%8.1f")
+    }
+
+    // Full-rewrite baseline at the middle batch size: per-trigger cost
+    // is O(view) regardless of the batch.
+    val rows = batchSizes(batchSizes.size / 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sb_ule_").toString + "/store"
+    val merge = ParquetUpsertSink.mergeBatch(spark, base,
+      keys = Seq("k"), orderCols = Seq("seq")) _
+    merge(seed(spark), 0L)
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rows)
+      .option("numPartitions", cpus.toInt)
+      .load()
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Long)]()
+    val q = upserts(rate).writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t0 = System.nanoTime()
+        merge(batch, id + 1)
+        val ms = (System.nanoTime() - t0) / 1e6
+        stats.add((ms, du(new java.io.File(s"$base/v=${id + 1}"))))
+        ()
+      }.start()
+    val deadline = System.currentTimeMillis() + 900000L
+    while (stats.size < 4 && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    q.stop()
+    val xs = { import scala.jdk.CollectionConverters._
+      stats.asScala.toSeq.drop(1) }
+    val lat = xs.map(_._1)
+    println(f"[streambench] rewrite  batch_rows=$rows%6d " +
+      f"batches=${xs.size}%3d " +
+      f"merge_ms_p50=${pct(lat, 0.5)}%7.0f merge_ms_p95=${pct(lat, 0.95)}%7.0f " +
+      f"mb_per_trigger=${xs.map(_._2).sum / math.max(xs.size, 1) / 1e6}%8.2f")
   }
 
   /** Synthetic documents with controlled duplicate structure. All

@@ -65,6 +65,33 @@ class EmbeddingAdmissionSpec extends AnyFunSuite with SparkTestSupport {
       .select("vec_id").as[Long].collect().toSet == Set(22L))
   }
 
+  test("bootstrap seeds history that gates admits; replay-deterministic width") {
+    val s = spark
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_embboot_").toString + "/state"
+    val adm = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L,
+      sizeDatum = 4L)
+    // seed from an "already-curated corpus": no gating, all register
+    val corpus = (1 to 8).map(i => (i.toLong, v(i * 3).toSeq))
+      .toDF("vec_id", "embedding")
+    adm.bootstrap(corpus, 0L)
+    assert(spark.read.parquet(stateDir).select("id").distinct().count() == 8)
+    // a replayed bootstrap overwrites its own append (no duplication)
+    // and derives the same width (own-batch exclusion)
+    adm.bootstrap(corpus, 0L)
+    assert(spark.read.parquet(stateDir).select("id").distinct().count() == 8)
+    assert(spark.read.parquet(stateDir).select("planes").distinct()
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    // admit() now gates against the seeded history: a near-copy of a
+    // bootstrapped vector is rejected, a fresh one admits
+    val probe = Seq((100L, near(v(3), 0.01f, 42).toSeq),
+      (101L, v(900).toSeq)).toDF("vec_id", "embedding")
+    assert(adm.admit(probe, 1L).select("vec_id").as[Long].collect()
+      .toSet == Set(101L))
+  }
+
   test("family-parameter drift on an existing store is refused") {
     val s = spark
     import s.implicits._
