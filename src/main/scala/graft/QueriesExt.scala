@@ -2899,6 +2899,67 @@ object QueriesExt {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin)),
 
+    // The serving POINT LOOKUP against the same multi-version store
+    // (r14): one key's current row fetched through the manifest — the
+    // read whose one-shard footprint ShardedUpsertSinkSpec locks — must
+    // hash-match DuckDB's keep-latest restricted to that key. The key
+    // is derived from the data (min user, that user's earliest day) so
+    // the probe is deterministic at every SF; collecting it first is a
+    // bounded driver pull, exactly how a serving caller arrives with a
+    // concrete key in hand.
+    QueryCase("q_upsert_lookup",
+      (s, dir) => {
+        val base = upsertStorePath(s, dir)
+        val probe = t(s, dir, "events").agg(min(col("user_id"))).head()
+          .getLong(0)
+        val day = t(s, dir, "events")
+          .filter(col("user_id") === probe)
+          .agg(min(col("ts").cast("date"))).head().getDate(0)
+        graft.streaming.ShardedUpsertSink.lookup(s, base,
+            Seq("user_id", "day"), Seq(probe, day))
+          .getOrElse(sys.error("upsert store missing"))
+          .select(col("user_id"), col("day"), col("event_type"),
+            col("value"), col("event_id"))
+      },
+      Some("""WITH latest AS (
+        |  SELECT user_id, day, event_type, value, event_id FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |           event_type, value, event_id,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |k AS (SELECT min(user_id) AS uid FROM events),
+        |d AS (SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS day
+        |      FROM events, k WHERE user_id = k.uid)
+        |SELECT l.* FROM latest l, k, d
+        |WHERE l.user_id = k.uid AND l.day = d.day""".stripMargin)),
+
+    // stratifiedSampleByTable — the rates-AS-DATA arm (r14): the rate
+    // table is a DataFrame derived from the corpus itself (one row per
+    // source, rate = md5-hash-derived so DuckDB rebuilds it bit-for-
+    // bit), joined without driver materialization or a forced
+    // broadcast — the only shape that survives data-scale stratum
+    // domains (Catalyst/AQE picks the join). The hash compare proves
+    // the joined lookup selects the identical kept set.
+    QueryCase("q_sample_stratified_table",
+      (s, dir) => {
+        val rates = t(s, dir, "documents").select("source").distinct()
+          .withColumn("rate",
+            (Dedup.hex32(col("source")) % 100).cast("double") / 100.0)
+        Sampling.stratifiedSampleByTable(t(s, dir, "documents"),
+            "doc_id", "source", rates, defaultRate = 0.5)
+          .select("doc_id", "source")
+      },
+      Some("""WITH r AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS DOUBLE)
+        |      / 100.0 AS rate
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
+        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin)),
+
     // Deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis): inclusion probability ∝ document length — the "sample
     // k docs proportional to token mass" mixing primitive. Selection is
