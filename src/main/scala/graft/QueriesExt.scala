@@ -2950,15 +2950,19 @@ object QueriesExt {
             "doc_id", "source", rates, defaultRate = 0.5)
           .select("doc_id", "source")
       },
+      // LEFT join + coalesce, mirroring the Spark path's null-stratum /
+      // unlisted-stratum defaultRate semantics exactly — an inner join
+      // would silently diverge the kept sets the day the fixture grows
+      // a NULL source (review r14; today's fixtures have none)
       Some("""WITH r AS (
         |  SELECT source,
         |    CAST(('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS DOUBLE)
         |      / 100.0 AS rate
         |  FROM (SELECT DISTINCT source FROM documents))
         |SELECT d.doc_id, d.source
-        |FROM documents d JOIN r USING (source)
+        |FROM documents d LEFT JOIN r USING (source)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8))::BIGINT
-        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin)),
+        |      < CAST(floor(coalesce(rate, 0.5) * 4294967296.0) AS BIGINT)""".stripMargin)),
 
     // Deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis): inclusion probability ∝ document length — the "sample

@@ -132,9 +132,15 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     val f = fs(spark)
     val root = new Path(stateDir)
     if (!f.exists(root)) return Nil
-    var recovered = false
-    f.listStatus(root).toSeq.filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(".retire_batch=")).foreach { s =>
+    // ONE root listing serves both the recovery sweep and the result —
+    // batchDirs runs ≥3 times per trigger (compact schedule, footer
+    // stats, history read), so a second LIST here would double the hot
+    // path's root round-trips (review r14); re-list only when a
+    // recovery action actually changed the directory set.
+    val entries = f.listStatus(root).toSeq.filter(_.isDirectory)
+    val asides =
+      entries.filter(_.getPath.getName.startsWith(".retire_batch="))
+    asides.foreach { s =>
       val id = s.getPath.getName.stripPrefix(".retire_batch=").toLong
       val target = new Path(root, s"batch=$id")
       if (f.exists(target)) {
@@ -147,12 +153,12 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
         // next fold; redoing the fold then re-selects these rows)
         require(f.rename(s.getPath, target),
           s"recover: rename ${s.getPath} -> $target failed")
-        recovered = true
       }
     }
-    if (recovered) markerCache.clear()
-    f.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (asides.nonEmpty) markerCache.clear()
+    val current = if (asides.isEmpty) entries
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+    current.filter(_.getPath.getName.startsWith("batch="))
       .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
   }
 
@@ -170,23 +176,32 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
   private val markerCache =
     scala.collection.concurrent.TrieMap[String, CachedMarker]()
 
+  /** Cache key = the FULLY-QUALIFIED directory URI: callers arrive with
+    * both qualified paths (from listStatus) and raw `$stateDir/batch=N`
+    * constructions — unqualified keys would make the writers'
+    * invalidations silent no-ops against entries populated under the
+    * qualified spelling (review r14). */
+  private def cacheKey(spark: SparkSession, dir: Path): String =
+    fs(spark).makeQualified(dir).toString
+
   private def markerText(spark: SparkSession, dir: Path): Option[String] = {
     val f = fs(spark)
     val m = new Path(dir, "_shards")
+    val key = cacheKey(spark, dir)
     val st =
       try Some(f.getFileStatus(m))
       catch { case _: java.io.FileNotFoundException => None }
     st match {
-      case None => markerCache.remove(dir.toString); None
+      case None => markerCache.remove(key); None
       case Some(s) =>
         val sig = (s.getModificationTime, s.getLen)
-        markerCache.get(dir.toString) match {
+        markerCache.get(key) match {
           case Some(c) if c.sig == sig => Some(c.text)
           case _ =>
             val in = f.open(m)
             val text =
               try new String(in.readAllBytes(), UTF_8) finally in.close()
-            markerCache(dir.toString) = CachedMarker(sig, text)
+            markerCache(key) = CachedMarker(sig, text)
             Some(text)
         }
     }
@@ -304,7 +319,7 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     }).mkString("\n")
     val out = fs(spark).create(new Path(dir, "_shards"), true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
-    markerCache.remove(dir.toString) // re-read (and re-sign) on next use
+    markerCache.remove(cacheKey(spark, dir)) // re-read on next use
   }
 
   private def readDirMeta(spark: SparkSession,
@@ -564,7 +579,7 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     if (f.exists(target))
       require(f.rename(target, aside), s"compact: cannot retire $target")
     require(f.rename(tmp, target), s"compact: rename $tmp -> $target failed")
-    markerCache.remove(target.toString)
+    markerCache.remove(cacheKey(spark, target))
     f.delete(aside, true)
     olds.foreach { case (id, dir) => if (id != targetId) f.delete(dir, true) }
     olds.size

@@ -154,7 +154,12 @@ object ShardedUpsertSink {
     * index: bytes touched ≈ one shard ≈ view/P, independent of view
     * size. `values` must match `keys` positionally AND by type (the
     * hash is type-sensitive: pass java.sql.Date for a date key, not its
-    * string). None before the first commit. */
+    * string). A key whose shard holds no data yields an EMPTY frame
+    * (schema from a live shard, `limit(0)` — Catalyst folds it to an
+    * empty relation, zero files read), NOT None: a committed store with
+    * a shard-less key is a miss, not an uncommitted store (review r14).
+    * None only before the first commit, or when the committed manifest
+    * maps no shards at all (an empty store has no schema source). */
   def lookup(spark: SparkSession, baseDir: String, keys: Seq[String],
       values: Seq[Any]): Option[DataFrame] = {
     require(values.length == keys.length,
@@ -166,11 +171,13 @@ object ShardedUpsertSink {
       val shard = spark.range(1)
         .select(Sharded.shardOfAll(values.map(lit), p).as("s"))
         .head().getInt(0)
-      readShards(spark, baseDir, manifest, Some(Set(shard))).map { df =>
-        keys.zip(values).foldLeft(df) { case (d, (k, x)) =>
-          d.filter(col(k) === lit(x))
-        }.drop("shard")
-      }
+      readShards(spark, baseDir, manifest, Some(Set(shard)))
+        .orElse(readShards(spark, baseDir, manifest, None).map(_.limit(0)))
+        .map { df =>
+          keys.zip(values).foldLeft(df) { case (d, (k, x)) =>
+            d.filter(col(k) === lit(x))
+          }.drop("shard")
+        }
     }
   }
 

@@ -37,7 +37,8 @@ import graft.streaming.EmbeddingAdmission
   *
   * Usage: runMain graft.tools.EmbeddingWidthBench [nVecs] [batchVecs]
   *        runMain graft.tools.EmbeddingWidthBench curve [maxVecs] [batchVecs]
-  *   (defaults 24000 / 256, curve 1048576 / 256; dim 64, tables 8)
+  *   (defaults 24000 / 256, curve 1048576 / 1024 — curve batches are
+  *   deliberately larger; see runCurve)
   */
 object EmbeddingWidthBench {
 

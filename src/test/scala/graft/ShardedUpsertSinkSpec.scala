@@ -197,6 +197,23 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
     val hit = ShardedUpsertSink.lookup(s, dir2, Seq("user_id", "day"),
       Seq(7L, d0)).get.collect()
     assert(hit.length == 1 && hit.head.getAs[Double]("v") == 7.0)
+    // A committed store whose manifest does NOT map the probe key's
+    // shard must yield Some(empty) — a miss — not None ("uncommitted");
+    // review r14: readShards' empty-live None used to leak through.
+    // One key over 4 shards leaves ≥3 shards unmapped, so at least 3 of
+    // these probes take the absent-shard path (all must behave the same).
+    val dir3 = Files.createTempDirectory("graft-shup-lk3").toString
+    ShardedUpsertSink.mergeBatch(s, dir3, Seq("k"), Seq("seq"), shards = 4)(
+      Seq(("only", 1L, 1.0)).toDF("k", "seq", "v"), 0L)
+    Seq("missA", "missB", "missC", "missD").foreach { probe =>
+      val r = ShardedUpsertSink.lookup(s, dir3, Seq("k"), Seq(probe))
+      assert(r.isDefined && r.get.count() == 0,
+        s"miss lookup '$probe' must be Some(empty), got $r")
+    }
+    // truly empty store (no committed version): None
+    assert(ShardedUpsertSink.lookup(s,
+      Files.createTempDirectory("graft-shup-lk4").toString,
+      Seq("k"), Seq("x")).isEmpty)
   }
 
   test("streaming end-to-end via foreachBatch") {
