@@ -227,6 +227,43 @@ object ShardedUpsertSink {
     } finally tagged.unpersist()
   }
 
+  /** OFFLINE maintenance: rewrite the current view under a NEW shard
+    * modulus, committed as version `batchId` with every shard owned by
+    * it. The modulus is otherwise pinned by the manifest header FOREVER
+    * — merges refuse to re-hash (see [[mergeBatch]]) because silent
+    * modulus drift duplicates keys — so this is the one sanctioned way
+    * to grow P with the view: a store created at P=1024 whose view
+    * grows 100× would otherwise carry 100×-target shards, and every
+    * merge/lookup cost rides shard size. One full-view rewrite;
+    * schedule it geometrically (re-shard to bytes/targetShardBytes when
+    * the view has ~doubled past P × target), so a lifetime pays O(log
+    * growth) rewrites — the same amortization as the admission
+    * registry's tiered folds. Same commit protocol as a merge (data,
+    * then manifest-as-marker, then GC), so a crash mid-reshard leaves
+    * an uncommitted version readers ignore. Quiesce merges first
+    * (single-writer contract); `batchId` must exceed every committed
+    * version so the new manifest is the newest. */
+  def reshard(spark: SparkSession, baseDir: String, keys: Seq[String],
+      newShards: Int, batchId: Long): Unit = {
+    require(newShards > 0, s"reshard: bad modulus $newShards")
+    val committed = versions(spark, baseDir)
+    require(committed.nonEmpty, s"reshard: no committed version in $baseDir")
+    require(batchId > committed.last,
+      s"reshard: batchId $batchId must exceed newest ${committed.last}")
+    val manifest = readManifest(spark, baseDir, committed.last)._2
+    require(manifest.nonEmpty, s"reshard: $baseDir maps no shards")
+    val view = readShards(spark, baseDir, manifest, None).get.drop("shard")
+    view.withColumn("shard", shardExpr(keys, newShards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard")
+      .mode("overwrite").parquet(s"$baseDir/v=$batchId")
+    // every shard owned by the reshard version — a clean single-owner
+    // manifest; prior versions own nothing and GC out of retention
+    writeManifest(spark, baseDir, batchId, newShards,
+      (0 until newShards).map(_ -> batchId).toMap)
+    gc(spark, baseDir, batchId)
+  }
+
   /** Shard-granular retention: keep every version id and (version,
     * shard) reference of the last [[KeepVersions]] committed manifests
     * at or below `batchId`; delete unreferenced shard directories and

@@ -448,27 +448,33 @@ object ChainedStress {
         "upsert_stream")
       val payload = Seq("user_id", "day", "event_type", "value", "event_id")
       def store(tag: String, shards: Int, splits: Int,
-          replayLast: Boolean): DataFrame = {
+          replayLast: Boolean, reshardMidway: Int = 0): DataFrame = {
         val dir = java.nio.file.Files
           .createTempDirectory(s"chstress_upsert_$tag").toString + "/store"
         val merge = ShardedUpsertSink.mergeBatch(spark, dir,
           keys = Seq("user_id", "day"), orderCols = Seq("ts", "event_id"),
           shards = shards) _
         (0 until splits).foreach { b =>
+          // batch ids leave a gap so the midway reshard version slots in
           val (secs, _) = timed(
-            merge(ev.filter(col("event_id") % splits === b), b.toLong))
+            merge(ev.filter(col("event_id") % splits === b), b.toLong * 2))
           println(f"[chstress] upsert($tag%-9s) merge ${b + 1}/$splits: " +
             f"$secs%6.2f s")
+          if (reshardMidway > 0 && b == splits / 2)
+            ShardedUpsertSink.reshard(spark, dir, Seq("user_id", "day"),
+              reshardMidway, b.toLong * 2 + 1)
         }
         if (replayLast) // crash-replay of the final batch: no-op change
           merge(ev.filter(col("event_id") % splits === (splits - 1)),
-            (splits - 1).toLong)
+            (splits - 1).toLong * 2)
         persist(ShardedUpsertSink.currentView(spark, dir).get
           .select(payload.map(col): _*), s"upsert_view_$tag")
       }
       val a = store("s4_c3", shards = 4, splits = 3, replayLast = false)
       val b = store("s32_c6", shards = 32, splits = 6, replayLast = false)
       val c = store("s8_replay", shards = 8, splits = 3, replayLast = true)
+      val d = store("s4_rs32", shards = 4, splits = 3, replayLast = false,
+        reshardMidway = 32) // modulus grows MID-CHAIN; later merges adopt
       val oneshot = persist(graft.ops.Upsert.keepLatestPerKey(
         ev, Seq("user_id", "day"), Seq("ts", "event_id"))
         .select(payload.map(col): _*), "upsert_oneshot")
@@ -476,6 +482,7 @@ object ChainedStress {
         oneshot.count())
       check("upsert_rs", xorSum(b), xorSum(a), b.count(), a.count())
       check("upsert_replay", xorSum(c), xorSum(a), c.count(), a.count())
+      check("upsert_grow", xorSum(d), xorSum(a), d.count(), a.count())
     }
 
     println(s"[chstress] all families EXACT across $nSlices chained slices")

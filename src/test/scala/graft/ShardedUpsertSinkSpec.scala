@@ -216,6 +216,52 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
       Seq("k"), Seq("x")).isEmpty)
   }
 
+  test("reshard grows the modulus: content identical, merges adopt new P") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shup-rs").toString
+    val merge4 = ShardedUpsertSink.mergeBatch(s, dir,
+      keys = Seq("k"), orderCols = Seq("seq"), shards = 4) _
+    merge4((0 until 200).map(i => (s"key$i", 1L, i.toDouble))
+      .toDF("k", "seq", "v"), 0L)
+    merge4(Seq(("key3", 2L, 33.0)).toDF("k", "seq", "v"), 1L)
+    val before = viewMap(dir)
+    // the sanctioned modulus change: one full rewrite under P=16
+    ShardedUpsertSink.reshard(s, dir, Seq("k"), newShards = 16, batchId = 2L)
+    assert(viewMap(dir) == before, "reshard changed view content")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v=2/_manifest")))
+    assert(manifest.startsWith("#shards 16"))
+    // point lookups route under the NEW modulus
+    val hit = ShardedUpsertSink.lookup(s, dir, Seq("k"), Seq("key3")).get
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(hit == Seq(33.0))
+    // a later merge (even with a drifted shards parameter) adopts 16
+    ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 7)(
+      Seq(("key5", 2L, 55.0)).toDF("k", "seq", "v"), 3L)
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v=3/_manifest")))
+    assert(m3.startsWith("#shards 16"))
+    assert(viewMap(dir) == before + ("key5" -> 55.0))
+    // single-owner invariant: after the next merge, pre-reshard
+    // versions own nothing and GC out of the retention window
+    ShardedUpsertSink.mergeBatch(s, dir, Seq("k"), Seq("seq"), shards = 16)(
+      Seq(("key6", 2L, 66.0)).toDF("k", "seq", "v"), 4L)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(!dirs.contains("v=0") && !dirs.contains("v=1"),
+      s"pre-reshard versions survived GC: $dirs")
+    // refusals: stale batchId and an empty store
+    assertThrows[IllegalArgumentException] {
+      ShardedUpsertSink.reshard(s, dir, Seq("k"), 32, batchId = 2L)
+    }
+    assertThrows[IllegalArgumentException] {
+      ShardedUpsertSink.reshard(s,
+        Files.createTempDirectory("graft-shup-rs2").toString,
+        Seq("k"), 8, batchId = 0L)
+    }
+  }
+
   test("streaming end-to-end via foreachBatch") {
     val s = spark
     import s.implicits._
