@@ -242,7 +242,22 @@ object ShardedUpsertSink {
     * then manifest-as-marker, then GC), so a crash mid-reshard leaves
     * an uncommitted version readers ignore. Quiesce merges first
     * (single-writer contract); `batchId` must exceed every committed
-    * version so the new manifest is the newest. */
+    * version so the new manifest is the newest.
+    *
+    * ID-SPACE CONTRACT with a resuming stream: a foreachBatch stream
+    * resumes at ITS OWN next id (checkpoint-determined), so map stream
+    * ids ABOVE the reshard version when restarting (the foreachBatch
+    * adapter owns that mapping — see [[graft.tools.StreamBench]]'s
+    * `id + 1` seed offset). If a redelivered merge nonetheless COLLIDES
+    * with the reshard's id, exactly-once semantics win by design: the
+    * merge recomputes against `versions < batchId` (the retained
+    * pre-reshard predecessor — [[KeepVersions]] ≥ 2 exists for exactly
+    * this), overwrites the version, and the view stays correct under
+    * the OLD modulus; only the reshard work is lost (redo it). A merge
+    * LANDING BETWEEN the newest pre-reshard version and a gapped
+    * reshard id would leave the newest manifest (the reshard) blind to
+    * it until ids pass the gap — hence the `committed.last + 1`-style
+    * id, never a gap. Spec-armed. */
   def reshard(spark: SparkSession, baseDir: String, keys: Seq[String],
       newShards: Int, batchId: Long): Unit = {
     require(newShards > 0, s"reshard: bad modulus $newShards")
@@ -257,10 +272,18 @@ object ShardedUpsertSink {
       .repartition(col("shard"))
       .write.partitionBy("shard")
       .mode("overwrite").parquet(s"$baseDir/v=$batchId")
-    // every shard owned by the reshard version — a clean single-owner
-    // manifest; prior versions own nothing and GC out of retention
+    // Single-owner manifest over the shards that actually hold rows
+    // (from the just-written layout, not 0 until P: a 2^20-modulus
+    // store must not drag a million-line manifest into every later
+    // merge); prior versions own nothing and GC out of retention.
+    // Lookups on empty shards still return Some(empty) — the absent-
+    // shard path handles unmapped shards.
+    val f = fs(spark, baseDir)
+    val writtenShards = f.listStatus(new Path(s"$baseDir/v=$batchId"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(_.getPath.getName.stripPrefix("shard=").toInt)
     writeManifest(spark, baseDir, batchId, newShards,
-      (0 until newShards).map(_ -> batchId).toMap)
+      writtenShards.map(_ -> batchId).toMap)
     gc(spark, baseDir, batchId)
   }
 

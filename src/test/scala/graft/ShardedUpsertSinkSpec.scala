@@ -260,6 +260,25 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
         Files.createTempDirectory("graft-shup-rs2").toString,
         Seq("k"), 8, batchId = 0L)
     }
+    // ID COLLISION (the resuming-stream footgun the scaladoc contracts
+    // around): a redelivered merge with the reshard's own id recomputes
+    // against the RETAINED pre-reshard predecessor and overwrites the
+    // version — exactly-once wins, the view stays CORRECT under the old
+    // modulus, only the reshard work is lost.
+    val dir2 = Files.createTempDirectory("graft-shup-rsc").toString
+    val m2 = ShardedUpsertSink.mergeBatch(s, dir2,
+      keys = Seq("k"), orderCols = Seq("seq"), shards = 4) _
+    m2((0 until 50).map(i => (s"key$i", 1L, i.toDouble))
+      .toDF("k", "seq", "v"), 0L)
+    ShardedUpsertSink.reshard(s, dir2, Seq("k"), newShards = 16, batchId = 1L)
+    m2(Seq(("key9", 2L, 99.0)).toDF("k", "seq", "v"), 1L) // collides
+    val view2 = ShardedUpsertSink.currentView(s, dir2).get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(view2.size == 50 && view2("key9") == 99.0 && view2("key0") == 0.0)
+    val m2manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir2/v=1/_manifest")))
+    assert(m2manifest.startsWith("#shards 4"),
+      "colliding merge must carry the pre-reshard modulus it merged under")
   }
 
   test("streaming end-to-end via foreachBatch") {
