@@ -287,6 +287,38 @@ object ShardedUpsertSink {
     gc(spark, baseDir, batchId)
   }
 
+  /** Scheduled form of [[reshard]] — the upsert twin of the admission
+    * registry's self-sized folds: re-shard to P = bytes /
+    * targetShardBytes whenever the CURRENT average shard has grown past
+    * 2 × target (the doubling gate is what bounds lifetime rewrites to
+    * O(log growth)). Call from the same quiesced maintenance window as
+    * [[reshard]]; view bytes come from the live (version, shard)
+    * references — O(live shards) metadata calls, no scan job. Returns
+    * the new modulus when a reshard ran, None on the no-op path.
+    * `targetShardBytes` must sit well above parquet's per-file overhead
+    * (~1 KB footer) — below it, measured bytes grow with P itself and
+    * any byte-driven policy thrashes (spec pins the behavior at a sane
+    * target; the 64 MB default is 5 orders above the overhead). */
+  def maybeReshard(spark: SparkSession, baseDir: String, keys: Seq[String],
+      batchId: Long, targetShardBytes: Long = 64L << 20): Option[Int] = {
+    val committed = versions(spark, baseDir)
+    if (committed.isEmpty) return None
+    val (p, manifest) = readManifest(spark, baseDir, committed.last)
+    if (p <= 0 || manifest.isEmpty) return None
+    val f = fs(spark, baseDir)
+    val bytes = manifest.toSeq.map { case (s, owner) =>
+      val d = new Path(s"$baseDir/v=$owner/shard=$s")
+      if (f.exists(d)) f.getContentSummary(d).getLength else 0L
+    }.sum
+    if (bytes / math.max(p, 1) <= 2 * targetShardBytes) None
+    else {
+      val newP = math.min(1L << 20, math.max(p.toLong,
+        (bytes + targetShardBytes - 1) / targetShardBytes)).toInt
+      reshard(spark, baseDir, keys, newP, batchId)
+      Some(newP)
+    }
+  }
+
   /** Shard-granular retention: keep every version id and (version,
     * shard) reference of the last [[KeepVersions]] committed manifests
     * at or below `batchId`; delete unreferenced shard directories and

@@ -279,6 +279,29 @@ class ShardedUpsertSinkSpec extends AnyFunSuite with SparkTestSupport {
       java.nio.file.Paths.get(s"$dir2/v=1/_manifest")))
     assert(m2manifest.startsWith("#shards 4"),
       "colliding merge must carry the pre-reshard modulus it merged under")
+    // maybeReshard: fires only past the 2x-target doubling gate, sizes
+    // P to bytes/target, and no-ops immediately after. The target must
+    // sit above parquet's per-file footer overhead (~1 KB) or ANY
+    // byte-driven policy thrashes at fixture scale — production targets
+    // (64 MB default) dwarf it.
+    val dir4 = Files.createTempDirectory("graft-shup-mrs").toString
+    ShardedUpsertSink.mergeBatch(s, dir4, Seq("k"), Seq("seq"), shards = 2)(
+      (0 until 2000).map(i => (s"key$i", 1L, i.toDouble))
+        .toDF("k", "seq", "v"), 0L)
+    val before4 = ShardedUpsertSink.currentView(s, dir4).get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    val grew = ShardedUpsertSink.maybeReshard(s, dir4, Seq("k"),
+      batchId = 1L, targetShardBytes = 4096L)
+    assert(grew.exists(_ > 2), s"expected a grown modulus, got $grew")
+    assert(ShardedUpsertSink.maybeReshard(s, dir4, Seq("k"),
+      batchId = 2L, targetShardBytes = 4096L).isEmpty,
+      "freshly resharded store must not reshard again")
+    assert(ShardedUpsertSink.currentView(s, dir4).get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+      == before4)
+    // huge target -> under the gate -> no-op
+    assert(ShardedUpsertSink.maybeReshard(s, dir4, Seq("k"),
+      batchId = 3L, targetShardBytes = 1L << 30).isEmpty)
   }
 
   test("streaming end-to-end via foreachBatch") {
