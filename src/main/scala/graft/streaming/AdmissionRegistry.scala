@@ -56,7 +56,12 @@ import graft.ext.Sharded
   *      permanently. Pruning fails SAFE, not just closed: a directory
   *      with no readable `_shards` marker (e.g. the crash window between
   *      parquet commit and marker write on a replayed append) is read in
-  *      full — a superset, never a miss.
+  *      full — a superset, never a miss. Read entry points NEVER mutate
+  *      the layout (ADVICE r14): an audit process reading history() mid-
+  *      swap observes an interrupted fold's aside directory as an extra
+  *      source instead of "recovering" it out from under the writer;
+  *      crash recovery runs only on the mutating paths the single
+  *      foreachBatch writer serializes ([[maybeCompact]]/[[compact]]).
   *   4. **Tiered compaction.** Micro-batch appends are the small-files
   *      disease at 100 TB/day ingest. The scheduled path
   *      ([[maybeCompact]]) folds runs GEOMETRICALLY (LSM size-tiered):
@@ -120,15 +125,30 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
   private def fs(spark: SparkSession) =
     new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Leaf `batch=<id>` directories currently present, with their ids.
-    * Completes or unwinds a fold's interrupted target swap first (see
-    * [[fold]]'s `.retire_batch=` protocol): a crash between the
-    * rename-aside and the tmp→target rename would otherwise leave the
-    * folded run's ONLY live copy in the aside directory and every read
-    * silently missing it — fail-open in a fail-closed module (ADVICE
-    * r13). Recovery is idempotent and single-writer-safe (the stream's
-    * foreachBatch serializes all registry mutation). */
-  private def batchDirs(spark: SparkSession): Seq[(Long, Path)] = {
+  /** Leaf `batch=<id>` directories currently present, with their ids and
+    * whether the entry is an interrupted-swap ASIDE (see [[fold]]'s
+    * `.retire_batch=` protocol).
+    *
+    * `recover = true` (MUTATING entry points only — [[maybeCompact]] /
+    * [[compact]], which the single foreachBatch writer serializes):
+    * completes or unwinds a fold's interrupted target swap first — a
+    * crash between the rename-aside and the tmp→target rename would
+    * otherwise leave the folded run's ONLY live copy in the aside
+    * directory, and [[fold]]'s stale-aside delete would destroy it
+    * (ADVICE r13). After recovery no aside survives, so every returned
+    * entry is a plain `batch=` dir.
+    *
+    * `recover = false` (read-only entry points — [[historyTouched]] /
+    * [[footerStats]], which audit tools may call from a process that is
+    * NOT the writer): performs NO filesystem mutation. An aside whose
+    * `batch=` target is absent (crash before the tmp→target rename: the
+    * aside IS the folded run) is returned as an extra source under its
+    * own id; an aside whose target exists is a stale duplicate the new
+    * target subsumes — skipped. A reader renaming "helpfully" mid-swap
+    * would make the WRITER's rename fail and abort its trigger
+    * (ADVICE r14) — reads must observe, never repair. */
+  private def batchDirs(spark: SparkSession,
+      recover: Boolean): Seq[(Long, Path, Boolean)] = {
     val f = fs(spark)
     val root = new Path(stateDir)
     if (!f.exists(root)) return Nil
@@ -140,10 +160,26 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     val entries = f.listStatus(root).toSeq.filter(_.isDirectory)
     val asides =
       entries.filter(_.getPath.getName.startsWith(".retire_batch="))
+    val targetIds = entries.collect {
+      case s if s.getPath.getName.startsWith("batch=") =>
+        s.getPath.getName.stripPrefix("batch=").toLong
+    }.toSet
+    if (!recover) {
+      val live = entries.filter(_.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong,
+          s.getPath, false))
+      val orphaned = asides.collect {
+        case s if !targetIds.contains(
+            s.getPath.getName.stripPrefix(".retire_batch=").toLong) =>
+          (s.getPath.getName.stripPrefix(".retire_batch=").toLong,
+            s.getPath, true)
+      }
+      return live ++ orphaned
+    }
     asides.foreach { s =>
       val id = s.getPath.getName.stripPrefix(".retire_batch=").toLong
       val target = new Path(root, s"batch=$id")
-      if (f.exists(target)) {
+      if (targetIds.contains(id)) {
         // swap completed before the crash: the aside holds rows the new
         // target subsumes — a stale duplicate, safe to drop
         f.delete(s.getPath, true)
@@ -159,7 +195,8 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     val current = if (asides.isEmpty) entries
       else f.listStatus(root).toSeq.filter(_.isDirectory)
     current.filter(_.getPath.getName.startsWith("batch="))
-      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong,
+        s.getPath, false))
   }
 
   /** One cached read of a directory's `_shards` marker file, keyed by
@@ -230,6 +267,15 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     // not in readSchema; the payload select drops it.
     spark.read.option("basePath", stateDir)
       .schema(readSchema).parquet(dirs.map(_.toString): _*)
+
+  /** Read one interrupted-swap ASIDE directory (read-only callers treat
+    * it as an extra source — see [[batchDirs]]): anchored at the aside
+    * dir ITSELF, not the registry root, so partition discovery sees only
+    * the `shard=` level and never tries to parse the dot-prefixed
+    * `.retire_batch=` segment as a partition column. */
+  private def readAside(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.option("basePath", dir.toString)
+      .schema(readSchema).parquet(dir.toString)
 
   /** Int32 payload columns whose per-directory value RANGE rides the
     * marker cache (each run writes few distinct values — the embedding
@@ -317,8 +363,21 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
         case None => s"int:$n=?"
       }
     }).mkString("\n")
-    val out = fs(spark).create(new Path(dir, "_shards"), true)
+    // tmp + rename, never create-in-place (ADVICE r14): a crash mid-write
+    // can flush a truncated first line that still PARSES as a valid but
+    // smaller modulus ('12' flushed as '1'), and dirShards would then
+    // prune history under the wrong modulus — silently missing rows, the
+    // fail-open this module exists to prevent. The rename is atomic on
+    // Hadoop FileSystems; the crash window leaves the marker ABSENT =
+    // full-read + footer-walk (fail safe), never wrong.
+    val f = fs(spark)
+    val tmp = new Path(dir, "_shards.tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
+    val target = new Path(dir, "_shards")
+    f.delete(target, false) // rename won't overwrite on HDFS semantics
+    require(f.rename(tmp, target),
+      s"registry marker: rename $tmp -> $target failed")
     markerCache.remove(cacheKey(spark, dir)) // re-read on next use
   }
 
@@ -363,7 +422,7 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     var rows = 0L
     var values = Set.empty[Int]
     var statsOk = statsCol.forall(intCols.contains)
-    batchDirs(spark).foreach { case (id, p) =>
+    batchDirs(spark, recover = false).foreach { case (id, p, _) =>
       if (id != excludeBatchId) {
         val (r, ranges) = readDirMeta(spark, p)
           .getOrElse(dirFooterWalk(spark, p))
@@ -415,18 +474,26 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     * probe) reads everything, = Some(empty) reads nothing. */
   def historyTouched(spark: SparkSession, excludeBatchId: Long,
       tokens: Option[Array[Long]]): DataFrame = {
-    val dirs = batchDirs(spark).collect {
-      case (id, p) if id != excludeBatchId => p
+    val dirs = batchDirs(spark, recover = false).collect {
+      case (id, p, aside) if id != excludeBatchId => (p, aside)
     }
     if (dirs.isEmpty) return emptyHistory(spark)
+    def readGroup(group: Seq[(Path, Boolean)]): DataFrame = {
+      val (normal, asides) = group.partition(!_._2)
+      val reads =
+        (if (normal.isEmpty) Nil
+         else Seq(readDirs(spark, normal.map(_._1)))) ++
+          asides.map(d => readAside(spark, d._1))
+      reads.reduce(_ unionByName _)
+    }
     tokens match {
-      case None => readDirs(spark, dirs)
+      case None => readGroup(dirs)
         .select(schema.fieldNames.map(col).toSeq: _*)
       case Some(toks) if toks.isEmpty => emptyHistory(spark)
       case Some(toks) =>
-        val byP = dirs.groupBy(d => dirShards(spark, d)).toSeq.sortBy(_._1)
+        val byP = dirs.groupBy(d => dirShards(spark, d._1)).toSeq.sortBy(_._1)
         byP.map { case (p, group) =>
-          val read = readDirs(spark, group)
+          val read = readGroup(group)
           val pruned =
             if (p <= 0) read // no/unknown marker: full read (fail safe)
             else {
@@ -500,7 +567,9 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
   def maybeCompact(spark: SparkSession, batchId: Long, every: Int): Unit = {
     if (every <= 0 || batchId <= 0 || batchId % every != 0) return
     val f = fs(spark)
-    val dirs = batchDirs(spark).filter(_._1 < batchId).sortBy(_._1)
+    val dirs = batchDirs(spark, recover = true)
+      .map { case (id, p, _) => (id, p) }
+      .filter(_._1 < batchId).sortBy(_._1)
     if (dirs.size < 2) return
     val sized = dirs.map { case (id, p) =>
       (id, p, f.getContentSummary(p).getLength) }
@@ -533,7 +602,9 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     * of directories folded. Only call with a durably-committed
     * watermark (see class doc). */
   def compact(spark: SparkSession, uptoBatchId: Long): Int = {
-    val olds = batchDirs(spark).filter(_._1 <= uptoBatchId)
+    val olds = batchDirs(spark, recover = true)
+      .map { case (id, p, _) => (id, p) }
+      .filter(_._1 <= uptoBatchId)
     if (olds.size <= 1) return olds.size
     fold(spark, olds, uptoBatchId)
   }

@@ -354,21 +354,66 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       java.nio.file.Paths.get(s"$dir/batch=2"),
       java.nio.file.Paths.get(s"$dir/.retire_batch=2"))
     val reg2 = new AdmissionRegistry(dir, keySchema, Seq("k")) // fresh caches
+    // READ paths observe the aside as an extra source WITHOUT repairing
+    // it (ADVICE r14): a reader in a separate audit process renaming
+    // mid-swap would make the writer's own rename fail and abort its
+    // trigger. No row vanishes, and the layout is untouched.
     assert(reg2.history(s, excludeBatchId = 9).as[Long].collect().toSet ==
       Set(0L, 1L, 10L, 11L, 20L, 21L),
-      "interrupted swap must be unwound — no registered row may vanish")
+      "interrupted swap must stay readable — no registered row may vanish")
+    assert(reg2.approxRows(s, excludeBatchId = 9) == 6,
+      "footerStats must count the aside's rows")
+    assert(!new java.io.File(s"$dir/batch=2").exists() &&
+      new java.io.File(s"$dir/.retire_batch=2").exists(),
+      "read-only history() must NOT perform recovery renames")
+    // The MUTATING path (the single writer's compaction schedule) is
+    // where recovery runs: the aside is restored to its batch= target.
+    reg2.maybeCompact(s, batchId = 3, every = 3)
     assert(new java.io.File(s"$dir/batch=2").exists() &&
-      !new java.io.File(s"$dir/.retire_batch=2").exists())
+      !new java.io.File(s"$dir/.retire_batch=2").exists(),
+      "writer-path compaction must unwind the interrupted swap")
+    assert(reg2.history(s, excludeBatchId = 9).as[Long].collect().toSet ==
+      Set(0L, 1L, 10L, 11L, 20L, 21L))
     // Window B: crash AFTER the swap, before the aside delete — the
-    // aside duplicates rows the new target holds; reads drop it.
+    // aside duplicates rows the new target holds; reads skip it (a
+    // stale duplicate) and the writer path drops it.
     reg2.append(Seq(30L).toDF("k"), 3)
     assert(reg2.compact(s, uptoBatchId = 3) == 2)
     copyDir(java.nio.file.Paths.get(s"$dir/batch=3"),
       java.nio.file.Paths.get(s"$dir/.retire_batch=3"))
     val reg3 = new AdmissionRegistry(dir, keySchema, Seq("k"))
-    assert(reg3.history(s, excludeBatchId = 9).count() == 7)
+    assert(reg3.history(s, excludeBatchId = 9).count() == 7,
+      "stale aside (target present) must not double-count rows")
+    assert(new java.io.File(s"$dir/.retire_batch=3").exists(),
+      "read-only history() must not delete the stale aside")
+    reg3.compact(s, uptoBatchId = 3)
     assert(!new java.io.File(s"$dir/.retire_batch=3").exists(),
-      "completed swap's stale aside must be dropped")
+      "completed swap's stale aside must be dropped by the writer path")
+    assert(reg3.history(s, excludeBatchId = 9).count() == 7)
+  }
+
+  test("a truncated _shards marker cannot be observed (tmp+rename commit)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_marker_")
+    val reg = new AdmissionRegistry(dir, keySchema, Seq("k"), shards = 12)
+    reg.append((0L until 64L).toDF("k"), 0)
+    // The marker is committed via tmp + rename (ADVICE r14): mid-write
+    // state lives only in `_shards.tmp`, so a reader never sees a
+    // truncated first line that parses as a SMALLER modulus ('12' → '1')
+    // and prunes history under it. Simulate the only crash window the
+    // protocol leaves — tmp written, rename not yet done: the marker is
+    // ABSENT, which the registry treats as unprunable-full-read (a
+    // superset, never a miss).
+    val marker = new java.io.File(s"$dir/batch=0/_shards")
+    val tmpF = new java.io.File(s"$dir/batch=0/_shards.tmp")
+    java.nio.file.Files.move(marker.toPath, tmpF.toPath)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/batch=0/._shards.crc"))
+    val reg2 = new AdmissionRegistry(dir, keySchema, Seq("k"), shards = 12)
+    val toks = reg2.probeTokens(Seq(7L).toDF("k"))
+    assert(reg2.historyTouched(s, excludeBatchId = 9, toks)
+      .count() == 64, "marker-absent dir must be read IN FULL (fail safe)")
   }
 
   private def copyDir(src: java.nio.file.Path,
