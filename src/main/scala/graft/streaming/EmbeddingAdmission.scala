@@ -136,25 +136,36 @@ class EmbeddingAdmission(stateDir: String, vecCol: String, idCol: String,
     * already-admitted vectors re-admit until folds re-bucket; a drifted
     * `sizeDatum` likewise changes the size→width map and therefore
     * replay-recomputed decisions. Recorded once in `stateDir/_family`
-    * and required equal ever after. */
+    * and required equal ever after.
+    *
+    * LEGACY UPGRADE (ADVICE r14): stores created before `planes`/
+    * `sizeDatum` joined the pin recorded only the 4-field prefix, and a
+    * strict equality would fail every restart FOREVER — loud but
+    * permanently unusable. A stored string that exactly matches the
+    * old 4-field prefix of `want` is accepted and the `_family` file
+    * rewritten with the current instance's planes/sizeDatum: they
+    * define the store's existing layout by construction (this instance
+    * is the one that has been operating it). */
   private def verifyFamilyParams(spark: org.apache.spark.sql.SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(stateDir, "_family")
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val want = s"seed=$seed tables=$tables dim=$dim maxPlanes=$maxPlanes " +
-      s"planes=$planes sizeDatum=$sizeDatum"
+    val prefix = s"seed=$seed tables=$tables dim=$dim maxPlanes=$maxPlanes"
+    val want = s"$prefix planes=$planes sizeDatum=$sizeDatum"
+    def write(overwrite: Boolean): Unit = {
+      val out = f.create(p, overwrite)
+      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (f.exists(p)) {
       val in = f.open(p)
       val got = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-      require(got == want,
+      if (got == prefix) write(overwrite = true) // pre-r14 pin: upgrade
+      else require(got == want,
         s"embedding admission family drift: store built with [$got], " +
           s"instance configured [$want] — refusing to admit against " +
           "history these buckets cannot match")
-    } else {
-      val out = f.create(p, false)
-      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    } else write(overwrite = false)
   }
 
   /** Admit one micro-batch: returns the admitted rows (original schema)

@@ -132,6 +132,27 @@ class EmbeddingAdmissionSpec extends AnyFunSuite with SparkTestSupport {
     assertThrows[IllegalArgumentException] {
       driftedDatum.admit(Seq((5L, v(5).toSeq)).toDF("vec_id", "embedding"), 2L)
     }
+    // LEGACY pin upgrade (ADVICE r14): a store created before planes/
+    // sizeDatum joined the pin recorded only the 4-field prefix. The
+    // strict equality used to fail every restart forever; now the
+    // prefix is accepted and the pin rewritten with the current
+    // instance's planes/sizeDatum.
+    val famPath = java.nio.file.Paths.get(s"$stateDir/_family")
+    val current = new String(java.nio.file.Files.readAllBytes(famPath))
+    val legacyPin = current.split(" ").take(4).mkString(" ")
+    java.nio.file.Files.write(famPath, legacyPin.getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$stateDir/._family.crc"))
+    val resumed = new EmbeddingAdmission(stateDir, "embedding", "vec_id",
+      threshold = 0.95, planes = 3, tables = 4, dim = 8, seed = 7L)
+    assert(resumed.admit(Seq((6L, v(6).toSeq)).toDF("vec_id", "embedding"),
+      2L).count() == 1, "legacy 4-field pin must be accepted")
+    assert(new String(java.nio.file.Files.readAllBytes(famPath)).trim
+      == current.trim, "legacy pin must be rewritten to the full format")
+    // ...and the upgraded pin still refuses real drift
+    assertThrows[IllegalArgumentException] {
+      driftedDatum.admit(Seq((7L, v(7).toSeq)).toDF("vec_id", "embedding"), 3L)
+    }
   }
 
   test("semantic near-dups rejected across and within micro-batches; low-cos bucket-mates land") {
