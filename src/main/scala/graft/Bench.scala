@@ -10,8 +10,9 @@ import java.nio.file.{Files, Paths}
   * JSON line rode inside sbt's [info] stream next to a plan-truncation
   * WARN):
   *   - the JSON is ALSO written to a file (`SPARK_GRAFT_BENCH_OUT`, default
-  *     /root/repo/bench_out.json) so the perf signal survives any stdout
-  *     mangling;
+  *     /root/repo/target/bench_out.json) so the perf signal survives any
+  *     stdout mangling (under target/, not the repo root — the committed
+  *     series is BENCH_rNN.json + BENCH_HISTORY.jsonl);
   *   - per-query failures are RECORDED (`"errors":{name:msg}` + the query
   *     timing is still present) instead of silently benchmarking a broken
   *     query as a fast success.
@@ -109,9 +110,13 @@ object Bench {
         .map(l => "BENCH_HISTORY.jsonl" -> parseQueryTimes(l))
         .filter(_._2.nonEmpty)
       catch { case _: Throwable => None }
-    // 2./3. newest committed round file of each shape
+    // 2./3. newest committed round file of each shape (full-precision
+    // BENCH_OUT snapshots moved to bench_fixtures/ in r15 — the repo
+    // root carries only the canonical BENCH_rNN.json series)
     def newest(pattern: String): Option[java.io.File] =
-      Option(new java.io.File(repoDir).listFiles()).getOrElse(Array.empty)
+      Seq(repoDir, s"$repoDir/bench_fixtures")
+        .flatMap(d => Option(new java.io.File(d).listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq)
         .filter(_.getName.matches(pattern))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
     def fromFile(f: java.io.File): Option[(String, Map[String, Double])] =
@@ -129,7 +134,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // under target/ (VERDICT r14 #8): BENCH_rNN.json + BENCH_HISTORY are
+    // the canonical committed series; a loose repo-root bench_out.json
+    // was the one place a stale artifact could pass for current evidence
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench_out.json")
     // Targeted local adjudication: run only these queries, at a minimum
     // sample count — e.g. SPARK_GRAFT_BENCH_ONLY=q_histogram,q_join_fact
     // SPARK_GRAFT_BENCH_MIN_SAMPLES=5 re-measures suspected movers with a
@@ -274,6 +283,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
+    Option(Paths.get(outFile).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outFile), json + "\n")
     // Full-precision history: a COMPLETE run (no query filter) appends its
     // line so the NEXT round's move detector compares against untruncated

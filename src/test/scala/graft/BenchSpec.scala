@@ -24,7 +24,7 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("parses a full-precision bench_out line (BENCH_OUT_r08.json)") {
-    val full = Bench.parseQueryTimes(read("BENCH_OUT_r08.json"))
+    val full = Bench.parseQueryTimes(read("bench_fixtures/BENCH_OUT_r08.json"))
     assert(full.size >= 100, s"expected the full 130-query map, got ${full.size}")
     // ADVICE r8: the driver's truncated block carries only ~49 of 130
     // entries; the detector must still compare queries absent from it.
@@ -37,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("flags the known round-8 movers against round-7 times") {
     val r7 = Bench.parseQueryTimes(read("BENCH_r07.json"))
-    val r8 = Bench.parseQueryTimes(read("BENCH_OUT_r08.json"))
+    val r8 = Bench.parseQueryTimes(read("bench_fixtures/BENCH_OUT_r08.json"))
     val moved = Bench.movers(r7, r8).toMap
     // q_distinct_sketch 0.78 -> 2.57 s: the 3.3x mover the dead detector
     // missed (VERDICT r8 What's-wrong #1).
