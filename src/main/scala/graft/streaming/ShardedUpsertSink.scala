@@ -150,11 +150,17 @@ object ShardedUpsertSink {
   }
 
   /** Rows of `manifest`'s shards restricted to `wanted` (None = all):
-    * one pruned read per distinct owning version — the `shard IN (…)`
-    * literal prunes at the file index, so bytes track the wanted shard
-    * set, not the view. `knownSchema` (the stored PAYLOAD schema, when
-    * the caller already holds it) suppresses Spark's footer-inference
-    * job at relation-resolution time — the jobless-lookup path. */
+    * one pruned read per distinct owning version. With a `wanted` set
+    * the read is given the wanted `shard=` DIRECTORIES as explicit
+    * paths, so relation resolution LISTS only those — a point lookup
+    * against a P=1024 store costs one directory listing, not 1024 (at
+    * r15's jobless-lookup measurement the root-path spelling spent
+    * ~0.5 s listing every shard dir of the version to then prune all
+    * but one). The `shard IN (…)` literal additionally pins the file-
+    * index pruning for the footprint locks. `knownSchema` (the stored
+    * PAYLOAD schema, when the caller already holds it) suppresses
+    * Spark's footer-inference job at relation-resolution time — the
+    * jobless-lookup path. */
   private def readShards(spark: SparkSession, baseDir: String,
       manifest: Map[Int, ShardRef], wanted: Option[Set[Int]],
       knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -174,8 +180,11 @@ object ShardedUpsertSink {
       // itself matches the col=val pattern and would otherwise join the
       // upward walk (the AdmissionRegistry batch= lesson).
       val rd = spark.read.option("basePath", s"$baseDir/v=$v")
+      val paths =
+        if (wanted.isEmpty) Seq(s"$baseDir/v=$v") // full view: one root
+        else ss.keys.toSeq.sorted.map(s => s"$baseDir/v=$v/shard=$s")
       readSchema.fold(rd)(rd.schema)
-        .parquet(s"$baseDir/v=$v")
+        .parquet(paths: _*)
         .filter(col("shard").isin(ss.keys.toSeq.sorted
           .map(Integer.valueOf): _*))
     }

@@ -48,12 +48,22 @@ import graft.streaming.{Pipeline, ServingView}
   *     CPU kernel cost, the number the 100 TB multimodal ingest story
   *     needs).
   *
+  * Round-15 arms (VERDICT r14 #1/#4/#6): `upsert-lookup` = point-lookup
+  * latency p50/p95 against a populated sharded store, with the retired
+  * per-probe hash job as the overhead reference; `curation-paired` =
+  * the load-immune A/B-interleaved chain measurement (see
+  * runCurationPaired); `statestore` = RocksDB vs default state store
+  * for the A1 window agg at a ≥10⁶ (window × game) key domain.
+  *
   * Usage: runMain graft.tools.StreamBench
-  *        [throughput|serving|serving-durable|curation|curation-bounded|mediagate]
+  *        [throughput|serving|serving-durable|curation|curation-bounded|
+  *         mediagate|upsert-sharded|upsert-lookup|curation-paired|statestore]
   *        [rowsPerSec] [secs]
   * (`serving-durable` = the parquet-versioned snapshot mode;
   * `curation-bounded` takes batch-row sizes instead of rowsPerSec —
-  * fixed-size triggers via rate-micro-batch, see runCurationBounded.)
+  * fixed-size triggers via rate-micro-batch, see runCurationBounded;
+  * `curation-paired` takes [batchA batchB rounds];
+  * `statestore` takes [rowsPerBatch triggers].)
   */
 object StreamBench {
 
@@ -110,6 +120,16 @@ object StreamBench {
         numeric.headOption.map(_.toLong).getOrElse(10000000L),
         if (numeric.length > 1) numeric.drop(1).map(_.toInt).toSeq
         else Seq(64, 1024, 16384))
+      case "upsert-lookup" => runUpsertLookup(spark,
+        numeric.headOption.map(_.toLong).getOrElse(1000000L),
+        if (numeric.length > 1) numeric(1).toInt else 200)
+      case "curation-paired" => runCurationPaired(spark,
+        if (numeric.length > 0) numeric(0).toInt else 10000,
+        if (numeric.length > 1) numeric(1).toInt else 50000,
+        if (numeric.length > 2) numeric(2).toInt else 12)
+      case "statestore" => runStateStore(spark,
+        if (numeric.length > 0) numeric(0).toInt else 200000,
+        if (numeric.length > 1) numeric(1).toInt else 15)
       case m if m.startsWith("serving") =>
         runServing(spark, Pipeline.summarize(frames), rps, seconds,
           durable = m == "serving-durable")
@@ -234,6 +254,59 @@ object StreamBench {
       f"batches=${xs.size}%3d " +
       f"merge_ms_p50=${pct(lat, 0.5)}%7.0f merge_ms_p95=${pct(lat, 0.95)}%7.0f " +
       f"mb_per_trigger=${xs.map(_._2).sum / math.max(xs.size, 1) / 1e6}%8.2f")
+  }
+
+  /** Point-lookup latency against a populated sharded upsert store
+    * (VERDICT r14 #1 done-criterion): [[graft.streaming.ShardedUpsertSink
+    * .lookup]] now hashes the key DRIVER-SIDE (zero Spark jobs before
+    * the pruned one-shard read). Reports p50/p95 for (a) lookup frame
+    * construction (the formerly job-bearing part), (b) end-to-end
+    * lookup+collect, and (c) the retired `spark.range(1)…head()` hash
+    * job as the overhead reference each lookup used to pay first. */
+  private def runUpsertLookup(spark: SparkSession, keyDomain: Long,
+      probes: Int): Unit = {
+    import graft.streaming.ShardedUpsertSink
+    import graft.ext.Sharded
+    val shards = 256
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sb_ulk_").toString + "/store"
+    val t0 = System.nanoTime()
+    ShardedUpsertSink.mergeBatch(spark, base, Seq("k"), Seq("seq"), shards)(
+      spark.range(keyDomain).select(col("id").as("k"), lit(0L).as("seq"),
+        md5(col("id").cast("string")).as("doc")), 0L)
+    // a second, narrow version so lookups traverse a real manifest chain
+    ShardedUpsertSink.mergeBatch(spark, base, Seq("k"), Seq("seq"), shards)(
+      spark.range(64).select((col("id") * 97 % keyDomain).as("k"),
+        lit(1L).as("seq"), lit("updated").as("doc")), 1L)
+    println(f"[streambench] mode=upsert-lookup key_domain=$keyDomain " +
+      f"shards=$shards probes=$probes seed_s=${(System.nanoTime() - t0) / 1e9}%.1f")
+    def ms(body: => Unit): Double = {
+      val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e6
+    }
+    val construct = scala.collection.mutable.ArrayBuffer[Double]()
+    val total = scala.collection.mutable.ArrayBuffer[Double]()
+    val legacy = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until probes).foreach { i =>
+      val key = java.lang.Math.floorMod(i * 2654435761L, keyDomain)
+      var df: org.apache.spark.sql.DataFrame = null
+      val c = ms { df = ShardedUpsertSink.lookup(spark, base,
+        Seq("k"), Seq(key)).get }
+      val t = c + ms {
+        require(df.collect().length == 1, s"key $key missed") }
+      // the retired pattern: one spark.range(1) job per probe, just to
+      // hash the key (what lookup() did before r15)
+      val l = ms { spark.range(1)
+        .select(Sharded.shardOfAll(Seq(lit(key)), shards).as("s"))
+        .head() }
+      construct += c; total += t; legacy += l
+    }
+    def drop2(xs: Seq[Double]) = xs.drop(2) // codegen/footer warmup
+    println(f"[streambench] lookup construct_ms_p50=${pct(drop2(construct.toSeq), 0.5)}%7.1f " +
+      f"p95=${pct(drop2(construct.toSeq), 0.95)}%7.1f | " +
+      f"e2e_ms_p50=${pct(drop2(total.toSeq), 0.5)}%7.1f " +
+      f"p95=${pct(drop2(total.toSeq), 0.95)}%7.1f | " +
+      f"retired_hash_job_ms_p50=${pct(drop2(legacy.toSeq), 0.5)}%7.1f " +
+      f"p95=${pct(drop2(legacy.toSeq), 0.95)}%7.1f")
   }
 
   /** Synthetic documents with controlled duplicate structure. All
@@ -375,6 +448,181 @@ object StreamBench {
       println("[streambench]   series_s=" +
         lat.map(ms => f"${ms / 1000.0}%.1f").mkString(","))
     }
+  }
+
+  /** LOAD-IMMUNE composed-chain measurement (VERDICT r14 #4): the
+    * sequential `curation-bounded` arms needed three samples and a
+    * loadavg adjudication because each batch-size point ran alone
+    * against a noisy shared host. Here the two batch-size arms run as
+    * TWO MemoryStream-driven chains (separate registries/checkpoints)
+    * and each round feeds one A-trigger then one B-trigger back to
+    * back, so every A/B pair shares the host conditions of the same
+    * ~20 s window — the per-row cost RATIO B/A is self-normalized even
+    * when absolute times ride a load burst. Per-trigger 1-min loadavg
+    * is recorded, and warm-tail percentiles (post fold-catch-up +
+    * codegen, first 2 rounds dropped) are reported separately from the
+    * cold rounds instead of letting warmup pull p95. */
+  private def runCurationPaired(spark: SparkSession, batchA: Int,
+      batchB: Int, rounds: Int): Unit = {
+    import graft.streaming.{Curation, NearDupAdmission, SpanAdmission}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def loadavg: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => Double.NaN }
+
+    final class Arm(tag: String) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_cpair_$tag").toString
+      val stream = MemoryStream[Long]
+      private val near = new NearDupAdmission(s"$root/near", "text",
+        "doc_id", compactEvery = 8)
+      private val span = new SpanAdmission(s"$root/span", "text", "doc_id",
+        k = 8, gatePct = 60, compactEvery = 8)
+      val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val admitted = new java.util.concurrent.atomic.LongAdder()
+      private var next = 0L
+      // MemoryStream delivers one partition per addData block; the
+      // repartition spreads the trigger's admit work across the same
+      // parallelism the rate-source arms get from numPartitions (the
+      // 10k-row shuffle itself is noise at these batch sizes)
+      val query = Curation
+        .curate(syntheticCurationDocs(stream.toDF().toDF("value")
+          .repartition(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)),
+          "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val b = batch.persist()
+          val out = span.admit(near.admit(b, id), id).persist()
+          admitted.add(out.count())
+          out.write.mode("append").parquet(s"$root/corpus")
+          b.unpersist(); out.unpersist()
+          batchMs.add((System.nanoTime() - t0) / 1e6)
+          ()
+        }.start()
+      /** One synchronous fixed-size trigger; returns its latency (s). */
+      def trigger(rows: Int): Double = {
+        val before = batchMs.size
+        stream.addData(next until next + rows)
+        next += rows
+        query.processAllAvailable()
+        require(batchMs.size == before + 1, s"arm $tag: expected 1 trigger")
+        import scala.jdk.CollectionConverters._
+        batchMs.asScala.toSeq.last / 1000.0
+      }
+    }
+
+    val a = new Arm("a"); val b = new Arm("b")
+    println(s"[streambench] mode=curation-paired batch_a=$batchA " +
+      s"batch_b=$batchB rounds=$rounds (A/B alternate within one run; " +
+      "ratio is load-self-normalized)")
+    val series = (0 until rounds).map { r =>
+      val la = loadavg
+      val sa = a.trigger(batchA)
+      val sb = b.trigger(batchB)
+      println(f"[streambench]   round=$r%2d loadavg=$la%5.2f " +
+        f"a_s=$sa%6.2f b_s=$sb%6.2f b_over_a=${sb / sa}%5.2f")
+      (la, sa, sb)
+    }
+    try {
+      val warm = series.drop(2) // fold catch-up + codegen
+      val cold = series.take(2)
+      val ratios = warm.map { case (_, sa, sb) => sb / sa }.sorted
+      def p(xs: Seq[Double], q: Double) = pct(xs, q)
+      println("[streambench] cold rounds (2): " +
+        s"a_s=${cold.map(x => f"${x._2}%.1f").mkString(",")} " +
+        s"b_s=${cold.map(x => f"${x._3}%.1f").mkString(",")}")
+      println(f"[streambench] warm a(${batchA}): " +
+        f"p50=${p(warm.map(_._2), 0.5)}%6.2f s p95=${p(warm.map(_._2), 0.95)}%6.2f s | " +
+        f"warm b(${batchB}): p50=${p(warm.map(_._3), 0.5)}%6.2f s " +
+        f"p95=${p(warm.map(_._3), 0.95)}%6.2f s | " +
+        f"paired b/a median=${p(ratios, 0.5)}%5.2f " +
+        f"(sustained at b: ${batchB / p(warm.map(_._3), 0.5)}%8.0f rows/s) " +
+        f"loadavg=[${series.map(_._1).min}%4.2f..${series.map(_._1).max}%4.2f] " +
+        f"admitted a=${a.admitted.sum()} b=${b.admitted.sum()}")
+    } finally { a.query.stop(); b.query.stop() }
+  }
+
+  /** RocksDB vs default (HDFS-backed in-memory) state store for the A1
+    * streaming window aggregation at a LARGE key domain (VERDICT r14
+    * #6): the reference's watermark-free unbounded state
+    * (`summarizer.py:52-100`) is exactly where in-memory state dies at
+    * scale — every executor holds its partitions' ENTIRE key domain in
+    * heap forever. Measures, per provider: per-trigger latency,
+    * reported state rows/memory, on-disk checkpoint state size, and
+    * restart-from-checkpoint time (stop → new query on the same
+    * checkpoint → first trigger committed). */
+  private def runStateStore(spark: SparkSession, rowsPerBatch: Int,
+      triggers: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val games = 100000
+    val days = 30
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+    println(s"[streambench] mode=statestore rows_per_batch=$rowsPerBatch " +
+      s"triggers=$triggers key_domain=${games}x$days=" +
+      s"${games.toLong * days} (windows x games; watermark-free A1 chain)")
+    Seq("default", "rocksdb").foreach { provider =>
+      if (provider == "rocksdb")
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      else spark.conf.unset(key)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_ss_$provider").toString
+      val rate = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      // hash-scrambled keys: ~63% of the 3M (game, day-window) domain
+      // is distinct after 3M rows — state grows by ~10^5 keys/trigger
+      val frames = rate.select(to_json(struct(
+        pmod(xxhash64(col("value")), lit(games)).as("app_id"),
+        concat(lit("Game "), pmod(xxhash64(col("value")), lit(games)))
+          .as("app_name"),
+        (lit(1600000000L) + pmod(xxhash64(col("value"), lit(7)),
+          lit(days * 86400L))).as("timestamp_created"),
+        (col("value") % 6000).cast("double")
+          .as("author_playtime_at_review"),
+        (when(col("value") % 3 === 0, -1.0).otherwise(1.0)).as("sentiment"),
+        (when(col("value") % 2 === 0, "true").otherwise("false"))
+          .as("recommended"))).cast("binary").as("value"))
+      def start() = Pipeline.summarize(frames).writeStream.format("noop")
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      val q = start()
+      val deadline = System.currentTimeMillis() + 1200000L
+      while (q.recentProgress.count(_.numInputRows > 0) < triggers &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .take(triggers)
+      q.stop()
+      val durS = progress.map(_.batchDuration / 1000.0)
+      val st = progress.last.stateOperators.headOption
+      val stateRows = st.map(_.numRowsTotal).getOrElse(-1L)
+      val stateMem = st.map(_.memoryUsedBytes).getOrElse(-1L)
+      val diskState = du(new java.io.File(s"$ckpt/state"))
+      // restart: time from start() on the same checkpoint to the first
+      // COMMITTED trigger (state reload rides the first batch)
+      val t0 = System.nanoTime()
+      val q2 = start()
+      val rdl = System.currentTimeMillis() + 600000L
+      while (q2.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < rdl) Thread.sleep(200)
+      val restartS = (System.nanoTime() - t0) / 1e9
+      q2.stop()
+      val warm = durS.drop(2)
+      println(f"[streambench] $provider%-8s triggers=${durS.size}%3d " +
+        f"trigger_s_p50=${pct(warm, 0.5)}%6.2f p95=${pct(warm, 0.95)}%6.2f " +
+        f"max=${warm.max}%6.2f state_rows=$stateRows%9d " +
+        f"state_mem_mb=${stateMem / 1e6}%8.1f disk_state_mb=${diskState / 1e6}%8.1f " +
+        f"restart_first_commit_s=$restartS%6.2f")
+    }
+    spark.conf.unset(key)
   }
 
   /** Decode-gate throughput over cycling fixture blobs (class doc). */
