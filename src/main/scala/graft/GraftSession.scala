@@ -13,15 +13,23 @@ import org.apache.spark.sql.SparkSession
   *   - shuffle partitions sized to the cluster, not the 200 default;
   *   - UTC session timezone (timestamp parity with the oracle and the
   *     reference's epoch math);
-  *   - optional RocksDB state store for large streaming state (the
+  *   - RocksDB state store ON BY DEFAULT for streaming state (the
   *     reference runs watermark-free — state grows with |games|×|days| —
-  *     the in-memory HDFS-backed store stops fitting long before 100 TB).
+  *     so the in-memory HDFS-backed store stops fitting long before
+  *     100 TB). Measured at a 1.9M-key window aggregation (SURVEY
+  *     §17.8, StreamBench `statestore`): per-trigger latency EQUAL to
+  *     the default store (p50 0.89 vs 0.90 s, p95 better), 2.8× less
+  *     executor memory (273 vs 778 MB), faster restart-from-checkpoint
+  *     (2.1 vs 3.0 s) — there is no latency price, only a heap ceiling
+  *     removed, so scale gets it without asking. `rocksDbState = false`
+  *     opts back into the in-memory store for tiny dashboard-scale
+  *     state where the native store's files are clutter.
   */
 object GraftSession {
 
   def builder(appName: String = "graft",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
-      rocksDbState: Boolean = false): SparkSession.Builder = {
+      rocksDbState: Boolean = true): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")

@@ -241,12 +241,11 @@ object ShardedUpsertSink {
     * key that exists — now every value is reconciled against the stored
     * type before hashing AND before the equality filters (a value that
     * cannot cast fails loudly). A key whose shard holds no data yields
-    * an EMPTY frame (schema from a live shard, `limit(0)` — Catalyst
-    * folds it to an empty relation, zero files read), NOT None: a
-    * committed store with a shard-less key is a miss, not an uncommitted
-    * store (review r14). None only before the first commit, or when the
-    * committed manifest maps no shards at all (an empty store has no
-    * schema source). */
+    * an EMPTY frame (built directly from the stored schema — zero
+    * listings, zero files), NOT None: a committed store with a
+    * shard-less key is a miss, not an uncommitted store (review r14).
+    * None only before the first commit, or when the committed manifest
+    * maps no shards at all (an empty store has no schema source). */
   def lookup(spark: SparkSession, baseDir: String, keys: Seq[String],
       values: Seq[Any]): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -276,9 +275,17 @@ object ShardedUpsertSink {
         val shard = java.lang.Math.floorMod(
           XxHash64(typed, 42L).eval(InternalRow.empty).asInstanceOf[Long],
           p.toLong).toInt
-        readShards(spark, baseDir, manifest, Some(Set(shard)), Some(schema))
-          .orElse(readShards(spark, baseDir, manifest, None, Some(schema))
-            .map(_.limit(0)))
+        // miss path (key's shard unmapped): the schema is already in
+        // hand, so the empty frame is built directly — zero listings,
+        // zero files, instead of resolving the whole version root for
+        // a limit(0)
+        Some(readShards(spark, baseDir, manifest, Some(Set(shard)),
+            Some(schema))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(schema.fields :+
+              org.apache.spark.sql.types.StructField("shard",
+                org.apache.spark.sql.types.IntegerType)))))
           .map { df =>
             keys.zip(typed).foldLeft(df) { case (d, (k, l)) =>
               d.filter(col(k) ===
@@ -494,16 +501,19 @@ object ShardedUpsertSink {
       shards: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     val merge = mergeBatch(spark, baseDir, keys, orderCols, shards) _
-    var offset = -1L // resolved at the first delivered batch, then fixed
+    // resolved at the first delivered batch, then fixed for the run;
+    // atomic for cross-thread visibility (batches are serialized, but
+    // the engine does not promise the same thread)
+    val offset = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (offset < 0) {
+        if (offset.get() < 0) {
           val newest = versions(spark, baseDir).lastOption.getOrElse(-1L)
-          offset = math.max(0L, newest + 1 - batchId)
+          offset.set(math.max(0L, newest + 1 - batchId))
         }
-        merge(batch, batchId + offset)
+        merge(batch, batchId + offset.get())
       }
       .start()
   }
