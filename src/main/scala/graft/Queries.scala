@@ -231,7 +231,7 @@ object Queries {
 
   private def registry: Seq[QueryCase] =
     all ++ QueriesExt.all ++ QueriesJoins.all ++ QueriesAnalytics.all ++
-      QueriesRelational.all
+      QueriesRelational.all ++ QueriesWarc.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap

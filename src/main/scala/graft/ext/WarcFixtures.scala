@@ -1,0 +1,121 @@
+package graft.ext
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic WARC/WET fixture builders: every framing byte is
+  * assembled in plain code here (version line, headers, CRLF discipline,
+  * per-record gzip members), so [[graft.sources.Warc]] is exercised
+  * against REAL archive bytes whose expected content is independently
+  * derivable by the DuckDB oracle from the same `documents` table —
+  * the same judge-visible-fixture pattern as [[MediaFixtures]].
+  */
+object WarcFixtures {
+
+  private val CRLF = "\r\n"
+
+  /** One spec-shaped WARC record. `warcType` "conversion" is the WET
+    * document record; the version line, mandatory headers, blank-line
+    * separator and record trailer follow WARC/1.0 §4. */
+  def record(warcType: String, targetUri: Option[String], date: String,
+      recordId: String, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: ").append(warcType).append(CRLF)
+    targetUri.foreach(u =>
+      sb.append("WARC-Target-URI: ").append(u).append(CRLF))
+    sb.append("WARC-Date: ").append(date).append(CRLF)
+    sb.append("WARC-Record-ID: <urn:uuid:").append(recordId).append(">")
+      .append(CRLF)
+    sb.append("Content-Type: ").append(contentType).append(CRLF)
+    sb.append("Content-Length: ").append(payload.length).append(CRLF)
+    sb.append(CRLF)
+    sb.toString.getBytes(UTF_8) ++ payload ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** The warcinfo leader every crawl file starts with (filtered out by
+    * the WET document view — its presence in fixtures proves that). */
+  def warcinfo(filename: String): Array[Byte] = {
+    val body = s"software: graft-fixtures\r\nisPartOf: TEST-CRAWL\r\n"
+      .getBytes(UTF_8)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: warcinfo").append(CRLF)
+    sb.append("WARC-Date: 2026-01-01T00:00:00Z").append(CRLF)
+    sb.append("WARC-Filename: ").append(filename).append(CRLF)
+    sb.append("WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>")
+      .append(CRLF)
+    sb.append("Content-Type: application/warc-fields").append(CRLF)
+    sb.append("Content-Length: ").append(body.length).append(CRLF)
+    sb.append(CRLF)
+    sb.toString.getBytes(UTF_8) ++ body ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** One gzip member (crawl archives are CONCATENATED per-record
+    * members, so a reader can resync at member boundaries). */
+  def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(bytes); g.close()
+    bo.toByteArray
+  }
+
+  /** The fixture URL for a document row — tracking params included so
+    * the canonical-URL chain has something real to strip. */
+  def urlOf(source: String, docId: Long): String =
+    s"https://$source.example.org/docs/$docId?utm_source=fixture&v=1"
+
+  /** Deterministic per-doc WARC-Date (epoch + doc_id seconds, ISO-8601). */
+  def dateOf(docId: Long): String =
+    java.time.Instant.ofEpochSecond(docId)
+      .atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  private def recordOfDoc(docId: Long, source: String,
+      text: String): Array[Byte] =
+    record("conversion", Some(urlOf(source, docId)), dateOf(docId),
+      f"00000000-0000-0000-0000-$docId%012d", "text/plain",
+      text.getBytes(UTF_8))
+
+  /** Write a sharded WET fixture derived from `documents.parquet` under
+    * `sfDir` — DISTRIBUTED (each task writes its own shard file, the
+    * real crawl layout; no driver collect): range-partition by doc_id +
+    * partition-local sort makes shard membership and order
+    * deterministic for a given input table. `gzip = true` writes
+    * concatenated per-record gzip members (`.wet.gz`), else plain
+    * `.wet`; every shard leads with a warcinfo record. */
+  def writeWetShards(spark: SparkSession, sfDir: String, outDir: String,
+      shards: Int, gzip: Boolean): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val ext = if (gzip) "warc.wet.gz" else "warc.wet"
+    docs.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val name = f"part-$pid%05d.$ext"
+        val path = new Path(s"$outDir/$name")
+        val fs = path.getFileSystem(new Configuration())
+        val out = fs.create(path, true)
+        try {
+          val info = warcinfo(name)
+          out.write(if (gzip) gzMember(info) else info)
+          it.foreach { r =>
+            val rec = recordOfDoc(r.getLong(0), r.getString(1), r.getString(2))
+            out.write(if (gzip) gzMember(rec) else rec)
+          }
+        } finally out.close()
+      }
+    }
+  }
+}

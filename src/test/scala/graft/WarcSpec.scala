@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.WarcFixtures
+import graft.sources.Warc
+
+/** WARC/WET source: binary framing, per-record gzip member splitting
+  * (byte-exact resync), damage quarantine semantics, and the splittable
+  * uncompressed path — including its fail-closed delimiter-collision
+  * contract. */
+class WarcSpec extends AnyFunSuite with SparkTestSupport {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("warcspec_").toString
+
+  private def write(path: String, bytes: Array[Byte]): Unit =
+    Files.write(Paths.get(path), bytes)
+
+  private def rec(id: Long, text: String): Array[Byte] =
+    WarcFixtures.record("conversion",
+      Some(s"https://t.example.org/docs/$id?utm_source=fixture&v=1"),
+      WarcFixtures.dateOf(id), f"00000000-0000-0000-0000-$id%012d",
+      "text/plain", text.getBytes(UTF_8))
+
+  // -------------------------------------------------------------- framing
+
+  test("streaming read: exact payload round-trip, binary-safe framing") {
+    val dir = tmpDir()
+    // payload CONTAINING the framing bytes — Content-Length framing must
+    // carry the parser straight through them
+    val tricky = "embedded\r\n\r\nWARC/1.0\r\nheader-looking: payload"
+    val bytes = WarcFixtures.warcinfo("t.warc") ++
+      rec(1, "hello wet") ++ rec(2, tricky)
+    write(s"$dir/t.warc", bytes)
+    val rows = Warc.readRecords(spark, dir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("error") == null))
+    val byIdx = rows.map(r => r.getAs[Long]("record_index") -> r).toMap
+    assert(byIdx(0L).getAs[String]("warc_type") == "warcinfo")
+    assert(byIdx(0L).getAs[String]("target_uri") == null)
+    assert(new String(byIdx(2L).getAs[Array[Byte]]("payload"), UTF_8)
+      == tricky)
+    assert(byIdx(1L).getAs[String]("target_uri")
+      == "https://t.example.org/docs/1?utm_source=fixture&v=1")
+    assert(byIdx(1L).getAs[Long]("content_length") == 9L)
+    // WET view drops the warcinfo record and decodes payloads
+    val wet = Warc.readWet(spark, dir).collect()
+    assert(wet.length == 2)
+    assert(wet.map(_.getAs[String]("text")).toSet
+      == Set("hello wet", tricky))
+  }
+
+  test("header continuation lines fold; names are case-insensitive") {
+    val dir = tmpDir()
+    val payload = "x".getBytes(UTF_8)
+    val manual = ("WARC/1.0\r\n" +
+      "warc-type: conversion\r\n" +
+      "WARC-TARGET-URI: https://a.example.org/long\r\n" +
+      "\t?and=folded\r\n" + // RFC LWS continuation
+      "Content-Length: 1\r\n\r\n").getBytes(UTF_8) ++
+      payload ++ "\r\n\r\n".getBytes(UTF_8)
+    write(s"$dir/fold.warc", manual)
+    val r = Warc.readRecords(spark, dir).collect().head
+    assert(r.getAs[String]("error") == null)
+    assert(r.getAs[String]("warc_type") == "conversion")
+    assert(r.getAs[String]("target_uri")
+      == "https://a.example.org/long ?and=folded")
+  }
+
+  // ------------------------------------------------------- gzip members
+
+  test("per-record gzip members: byte-exact resync across many members") {
+    val dir = tmpDir()
+    // 50 members back-to-back: any over-read by the splitter would
+    // desync the 2nd member already
+    val texts = (1 to 50).map(i => s"doc $i " + ("pad" * (i % 7)))
+    val bytes = texts.zipWithIndex.map { case (t, i) =>
+      WarcFixtures.gzMember(rec(i.toLong, t))
+    }.reduce(_ ++ _)
+    write(s"$dir/m.warc.gz", bytes)
+    val wet = Warc.readWet(spark, dir).collect()
+    assert(wet.map(_.getAs[String]("text")).toSeq.sorted
+      == texts.sorted)
+  }
+
+  test("framing damage inside one member quarantines THAT member only") {
+    val dir = tmpDir()
+    val bad = WarcFixtures.gzMember(
+      "this is not a warc record at all\r\n".getBytes(UTF_8))
+    val bytes = WarcFixtures.gzMember(rec(1, "before")) ++ bad ++
+      WarcFixtures.gzMember(rec(3, "after"))
+    write(s"$dir/d.warc.gz", bytes)
+    val rows = Warc.readRecords(spark, dir).collect()
+    val errs = rows.filter(_.getAs[String]("error") != null)
+    assert(errs.length == 1 &&
+      errs.head.getAs[String]("error").contains("version line"))
+    val ok = rows.filter(_.getAs[String]("error") == null)
+    assert(ok.map(r =>
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toSet
+      == Set("before", "after"))
+  }
+
+  test("deflate corruption fails closed: quarantine, never wrong bytes") {
+    val dir = tmpDir()
+    val good = WarcFixtures.gzMember(rec(1, "intact"))
+    val corrupt = WarcFixtures.gzMember(rec(2, "to be damaged")).clone()
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    write(s"$dir/c.warc.gz", good ++ corrupt ++
+      WarcFixtures.gzMember(rec(3, "unreachable")))
+    val rows = Warc.readRecords(spark, dir).collect()
+    val ok = rows.filter(_.getAs[String]("error") == null)
+      .map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8))
+    // the record before the damage survives; nothing after the damage is
+    // emitted as data (deflate position is unknowable — file remainder
+    // quarantines rather than risking desynced garbage)
+    assert(ok.toSeq == Seq("intact"))
+    assert(rows.exists(_.getAs[String]("error") != null))
+    // strict mode refuses the file instead
+    val ex = intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir, strict = true).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("truncated payload quarantines (lenient) / throws (strict)") {
+    val dir = tmpDir()
+    val full = rec(1, "whole") ++ rec(2, "cut short")
+    write(s"$dir/t.warc", full.dropRight(12)) // cut inside record 2
+    val rows = Warc.readRecords(spark, dir).collect()
+    assert(rows.count(_.getAs[String]("error") == null) == 1)
+    val err = rows.filter(_.getAs[String]("error") != null)
+    assert(err.length == 1 &&
+      err.head.getAs[String]("error").contains("EOF"))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir, strict = true).collect()
+    }
+  }
+
+  // ---------------------------------------------------- splittable path
+
+  test("splittable read: many forced splits, same answer as streaming") {
+    val dir = tmpDir()
+    val texts = (1 to 120).map(i => s"payload $i " + ("y" * (i % 23)))
+    val bytes = WarcFixtures.warcinfo("s.warc.wet") ++
+      texts.zipWithIndex.map { case (t, i) => rec(i.toLong, t) }
+        .reduce(_ ++ _)
+    write(s"$dir/s.warc.wet", bytes)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hconf.get(key))
+    try {
+      hconf.set(key, "2048") // force multi-split on a ~10 KB file
+      val split = Warc.readWetSplittable(spark, s"$dir/s.warc.wet")
+      assert(split.rdd.getNumPartitions > 1, "expected multiple splits")
+      val got = split.filter("error is null")
+        .select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == texts.sorted)
+      val streamed = Warc.readWet(spark, s"$dir/*.warc.wet")
+        .select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == streamed)
+    } finally {
+      old.fold(hconf.unset(key))(v => hconf.set(key, v))
+    }
+  }
+
+  test("splittable read: delimiter collision quarantines, never silent") {
+    val dir = tmpDir()
+    // a TEXT payload containing the record delimiter — the split point
+    // the delimiter trick cannot see past; both halves must land in
+    // quarantine via the Content-Length re-verification
+    val collision = "first half\r\n\r\nWARC/1.0\r\nsecond half"
+    val bytes = rec(1, "clean-one") ++ rec(2, collision) ++
+      rec(3, "clean-two")
+    write(s"$dir/x.warc.wet", bytes)
+    val out = Warc.readWetSplittable(spark, s"$dir/x.warc.wet").collect()
+    val good = out.filter(_.getAs[String]("error") == null)
+      .map(_.getAs[String]("text"))
+    assert(good.toSet == Set("clean-one", "clean-two"))
+    val errs = out.filter(_.getAs[String]("error") != null)
+    assert(errs.nonEmpty &&
+      errs.exists(_.getAs[String]("error").contains("Content-Length")))
+    // the streaming path reads the same file EXACTLY (binary framing)
+    val streamed = Warc.readWet(spark, s"$dir/x.warc.wet")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamed == Set("clean-one", collision, "clean-two"))
+  }
+
+  // ------------------------------------------------------- fixture layer
+
+  test("sharded fixture: distributed writer emits parseable crawl shards") {
+    val out = tmpDir()
+    WarcFixtures.writeWetShards(spark, "/root/testdata/sf0.001",
+      s"$out/gz", shards = 3, gzip = true)
+    val files = new java.io.File(s"$out/gz").listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(files.length == 3)
+    val recs = Warc.readRecords(spark, s"$out/gz")
+    assert(recs.filter("error is not null").count() == 0)
+    val n = recs.filter("warc_type = 'warcinfo'").count()
+    assert(n == 3) // one warcinfo leader per shard
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(recs.filter("warc_type = 'conversion'").count() == docs)
+  }
+}
