@@ -16,13 +16,17 @@ import graft.sources.Warc
   */
 object QueriesWarc {
 
-  /** One WET fixture per sf dir per JVM: (gz shard dir, plain shard
-    * dir). Shard counts differ so the two paths cannot accidentally
-    * share a layout. */
-  private val fixtures =
-    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  /** One crawl fixture per sf dir per JVM: WET as per-record-gzip
+    * shards and as plain text shards (different shard counts so the
+    * two paths cannot accidentally share a layout), plus raw-crawl
+    * `response` shards (HTTP + HTML payloads). */
+  private final case class Fixture(gz: String, plain: String,
+      responses: String)
 
-  private def fixture(s: SparkSession, dir: String): (String, String) =
+  private val fixtures =
+    scala.collection.concurrent.TrieMap[String, Fixture]()
+
+  private def fixture(s: SparkSession, dir: String): Fixture =
     fixtures.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_wet_").toString
@@ -30,7 +34,9 @@ object QueriesWarc {
         gzip = true)
       WarcFixtures.writeWetShards(s, dir, s"$base/plain", shards = 2,
         gzip = false)
-      (s"$base/gz", s"$base/plain")
+      WarcFixtures.writeResponseShards(s, dir, s"$base/responses",
+        shards = 3)
+      Fixture(s"$base/gz", s"$base/plain", s"$base/responses")
     })
 
   /** doc_id back out of the fixture URL (`.../docs/<id>?...`). */
@@ -54,8 +60,7 @@ object QueriesWarc {
     // recomputes as the text's UTF-8 byte length.
     QueryCase("q_warc_wet",
       (s, dir) => {
-        val (gzDir, _) = fixture(s, dir)
-        Warc.readWet(s, gzDir)
+        Warc.readWet(s, fixture(s, dir).gz)
           .select(docId, col("url"), col("n_bytes"),
             md5(col("text").cast("binary")).as("text_md5"))
       },
@@ -66,8 +71,8 @@ object QueriesWarc {
     // with the oracle (and therefore with the streaming path above).
     QueryCase("q_warc_wet_splittable",
       (s, dir) => {
-        val (_, plainDir) = fixture(s, dir)
-        Warc.readWetSplittable(s, s"$plainDir/*.warc.wet")
+        Warc.readWetSplittable(s,
+            s"${fixture(s, dir).plain}/*.warc.wet")
           .filter(col("error").isNull)
           .select(docId, col("url"), col("n_bytes"),
             md5(col("text").cast("binary")).as("text_md5"))
@@ -80,8 +85,7 @@ object QueriesWarc {
     // n_bytes sum rides the join from the WET record's Content-Length.
     QueryCase("q_warc_hosts",
       (s, dir) => {
-        val (gzDir, _) = fixture(s, dir)
-        val wet = Warc.readWet(s, gzDir)
+        val wet = Warc.readWet(s, fixture(s, dir).gz)
           .select(docId, col("url"), col("n_bytes"))
         val canon = graft.ext.Urls.canonicalized(s,
           wet.select(col("doc_id").as("url_id"), col("url"))).toDF()
@@ -93,6 +97,39 @@ object QueriesWarc {
       Some("""SELECT source || '.example.org' AS host,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
-        |FROM documents GROUP BY source""".stripMargin))
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // Raw-crawl path: `response` records carry full HTTP/1.1 messages.
+    // Status / Content-Type / entity body split off with built-in
+    // expressions (codegen'd, Warc.Http), then the HTML extractor
+    // recovers the document text from the page furniture in the same
+    // pass (one scan, no shuffle until nothing — kernel map only). The
+    // oracle restates the page's expected extraction
+    // (WarcFixtures.htmlExtractedText) from the documents table.
+    QueryCase("q_warc_html",
+      (s, dir) => {
+        import s.implicits._
+        val parsed = Warc.readRecords(s, fixture(s, dir).responses)
+          .filter(col("error").isNull && col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "/docs/(\\d+)\\?", 1)
+              .cast("long").as("doc_id"),
+            Warc.Http.status(col("payload")).as("status"),
+            Warc.Http.header(col("payload"), "Content-Type").as("mime"),
+            Warc.Http.body(col("payload")).as("html"))
+          .filter(col("status").isNotNull && col("html").isNotNull)
+        parsed.as[(Long, Int, String, String)]
+          .map { case (id, st, mime, html) =>
+            (id, st, mime, graft.ext.Html.extractText(html))
+          }
+          .toDF("doc_id", "status", "mime", "text")
+          .select(col("doc_id"), col("status"), col("mime"),
+            md5(col("text").cast("binary")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, CAST(200 AS INTEGER) AS status,
+        |  'text/html; charset=UTF-8' AS mime,
+        |  md5('Doc ' || doc_id || chr(10) || 'site nav boilerplate' ||
+        |      chr(10) || 'Doc ' || doc_id || chr(10) || text) AS text_md5
+        |FROM documents""".stripMargin))
   )
 }

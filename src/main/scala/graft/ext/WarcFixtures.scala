@@ -85,6 +85,35 @@ object WarcFixtures {
       f"00000000-0000-0000-0000-$docId%012d", "text/plain",
       text.getBytes(UTF_8))
 
+  /** The raw-crawl page for a document: full HTTP/1.1 message whose
+    * HTML wraps the document text in deterministic page furniture
+    * (title/nav/style/script noise the extractor must strip). The
+    * expected extraction is stated by [[htmlExtractedText]] so the
+    * oracle can recompute it from the `documents` table. */
+  def httpHtmlPayload(docId: Long, text: String): Array[Byte] = {
+    val html = s"<html><head><title>Doc $docId</title>" +
+      "<style>body{margin:0}</style></head><body>" +
+      "<nav>site nav boilerplate</nav>" +
+      s"<h1>Doc $docId</h1><p>$text</p>" +
+      "<script>var x=\"<p>not text</p>\";</script></body></html>"
+    ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "Server: graft-fixture\r\n\r\n" + html).getBytes(UTF_8)
+  }
+
+  /** What [[graft.ext.Html.extractText]] yields for
+    * [[httpHtmlPayload]] — title and h1 lines, the nav line, then the
+    * document text (block tags break lines; style/script content
+    * drops). Fixture and oracle both derive from this one statement. */
+  def htmlExtractedText(docId: Long, text: String): String =
+    s"Doc $docId\nsite nav boilerplate\nDoc $docId\n$text"
+
+  private def responseOfDoc(docId: Long, source: String,
+      text: String): Array[Byte] =
+    record("response", Some(urlOf(source, docId)), dateOf(docId),
+      f"11111111-0000-0000-0000-$docId%012d",
+      "application/http; msgtype=response", httpHtmlPayload(docId, text))
+
   /** Write a sharded WET fixture derived from `documents.parquet` under
     * `sfDir` — DISTRIBUTED (each task writes its own shard file, the
     * real crawl layout; no driver collect): range-partition by doc_id +
@@ -93,12 +122,25 @@ object WarcFixtures {
     * concatenated per-record gzip members (`.wet.gz`), else plain
     * `.wet`; every shard leads with a warcinfo record. */
   def writeWetShards(spark: SparkSession, sfDir: String, outDir: String,
-      shards: Int, gzip: Boolean): Unit = {
+      shards: Int, gzip: Boolean): Unit =
+    writeShards(spark, sfDir, outDir, shards, gzip,
+      if (gzip) "warc.wet.gz" else "warc.wet", recordOfDoc)
+
+  /** Raw-crawl twin of [[writeWetShards]]: `response` records with full
+    * HTTP/1.1 + HTML payloads ([[httpHtmlPayload]]), per-record gzip
+    * members — the `.warc.gz` shape a fetcher actually produces. */
+  def writeResponseShards(spark: SparkSession, sfDir: String,
+      outDir: String, shards: Int): Unit =
+    writeShards(spark, sfDir, outDir, shards, gzip = true, "warc.gz",
+      responseOfDoc)
+
+  private def writeShards(spark: SparkSession, sfDir: String,
+      outDir: String, shards: Int, gzip: Boolean, ext: String,
+      recordOf: (Long, String, String) => Array[Byte]): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .repartitionByRange(shards, col("doc_id"))
       .sortWithinPartitions("doc_id")
-    val ext = if (gzip) "warc.wet.gz" else "warc.wet"
     docs.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
@@ -111,7 +153,7 @@ object WarcFixtures {
           val info = warcinfo(name)
           out.write(if (gzip) gzMember(info) else info)
           it.foreach { r =>
-            val rec = recordOfDoc(r.getLong(0), r.getString(1), r.getString(2))
+            val rec = recordOf(r.getLong(0), r.getString(1), r.getString(2))
             out.write(if (gzip) gzMember(rec) else rec)
           }
         } finally out.close()

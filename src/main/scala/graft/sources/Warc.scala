@@ -415,6 +415,48 @@ object Warc {
         col("payload").cast("string").as("text"))
 
   // -------------------------------------------------------------------
+  // HTTP response payloads (WARC-Type: response)
+  // -------------------------------------------------------------------
+
+  /** Column helpers for `response` records, whose payload is a full
+    * HTTP/1.x message (status line + headers + CRLFCRLF + entity body —
+    * the raw-crawl layout WET is derived FROM). All three are built-in
+    * expression compositions (regexp/locate/substr), so they ride
+    * whole-stage codegen inside the scan projection — no UDF. The
+    * `cast(payload as string)` is a UTF-8 decode: right for text
+    * entities (HTML); binary entities (images) should slice payload
+    * bytes by Content-Length instead — [[graft.ext.Multimodal]] owns
+    * that tier. */
+  object Http {
+    import org.apache.spark.sql.Column
+
+    /** Status code off the HTTP/1.x status line; null if absent. */
+    def status(payload: Column): Column = {
+      val s = regexp_extract(payload.cast("string"),
+        "^HTTP/1\\.[01] (\\d{3})", 1)
+      when(s === "", null).otherwise(s.cast("int"))
+    }
+
+    /** A response header's value (case-insensitive name), searched only
+      * inside the header block (before the first CRLFCRLF). */
+    def header(payload: Column, name: String): Column = {
+      val block = substring_index(payload.cast("string"), "\r\n\r\n", 1)
+      val v = regexp_extract(block,
+        "(?im)^" + java.util.regex.Pattern.quote(name) +
+          ":[ \\t]*([^\\r\\n]*)", 1)
+      when(v === "", null).otherwise(v)
+    }
+
+    /** The entity body (bytes after the first CRLFCRLF, decoded UTF-8);
+      * null when the payload has no header/body separator. */
+    def body(payload: Column): Column = {
+      val s = payload.cast("string")
+      val cut = locate("\r\n\r\n", s)
+      when(cut === 0, null).otherwise(substr(s, cut + lit(4)))
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Splittable uncompressed-WET path
   // -------------------------------------------------------------------
 

@@ -189,6 +189,38 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(streamed == Set("clean-one", collision, "clean-two"))
   }
 
+  // -------------------------------------------------- http response path
+
+  test("Http helpers split status / header / body; fail null on damage") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, WarcFixtures.httpHtmlPayload(7L, "seven")),
+      (2L, ("HTTP/1.0 404 Not Found\r\ncontent-type: text/plain\r\n" +
+        "\r\nmissing").getBytes(UTF_8)),
+      (3L, "no http message here".getBytes(UTF_8)))
+      .toDF("id", "payload")
+    val got = payloads.select(col("id"),
+      graft.sources.Warc.Http.status(col("payload")).as("status"),
+      graft.sources.Warc.Http.header(col("payload"), "Content-Type")
+        .as("mime"),
+      graft.sources.Warc.Http.body(col("payload")).as("body"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("status")), r.getAs[String]("mime"),
+          r.getAs[String]("body")))).toMap
+    assert(got(1L)._1.contains(200))
+    assert(got(1L)._2 == "text/html; charset=UTF-8")
+    assert(got(1L)._3.startsWith("<html>"))
+    assert(got(2L)._1.contains(404)) // header name case-insensitive
+    assert(got(2L)._2 == "text/plain" && got(2L)._3 == "missing")
+    assert(got(3L)._1.isEmpty && got(3L)._2 == null && got(3L)._3 == null)
+    // extraction contract the q_warc_html oracle relies on
+    assert(graft.ext.Html.extractText(
+      new String(WarcFixtures.httpHtmlPayload(7L, "seven"), UTF_8)
+        .split("\r\n\r\n", 2)(1))
+      == WarcFixtures.htmlExtractedText(7L, "seven"))
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
