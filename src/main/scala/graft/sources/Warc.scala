@@ -311,6 +311,22 @@ object Warc {
     val path = new Path(file)
     val fs = path.getFileSystem(new Configuration())
     val raw = fs.open(path)
+    val rows = streamRows(file, raw, strict)
+    new Iterator[Row] { // close the FS stream at exhaustion
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h) raw.close()
+        h
+      }
+      def next(): Row = rows.next()
+    }
+  }
+
+  /** The parse core shared by the batch path (FS stream) and the
+    * arrival-stream path (in-memory file content): records of one
+    * archive's byte stream, with the containment semantics above. */
+  private def streamRows(file: String, raw: InputStream,
+      strict: Boolean): Iterator[Row] = {
     val gz = file.endsWith(".gz")
     var index = -1L
     def rowOf(r: RawRecord): Row = {
@@ -351,8 +367,7 @@ object Warc {
         def hasNext: Boolean = pending.isDefined
         def next(): Row = { val r = pending.get; pending = fetch(); r }
       }
-    val rows: Iterator[Row] =
-      if (gz) {
+    if (gz) {
         val members = new GzipMembers(raw)
         val skipBuf = new Array[Byte](16 << 10)
         new Iterator[Row] {
@@ -389,14 +404,6 @@ object Warc {
           def next(): Row = { advance(); cur.next() }
         }
       } else drain(raw, "stream", containIo = false)
-    new Iterator[Row] { // close the FS stream at exhaustion
-      def hasNext: Boolean = {
-        val h = rows.hasNext
-        if (!h) raw.close()
-        h
-      }
-      def next(): Row = rows.next()
-    }
   }
 
   /** WET document view: the `conversion` records (one per crawled page,
@@ -406,13 +413,65 @@ object Warc {
     * needed — this view is the clean-documents projection. */
   def readWet(spark: SparkSession, pattern: String,
       strict: Boolean = false): DataFrame =
-    readRecords(spark, pattern, strict)
-      .filter(col("error").isNull && col("warc_type") === "conversion")
-      .select(
-        col("target_uri").as("url"),
-        col("warc_date").as("wet_date"),
-        col("content_length").as("n_bytes"),
-        col("payload").cast("string").as("text"))
+    wetView(readRecords(spark, pattern, strict))
+
+  private def wetView(records: DataFrame): DataFrame = records
+    .filter(col("error").isNull && col("warc_type") === "conversion")
+    .select(
+      col("target_uri").as("url"),
+      col("warc_date").as("wet_date"),
+      col("content_length").as("n_bytes"),
+      col("payload").cast("string").as("text"))
+
+  // -------------------------------------------------------------------
+  // Arrival stream (continuous crawl ingestion)
+  // -------------------------------------------------------------------
+
+  /** STREAMING records source: archives LANDING in `dir` parse as they
+    * arrive — the continuous-ingestion twin of [[readRecords]], for
+    * wiring a live crawl into the admission tier
+    * ([[graft.streaming.AdmissionRegistry]] chains) instead of
+    * re-running batch sweeps. Built on the `binaryFile` file stream
+    * source, so the engine's checkpoint tracks WHICH FILES are
+    * processed — each archive is ingested exactly once across restarts,
+    * the unit-of-work contract crawl pipelines assume. Same schema and
+    * quarantine semantics as the batch path (shared parse core).
+    *
+    * Memory is O(file) here, not O(record) — the file stream source
+    * materializes each file's bytes (2 GiB hard cap) before the parser
+    * sees them. Crawl shards are sized ~1 GiB precisely so whole-shard
+    * units stay executor-friendly; a corpus with fatter archives should
+    * land through the batch path. `maxFilesPerTrigger` (option
+    * `warc.maxFilesPerTrigger`, default 16) bounds a trigger's work so
+    * a backlog drains in bounded batches instead of one giant one. */
+  def streamRecords(spark: SparkSession, dir: String,
+      strict: Boolean = false,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    // the streaming reader demands an explicit schema even for a
+    // fixed-schema format; this is binaryFile's, verbatim
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val bin = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+    bin.select(col("path"), col("content"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.flatMap { r =>
+          streamRows(r.getString(0),
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)),
+            strict)
+        }
+      }(org.apache.spark.sql.Encoders.row(recordSchema))
+  }
+
+  /** Streaming WET document view over [[streamRecords]]. */
+  def streamWet(spark: SparkSession, dir: String,
+      strict: Boolean = false): DataFrame =
+    wetView(streamRecords(spark, dir, strict))
 
   // -------------------------------------------------------------------
   // HTTP response payloads (WARC-Type: response)

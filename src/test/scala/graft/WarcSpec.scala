@@ -221,6 +221,38 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
       == WarcFixtures.htmlExtractedText(7L, "seven"))
   }
 
+  // ------------------------------------------------------ arrival stream
+
+  test("streamWet ingests arriving archives exactly once per file") {
+    val watch = tmpDir()
+    val ckpt = tmpDir()
+    write(s"$watch/a.warc.wet.gz",
+      WarcFixtures.gzMember(WarcFixtures.warcinfo("a")) ++
+        WarcFixtures.gzMember(rec(1, "first wave one")) ++
+        WarcFixtures.gzMember(rec(2, "first wave two")))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val q = graft.sources.Warc.streamWet(spark, watch)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val texts = df.select("text").collect().map(_.getString(0)).toSeq
+        if (texts.nonEmpty) seen.add(texts.sorted)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // second wave LANDS while the query runs; must be picked up
+      // incrementally, and the first file must not re-process
+      write(s"$watch/b.warc.wet.gz",
+        WarcFixtures.gzMember(rec(3, "second wave")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.size == 2, seen)
+    assert(seen.poll() == Seq("first wave one", "first wave two"))
+    assert(seen.poll() == Seq("second wave"))
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
