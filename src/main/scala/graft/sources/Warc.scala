@@ -213,6 +213,9 @@ object Warc {
       val crc = new java.util.zip.CRC32
       new InputStream {
         private var done = false
+        override def close(): Unit = { // abandoned member: free native mem
+          if (!done) { done = true; inf.end() }
+        }
         override def read(): Int = {
           val b = new Array[Byte](1)
           val n = read(b, 0, 1)
@@ -311,11 +314,19 @@ object Warc {
     val path = new Path(file)
     val fs = path.getFileSystem(new Configuration())
     val raw = fs.open(path)
+    // close at exhaustion AND at task end: a downstream `limit` aborts
+    // iterators without exhausting them, and executor JVMs are
+    // long-lived — without the task hook every limited query would leak
+    // one FS handle per file it touched
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; raw.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     val rows = streamRows(file, raw, strict)
-    new Iterator[Row] { // close the FS stream at exhaustion
+    new Iterator[Row] {
       def hasNext: Boolean = {
         val h = rows.hasNext
-        if (!h) raw.close()
+        if (!h) close()
         h
       }
       def next(): Row = rows.next()
@@ -387,7 +398,11 @@ object Warc {
                   drain(m, "gzip member", containIo = true).map { r =>
                     if (r.get(9) != null) {
                       try { while (m.read(skipBuf) >= 0) {} }
-                      catch { case _: java.io.IOException => dead = true }
+                      catch {
+                        case _: java.io.IOException =>
+                          dead = true
+                          m.close() // resync impossible; free the inflater
+                      }
                     }
                     r
                   }
