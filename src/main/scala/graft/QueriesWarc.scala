@@ -130,6 +130,45 @@ object QueriesWarc {
         |  'text/html; charset=UTF-8' AS mime,
         |  md5('Doc ' || doc_id || chr(10) || 'site nav boilerplate' ||
         |      chr(10) || 'Doc ' || doc_id || chr(10) || text) AS text_md5
+        |FROM documents""".stripMargin)),
+
+    // .jsonl.zst round trip — the open-corpus publish format Spark's
+    // Hadoop layer can't decode without native libs: the documents
+    // table exports as zstd shards (distributed writer, one partition
+    // = one shard) and reads back through the streaming pure-JVM
+    // decoder; every field must survive byte-exact.
+    QueryCase("q_jsonl_zst",
+      (s, dir) => {
+        val out = zstFixture(s, dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val (good, _) = graft.sources.CompressedText.readJsonl(s, schema, out)
+        good.select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS text_md5
         |FROM documents""".stripMargin))
   )
+
+  /** Export-once cache for the zstd fixture (3 shards per sf dir). */
+  private val zstFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zstFixture(s: SparkSession, dir: String): String =
+    zstFixtures.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zst_").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text", "n_chars")
+        .repartitionByRange(3, col("doc_id"))
+      graft.sources.CompressedText.writeJsonlZstdShards(docs, out)
+      out
+    })
 }

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedReader, InputStream,
+  InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compressed text-corpus I/O for the codecs Spark's Hadoop layer can't
+  * decode here: open-corpus releases ship as `.jsonl.zst` shards (and
+  * `.jsonl.gz`), but Hadoop's ZStandardCodec requires native libhadoop
+  * — absent from most deployments including this one — so
+  * `spark.read.json` refuses the zstd half of a mixed corpus. This
+  * source decodes with the pure-JVM streams on the classpath (zstd-jni,
+  * java.util.zip), per file: neither codec is splittable, so — like the
+  * crawl archives ([[Warc]]) — one shard is one task and cluster
+  * parallelism comes from shard count, which is exactly how these
+  * corpora are published (thousands of ~100 MB–1 GB shards).
+  *
+  * Decompression is STREAMED (memory O(buffer + one line), never
+  * O(file)); `.gz` runs through [[Warc.GzipMembers]] so concatenated
+  * members — the layout block-parallel gzip compressors emit — read
+  * completely instead of silently truncating at the first member
+  * (the `java.util.zip.GZIPInputStream` `available()` flaw).
+  * Damage (zstd/gzip corruption, truncation) quarantines the file
+  * remainder as an `error` row — same fail-closed posture as every
+  * other source here; strict mode throws with file context.
+  */
+object CompressedText {
+
+  val lineSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("line_no", LongType, nullable = false),
+    StructField("line", StringType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** All text lines under `pattern` (dir / file / glob of `.zst`,
+    * `.gz`, or plain shards — mixed dirs are fine, the codec is chosen
+    * per file by extension). */
+  def readLines(spark: SparkSession, pattern: String,
+      strict: Boolean = false): DataFrame = {
+    val files = Warc.listFiles(spark, pattern)
+    require(files.nonEmpty, s"no text shards match $pattern")
+    val parallelism =
+      math.min(files.size, spark.sparkContext.defaultParallelism)
+    val rdd = spark.sparkContext
+      .parallelize(files, parallelism)
+      .flatMap(f => fileLines(f, strict))
+    spark.createDataFrame(rdd, lineSchema)
+  }
+
+  /** Concatenated-member gunzip as one continuous stream (see object
+    * doc for why not GZIPInputStream). */
+  private final class ConcatGzip(raw: InputStream) extends InputStream {
+    private val members = new Warc.GzipMembers(raw)
+    private var cur: InputStream = null
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      while (true) {
+        if (cur == null) {
+          if (!members.atMember) return -1
+          cur = members.nextMember()
+        }
+        val n = cur.read(b, off, len)
+        if (n >= 0) return n
+        cur = null // member exhausted; try the next
+      }
+      -1 // unreachable
+    }
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      val n = read(b, 0, 1)
+      if (n < 0) -1 else b(0) & 0xff
+    }
+  }
+
+  private def open(file: String, raw: InputStream): InputStream =
+    if (file.endsWith(".zst")) {
+      // NON-continuous mode, deliberately: it reads multi-frame shards
+      // through AND throws on truncation ("Truncated source") and on
+      // frame-checksum mismatch. Continuous mode — probed before this
+      // was written — returns an EMPTY stream for a truncated frame:
+      // silent data loss, the opposite of the quarantine contract.
+      new ZstdInputStream(new BufferedInputStream(raw))
+    } else if (file.endsWith(".gz")) new ConcatGzip(raw)
+    else raw
+
+  private def fileLines(file: String, strict: Boolean): Iterator[Row] = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    val raw = fs.open(path)
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; raw.close() }
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    val reader =
+      try new BufferedReader(new InputStreamReader(open(file, raw), UTF_8))
+      catch { case e: Throwable => close(); throw e }
+    var lineNo = -1L
+    var failed = false
+    val it = new Iterator[Row] {
+      private var pending: Option[Row] = fetch()
+      private def fetch(): Option[Row] =
+        if (failed) None
+        else try Option(reader.readLine()).map { l =>
+          lineNo += 1
+          Row(file, lineNo, l, null)
+        } catch {
+          case e: java.io.IOException =>
+            if (strict) throw new java.io.IOException(
+              s"$file: ${e.getMessage}", e)
+            failed = true // codec damage: remainder unreadable
+            lineNo += 1
+            Some(Row(file, lineNo, null, s"codec: ${e.getMessage}"))
+        }
+      def hasNext: Boolean = {
+        val h = pending.isDefined
+        if (!h) close()
+        h
+      }
+      def next(): Row = { val r = pending.get; pending = fetch(); r }
+    }
+    it
+  }
+
+  /** JSONL over [[readLines]] with the same quarantine split as
+    * [[Sources.readJsonlWithQuarantine]]: `good` = rows parsed into
+    * `schema` (JSON parsing stays column-level `from_json` — codegen'd
+    * Catalyst, only decompression + line splitting run in the kernel);
+    * `bad` = `(file, raw_line, reason)` for lines whose JSON is
+    * malformed (`raw_line` set) and for codec damage (`raw_line` null,
+    * `reason` carries the stream error). */
+  def readJsonl(spark: SparkSession, schema: StructType,
+      pattern: String, strict: Boolean = false): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema may not declare _corrupt_record (capture column)")
+    val lines = readLines(spark, pattern, strict)
+    // PERMISSIVE from_json yields an all-null STRUCT for malformed
+    // input (never a null struct), so null-struct checks cannot split
+    // good from bad — the capture column is the supported signal, same
+    // as Sources.readJsonlWithQuarantine's reader-level twin.
+    val parsed = lines.filter(col("error").isNull)
+      .select(col("file"), col("line"),
+        from_json(col("line"), schema.add("_corrupt_record", StringType),
+          java.util.Map.of("mode", "PERMISSIVE",
+            "columnNameOfCorruptRecord", "_corrupt_record")).as("j"))
+    val good = parsed.filter(col("j._corrupt_record").isNull)
+      .select(col("j.*")).drop("_corrupt_record")
+    val bad = parsed.filter(col("j._corrupt_record").isNotNull)
+      .select(col("file"), col("line").as("raw_line"),
+        lit("malformed json").as("reason"))
+      .unionAll(lines.filter(col("error").isNotNull)
+        .select(col("file"), lit(null).cast("string").as("raw_line"),
+          col("error").as("reason")))
+    (good, bad)
+  }
+
+  /** Distributed `.jsonl.zst` shard writer — the publish format's
+    * producing half (re-sharding / exporting a corpus): every column of
+    * `df` serializes via `to_json(struct(*))` in-plan (codegen'd), and
+    * each partition streams one zstd shard through `ZstdOutputStream`.
+    * One partition = one shard = one downstream unit of work; size
+    * shards by partitioning the frame before the call. */
+  def writeJsonlZstdShards(df: DataFrame, outDir: String,
+      level: Int = 3): Unit = {
+    val lines = df.select(to_json(struct(df.columns.map(col): _*))
+      .as("line"))
+    lines.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val path = new Path(f"$outDir/part-$pid%05d.jsonl.zst")
+        val fs = path.getFileSystem(new Configuration())
+        val out = new ZstdOutputStream(fs.create(path, true), level)
+        // frame checksums (xxhash32): without them zstd cannot detect
+        // some payload corruptions at all (probed — a flipped byte in a
+        // checksum-less frame decodes to silently wrong text). Costs
+        // 4 bytes/frame.
+        out.setChecksum(true)
+        try it.foreach { r =>
+          out.write(r.getString(0).getBytes(UTF_8))
+          out.write('\n')
+        } finally out.close()
+      }
+    }
+  }
+}

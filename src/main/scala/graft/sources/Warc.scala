@@ -282,14 +282,7 @@ object Warc {
     * RPC per directory, not per record), then stream executor-side. */
   def readRecords(spark: SparkSession, pattern: String,
       strict: Boolean = false): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(pattern)
-    val fs = p.getFileSystem(conf)
-    val matched =
-      if (fs.isDirectory(p)) fs.listStatus(p).toSeq
-      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.filter(_.isFile).map(_.getPath.toString)
-      .filterNot(_.split('/').last.startsWith("_")).sorted
+    val files = listFiles(spark, pattern)
     require(files.nonEmpty, s"no WARC files match $pattern")
     val parallelism =
       math.min(files.size, spark.sparkContext.defaultParallelism)
@@ -297,6 +290,21 @@ object Warc {
       .parallelize(files, parallelism)
       .flatMap(f => fileRows(f, strict))
     spark.createDataFrame(rdd, recordSchema)
+  }
+
+  /** Driver-side file listing for per-file sources (one RPC per
+    * directory, not per record); `_`-prefixed names (markers, Spark
+    * metadata) are skipped, matching FileFormat conventions. */
+  private[sources] def listFiles(spark: SparkSession,
+      pattern: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val matched =
+      if (fs.isDirectory(p)) fs.listStatus(p).toSeq
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched.filter(_.isFile).map(_.getPath.toString)
+      .filterNot(_.split('/').last.startsWith("_")).sorted
   }
 
   /** Stream one file's records, lazily — O(one record) memory.
