@@ -77,6 +77,10 @@ object CompressedText {
       val n = read(b, 0, 1)
       if (n < 0) -1 else b(0) & 0xff
     }
+    override def close(): Unit = { // forward: default close is a no-op
+      if (cur != null) { cur.close(); cur = null }
+      raw.close()
+    }
   }
 
   private def open(file: String, raw: InputStream): InputStream =
@@ -94,13 +98,22 @@ object CompressedText {
     val path = new Path(file)
     val fs = path.getFileSystem(new Configuration())
     val raw = fs.open(path)
+    // close the OUTERMOST stream: ZstdInputStream holds a native
+    // decompression context that only close() frees promptly (the raw
+    // FS handle alone would leave it to the GC cleaner), and the task
+    // hook covers `limit`-style aborts that never exhaust the iterator
+    var toClose: java.io.Closeable = raw
     var closed = false
-    def close(): Unit = if (!closed) { closed = true; raw.close() }
+    def close(): Unit = if (!closed) { closed = true; toClose.close() }
     Option(TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     val reader =
-      try new BufferedReader(new InputStreamReader(open(file, raw), UTF_8))
-      catch { case e: Throwable => close(); throw e }
+      try {
+        val r = new BufferedReader(
+          new InputStreamReader(open(file, raw), UTF_8))
+        toClose = r
+        r
+      } catch { case e: Throwable => close(); throw e }
     var lineNo = -1L
     var failed = false
     val it = new Iterator[Row] {

@@ -464,9 +464,9 @@ object Warc {
     * materializes each file's bytes (2 GiB hard cap) before the parser
     * sees them. Crawl shards are sized ~1 GiB precisely so whole-shard
     * units stay executor-friendly; a corpus with fatter archives should
-    * land through the batch path. `maxFilesPerTrigger` (option
-    * `warc.maxFilesPerTrigger`, default 16) bounds a trigger's work so
-    * a backlog drains in bounded batches instead of one giant one. */
+    * land through the batch path. `maxFilesPerTrigger` (default 16)
+    * bounds a trigger's work so a backlog drains in bounded batches
+    * instead of one giant one. */
   def streamRecords(spark: SparkSession, dir: String,
       strict: Boolean = false,
       maxFilesPerTrigger: Int = 16): DataFrame = {
