@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.ext.WarcFixtures
 import graft.sources.Warc
@@ -107,6 +108,25 @@ object WarcScale {
       Warc.readWetSplittable(spark, fat).filter($"error".isNull))
     require(a == b && b == c,
       s"arms disagree: shards=$a fatStream=$b fatSplit=$c")
+
+    // the sibling corpus format: same documents as .jsonl.zst shards
+    // through CompressedText (url synthesized identically so the
+    // checksum is comparable across formats)
+    import graft.sources.CompressedText
+    val zstDir = s"$base/zst"
+    val forZst = spark.read.parquet(s"$stage/documents.parquet")
+      .select(concat(lit("https://"), $"source",
+          lit(".example.org/docs/"), $"doc_id",
+          lit("?utm_source=fixture&v=1")).as("url"), $"text")
+      .repartitionByRange(shards, $"url")
+    CompressedText.writeJsonlZstdShards(forZst, zstDir)
+    println(f"[warcscale] on disk: shards-zst ${du(zstDir) / 1e6}%.1f MB " +
+      s"in $shards files")
+    val zschema = StructType(Seq(StructField("url", StringType),
+      StructField("text", StringType)))
+    val d = arm("shards-zst jsonl")(
+      CompressedText.readJsonl(spark, zschema, zstDir)._1)
+    require(d == a, s"zst arm disagrees: $d vs $a")
     val parts = Warc.readWetSplittable(spark, fat).rdd.getNumPartitions
     println(s"[warcscale] all arms agree (count+checksum); " +
       s"splittable used $parts input splits vs 1 task for fat streaming")

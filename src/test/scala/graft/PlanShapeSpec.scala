@@ -402,6 +402,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(plan.contains("codegen id"), plan.take(4000))
   }
 
+  test("q_warc_wet / q_warc_html / q_jsonl_zst are shuffle-free source passes") {
+    // the ingest contract: archive/corpus-shard readers emit their
+    // document projection in ONE per-file pass — a Join or Exchange in
+    // any of these plans means the source tier started paying corpus
+    // shuffles just to READ
+    for (q <- Seq("q_warc_wet", "q_warc_html", "q_jsonl_zst")) {
+      val plan = formatted(q)
+      assert(!plan.contains("Exchange"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("Join"), s"$q\n" + plan.take(3000))
+    }
+  }
+
   test("q_pipeline_web's two dedups are its only exchanges") {
     // canonical-URL dedup + content dedup: exactly the two documented
     // shuffles (each an Exchange pair around partial/final aggs plus
