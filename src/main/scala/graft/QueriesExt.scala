@@ -758,6 +758,75 @@ object QueriesExt {
   /** DuckDB twin of [[TextStats.ruleFilter]]'s failed-rule list:
     * `passCols` + `reasons` per document (shared by the gate and the
     * rejection-report oracles). */
+  /** The curation chain shared by `q_pipeline_curate` (table-fed) and
+    * `q_warc_pipeline` (crawl-byte-fed): rule filter -> fingerprint
+    * dedup -> quality scoring -> token-budget selection -> epoch
+    * shuffle. `docs` needs (doc_id, text); both twins hash-match
+    * [[curateOracleSql]] over the documents table.
+    */
+  private def curateChain(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kept = TextStats.ruleFilter(docs, "text")
+      .filter(col("keep")).drop("reasons", "keep")
+    val deduped = Dedup.fingerprintDedup(kept, "text", "doc_id")
+    val toks = deduped.select(col("doc_id"), col("text"),
+      Dedup.tokens(col("text")).as("__toks"))
+    val scored = toks.select(col("doc_id"),
+      TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
+      size(col("__toks")).cast("long").as("n_tokens"))
+    val budgeted = graft.ops.Budget.selectByBudget(scored, "n_tokens",
+      col("quality").desc, "doc_id", budget = 5000L,
+      partitions = censusParts(s, dir))
+    graft.ops.Shuffling.deterministicShuffle(
+        budgeted.select("doc_id", "cum_tokens"),
+        "doc_id", seed = "ep1", partitions = 8)
+      .select("doc_id", "cum_tokens", "pos")
+  }
+
+  private def curateOracleSql: String = {
+        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""WITH rr AS (${ruleReasonsSql("doc_id").replace("\n", "\n|")}),
+           |kept AS (SELECT doc_id FROM rr WHERE reasons = ''),
+           |fp AS (SELECT d.doc_id,
+           |         md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS f
+           |       FROM documents d JOIN kept USING (doc_id)),
+           |dedup AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+           |scored AS (
+           |  SELECT q.doc_id, q.quality, q.n_tokens FROM (
+           |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |      least(len(toks) / 100.0, 1.0) * 0.25
+           |      + (CASE WHEN length(text) > 0
+           |           THEN CAST(length(text) - length(regexp_replace(text,
+           |                  '[A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |           THEN least(CAST(len(list_filter(toks,
+           |                  t -> list_contains($en, t))) AS DOUBLE)
+           |                / len(toks) * 3.0, 1.0)
+           |           ELSE 0.0 END) * 0.25
+           |      + (CASE WHEN len(toks) > 0
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) >= 3
+           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+           |                    AS DOUBLE) / len(toks) <= 10
+           |           THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
+           |    FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)) q
+           |  JOIN dedup USING (doc_id)),
+           |budgeted AS (SELECT doc_id, cum_tokens FROM (
+           |    SELECT doc_id, CAST(sum(n_tokens) OVER (
+           |        ORDER BY quality DESC, doc_id
+           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |    FROM scored)
+           |  WHERE cum_tokens <= 5000)
+           |SELECT doc_id, cum_tokens,
+           |  CAST(row_number() OVER (
+           |    ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           |    AS BIGINT) AS pos
+           |FROM budgeted""".stripMargin
+  }
+
   private def ruleReasonsSql(passCols: String): String = {
     val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
       .mkString("[", ", ", "]")
@@ -2446,66 +2515,29 @@ object QueriesExt {
     // (the cross-stage plumbing — which columns survive which stage — is
     // what unit oracles can't see).
     QueryCase("q_pipeline_curate",
+      (s, dir) => curateChain(s, dir,
+        Dedup.parallelize(t(s, dir, "documents"))),
+      Some(curateOracleSql)),
+
+    // Crawl-to-training-set flagship: the SAME curation chain fed from
+    // CRAWL BYTES — WET conversion records parsed back to
+    // (doc_id, text) by the archive source (§ QueriesWarc fixture) —
+    // must land on the identical budget selection, epoch shuffle and
+    // all, as the table-fed twin above; both hash-match one DuckDB
+    // oracle over `documents`. This is the end-to-end shape the engine
+    // exists for: archive bytes in, curated training set out.
+    QueryCase("q_warc_pipeline",
       (s, dir) => {
-        val docs = Dedup.parallelize(t(s, dir, "documents"))
-        val kept = TextStats.ruleFilter(docs, "text")
-          .filter(col("keep")).drop("reasons", "keep")
-        val deduped = Dedup.fingerprintDedup(kept, "text", "doc_id")
-        val toks = deduped.select(col("doc_id"), col("text"),
-          Dedup.tokens(col("text")).as("__toks"))
-        val scored = toks.select(col("doc_id"),
-          TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
-          size(col("__toks")).cast("long").as("n_tokens"))
-        val budgeted = graft.ops.Budget.selectByBudget(scored, "n_tokens",
-          col("quality").desc, "doc_id", budget = 5000L,
-          partitions = censusParts(s, dir))
-        graft.ops.Shuffling.deterministicShuffle(
-            budgeted.select("doc_id", "cum_tokens"),
-            "doc_id", seed = "ep1", partitions = 8)
-          .select("doc_id", "cum_tokens", "pos")
+        val wet = graft.sources.Warc
+          .readWet(s, QueriesWarc.fixture(s, dir).gz)
+          .select(
+            regexp_extract(col("url"), "/docs/(\\d+)\\?", 1)
+              .cast("long").as("doc_id"),
+            col("text"))
+        curateChain(s, dir, wet)
       },
-      Some {
-        val en = TextStats.Stopwords.head._2.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""WITH rr AS (${ruleReasonsSql("doc_id").replace("\n", "\n|")}),
-           |kept AS (SELECT doc_id FROM rr WHERE reasons = ''),
-           |fp AS (SELECT d.doc_id,
-           |         md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS f
-           |       FROM documents d JOIN kept USING (doc_id)),
-           |dedup AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-           |scored AS (
-           |  SELECT q.doc_id, q.quality, q.n_tokens FROM (
-           |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-           |      least(len(toks) / 100.0, 1.0) * 0.25
-           |      + (CASE WHEN length(text) > 0
-           |           THEN CAST(length(text) - length(regexp_replace(text,
-           |                  '[A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text)
-           |           ELSE 0.0 END) * 0.25
-           |      + (CASE WHEN len(toks) > 0
-           |           THEN least(CAST(len(list_filter(toks,
-           |                  t -> list_contains($en, t))) AS DOUBLE)
-           |                / len(toks) * 3.0, 1.0)
-           |           ELSE 0.0 END) * 0.25
-           |      + (CASE WHEN len(toks) > 0
-           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
-           |                    AS DOUBLE) / len(toks) >= 3
-           |              AND CAST(list_sum(list_transform(toks, t -> length(t)))
-           |                    AS DOUBLE) / len(toks) <= 10
-           |           THEN 1.0 ELSE 0.0 END) * 0.25 AS quality
-           |    FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)) q
-           |  JOIN dedup USING (doc_id)),
-           |budgeted AS (SELECT doc_id, cum_tokens FROM (
-           |    SELECT doc_id, CAST(sum(n_tokens) OVER (
-           |        ORDER BY quality DESC, doc_id
-           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-           |    FROM scored)
-           |  WHERE cum_tokens <= 5000)
-           |SELECT doc_id, cum_tokens,
-           |  CAST(row_number() OVER (
-           |    ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
-           |    AS BIGINT) AS pos
-           |FROM budgeted""".stripMargin
-      }),
+      Some(curateOracleSql)),
+
 
     // Table profiling (data-quality monitoring): one aggregation pass →
     // per-column row/null/distinct counts and min/max. Long/varchar

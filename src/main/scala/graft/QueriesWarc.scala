@@ -20,13 +20,13 @@ object QueriesWarc {
     * shards and as plain text shards (different shard counts so the
     * two paths cannot accidentally share a layout), plus raw-crawl
     * `response` shards (HTTP + HTML payloads). */
-  private final case class Fixture(gz: String, plain: String,
+  private[graft] final case class Fixture(gz: String, plain: String,
       responses: String)
 
   private val fixtures =
     scala.collection.concurrent.TrieMap[String, Fixture]()
 
-  private def fixture(s: SparkSession, dir: String): Fixture =
+  private[graft] def fixture(s: SparkSession, dir: String): Fixture =
     fixtures.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_wet_").toString
