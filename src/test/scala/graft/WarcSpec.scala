@@ -253,6 +253,46 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(seen.poll() == Seq("second wave"))
   }
 
+  test("crawl arrival feeds the near-dup admission tier end-to-end") {
+    // the integration the two tiers exist for: WET shards LAND in a
+    // watched dir → streamWet parses them exactly once per file → the
+    // MinHash admission registry rejects near-dups across shards →
+    // admitted docs land in the serving parquet
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val watch = tmpDir()
+    val state = tmpDir() + "/state"
+    val outDir = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ck"
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    write(s"$watch/a.warc.wet.gz",
+      WarcFixtures.gzMember(rec(1, base)) ++
+        WarcFixtures.gzMember(rec(2, base + " tokExtra")) ++ // near-dup of 1
+        WarcFixtures.gzMember(rec(3,
+          (1 to 30).map(i => s"other$i").mkString(" "))))
+    val adm = new graft.streaming.NearDupAdmission(state, "text", "doc_id")
+    val q = graft.sources.Warc.streamWet(spark, watch)
+      .select(regexp_extract(col("url"), "/docs/(\\d+)\\?", 1)
+        .cast("long").as("doc_id"), col("text"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(adm.step((df, _) =>
+        df.write.mode("append").parquet(outDir)) _)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a later shard carries another near-dup of doc 1 (cross-shard
+      // rejection via the persistent registry) and a fresh doc
+      write(s"$watch/b.warc.wet.gz",
+        WarcFixtures.gzMember(rec(4, base + " tokLate")) ++
+          WarcFixtures.gzMember(rec(5,
+            (1 to 30).map(i => s"fresh$i").mkString(" "))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(1L, 3L, 5L))
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
