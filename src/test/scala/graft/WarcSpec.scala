@@ -293,6 +293,29 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(admitted == Seq(1L, 3L, 5L))
   }
 
+  test("decompressToStaging bridges gz archives to the splittable path") {
+    val dir = tmpDir()
+    val out = tmpDir()
+    val texts = (1 to 40).map(i => s"stage doc $i")
+    val bytes = texts.zipWithIndex.map { case (t, i) =>
+      WarcFixtures.gzMember(rec(i.toLong, t))
+    }.reduce(_ ++ _)
+    write(s"$dir/arch.warc.wet.gz", bytes)
+    val staged = graft.sources.Warc.decompressToStaging(spark, dir, out)
+    assert(staged.map(_.stripPrefix("file:")) == Seq(s"$out/arch.warc.wet"))
+    // identical bytes to the pre-compression original...
+    val plain = texts.zipWithIndex.map { case (t, i) => rec(i.toLong, t) }
+      .reduce(_ ++ _)
+    assert(Files.readAllBytes(Paths.get(s"$out/arch.warc.wet"))
+      .sameElements(plain))
+    // ...and the splittable reader agrees with the gz streaming reader
+    val split = graft.sources.Warc
+      .readWetSplittable(spark, s"$out/arch.warc.wet")
+      .filter("error is null").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(split == texts.sorted)
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
