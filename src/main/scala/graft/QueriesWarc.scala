@@ -81,16 +81,20 @@ object QueriesWarc {
 
     // WARC → curation chain: canonicalize the crawl URLs (tracking
     // params stripped by Urls.canonicalize) and size each host's slice
-    // of the corpus — the first report a crawl ingest produces. The
-    // n_bytes sum rides the join from the WET record's Content-Length.
+    // of the corpus — the first report a crawl ingest produces. ONE
+    // pass: the canonical host rides the parse in the same flatMap
+    // (an earlier shape joined two branches that each re-parsed the
+    // archives — two full crawl parses just to pair host with bytes),
+    // so the only exchange is the per-host aggregation's.
     QueryCase("q_warc_hosts",
       (s, dir) => {
-        val wet = Warc.readWet(s, fixture(s, dir).gz)
-          .select(docId, col("url"), col("n_bytes"))
-        val canon = graft.ext.Urls.canonicalized(s,
-          wet.select(col("doc_id").as("url_id"), col("url"))).toDF()
-        wet.join(canon.select(col("url_id").as("doc_id"), col("host")),
-            Seq("doc_id"))
+        import s.implicits._
+        Warc.readWet(s, fixture(s, dir).gz)
+          .select(col("url"), col("n_bytes")).as[(String, Long)]
+          .flatMap { case (u, n) =>
+            graft.ext.Urls.canonicalize(u).map(c => (c.host, n))
+          }
+          .toDF("host", "n_bytes")
           .groupBy("host")
           .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
       },

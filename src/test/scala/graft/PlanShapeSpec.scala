@@ -414,6 +414,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("q_warc_hosts parses the crawl ONCE: no join, one agg exchange") {
+    // the host census must not re-parse the archives to pair host with
+    // bytes — canonicalization rides the parse, so the per-host
+    // aggregation's exchange pair is the plan's only shuffle
+    val plan = formatted("q_warc_hosts")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(nHashExchanges(plan) == 1, plan.take(3000))
+  }
+
   test("q_pipeline_web's two dedups are its only exchanges") {
     // canonical-URL dedup + content dedup: exactly the two documented
     // shuffles (each an Exchange pair around partial/final aggs plus
