@@ -167,7 +167,7 @@ object CompressedText {
     val bad = parsed.filter(col("j._corrupt_record").isNotNull)
       .select(col("file"), col("line").as("raw_line"),
         lit("malformed json").as("reason"))
-      .unionAll(lines.filter(col("error").isNotNull)
+      .union(lines.filter(col("error").isNotNull)
         .select(col("file"), lit(null).cast("string").as("raw_line"),
           col("error").as("reason")))
     (good, bad)
