@@ -130,6 +130,9 @@ object StreamBench {
       case "statestore" => runStateStore(spark,
         if (numeric.length > 0) numeric(0).toInt else 200000,
         if (numeric.length > 1) numeric(1).toInt else 15)
+      case "warc-arrival" => runWarcArrival(spark,
+        if (numeric.length > 0) numeric(0).toInt else 16,
+        if (numeric.length > 1) numeric(1).toInt else 160)
       case m if m.startsWith("serving") =>
         runServing(spark, Pipeline.summarize(frames), rps, seconds,
           durable = m == "serving-durable")
@@ -263,6 +266,90 @@ object StreamBench {
     * construction (the formerly job-bearing part), (b) end-to-end
     * lookup+collect, and (c) the retired `spark.range(1)…head()` hash
     * job as the overhead reference each lookup used to pay first. */
+  /** Crawl-ARRIVAL ingestion rate: WET gz shards land one per trigger
+    * (file rename = atomic arrival) while `Warc.streamWet` parses them
+    * through the checkpointed binaryFile source — the §17.10 tier's
+    * streaming half, measured: per-trigger wall (cold vs warm-tail) and
+    * the sustained docs/s and text-MB/s a single box ingests at. The
+    * corpus is documents×`replicas` (same fixture law as WarcScale);
+    * each trigger is one shard ≈ corpus/`shards`. */
+  private def runWarcArrival(spark: SparkSession, shards: Int,
+      replicas: Int): Unit = {
+    import graft.ext.WarcFixtures
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sb_warc_").toString
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    spark.range(replicas).toDF("rep").crossJoin(docs0)
+      .select((col("doc_id") + col("rep") * maxId).as("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" rep "), col("rep")).as("text"))
+      .write.parquet(s"$base/stage/documents.parquet")
+    val nDocs = spark.read.parquet(s"$base/stage/documents.parquet").count()
+    val mbText = spark.read.parquet(s"$base/stage/documents.parquet")
+      .agg(sum(octet_length(col("text")))).head().getLong(0) / 1e6
+    WarcFixtures.writeWetShards(spark, s"$base/stage", s"$base/pending",
+      shards, gzip = true)
+    val pending = new java.io.File(s"$base/pending").listFiles()
+      .filter(_.getName.endsWith(".gz")).sortBy(_.getName)
+    val watch = new java.io.File(s"$base/watch")
+    watch.mkdirs()
+    println(f"[streambench] mode=warc-arrival shards=${pending.length} " +
+      f"docs=$nDocs text_mb=$mbText%.1f loadavg=${loadAvg()}")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = graft.sources.Warc.streamWet(spark, watch.toString)
+      .writeStream
+      .option("checkpointLocation", s"$base/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }
+      .start()
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    var drainWall = 0.0
+    try {
+      // phase 1: trickle arrival — one shard lands per trigger (the
+      // steady-state crawl shape: ingest latency per arriving archive)
+      pending.foreach { f =>
+        val t0 = System.nanoTime()
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(watch, f.getName).toPath)
+        q.processAllAvailable()
+        walls += (System.nanoTime() - t0) / 1e9
+      }
+      require(seen.get() == nDocs, s"lost: ${seen.get()} != $nDocs")
+      // phase 2: backlog drain — a second full shard set lands AT ONCE,
+      // so one trigger carries maxFilesPerTrigger files in parallel
+      // tasks (the catch-up shape after an outage)
+      WarcFixtures.writeWetShards(spark, s"$base/stage",
+        s"$base/pending2", shards, gzip = true)
+      val second = new java.io.File(s"$base/pending2").listFiles()
+        .filter(_.getName.endsWith(".gz")).sortBy(_.getName)
+      val t0 = System.nanoTime()
+      second.foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(watch, "b2_" + f.getName).toPath))
+      q.processAllAvailable()
+      drainWall = (System.nanoTime() - t0) / 1e9
+      require(seen.get() == 2L * nDocs,
+        s"lost in drain: ${seen.get()} != ${2L * nDocs}")
+    } finally q.stop()
+    val warm = walls.drop(2).toSeq // codegen + source-init warmup
+    val docsPerShard = nDocs.toDouble / pending.length
+    val mbPerShard = mbText / pending.length
+    println(f"[streambench] warc-arrival trigger_s p50=${pct(warm, 0.5)}%.2f " +
+      f"p95=${pct(warm, 0.95)}%.2f cold_first=${walls.head}%.2f | " +
+      f"warm ${docsPerShard / pct(warm, 0.5) / 1e3}%.1f kdocs/s " +
+      f"${mbPerShard / pct(warm, 0.5)}%.1f MB/s text")
+    println(f"[streambench] warc-arrival backlog drain: $shards shards " +
+      f"in $drainWall%.2f s = ${nDocs / drainWall / 1e3}%.1f kdocs/s " +
+      f"${mbText / drainWall}%.1f MB/s text | " +
+      f"all=${2L * nDocs} records exact, loadavg=${loadAvg()}")
+  }
+
   private def runUpsertLookup(spark: SparkSession, keyDomain: Long,
       probes: Int): Unit = {
     import graft.streaming.ShardedUpsertSink
