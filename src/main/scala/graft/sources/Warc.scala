@@ -579,7 +579,7 @@ object Warc {
   // Splittable uncompressed-WET path
   // -------------------------------------------------------------------
 
-  private val Delim = "\r\n\r\nWARC/1.0\r\n"
+  private def delimFor(version: String) = s"\r\n\r\nWARC/$version\r\n"
 
   /** Parse one delimiter-split chunk into (headers, payloadText) or an
     * error. The chunk shapes (see object doc): first-of-file retains a
@@ -632,12 +632,16 @@ object Warc {
     * width. Emits the same columns as [[readWet]] plus `error` for
     * quarantined chunks. Compressed inputs must use [[readWet]] (gzip is
     * not splittable; TextInputFormat would stream it whole-file anyway
-    * and the delimiter trick gains nothing). */
-  def readWetSplittable(spark: SparkSession, path: String): DataFrame = {
+    * and the delimiter trick gains nothing). `version` picks the
+    * delimiter's version-line spelling — a WARC/1.1 file read with the
+    * 1.0 delimiter never splits, so every record lands in quarantine
+    * (fail-closed, but a total loss the right knob avoids). */
+  def readWetSplittable(spark: SparkSession, path: String,
+      version: String = "1.0"): DataFrame = {
     require(!path.endsWith(".gz"),
       "splittable path is for uncompressed .wet; use readWet for .gz")
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", Delim)
+    conf.set("textinputformat.record.delimiter", delimFor(version))
     val chunks = spark.sparkContext.newAPIHadoopFile(
       path, classOf[TextInputFormat],
       classOf[LongWritable], classOf[Text], conf)

@@ -316,6 +316,29 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(split == texts.sorted)
   }
 
+  test("splittable version knob: 1.1 files split with 1.1, quarantine under 1.0") {
+    val dir = tmpDir()
+    def rec11(id: Long, text: String): Array[Byte] =
+      (s"WARC/1.1\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: https://t.example.org/docs/$id?x=1\r\n" +
+        s"Content-Length: ${text.getBytes(UTF_8).length}\r\n\r\n" +
+        text + "\r\n\r\n").getBytes(UTF_8)
+    write(s"$dir/v11.warc.wet", rec11(1, "one one") ++ rec11(2, "two"))
+    val right = graft.sources.Warc
+      .readWetSplittable(spark, s"$dir/v11.warc.wet", version = "1.1")
+    assert(right.filter("error is null").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("one one", "two"))
+    // the wrong delimiter never splits: everything quarantines — a
+    // fail-closed total loss, never silent wrong data
+    val wrong = graft.sources.Warc
+      .readWetSplittable(spark, s"$dir/v11.warc.wet")
+    assert(wrong.filter("error is null").count() == 0)
+    assert(wrong.filter("error is not null").count() > 0)
+    // the streaming reader is version-agnostic (any WARC/x line)
+    assert(graft.sources.Warc.readWet(spark, s"$dir/v11.warc.wet")
+      .count() == 2)
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
