@@ -90,6 +90,17 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(b.head.getAs[String]("reason") == "malformed json")
   }
 
+  test("zero-byte shards (failed writers) yield no rows, no errors") {
+    val dir = tmpDir()
+    Files.write(Paths.get(s"$dir/dead.jsonl.zst"), Array.empty[Byte])
+    Files.write(Paths.get(s"$dir/dead.jsonl.gz"), Array.empty[Byte])
+    Files.write(Paths.get(s"$dir/dead.jsonl"), Array.empty[Byte])
+    Files.write(Paths.get(s"$dir/live.jsonl.zst"), zst("alive\n"))
+    val rows = CompressedText.readLines(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[String]("line"),
+      r.getAs[String]("error"))).toSeq == Seq(("alive", null)), rows.toSeq)
+  }
+
   test("zstd shard writer round-trips every field; one shard per partition") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -339,6 +339,17 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
       .count() == 2)
   }
 
+  test("zero-byte archives (failed writers) yield no rows, no errors") {
+    val dir = tmpDir()
+    write(s"$dir/dead.warc.wet.gz", Array.empty[Byte])
+    write(s"$dir/dead.warc.wet", Array.empty[Byte])
+    write(s"$dir/live.warc.wet.gz", WarcFixtures.gzMember(rec(1, "alive")))
+    val rows = Warc.readRecords(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("error") == null)
+    assert(new String(rows.head.getAs[Array[Byte]]("payload"), UTF_8)
+      == "alive")
+  }
+
   // ------------------------------------------------------- fixture layer
 
   test("sharded fixture: distributed writer emits parseable crawl shards") {
