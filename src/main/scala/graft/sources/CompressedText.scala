@@ -114,31 +114,7 @@ object CompressedText {
         toClose = r
         r
       } catch { case e: Throwable => close(); throw e }
-    var lineNo = -1L
-    var failed = false
-    val it = new Iterator[Row] {
-      private var pending: Option[Row] = fetch()
-      private def fetch(): Option[Row] =
-        if (failed) None
-        else try Option(reader.readLine()).map { l =>
-          lineNo += 1
-          Row(file, lineNo, l, null)
-        } catch {
-          case e: java.io.IOException =>
-            if (strict) throw new java.io.IOException(
-              s"$file: ${e.getMessage}", e)
-            failed = true // codec damage: remainder unreadable
-            lineNo += 1
-            Some(Row(file, lineNo, null, s"codec: ${e.getMessage}"))
-        }
-      def hasNext: Boolean = {
-        val h = pending.isDefined
-        if (!h) close()
-        h
-      }
-      def next(): Row = { val r = pending.get; pending = fetch(); r }
-    }
-    it
+    lineRows(file, reader, strict, () => close())
   }
 
   /** JSONL over [[readLines]] with the same quarantine split as
@@ -171,6 +147,90 @@ object CompressedText {
         .select(col("file"), lit(null).cast("string").as("raw_line"),
           col("error").as("reason")))
     (good, bad)
+  }
+
+  /** STREAMING lines source: compressed shards LANDING in `dir` parse
+    * as they arrive — the corpus-subscription twin of [[readLines]],
+    * mirroring [[Warc.streamRecords]]: the binaryFile file-stream
+    * source's checkpoint makes each shard exactly-once across
+    * restarts; decode + line-split share the batch path's code (codec
+    * by extension, damage quarantined). Memory is O(file) here (the
+    * file source materializes content, 2 GiB cap) — corpora shard at
+    * ~100 MB–1 GB precisely so that holds. */
+  def streamLines(spark: SparkSession, dir: String,
+      strict: Boolean = false,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .mapPartitions { (it: Iterator[Row]) =>
+        it.flatMap { r =>
+          contentLines(r.getString(0), r.getAs[Array[Byte]](1), strict)
+        }
+      }(org.apache.spark.sql.Encoders.row(lineSchema))
+  }
+
+  /** Streaming JSONL document view over [[streamLines]]: parsed rows
+    * only (malformed lines and codec damage drop — a streaming
+    * quarantine sink can tap [[streamLines]] directly for accounting). */
+  def streamJsonl(spark: SparkSession, schema: StructType,
+      dir: String): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema may not declare _corrupt_record (capture column)")
+    streamLines(spark, dir)
+      .filter(col("error").isNull)
+      .select(from_json(col("line"),
+        schema.add("_corrupt_record", StringType),
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", "_corrupt_record")).as("j"))
+      .filter(col("j._corrupt_record").isNull)
+      .select(col("j.*")).drop("_corrupt_record")
+  }
+
+  /** Lines of one in-memory shard (the arrival-stream path). */
+  private def contentLines(file: String, content: Array[Byte],
+      strict: Boolean): Iterator[Row] = {
+    val reader = new BufferedReader(new InputStreamReader(
+      open(file, new java.io.ByteArrayInputStream(content)), UTF_8))
+    lineRows(file, reader, strict, () => reader.close())
+  }
+
+  /** The shared line iterator: per-file ordinals, codec-damage
+    * quarantine (lenient) or file-context rethrow (strict), `close`
+    * fired at exhaustion. */
+  private def lineRows(file: String, reader: BufferedReader,
+      strict: Boolean, close: () => Unit): Iterator[Row] = {
+    var lineNo = -1L
+    var failed = false
+    new Iterator[Row] {
+      private var pending: Option[Row] = fetch()
+      private def fetch(): Option[Row] =
+        if (failed) None
+        else try Option(reader.readLine()).map { l =>
+          lineNo += 1
+          Row(file, lineNo, l, null)
+        } catch {
+          case e: java.io.IOException =>
+            if (strict) throw new java.io.IOException(
+              s"$file: ${e.getMessage}", e)
+            failed = true
+            lineNo += 1
+            Some(Row(file, lineNo, null, s"codec: ${e.getMessage}"))
+        }
+      def hasNext: Boolean = {
+        val h = pending.isDefined
+        if (!h) close()
+        h
+      }
+      def next(): Row = { val r = pending.get; pending = fetch(); r }
+    }
   }
 
   /** Distributed `.jsonl.zst` shard writer — the publish format's

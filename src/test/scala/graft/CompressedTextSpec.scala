@@ -101,6 +101,35 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
       r.getAs[String]("error"))).toSeq == Seq(("alive", null)), rows.toSeq)
   }
 
+  test("streamJsonl ingests arriving zst shards exactly once per file") {
+    import org.apache.spark.sql.types._
+    val watch = tmpDir()
+    val ckpt = tmpDir()
+    Files.write(Paths.get(s"$watch/a.jsonl.zst"),
+      zst("""{"id":1,"t":"w1a"}""" + "\n" + """{"id":2,"t":"w1b"}""" + "\n"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val q = CompressedText.streamJsonl(spark, schema, watch)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ts = df.select("t").collect().map(_.getString(0)).toSeq
+        if (ts.nonEmpty) seen.add(ts.sorted)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(s"$watch/b.jsonl.zst"),
+        zst("""{"id":3,"t":"w2"}""" + "\n" + "not json\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.size == 2, seen)
+    assert(seen.poll() == Seq("w1a", "w1b"))
+    assert(seen.poll() == Seq("w2")) // malformed line dropped, not fatal
+  }
+
   test("zstd shard writer round-trips every field; one shard per partition") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
