@@ -131,6 +131,24 @@ object Bench {
       .getOrElse("" -> Map.empty)
   }
 
+  /** The previous comparable run's anchor median (`"anchor_med":X` from
+    * the newest matching BENCH_HISTORY line) — the denominator of the
+    * drift factor. None before the first anchored run. */
+  def prevAnchorMed(sfDir: String,
+      repoDir: String = "/root/repo"): Option[Double] = {
+    val hist = new java.io.File(s"$repoDir/BENCH_HISTORY.jsonl")
+    if (!hist.isFile) return None
+    val sfTag = "\"sf\":" + jstr(sfDir)
+    val re = java.util.regex.Pattern.compile("\"anchor_med\":([0-9.]+)")
+    try Files.readAllLines(hist.toPath).toArray.toSeq.map(_.toString)
+      .filter(_.contains(sfTag))
+      .flatMap { l =>
+        val m = re.matcher(l)
+        if (m.find()) Some(m.group(1).toDouble) else None
+      }.lastOption
+    catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -160,6 +178,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables(spark, sfDir, "events").count() // warmup
 
+    // ---- drift anchor (VERDICT r15 #2) ----------------------------------
+    // The box is shared: identical code re-benched +28% under neighbor
+    // load (r15's 76feb78 A/B burned a full adjudication run to prove
+    // it). The anchor is a FIXED synthetic CPU-bound job — independent
+    // of the engine's code and data, whole-stage codegen'd, so its time
+    // moves only with host throughput. Sampled before/mid/after the
+    // production queries; the median against the previous run's median
+    // yields a drift factor and a drift-NORMALIZED total, making
+    // round-over-round comparison self-adjudicating (no more A/B
+    // re-benches of old commits).
+    def loadavg1(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def anchorSample(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    anchorSample() // JIT/codegen warm for the anchor's own plan
+    val anchors = scala.collection.mutable.ListBuffer[Double]()
+    anchors += anchorSample()
+
     val benchT0 = System.nanoTime()
     val rerunSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SEC", "3.0").toDouble
     var errors = List.empty[(String, String)]
@@ -168,6 +211,7 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -180,6 +224,10 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = dt :: samples.getOrElse(name, Nil)
+      // per-query load annotation: a slow sample next to a high load
+      // reads as host interference; next to a quiet load it reads as a
+      // real regression (VERDICT r15 #2)
+      loads(name) = math.max(loads.getOrElse(name, -1.0), loadavg1())
       spark.catalog.clearCache()
       graft.ops.Caches.releaseAll() // checkpoint storage (outside cache mgr)
       dt
@@ -194,6 +242,7 @@ object Bench {
       name -> (1 to math.max(1, minSamples)).map(_ => sample(name, fn)).min
     }
     val best = scala.collection.mutable.LinkedHashMap(first.toSeq: _*)
+    anchors += anchorSample() // mid-run host sample
     // Passes 2-3: only queries still above the noise threshold (and not
     // failed — a broken query re-run twice is just a slower broken query).
     var rerun = 0
@@ -219,6 +268,12 @@ object Bench {
         }
       }
     }
+    anchors += anchorSample() // end-of-run host sample
+    val anchorMed = anchors.sorted.apply(anchors.size / 2)
+    val prevAnchor = prevAnchorMed(sfDir)
+    // drift > 1 = host slower than last run; the normalized total is
+    // what this run WOULD have cost at the previous run's host speed
+    val drift = prevAnchor.map(anchorMed / _)
     val results = best
     val wallSec = (System.nanoTime() - benchT0) / 1e9
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
@@ -269,7 +324,8 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val spreadJson = samples.map { case (k, xs) =>
       val s = xs.sorted
-      jstr(k) + s""":{"min":${r3(s.head)},"med":${r3(s(s.size / 2))},"max":${r3(s.last)},"n":${s.size}}"""
+      val ld = loads.getOrElse(k, -1.0)
+      jstr(k) + s""":{"min":${r3(s.head)},"med":${r3(s(s.size / 2))},"max":${r3(s.last)},"n":${s.size},"load":${f"$ld%.2f"}}"""
     }.mkString("{", ",", "}")
     val moved = movers(prev, results)
     val movedJson = moved.map { case (k, r) => jstr(k) + ":" + f"$r%.2f" }
@@ -281,8 +337,18 @@ object Bench {
     val artJson = QueriesExt.artifactBuildSeconds.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
+    // Drift block: anchor_med is THIS run's host-speed measurement (the
+    // next run's denominator); drift/normalized_total appear once a
+    // previous anchored run exists. normalized_total is the
+    // round-over-round comparable number — the verdict reads IT, not
+    // the raw total, so host swings stop being adjudication work.
+    val driftJson =
+      s""""anchor":{"samples":[${anchors.map(r3).mkString(",")}],"med":${r3(anchorMed)}},"anchor_med":${r3(anchorMed)}""" +
+        drift.map(d =>
+          s""","prev_anchor_med":${r3(prevAnchor.get)},"drift":${f"$d%.3f"},"normalized_total":${f"${total / d}%.2f"},"normalized_production_total":${f"${productionTotal / d}%.2f"}""")
+          .getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},$driftJson,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Option(Paths.get(outFile).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outFile), json + "\n")
     // Full-precision history: a COMPLETE run (no query filter) appends its
@@ -312,7 +378,9 @@ object Bench {
     // Same method label as the history/bench_out line (ADVICE r12: the
     // stdout line said "min_of_retries" while history said the
     // thresholded variant — two names for one measurement).
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    val driftCompact = s""""anchor_med":${r2(anchorMed)}""" +
+      drift.map(d => s""","drift":${f"$d%.2f"},"normalized_total":${r2(total / d)}""").getOrElse("")
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},$driftCompact,"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length
     val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
     var used = 0

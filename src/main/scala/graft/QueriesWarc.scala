@@ -21,7 +21,7 @@ object QueriesWarc {
     * two paths cannot accidentally share a layout), plus raw-crawl
     * `response` shards (HTTP + HTML payloads). */
   private[graft] final case class Fixture(gz: String, plain: String,
-      responses: String)
+      responses: String, media: String, damaged: String)
 
   private val fixtures =
     scala.collection.concurrent.TrieMap[String, Fixture]()
@@ -36,7 +36,11 @@ object QueriesWarc {
         gzip = false)
       WarcFixtures.writeResponseShards(s, dir, s"$base/responses",
         shards = 3)
-      Fixture(s"$base/gz", s"$base/plain", s"$base/responses")
+      WarcFixtures.writeMediaShards(s, dir, s"$base/media", shards = 3)
+      WarcFixtures.writeDamagedShards(s, dir, s"$base/damaged",
+        shards = 3)
+      Fixture(s"$base/gz", s"$base/plain", s"$base/responses",
+        s"$base/media", s"$base/damaged")
     })
 
   /** doc_id back out of the fixture URL (`.../docs/<id>?...`). */
@@ -82,19 +86,18 @@ object QueriesWarc {
     // WARC → curation chain: canonicalize the crawl URLs (tracking
     // params stripped by Urls.canonicalize) and size each host's slice
     // of the corpus — the first report a crawl ingest produces. ONE
-    // pass: the canonical host rides the parse in the same flatMap
-    // (an earlier shape joined two branches that each re-parsed the
-    // archives — two full crawl parses just to pair host with bytes),
-    // so the only exchange is the per-host aggregation's.
+    // pass, and since r16 the canonical host is a codegen'd EXPRESSION
+    // (Urls.hostCol / UrlPartExpr) riding the parse projection — the
+    // earlier typed flatMap paid a DeserializeToObject/Serialize pair
+    // per census row just to extract a host (VERDICT r15 #5; the plan
+    // is locked deser-free in PlanShapeSpec). Only exchange: the
+    // per-host aggregation's.
     QueryCase("q_warc_hosts",
       (s, dir) => {
-        import s.implicits._
         Warc.readWet(s, fixture(s, dir).gz)
-          .select(col("url"), col("n_bytes")).as[(String, Long)]
-          .flatMap { case (u, n) =>
-            graft.ext.Urls.canonicalize(u).map(c => (c.host, n))
-          }
-          .toDF("host", "n_bytes")
+          .select(graft.ext.Urls.hostCol(col("url")).as("host"),
+            col("n_bytes"))
+          .filter(col("host").isNotNull)
           .groupBy("host")
           .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
       },
@@ -135,6 +138,86 @@ object QueriesWarc {
         |  md5('Doc ' || doc_id || chr(10) || 'site nav boilerplate' ||
         |      chr(10) || 'Doc ' || doc_id || chr(10) || text) AS text_md5
         |FROM documents""".stripMargin)),
+
+    // Multimodal crawl flagship: `response` records with BINARY image
+    // entities → byte-exact entity slice (Http.bodyBytes — the UTF-8
+    // twin would U+FFFD the PNGs into garbage) → mime gate → EXACT
+    // content dedup on the entity bytes → real PNG pixel decode of ONE
+    // representative per group. Decode-after-dedup is the 100 TB shape:
+    // the expensive pixel kernel runs once per DISTINCT image, not once
+    // per copy, and the group-by's partial aggregation means the
+    // shuffle carries one body per (sig, input partition), not every
+    // copy. The oracle restates the dedup census in closed form from
+    // the documents table ([[WarcFixtures.mediaPng]]'s geometry/value
+    // formulas), so a single corrupted entity byte flips the hash.
+    QueryCase("q_warc_media",
+      (s, dir) => {
+        import s.implicits._
+        val ents = Warc.readRecords(s, fixture(s, dir).media)
+          .filter(col("error").isNull && col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "/docs/(\\d+)\\?", 1)
+              .cast("long").as("doc_id"),
+            Warc.Http.header(col("payload"), "Content-Type").as("mime"),
+            Warc.Http.bodyBytes(col("payload")).as("body"))
+          .filter(col("mime").startsWith("image/"))
+        val groups = ents
+          .groupBy(sha2(col("body"), 256).as("sig"))
+          .agg(min("doc_id").as("rep_doc_id"),
+            count(lit(1)).as("n_copies"),
+            first("body").as("body"))
+        groups.select(col("rep_doc_id"), col("n_copies"), col("body"))
+          .as[(Long, Long, Array[Byte])]
+          .mapPartitions(_.map { case (rep, n, bytes) =>
+            val img = graft.ext.Multimodal.imagePixels(bytes).getOrElse(
+              sys.error(s"undecodable image for rep_doc_id=$rep"))
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) {
+              sum += img.pixels(i) & 0xff; i += 1
+            }
+            (rep, n, img.width, img.height, img.channels, sum)
+          })
+          .toDF("rep_doc_id", "n_copies", "width", "height", "channels",
+            "pixel_sum")
+      },
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(j + 2 AS INTEGER) AS width,
+        |  CAST(j % 3 + 2 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST((j + 2) * (j % 3 + 2) * 3 * ((j * 37 + 11) % 256)
+        |    AS BIGINT) AS pixel_sum
+        |FROM (SELECT doc_id, doc_id % 7 AS j FROM documents)
+        |GROUP BY j""".stripMargin)),
+
+    // Quarantine ACCOUNTING, registry-locked (VERDICT r15 #6): the
+    // damage-containment semantics — framing damage quarantines its
+    // member and resyncs, boundary damage quarantines the file
+    // remainder — were spec-armed only; this query freezes the error
+    // taxonomy as an oracle-checked census over a deliberately-damaged
+    // fixture (WarcFixtures.writeDamagedShards: doc_id%13==4 framing
+    // overshoot + per-shard trailing junk). An 'other' class catches
+    // any error string drifting out of the frozen taxonomy as a hash
+    // mismatch, not a silent reclassification.
+    QueryCase("q_warc_quarantine",
+      (s, dir) => {
+        Warc.readRecords(s, fixture(s, dir).damaged)
+          .select(
+            when(col("error").isNull, lit("ok"))
+              .when(col("error").contains("EOF inside payload"),
+                lit("framing"))
+              .when(col("error").contains("not a gzip member header"),
+                lit("boundary"))
+              .otherwise(lit("other")).as("reason_class"))
+          .groupBy("reason_class")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT reason_class, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN doc_id % 13 = 4 THEN 'framing' ELSE 'ok' END
+        |    AS reason_class FROM documents
+        |  UNION ALL SELECT 'ok' FROM range(3)       -- warcinfo leaders
+        |  UNION ALL SELECT 'boundary' FROM range(3) -- per-shard junk
+        |) GROUP BY reason_class""".stripMargin)),
 
     // .jsonl.zst round trip — the open-corpus publish format Spark's
     // Hadoop layer can't decode without native libs: the documents

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** URL parsing + canonicalization — the identity key for web-corpus
@@ -103,6 +103,31 @@ object Urls {
     Some(CanonUrl(scheme, host, effPort, path, query, canonical))
   }
 
+  /** The last two host labels — the public-suffix-list-free domain
+    * approximation (documented: `co.uk`-style suffixes group one level
+    * too high; a PSL column would slot in the same row). ONE statement,
+    * shared by the typed op and the codegen'd expression. */
+  def domainOf(host: String): String = {
+    val labels = host.stripPrefix("www.").split('.')
+    if (host.startsWith("[") || labels.length <= 1) host
+    else labels.takeRight(2).mkString(".")
+  }
+
+  /** Codegen'd column form of [[canonicalize]]: extract one part
+    * (`scheme`/`host`/`domain`/`path`/`query`/`canonical`) fused into
+    * the plan — no typed deser/ser boundary
+    * ([[graft.functions.UrlPartExpr]]); null on malformed input. */
+  def partCol(c: Column, part: String): Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    shim.column(graft.functions.UrlPartExpr(shim.expression(c), part))
+  }
+
+  /** The canonical host, scan-fused ([[partCol]]). */
+  def hostCol(c: Column): Column = partCol(c, "host")
+
+  /** The full canonical form, scan-fused ([[partCol]]). */
+  def canonicalCol(c: Column): Column = partCol(c, "canonical")
+
   /** One canonicalized row for the distributed op. */
   final case class UrlRow(url_id: Long, scheme: String, host: String,
       domain: String, path: String, canonical: String)
@@ -118,11 +143,8 @@ object Urls {
       .as[(Long, String)]
       .flatMap { case (id, u) =>
         canonicalize(u).map { c =>
-          val labels = c.host.stripPrefix("www.").split('.')
-          val domain =
-            if (c.host.startsWith("[") || labels.length <= 1) c.host
-            else labels.takeRight(2).mkString(".")
-          UrlRow(id, c.scheme, c.host, domain, c.path, c.canonical)
+          UrlRow(id, c.scheme, c.host, domainOf(c.host), c.path,
+            c.canonical)
         }
       }
   }

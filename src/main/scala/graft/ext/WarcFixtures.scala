@@ -114,6 +114,127 @@ object WarcFixtures {
       f"11111111-0000-0000-0000-$docId%012d",
       "application/http; msgtype=response", httpHtmlPayload(docId, text))
 
+  // ------------------------------------------------------ media fixtures
+
+  /** Content-dedup group of a document's crawl image: docs sharing
+    * `doc_id % 7` carry BYTE-IDENTICAL PNG entities (the builder is
+    * deterministic), so exact content dedup over crawl media must
+    * recover exactly these groups. */
+  def mediaGroup(docId: Long): Int = (docId % 7).toInt
+
+  /** The group's PNG: solid-color RGB whose every decoded statistic is
+    * stated in closed form so the DuckDB oracle recomputes it from the
+    * documents table alone — width = j+2, height = j%3+2, channels = 3,
+    * every pixel value = (j*37+11)%256, hence
+    * pixel_sum = width*height*3*value. Spec-valid bytes via
+    * [[MediaFixtures.buildPng]] (filter 0 rows), decoded by the REAL
+    * PNG pipeline, not a stub. */
+  def mediaPng(j: Int): Array[Byte] = {
+    val w = j + 2; val h = j % 3 + 2; val v = (j * 37 + 11) % 256
+    MediaFixtures.buildPng(w, h, colorType = 2,
+      rows = Seq.fill(h)(Seq.fill(w * 3)(v)),
+      filters = Seq.fill(h)(0))
+  }
+
+  /** Full HTTP/1.1 message with a BINARY image entity — the raw-crawl
+    * payload shape [[graft.sources.Warc.Http.bodyBytes]] must slice
+    * byte-exactly (a UTF-8 decode would destroy it). */
+  def httpImagePayload(docId: Long): Array[Byte] = {
+    val png = mediaPng(mediaGroup(docId))
+    (s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+      s"Content-Length: ${png.length}\r\nServer: graft-fixture\r\n\r\n")
+      .getBytes(UTF_8) ++ png
+  }
+
+  /** Every doc carries one image response; docs with `doc_id % 11 == 0`
+    * carry an ADDITIONAL text/plain response the image-mime filter must
+    * drop — so the filter is exercised by real mixed-type crawl shards,
+    * not vacuously. */
+  private def mediaOfDoc(docId: Long, source: String,
+      text: String): Seq[Array[Byte]] = {
+    val img = record("response", Some(urlOf(source, docId)), dateOf(docId),
+      f"22222222-0000-0000-0000-$docId%012d",
+      "application/http; msgtype=response", httpImagePayload(docId))
+    if (docId % 11 == 0)
+      Seq(img, record("response", Some(urlOf(source, docId)),
+        dateOf(docId), f"33333333-0000-0000-0000-$docId%012d",
+        "application/http; msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+          "not an image: " + text.take(32)).getBytes(UTF_8)))
+    else Seq(img)
+  }
+
+  /** Media twin of [[writeResponseShards]]: `response` records whose
+    * entities are binary images ([[httpImagePayload]]) — the fixture
+    * behind the multimodal crawl flagship (q_warc_media). */
+  def writeMediaShards(spark: SparkSession, sfDir: String,
+      outDir: String, shards: Int): Unit =
+    writeShardsMulti(spark, sfDir, outDir, shards, gzip = true, "warc.gz",
+      mediaOfDoc)
+
+  // -------------------------------------------------- damaged fixtures
+
+  /** A conversion record whose declared Content-Length OVERSHOOTS the
+    * actual payload by 7 bytes: the parser reads through the record
+    * trailer into member EOF and quarantines with "EOF inside payload"
+    * — the deterministic per-member framing-damage class of
+    * q_warc_quarantine (the member resyncs, later records survive). */
+  def framingDamagedRecord(docId: Long, source: String,
+      text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: conversion").append(CRLF)
+    sb.append("WARC-Target-URI: ").append(urlOf(source, docId))
+      .append(CRLF)
+    sb.append("WARC-Date: ").append(dateOf(docId)).append(CRLF)
+    sb.append("WARC-Record-ID: <urn:uuid:")
+      .append(f"44444444-0000-0000-0000-$docId%012d").append(">")
+      .append(CRLF)
+    sb.append("Content-Type: text/plain").append(CRLF)
+    sb.append("Content-Length: ").append(payload.length + 7).append(CRLF)
+    sb.append(CRLF)
+    sb.toString.getBytes(UTF_8) ++ payload ++
+      (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** Deliberately-damaged crawl fixture for the quarantine-accounting
+    * census (q_warc_quarantine): per-record-gzip shards where docs with
+    * `doc_id % 13 == 4` carry framing damage ([[framingDamagedRecord]]
+    * → one quarantine row each, member-contained) and EVERY shard ends
+    * with non-gzip junk (boundary damage → one remainder-quarantine row
+    * per shard). Every shard file is written even when its range
+    * partition is empty, so the boundary count is the LITERAL shard
+    * count and the DuckDB oracle states the whole census in closed form
+    * from the documents table. */
+  def writeDamagedShards(spark: SparkSession, sfDir: String,
+      outDir: String, shards: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    docs.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = TaskContext.getPartitionId()
+      val name = f"part-$pid%05d.warc.gz"
+      val path = new Path(s"$outDir/$name")
+      val fs = path.getFileSystem(new Configuration())
+      val out = fs.create(path, true)
+      try {
+        out.write(gzMember(warcinfo(name)))
+        it.foreach { r =>
+          val (id, src, text) =
+            (r.getLong(0), r.getString(1), r.getString(2))
+          val rec =
+            if (id % 13 == 4) framingDamagedRecord(id, src, text)
+            else recordOfDoc(id, src, text)
+          out.write(gzMember(rec))
+        }
+        out.write("NOT-A-GZIP-MEMBER".getBytes(UTF_8)) // boundary junk
+      } finally out.close()
+    }
+  }
+
   /** Write a sharded WET fixture derived from `documents.parquet` under
     * `sfDir` — DISTRIBUTED (each task writes its own shard file, the
     * real crawl layout; no driver collect): range-partition by doc_id +
@@ -136,7 +257,13 @@ object WarcFixtures {
 
   private def writeShards(spark: SparkSession, sfDir: String,
       outDir: String, shards: Int, gzip: Boolean, ext: String,
-      recordOf: (Long, String, String) => Array[Byte]): Unit = {
+      recordOf: (Long, String, String) => Array[Byte]): Unit =
+    writeShardsMulti(spark, sfDir, outDir, shards, gzip, ext,
+      (id, src, text) => Seq(recordOf(id, src, text)))
+
+  private def writeShardsMulti(spark: SparkSession, sfDir: String,
+      outDir: String, shards: Int, gzip: Boolean, ext: String,
+      recordsOf: (Long, String, String) => Seq[Array[Byte]]): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
       .repartitionByRange(shards, col("doc_id"))
@@ -153,8 +280,8 @@ object WarcFixtures {
           val info = warcinfo(name)
           out.write(if (gzip) gzMember(info) else info)
           it.foreach { r =>
-            val rec = recordOf(r.getLong(0), r.getString(1), r.getString(2))
-            out.write(if (gzip) gzMember(rec) else rec)
+            recordsOf(r.getLong(0), r.getString(1), r.getString(2))
+              .foreach(rec => out.write(if (gzip) gzMember(rec) else rec))
           }
         } finally out.close()
       }

@@ -113,6 +113,8 @@ object GraftFunctions {
   val NGramsName = "graft_ngrams"
   val NGramsAllName = "graft_ngrams_all"
   val CharNgramsName = "graft_char_ngrams"
+  val HttpBodyBytesName = "graft_http_body_bytes"
+  val UrlPartName = "graft_url_part"
 
   /** The function table, shared by the lazy runtime path ([[register]])
     * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
@@ -151,7 +153,18 @@ object GraftFunctions {
     (FunctionIdentifier(CharNgramsName),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, CharNgramsName),
       (children: Seq[Expression]) =>
-        CharNgramsExpr(children(0), children(1))))
+        CharNgramsExpr(children(0), children(1))),
+    (FunctionIdentifier(HttpBodyBytesName),
+      new ExpressionInfo(classOf[HttpBodyBytesExpr].getName,
+        HttpBodyBytesName),
+      (children: Seq[Expression]) => HttpBodyBytesExpr(children(0))),
+    (FunctionIdentifier(UrlPartName),
+      new ExpressionInfo(classOf[UrlPartExpr].getName, UrlPartName),
+      // part argument must be a string literal (folded at build time)
+      (children: Seq[Expression]) => UrlPartExpr(children(0),
+        children(1).eval(null)
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

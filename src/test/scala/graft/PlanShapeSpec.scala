@@ -421,6 +421,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     val plan = formatted("q_warc_hosts")
     assert(!plan.contains("Join"), plan.take(3000))
     assert(nHashExchanges(plan) == 1, plan.take(3000))
+    // r16: canonicalization is a codegen'd expression riding the parse
+    // projection — a DeserializeToObject here means the census regressed
+    // to paying a row-object round trip per crawl record (VERDICT r15 #5)
+    assert(!plan.contains("DeserializeToObject"), plan.take(3000))
   }
 
   test("q_pipeline_web's two dedups are its only exchanges") {

@@ -53,4 +53,46 @@ class UrlsSpec extends AnyFunSuite with SparkTestSupport {
     assert(byCanon("http://example.com/b").length == 1)
     assert(rows.forall(_.domain == "example.com"))
   }
+
+  test("UrlPartExpr: every part bit-identical to canonicalize, incl. malformed") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTP://User:pw@Example.com:80/a/b?z=1&utm_source=x&a=2#frag",
+      "https://sub.www.Example.co.uk:8443/path",
+      "http://[2001:db8::1]:8080/v6?q=x",
+      "https://example.org", // empty path → /
+      "ftp://files.example.net/pub",
+      "junk-no-scheme", "://nohost", null)
+    val parts = graft.functions.UrlPartExpr.codeOf.keys.toSeq.sorted
+    val df = urls.toDF("url")
+    val got = df.select(col("url") +:
+        parts.map(p => graft.ext.Urls.partCol(col("url"), p).as(p)): _*)
+      .collect()
+    for (r <- got) {
+      val expect = Option(r.getAs[String]("url"))
+        .flatMap(graft.ext.Urls.canonicalize)
+      parts.foreach { p =>
+        val want = expect.map { c =>
+          p match {
+            case "scheme" => c.scheme
+            case "host" => c.host
+            case "domain" => graft.ext.Urls.domainOf(c.host)
+            case "path" => c.path
+            case "query" => if (c.query.isEmpty) null else c.query
+            case _ => c.canonical
+          }
+        }.orNull
+        assert(r.getAs[String](p) == want,
+          s"part $p of ${r.getAs[String]("url")}")
+      }
+    }
+    // sanity on the non-trivial row (tracking params stripped, sorted;
+    // default port dropped; userinfo + fragment gone)
+    val first = got.head
+    assert(first.getAs[String]("canonical")
+      == "http://example.com/a/b?a=2&z=1")
+    assert(first.getAs[String]("domain") == "example.com")
+  }
 }

@@ -126,6 +126,33 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(ex.getMessage != null)
   }
 
+  test("corrupt member magic / inter-member junk quarantines, never clean-EOF") {
+    // ADVICE r15: bytes that are present but not `1f 8b` must NOT read
+    // as end-of-archive — that would silently drop the file remainder
+    // with no error row anywhere. One error row, remainder quarantined.
+    val junks = Seq(
+      "JUNKJUNKJUNK".getBytes(UTF_8), // garbage between members
+      { val m = WarcFixtures.gzMember(rec(2, "flipped")).clone()
+        m(0) = 0x2f.toByte; m }, // flipped magic byte on a real member
+      Array[Byte](0x1f.toByte)) // lone trailing byte: not a member
+    for ((junk, i) <- junks.zipWithIndex) {
+      val dir = tmpDir()
+      val bytes = WarcFixtures.gzMember(rec(1, "before")) ++ junk ++
+        WarcFixtures.gzMember(rec(3, "unreachable"))
+      write(s"$dir/j$i.warc.gz", bytes)
+      val rows = Warc.readRecords(spark, dir).collect()
+      val ok = rows.filter(_.getAs[String]("error") == null)
+        .map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8))
+      assert(ok.toSeq == Seq("before"), s"junk case $i")
+      val errs = rows.filter(_.getAs[String]("error") != null)
+      assert(errs.length == 1 && errs.head.getAs[String]("error")
+        .contains("not a gzip member header"), s"junk case $i")
+      intercept[org.apache.spark.SparkException] {
+        Warc.readRecords(spark, dir, strict = true).collect()
+      }
+    }
+  }
+
   test("truncated payload quarantines (lenient) / throws (strict)") {
     val dir = tmpDir()
     val full = rec(1, "whole") ++ rec(2, "cut short")
@@ -165,6 +192,29 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     } finally {
       old.fold(hconf.unset(key))(v => hconf.set(key, v))
     }
+  }
+
+  test("splittable read: payload legitimately ending in CRLFCRLF survives") {
+    // ADVICE r15: the trailer strip must be conditional on the byte
+    // count — a MID-FILE record whose text ends with \r\n\r\n is exactly
+    // Content-Length bytes (its real trailer was consumed by the
+    // delimiter) and must keep them; only the FILE-FINAL record carries
+    // 4 extra trailer bytes to strip. Both shapes in one file.
+    val dir = tmpDir()
+    val midCrlf = "mid text ends with blank lines\r\n\r\n"
+    val lastCrlf = "last text also ends with blank lines\r\n\r\n"
+    val bytes = rec(1, "plain-one") ++ rec(2, midCrlf) ++
+      rec(3, "plain-two") ++ rec(4, lastCrlf)
+    write(s"$dir/crlf.warc.wet", bytes)
+    val out = Warc.readWetSplittable(spark, s"$dir/crlf.warc.wet").collect()
+    assert(out.forall(_.getAs[String]("error") == null),
+      out.map(_.getAs[String]("error")).mkString("; "))
+    val texts = out.map(_.getAs[String]("text")).toSet
+    assert(texts == Set("plain-one", midCrlf, "plain-two", lastCrlf))
+    // streaming path agrees byte-for-byte
+    val streamed = Warc.readWet(spark, s"$dir/crlf.warc.wet")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamed == texts)
   }
 
   test("splittable read: delimiter collision quarantines, never silent") {
@@ -221,6 +271,36 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
       == WarcFixtures.htmlExtractedText(7L, "seven"))
   }
 
+  test("bodyBytes slices a binary JPEG entity byte-exactly; string twin corrupts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val jpeg = graft.ext.MediaFixtures.jpeg4x2
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n" +
+      s"Content-Length: ${jpeg.length}\r\n\r\n").getBytes(UTF_8) ++ jpeg
+    val df = Seq((1L, msg),
+        (2L, "no separator at all".getBytes(UTF_8)))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.sources.Warc.Http.bodyBytes(col("payload")).as("bytes"),
+        graft.sources.Warc.Http.body(col("payload")).as("text"))
+    val rows = df.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Array[Byte]]("bytes"), r.getAs[String]("text")))).toMap
+    // byte-domain slice is IDENTICAL to the fixture entity
+    assert(java.util.Arrays.equals(rows(1L)._1, jpeg))
+    // ...and the sliced bytes parse as a real image container
+    val dims = graft.ext.Multimodal.imageDims(rows(1L)._1)
+    assert(dims.exists { case (w, h, _) => w == 4 && h == 2 })
+    // the string twin (UTF-8 decode) does NOT round-trip a JPEG —
+    // exactly why the byte twin exists
+    assert(!java.util.Arrays.equals(
+      rows(1L)._2.getBytes(UTF_8), jpeg))
+    // no separator → null in both domains
+    assert(rows(2L)._1 == null && rows(2L)._2 == null)
+    // interpreted eval agrees with the codegen'd path
+    assert(java.util.Arrays.equals(
+      graft.functions.HttpBodyBytesExpr.slice(msg), jpeg))
+  }
+
   // ------------------------------------------------------ arrival stream
 
   test("streamWet ingests arriving archives exactly once per file") {
@@ -251,6 +331,52 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
     assert(seen.size == 2, seen)
     assert(seen.poll() == Seq("first wave one", "first wave two"))
     assert(seen.poll() == Seq("second wave"))
+  }
+
+  test("oversize archive quarantines with a batch-path pointer; stream survives") {
+    // VERDICT r15 #3: the file stream source materializes whole
+    // archives, so an archive past the budget must become ONE error row
+    // (its bytes never read — length pushdown), not an executor
+    // OOM/task failure; arrivals after it keep flowing.
+    import org.apache.spark.sql.Row
+    val watch = tmpDir()
+    val ckpt = tmpDir()
+    write(s"$watch/small.warc.wet.gz",
+      WarcFixtures.gzMember(rec(1, "fits the budget")))
+    // high-entropy payload so the .gz FILE (what `length` gates on)
+    // actually exceeds the budget — "x"*8192 would gzip to ~50 bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fatText = (0 until 512).map(k =>
+      md.digest(s"fat:$k".getBytes(UTF_8))
+        .map("%02x".format(_)).mkString).mkString
+    write(s"$watch/fat.warc.wet.gz",
+      WarcFixtures.gzMember(rec(2, fatText))) // ~8 KB gz > 2048 budget
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val q = graft.sources.Warc
+      .streamRecords(spark, watch, maxArchiveBytes = 2048)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(seen.add); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      write(s"$watch/later.warc.wet.gz",
+        WarcFixtures.gzMember(rec(3, "lands after the oversize one")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = seen.toArray(Array.empty[Row])
+    val ok = rows.filter(_.getAs[String]("error") == null)
+      .map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8))
+    assert(ok.toSet == Set("fits the budget",
+      "lands after the oversize one"))
+    val errs = rows.filter(_.getAs[String]("error") != null)
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("file").endsWith("fat.warc.wet.gz"))
+    val msg = errs.head.getAs[String]("error")
+    assert(msg.contains("exceeds the stream ingest budget") &&
+      msg.contains("batch path"), msg)
   }
 
   test("crawl arrival feeds the near-dup admission tier end-to-end") {
