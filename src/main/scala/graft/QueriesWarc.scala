@@ -108,30 +108,28 @@ object QueriesWarc {
 
     // Raw-crawl path: `response` records carry full HTTP/1.1 messages.
     // Status / Content-Type / entity body split off with built-in
-    // expressions (codegen'd, Warc.Http), then the HTML extractor
-    // recovers the document text from the page furniture in the same
-    // pass (one scan, no shuffle until nothing — kernel map only). The
-    // oracle restates the page's expected extraction
-    // (WarcFixtures.htmlExtractedText) from the documents table.
+    // expressions (codegen'd, Warc.Http), and since r16 the HTML
+    // extractor is ALSO a codegen'd expression (Html.textCol /
+    // HtmlTextExpr) — the whole crawl→text recovery is one scan
+    // projection, no typed-map deser/ser boundary, no shuffle
+    // (plan-locked in PlanShapeSpec). The oracle restates the page's
+    // expected extraction (WarcFixtures.htmlExtractedText) from the
+    // documents table.
     QueryCase("q_warc_html",
       (s, dir) => {
-        import s.implicits._
-        val parsed = Warc.readRecords(s, fixture(s, dir).responses)
+        Warc.readRecords(s, fixture(s, dir).responses)
           .filter(col("error").isNull && col("warc_type") === "response")
           .select(
             regexp_extract(col("target_uri"), "/docs/(\\d+)\\?", 1)
               .cast("long").as("doc_id"),
             Warc.Http.status(col("payload")).as("status"),
-            Warc.Http.header(col("payload"), "Content-Type").as("mime"),
+            Warc.Http.header(col("payload"), "Content-Type")
+              .as("mime"),
             Warc.Http.body(col("payload")).as("html"))
           .filter(col("status").isNotNull && col("html").isNotNull)
-        parsed.as[(Long, Int, String, String)]
-          .map { case (id, st, mime, html) =>
-            (id, st, mime, graft.ext.Html.extractText(html))
-          }
-          .toDF("doc_id", "status", "mime", "text")
           .select(col("doc_id"), col("status"), col("mime"),
-            md5(col("text").cast("binary")).as("text_md5"))
+            md5(graft.ext.Html.textCol(col("html")).cast("binary"))
+              .as("text_md5"))
       },
       Some("""SELECT doc_id, CAST(200 AS INTEGER) AS status,
         |  'text/html; charset=UTF-8' AS mime,

@@ -31,6 +31,14 @@ object Html {
     "th", "dt", "dd", "form", "nav", "aside", "main", "figure",
     "figcaption", "address")
 
+  /** Column form of [[extractText]], codegen'd
+    * ([[graft.functions.HtmlTextExpr]]) — rides the scan projection,
+    * no typed deser/ser boundary. */
+  def textCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    shim.column(graft.functions.HtmlTextExpr(shim.expression(c)))
+  }
+
   /** Extract readable text from an HTML string (see object doc). */
   def extractText(html: String): String = {
     val sb = new StringBuilder

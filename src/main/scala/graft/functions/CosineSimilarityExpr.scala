@@ -115,6 +115,7 @@ object GraftFunctions {
   val CharNgramsName = "graft_char_ngrams"
   val HttpBodyBytesName = "graft_http_body_bytes"
   val UrlPartName = "graft_url_part"
+  val HtmlTextName = "graft_html_text"
 
   /** The function table, shared by the lazy runtime path ([[register]])
     * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
@@ -164,7 +165,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => UrlPartExpr(children(0),
         children(1).eval(null)
           .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString)))
+          .toString)),
+    (FunctionIdentifier(HtmlTextName),
+      new ExpressionInfo(classOf[HtmlTextExpr].getName, HtmlTextName),
+      (children: Seq[Expression]) => HtmlTextExpr(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

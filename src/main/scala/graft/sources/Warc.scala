@@ -563,10 +563,16 @@ object Warc {
     under.unionByName(over)
   }
 
-  /** Streaming WET document view over [[streamRecords]]. */
+  /** Streaming WET document view over [[streamRecords]] (same trigger
+    * and archive-budget knobs; oversize-archive quarantine rows drop
+    * here — this is the clean-documents projection, tap
+    * [[streamRecords]] for accounting). */
   def streamWet(spark: SparkSession, dir: String,
-      strict: Boolean = false): DataFrame =
-    wetView(streamRecords(spark, dir, strict))
+      strict: Boolean = false,
+      maxFilesPerTrigger: Int = 16,
+      maxArchiveBytes: Long = DefaultMaxArchiveBytes): DataFrame =
+    wetView(streamRecords(spark, dir, strict, maxFilesPerTrigger,
+      maxArchiveBytes))
 
   /** Decompress `.gz` archives into plain staging copies, distributed
     * (one file per task, streamed — O(buffer) memory): the bridge from

@@ -54,4 +54,26 @@ class HtmlSpec extends AnyFunSuite with SparkTestSupport {
       got(1L).n_chars == 7)
     assert(got(2L).text == "" && got(2L).n_lines == 0)
   }
+
+  test("textCol (codegen'd expression) is bit-identical to extractText") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val htmls = Seq(
+      "<html><head><title>T</title><style>x{}</style></head>" +
+        "<body><nav>nav</nav><h1>H</h1><p>body &amp; more</p>" +
+        "<script>var x='<p>no</p>';</script></body></html>",
+      "<p>unclosed <b>bold",
+      "plain text, no tags at all",
+      "<!-- only a comment -->",
+      "", null)
+    val got = htmls.toDF("html")
+      .select(col("html"), graft.ext.Html.textCol(col("html")).as("t"))
+      .collect()
+    got.foreach { r =>
+      val h = r.getAs[String]("html")
+      val want = if (h == null) null else graft.ext.Html.extractText(h)
+      assert(r.getAs[String]("t") == want, s"html=$h")
+    }
+  }
 }

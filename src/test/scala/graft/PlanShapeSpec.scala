@@ -412,6 +412,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
       assert(!plan.contains("Exchange"), s"$q\n" + plan.take(3000))
       assert(!plan.contains("Join"), s"$q\n" + plan.take(3000))
     }
+    // r16: the HTML extraction is a codegen'd expression riding the
+    // scan projection — a DeserializeToObject means the crawl→text
+    // recovery regressed to a typed-map row-object round trip
+    assert(!formatted("q_warc_html").contains("DeserializeToObject"),
+      formatted("q_warc_html").take(3000))
   }
 
   test("q_warc_hosts parses the crawl ONCE: no join, one agg exchange") {
