@@ -2047,9 +2047,16 @@ object QueriesExt {
     // (three spellings of /a collapse; junk drops) → HTML extraction →
     // mojibake repair → NFC → content-level exact dedup (the /b page
     // carries the same text as /a once repaired+normalized — caught
-    // only BECAUSE the cleanup ran first). Two shuffles total (the two
-    // global dedups), both on already-reduced keys — the minimal
-    // shape. Survivors hand-walked in the oracle.
+    // only BECAUSE the cleanup ran first). Since r16 every per-row
+    // stage is a codegen'd EXPRESSION (Urls.canonicalCol →
+    // Html.textCol → Encoding.repairCol → Encoding.nfcCol), so the
+    // whole cleanup fuses into scan projections — the typed-op form of
+    // this chain paid TEN DeserializeToObject boundaries (PlanAudit
+    // r16); the typed ops remain the per-stage registry contracts
+    // (q_text_url_canonical / _html_extract / _fix_mojibake / _nfc)
+    // and the expressions are spec-locked bit-identical to them. Two
+    // shuffles total (the two global dedups), both on already-reduced
+    // keys — the minimal shape. Survivors hand-walked in the oracle.
     QueryCase("q_pipeline_web",
       (s, _) => {
         import s.implicits._
@@ -2064,20 +2071,18 @@ object QueriesExt {
           (4L, "http://example.com/c", "<p>unique content here</p>"),
           (5L, "junk-url", "<p>whatever</p>"))
           .toDF("doc_id", "url", "html")
-        val canon = graft.ext.Urls.canonicalized(s,
-          crawl.select(col("doc_id").as("url_id"), col("url"))).toDF()
+        val canon = crawl
+          .select(col("doc_id"),
+            graft.ext.Urls.canonicalCol(col("url")).as("canonical"))
+          .filter(col("canonical").isNotNull)
         val urlKeep = canon.groupBy("canonical")
-          .agg(min("url_id").as("doc_id"))
-        val docs = crawl.join(urlKeep, "doc_id")
-        val extracted = graft.ext.Html.extract(s,
-          docs.select(col("doc_id"), col("html"))).toDF()
-        val repaired = graft.ext.Encoding.repair(s,
-          extracted.select(col("doc_id"), col("text"))).toDF()
-        val nfc = graft.ext.Encoding.nfcNormalized(s,
-          repaired.select(col("doc_id"), col("text"))).toDF()
-        nfc.groupBy("text_nfc").agg(min("doc_id").as("doc_id"))
-          .join(canon.select(col("url_id").as("doc_id"),
-            col("canonical")), "doc_id")
+          .agg(min("doc_id").as("doc_id"))
+        val cleaned = crawl.join(urlKeep, "doc_id")
+          .select(col("doc_id"),
+            graft.ext.Encoding.nfcCol(graft.ext.Encoding.repairCol(
+              graft.ext.Html.textCol(col("html")))).as("text_nfc"))
+        cleaned.groupBy("text_nfc").agg(min("doc_id").as("doc_id"))
+          .join(canon, "doc_id")
           .select(col("doc_id"), col("canonical"),
             col("text_nfc").as("text"))
       },

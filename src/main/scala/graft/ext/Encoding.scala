@@ -84,6 +84,26 @@ object Encoding {
     Repaired(s, p)
   }
 
+  /** The ONE NFC kernel (UAX #15 canonical composition via the JDK
+    * Normalizer), shared by the typed op and the expression form. */
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  /** Column form of [[fixMojibake]]'s repaired text, codegen'd
+    * ([[graft.functions.MojibakeRepairExpr]]) — for curation chains
+    * that gate on the text; the typed op keeps the pass accounting. */
+  def repairCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    shim.column(graft.functions.MojibakeRepairExpr(shim.expression(c)))
+  }
+
+  /** Column form of [[nfc]], codegen'd
+    * ([[graft.functions.NfcNormalizeExpr]]). */
+  def nfcCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    shim.column(graft.functions.NfcNormalizeExpr(shim.expression(c)))
+  }
+
   /** One NFC-normalized row (codepoint counts, not UTF-16 units). */
   final case class NfcDoc(doc_id: Long, text_nfc: String, changed: Int,
       n_cp_before: Long, n_cp_after: Long)
@@ -101,11 +121,10 @@ object Encoding {
       .as[(Long, String)]
       .map { case (id, t0) =>
         val t = if (t0 == null) "" else t0
-        val nfc = java.text.Normalizer.normalize(t,
-          java.text.Normalizer.Form.NFC)
-        NfcDoc(id, nfc, if (nfc == t) 0 else 1,
+        val normalized = nfc(t)
+        NfcDoc(id, normalized, if (normalized == t) 0 else 1,
           t.codePointCount(0, t.length).toLong,
-          nfc.codePointCount(0, nfc.length).toLong)
+          normalized.codePointCount(0, normalized.length).toLong)
       }
   }
 

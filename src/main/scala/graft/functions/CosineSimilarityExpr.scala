@@ -116,6 +116,8 @@ object GraftFunctions {
   val HttpBodyBytesName = "graft_http_body_bytes"
   val UrlPartName = "graft_url_part"
   val HtmlTextName = "graft_html_text"
+  val MojibakeName = "graft_fix_mojibake"
+  val NfcName = "graft_nfc"
 
   /** The function table, shared by the lazy runtime path ([[register]])
     * and the `spark.sql.extensions` path ([[GraftExtensions]]). */
@@ -168,7 +170,14 @@ object GraftFunctions {
           .toString)),
     (FunctionIdentifier(HtmlTextName),
       new ExpressionInfo(classOf[HtmlTextExpr].getName, HtmlTextName),
-      (children: Seq[Expression]) => HtmlTextExpr(children(0))))
+      (children: Seq[Expression]) => HtmlTextExpr(children(0))),
+    (FunctionIdentifier(MojibakeName),
+      new ExpressionInfo(classOf[MojibakeRepairExpr].getName,
+        MojibakeName),
+      (children: Seq[Expression]) => MojibakeRepairExpr(children(0))),
+    (FunctionIdentifier(NfcName),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, NfcName),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -63,4 +63,26 @@ class EncodingSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows(1L).was_mojibake && !rows(2L).was_mojibake)
     assert(rows(3L).n_passes == 0)
   }
+
+  test("repairCol / nfcCol expressions bit-identical to the typed kernels") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("cafÃ© menu", "donâ€™t stop", "plain ascii",
+      "cafÃƒÂ© twice", "café", "café", "가",
+      "", null)
+    val got = texts.toDF("t")
+      .select(col("t"),
+        graft.ext.Encoding.repairCol(col("t")).as("rep"),
+        graft.ext.Encoding.nfcCol(col("t")).as("nfc"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("t")
+      val wantRep =
+        if (t == null) null else graft.ext.Encoding.fixMojibake(t).text
+      val wantNfc = if (t == null) null else graft.ext.Encoding.nfc(t)
+      assert(r.getAs[String]("rep") == wantRep, s"repair of '$t'")
+      assert(r.getAs[String]("nfc") == wantNfc, s"nfc of '$t'")
+    }
+  }
 }

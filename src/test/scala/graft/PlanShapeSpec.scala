@@ -441,5 +441,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSupport {
     assert(n <= 6, s"exchange count $n\n" + plan.take(4000))
     assert(n >= 1, "counter broken: a two-dedup chain cannot be " +
       "exchange-free\n" + plan.take(2000))
+    // r16: the four per-row cleanup stages are codegen'd expressions —
+    // the typed-op form of this chain paid TEN DeserializeToObject
+    // boundaries (PlanAudit); regression here means a cleanup stage
+    // fell back to a typed map
+    assert(!plan.contains("DeserializeToObject"), plan.take(4000))
   }
 }

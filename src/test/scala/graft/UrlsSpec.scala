@@ -95,4 +95,24 @@ class UrlsSpec extends AnyFunSuite with SparkTestSupport {
       == "http://example.com/a/b?a=2&z=1")
     assert(first.getAs[String]("domain") == "example.com")
   }
+
+  test("r16 functions are SQL-callable via the registry builders") {
+    // the FunctionRegistry builders are a separate code path from the
+    // Column helpers (UrlPartExpr's builder folds its part literal at
+    // build time) — exercise all three through spark.sql
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_url_part('HTTP://Example.com:80/a?utm_source=x&b=1', 'canonical') AS canon,
+        |  graft_url_part('junk', 'host') AS bad,
+        |  cast(graft_http_body_bytes(
+        |    cast(concat('HTTP/1.1 200 OK\r\n\r\n', 'BODY') as binary))
+        |    as string) AS body,
+        |  graft_html_text('<p>a</p><script>no</script><p>b</p>') AS txt
+        |""".stripMargin).collect().head
+    assert(r.getAs[String]("canon") == "http://example.com/a?b=1")
+    assert(r.getAs[String]("bad") == null)
+    assert(r.getAs[String]("body") == "BODY")
+    assert(r.getAs[String]("txt") == "a\nb")
+  }
 }
