@@ -239,8 +239,55 @@ object QueriesWarc {
           md5(col("text").cast("binary")).as("text_md5"))
       },
       Some("""SELECT doc_id, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin)),
+
+    // SPLITTABLE .jsonl.zst (closes the "compressed isn't splittable"
+    // gap for engine-produced shards): the documents table exports as
+    // ONE fat frame-indexed shard (frameBytes rolls a zstd frame at a
+    // line boundary every ~32 KB of input; sidecar _zidx- index), and
+    // the splittable reader fans the single file across tasks by frame
+    // group — no decompress-to-staging hop. Identical oracle to
+    // q_jsonl_zst: the two read paths must land on the same answer.
+    QueryCase("q_jsonl_zst_splittable",
+      (s, dir) => {
+        val out = zstSplitFixture(s, dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val lines = graft.sources.CompressedText
+          .readLinesSplittable(s, out, splitBytes = 64L << 10)
+          .filter(col("error").isNull)
+        lines.select(from_json(col("line"), schema).as("j"))
+          .select(col("j.doc_id").as("doc_id"),
+            col("j.source").as("source"),
+            col("j.n_chars").as("n_chars"),
+            md5(col("j.text").cast("binary")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS text_md5
         |FROM documents""".stripMargin))
   )
+
+  /** Export-once cache for the frame-indexed single-shard fixture. */
+  private val zstSplitFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zstSplitFixture(s: SparkSession, dir: String): String =
+    zstSplitFixtures.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zsts_").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text", "n_chars")
+        .coalesce(1) // ONE shard: the splittable path is the point
+      graft.sources.CompressedText.writeJsonlZstdShards(docs, out,
+        frameBytes = 32L << 10)
+      out
+    })
 
   /** Export-once cache for the zstd fixture (3 shards per sf dir). */
   private val zstFixtures =

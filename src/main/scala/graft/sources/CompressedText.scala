@@ -287,7 +287,8 @@ object CompressedText {
     * content), on HDFS the first rename wins and losers delete their
     * temp. */
   def writeJsonlZstdShards(df: DataFrame, outDir: String,
-      level: Int = 3, targetShardBytes: Long = Long.MaxValue): Unit = {
+      level: Int = 3, targetShardBytes: Long = Long.MaxValue,
+      frameBytes: Long = 0L): Unit = {
     val hconf = Warc.sessionConf(df.sparkSession)
     val lines = df.select(to_json(struct(df.columns.map(col): _*))
       .as("line"))
@@ -302,6 +303,14 @@ object CompressedText {
         var tmp: Path = null
         var cnt: CountingOutputStream = null
         var out: ZstdOutputStream = null
+        // frame index state (frameBytes > 0): every frame starts and
+        // ends at a LINE boundary, so a reader can decode any frame
+        // subset independently — see [[readLinesSplittable]]
+        val frames = scala.collection.mutable.ArrayBuffer[String]()
+        var frameStart = 0L
+        var frameFirstLine = 0L
+        var frameLines = 0L
+        var frameInBytes = 0L
         def openShard(): Unit = {
           val fname = f"part-$pid%05d-$seq%04d.jsonl.zst"
           path = new Path(s"$outDir/$fname")
@@ -313,21 +322,61 @@ object CompressedText {
           // a checksum-less frame decodes to silently wrong text).
           // Costs 4 bytes/frame.
           out.setChecksum(true)
+          // flush() ends the current zstd frame (and the next write
+          // starts a new one) without touching the FS stream — the
+          // mechanism behind in-shard frame boundaries
+          if (frameBytes > 0) out.setCloseFrameOnFlush(true)
+          frames.clear()
+          frameStart = 0L; frameFirstLine = 0L
+          frameLines = 0L; frameInBytes = 0L
+        }
+        def endFrame(): Unit = if (frameLines > 0) {
+          frames += s"$frameStart ${cnt.count - frameStart} " +
+            s"$frameFirstLine $frameLines"
+          frameStart = cnt.count
+          frameFirstLine += frameLines
+          frameLines = 0L; frameInBytes = 0L
         }
         def commit(): Unit = {
           out.close()
+          endFrame() // the shard-final frame (closed by out.close())
           if (!fs.rename(tmp, path)) {
             fs.delete(tmp, false)
             if (!fs.exists(path)) throw new java.io.IOException(
               s"shard commit failed: cannot rename $tmp to $path")
+          }
+          if (frameBytes > 0) { // sidecar index, same commit protocol
+            val iname = s"$zidxPrefix${path.getName}"
+            val itmp = new Path(s"$outDir/_tmp-$iname-attempt-$attempt")
+            val ios = fs.create(itmp, true)
+            try {
+              val body = (s"v1 ${frames.size} $frameFirstLine" +:
+                frames.toSeq).mkString("", "\n", "\n")
+              ios.write(body.getBytes(UTF_8))
+            } finally ios.close()
+            val ipath = new Path(s"$outDir/$iname")
+            if (!fs.rename(itmp, ipath)) {
+              fs.delete(itmp, false)
+              if (!fs.exists(ipath)) throw new java.io.IOException(
+                s"index commit failed: cannot rename $itmp to $ipath")
+            }
           }
         }
         openShard()
         try {
           while (it.hasNext) {
             val r = it.next()
-            out.write(r.getString(0).getBytes(UTF_8))
+            val bytes = r.getString(0).getBytes(UTF_8)
+            out.write(bytes)
             out.write('\n')
+            frameLines += 1
+            frameInBytes += bytes.length + 1
+            // frame roll on UNCOMPRESSED bytes (writer-side exact and
+            // deterministic; compressed counts lag in the codec buffer)
+            if (frameBytes > 0 && frameInBytes >= frameBytes) {
+              out.flush() // ends the frame; cnt.count is its exact end
+              endFrame()
+            }
             if (cnt.count >= targetShardBytes && it.hasNext) {
               commit(); seq += 1; openShard()
             }
@@ -335,6 +384,163 @@ object CompressedText {
           commit()
         } finally out.close() // idempotent; frees the native cctx
       }
+    }
+  }
+
+  /** Sidecar frame-index prefix: `_`-prefixed so plain data readers
+    * skip it ([[Warc.listFiles]] convention); the splittable reader
+    * looks it up by name. */
+  private val zidxPrefix = "_zidx-"
+
+  /** One frame of a frame-indexed shard, as recorded in the sidecar. */
+  private final case class FrameEntry(offset: Long, len: Long,
+      firstLine: Long, nLines: Long)
+
+  /** One splittable unit: consecutive whole frames of one shard. */
+  private final case class Split(file: String, frames: Seq[FrameEntry])
+
+  /** SPLITTABLE read of frame-indexed `.jsonl.zst` shards — the
+    * standing "compressed inputs aren't splittable" gap, closed for
+    * ENGINE-PRODUCED shards: [[writeJsonlZstdShards]] with
+    * `frameBytes > 0` ends a zstd frame at a line boundary every
+    * ~frameBytes of input and commits a sidecar index
+    * (`_zidx-<shard>`: offset/len/firstLine/nLines per frame), so ONE
+    * fat shard fans out across tasks with NO decompress-to-staging hop
+    * — each task seeks to its frame group and decodes only its bytes
+    * (zstd frames are self-contained; checksummed). Emits the same
+    * `(file, line_no, line, error)` rows with the same per-file line
+    * ordinals as [[readLines]], so the two paths are interchangeable
+    * and spec-compared.
+    *
+    * Shards WITHOUT an index (foreign files, or written with
+    * `frameBytes = 0`) fall back to one whole-file streaming task —
+    * graceful, never an error. Damage containment is per FRAME, and
+    * STRICTLY fail-closed: each frame decodes fully — through its
+    * zstd checksum — into an O(frame) buffer BEFORE any line is
+    * emitted, so a corrupted frame yields exactly one error row and
+    * ZERO wrong lines (a streaming decode would emit garbage lines
+    * that decode "cleanly" ahead of the end-of-frame checksum — probed
+    * in spec); sibling frames are unaffected. A clean-looking frame
+    * that decodes the WRONG number of lines vs the index also fails
+    * closed with an accounting error row. Index reads are driver-side
+    * at plan time — one tiny read per shard, the same cost class as
+    * parquet footer listing. */
+  def readLinesSplittable(spark: SparkSession, pattern: String,
+      splitBytes: Long = 128L << 20): DataFrame = {
+    val files = Warc.listFiles(spark, pattern)
+    require(files.nonEmpty, s"no text shards match $pattern")
+    val hconf = Warc.sessionConf(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val (indexed, plain) = files.partition { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).exists(
+        new Path(p.getParent, s"$zidxPrefix${p.getName}"))
+    }
+    val groups = indexed.flatMap { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(new Path(p.getParent, s"$zidxPrefix${p.getName}"))
+      val txt = try {
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bo.write(buf, 0, n); n = in.read(buf) }
+        new String(bo.toByteArray, UTF_8)
+      } finally in.close()
+      val lines0 = txt.linesIterator.toSeq
+      require(lines0.headOption.exists(_.startsWith("v1 ")),
+        s"unrecognized frame index for $f")
+      val frames = lines0.tail.map { l =>
+        val a = l.split(" ")
+        FrameEntry(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
+      }
+      // merge consecutive frames into ~splitBytes splits
+      val out = scala.collection.mutable.ArrayBuffer[Split]()
+      var cur = scala.collection.mutable.ArrayBuffer[FrameEntry]()
+      var curLen = 0L
+      frames.foreach { fe =>
+        if (cur.nonEmpty && curLen >= splitBytes) {
+          out += Split(f, cur.toSeq); cur = cur.take(0); curLen = 0L
+        }
+        cur += fe; curLen += fe.len
+      }
+      if (cur.nonEmpty) out += Split(f, cur.toSeq)
+      out.toSeq
+    }
+    val parallelism = math.max(1, math.min(groups.size + plain.size,
+      spark.sparkContext.defaultParallelism))
+    val groupRows = spark.sparkContext
+      .parallelize(groups, math.max(1, math.min(groups.size, parallelism)))
+      .flatMap(s => splitRows(s, hconf.value.value))
+    val plainRows =
+      if (plain.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext
+        .parallelize(plain, math.min(plain.size, parallelism))
+        .flatMap(f => fileLines(f, strict = false, hconf.value.value))
+    spark.createDataFrame(groupRows.union(plainRows), lineSchema)
+  }
+
+  /** Decode one split, frame by frame — each frame fully buffered and
+    * checksum-verified BEFORE its lines emit (see
+    * [[readLinesSplittable]]'s containment contract). */
+  private def splitRows(split: Split,
+      conf: Configuration): Iterator[Row] = {
+    val path = new Path(split.file)
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; raw.close() }
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    def errRow(fe: FrameEntry, msg: String): Iterator[Row] =
+      Iterator(Row(split.file, fe.firstLine, null,
+        s"codec: $msg (frame at offset ${fe.offset}; " +
+          s"${fe.nLines} lines quarantined)"))
+    def decodeFrame(fe: FrameEntry): Iterator[Row] =
+      try {
+        // a frame is writer-bounded (~frameBytes of input, compressed);
+        // a foreign index claiming gigabytes is damage, not data
+        if (fe.len <= 0 || fe.len > (1L << 30))
+          throw new java.io.IOException(s"implausible frame length ${fe.len}")
+        raw.seek(fe.offset)
+        val buf = new Array[Byte](fe.len.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val n = raw.read(buf, off, buf.length - off)
+          if (n < 0) throw new java.io.EOFException(
+            "EOF inside frame (truncated shard)")
+          off += n
+        }
+        val r = new BufferedReader(new InputStreamReader(
+          new ZstdInputStream(new java.io.ByteArrayInputStream(buf)),
+          UTF_8))
+        val lines = scala.collection.mutable.ArrayBuffer[String]()
+        try {
+          var l = r.readLine()
+          while (l != null) { lines += l; l = r.readLine() }
+        } finally r.close()
+        // reaching here means the zstd frame checksum verified; the
+        // line count closes the remaining hole (an index/frame pairing
+        // drift must never silently pass short or long)
+        if (lines.size.toLong != fe.nLines) throw new java.io.IOException(
+          s"frame decoded ${lines.size} lines, index says ${fe.nLines}")
+        lines.iterator.zipWithIndex.map { case (ln, i) =>
+          Row(split.file, fe.firstLine + i, ln, null)
+        }
+      } catch {
+        case e: java.io.IOException => errRow(fe, e.getMessage)
+      }
+    val frames = split.frames.iterator
+    new Iterator[Row] {
+      private var cur: Iterator[Row] = Iterator.empty
+      def hasNext: Boolean = {
+        while (!cur.hasNext && frames.hasNext)
+          cur = decodeFrame(frames.next())
+        val h = cur.hasNext
+        if (!h) close()
+        h
+      }
+      def next(): Row = { hasNext; cur.next() }
     }
   }
 }

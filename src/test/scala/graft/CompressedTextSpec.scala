@@ -210,4 +210,102 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(good.select("id").as[Long].collect().sorted.toSeq
       == (1 to 600).map(_.toLong))
   }
+
+  private def entropyBlob(i: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 32).map(k => md.digest(s"$i:$k".getBytes(UTF_8))
+      .map("%02x".format(_)).mkString).mkString
+  }
+
+  test("frame-indexed shards split across tasks; rows and ordinals match streaming") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 400).map(i => (i.toLong, entropyBlob(i)))
+      .toDF("id", "t").coalesce(1) // one fat shard
+    CompressedText.writeJsonlZstdShards(df, dir,
+      frameBytes = 16 * 1024) // ~16 KB input per frame
+    val idx = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_zidx-"))
+    assert(idx.length == 1, "expected one sidecar index")
+    val split = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 32 * 1024)
+    assert(split.rdd.getNumPartitions > 1 ||
+      split.rdd.partitions.length > 1)
+    val a = split.collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(a.forall(_._3 == null))
+    val b = CompressedText.readLines(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    // byte- and ordinal-identical to the whole-file streaming reader
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    assert(a.length == 400)
+  }
+
+  test("splittable read: frame damage quarantines ONE group; accounting fails closed") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 300).map(i => (i.toLong, entropyBlob(i)))
+      .toDF("id", "t").coalesce(1)
+    CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 24 * 1024)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    val idxFile = new java.io.File(dir, s"_zidx-${shard.getName}")
+    val idxLines = new String(Files.readAllBytes(idxFile.toPath), UTF_8)
+      .linesIterator.toSeq
+    val frames = idxLines.tail.map(_.split(" ").map(_.toLong))
+    assert(frames.length >= 3, s"want >=3 frames, got ${frames.length}")
+    // Hadoop LocalFileSystem keeps .crc sidecars; direct tampering
+    // below must also drop them or the FS layer reports ITS checksum
+    // error instead of exercising the zstd containment path
+    def dropCrc(dir: java.io.File): Unit = dir.listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // flip one byte in the middle of the SECOND frame
+    val bytes = Files.readAllBytes(shard.toPath)
+    val mid = (frames(1)(0) + frames(1)(1) / 2).toInt
+    bytes(mid) = (bytes(mid) ^ 0x55).toByte
+    Files.write(shard.toPath, bytes)
+    dropCrc(new java.io.File(dir))
+    val rows = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 1).collect() // splitBytes=1 → one group per frame
+    val errs = rows.filter(_.getString(3) != null)
+    assert(errs.length == 1 &&
+      errs.head.getString(3).contains(s"offset ${frames(1)(0)}"),
+      errs.map(_.getString(3)).mkString("; "))
+    val ok = rows.filter(_.getString(3) == null).map(_.getLong(1)).toSet
+    // every line OUTSIDE the damaged frame survives
+    val damagedRange =
+      (frames(1)(2) until frames(1)(2) + frames(1)(3)).toSet
+    assert(ok == (0L until 300L).toSet -- damagedRange)
+    // accounting arm: inflate one healthy frame's nLines in the index —
+    // a short-but-clean decode must surface, never silently pass
+    val dir2 = tmpDir()
+    CompressedText.writeJsonlZstdShards(df, dir2, frameBytes = 24 * 1024)
+    val shard2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    val idx2 = new java.io.File(dir2, s"_zidx-${shard2.getName}")
+    val l2 = new String(Files.readAllBytes(idx2.toPath), UTF_8)
+      .linesIterator.toSeq
+    val f0 = l2(1).split(" ")
+    val forged = (l2.head +:
+      ((f0.take(3) :+ (f0(3).toLong + 1).toString).mkString(" ") +:
+        l2.drop(2))).mkString("", "\n", "\n")
+    Files.write(idx2.toPath, forged.getBytes(UTF_8))
+    dropCrc(new java.io.File(dir2))
+    val rows2 = CompressedText.readLinesSplittable(spark, dir2,
+      splitBytes = 1).collect()
+    assert(rows2.exists(r => r.getString(3) != null &&
+      r.getString(3).contains("index says")))
+  }
+
+  test("shards without an index fall back to whole-file streaming reads") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 50).map(i => (i.toLong, s"line $i")).toDF("id", "t")
+      .coalesce(1)
+    CompressedText.writeJsonlZstdShards(df, dir) // frameBytes = 0
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_zidx-")))
+    val rows = CompressedText.readLinesSplittable(spark, dir).collect()
+    assert(rows.length == 50 && rows.forall(_.getString(3) == null))
+  }
 }
