@@ -131,9 +131,15 @@ object Bench {
       .getOrElse("" -> Map.empty)
   }
 
-  /** The previous comparable run's anchor median (`"anchor_med":X` from
-    * the newest matching BENCH_HISTORY line) — the denominator of the
-    * drift factor. None before the first anchored run. */
+  /** The BEST (minimum) anchor median across matching-sf BENCH_HISTORY
+    * lines — the drift denominator. Minimum, not most-recent: the
+    * anchor measures host speed, and normalizing against the
+    * best-observed host makes `normalized_total` a stable "cost at
+    * known-idle speed" that compares monotonically across rounds; the
+    * most-recent anchor would inherit whatever load THAT run ran under
+    * (observed: a post-loaded-run bench reported drift 0.82 and a
+    * normalized total WORSE than raw — correct arithmetic, useless
+    * number). None before the first anchored run. */
   def prevAnchorMed(sfDir: String,
       repoDir: String = "/root/repo"): Option[Double] = {
     val hist = new java.io.File(s"$repoDir/BENCH_HISTORY.jsonl")
@@ -145,7 +151,7 @@ object Bench {
       .flatMap { l =>
         val m = re.matcher(l)
         if (m.find()) Some(m.group(1).toDouble) else None
-      }.lastOption
+      }.minOption
     catch { case _: Throwable => None }
   }
 

@@ -81,19 +81,20 @@ class BenchSpec extends AnyFunSuite {
     assert(src3 == "BENCH_r03.json" && times3 == Map("q_x" -> 2.0))
   }
 
-  test("prevAnchorMed reads the newest matching-sf anchor; None before it exists") {
+  test("prevAnchorMed takes the BEST matching-sf anchor; None before it exists") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_").toString
     // no history file at all
     assert(Bench.prevAnchorMed("/data/sf0.1", dir).isEmpty)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/BENCH_HISTORY.jsonl"),
-      // pre-anchor line (no anchor_med), then two anchored lines at
-      // different sfs — the matching-sf LATEST must win
+      // pre-anchor line (no anchor_med), then anchored lines at two
+      // sfs — the matching-sf MINIMUM (best-observed host) must win,
+      // NOT the latest (which may have run under load)
       """{"queries":{"q_x":1.0},"sf":"/data/sf0.1"}""" + "\n" +
       """{"anchor_med":0.42,"sf":"/data/sf0.1"}""" + "\n" +
       """{"anchor_med":9.90,"sf":"/data/sf0.01"}""" + "\n" +
       """{"anchor_med":0.57,"sf":"/data/sf0.1"}""" + "\n")
-    assert(Bench.prevAnchorMed("/data/sf0.1", dir).contains(0.57))
+    assert(Bench.prevAnchorMed("/data/sf0.1", dir).contains(0.42))
     assert(Bench.prevAnchorMed("/data/sf0.01", dir).contains(9.90))
     assert(Bench.prevAnchorMed("/data/sf9", dir).isEmpty)
   }
