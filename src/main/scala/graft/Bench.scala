@@ -139,20 +139,77 @@ object Bench {
     * most-recent anchor would inherit whatever load THAT run ran under
     * (observed: a post-loaded-run bench reported drift 0.82 and a
     * normalized total WORSE than raw — correct arithmetic, useless
-    * number). None before the first anchored run. */
+    * number). None before the first anchored run.
+    *
+    * Outlier guard (ADVICE r16): a single anomalously FAST historical
+    * anchor (CPU boost burst, mis-measured sample) would permanently
+    * deflate the denominator — anchors more than 20% below the MEDIAN
+    * of history are discarded before taking the minimum. Caveat
+    * (VERDICT r16): if the host is ever PERMANENTLY slower, the
+    * min-anchor denominator still flatters normalized totals against a
+    * speed no longer reachable — raw totals ride alongside in every
+    * line, and drift > 2 is flagged for manual reading (`drift_high`). */
   def prevAnchorMed(sfDir: String,
       repoDir: String = "/root/repo"): Option[Double] = {
     val hist = new java.io.File(s"$repoDir/BENCH_HISTORY.jsonl")
     if (!hist.isFile) return None
     val sfTag = "\"sf\":" + jstr(sfDir)
     val re = java.util.regex.Pattern.compile("\"anchor_med\":([0-9.]+)")
-    try Files.readAllLines(hist.toPath).toArray.toSeq.map(_.toString)
-      .filter(_.contains(sfTag))
-      .flatMap { l =>
-        val m = re.matcher(l)
-        if (m.find()) Some(m.group(1).toDouble) else None
-      }.minOption
-    catch { case _: Throwable => None }
+    try {
+      val all = Files.readAllLines(hist.toPath).toArray.toSeq
+        .map(_.toString)
+        .filter(_.contains(sfTag))
+        .flatMap { l =>
+          val m = re.matcher(l)
+          if (m.find()) Some(m.group(1).toDouble) else None
+        }
+      if (all.isEmpty) None
+      else {
+        // lower median: with short histories the pessimistic (upper)
+        // median would discard a legitimate repeated idle-host speed
+        // (the real series holds a 0.322/0.325 cluster next to 0.39/0.41
+        // loaded samples — both 0.32s must survive the guard)
+        val med = all.sorted.apply((all.size - 1) / 2)
+        all.filter(_ >= med * 0.8).minOption.orElse(Some(med))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: NumberFormatException => None
+    }
+  }
+
+  /** Codegen-fallback attribution (VERDICT r16 #4): Spark's
+    * compile-and-fall-back path is a silent ~10× interpreted-path hazard
+    * — the r16 driver bench tail carried an unattributed
+    * `CodeGenerator.cache` compile stack while the run still reported 0
+    * errors. The bench now listens on the log4j2 stream for compile
+    * failures / whole-stage-codegen bailouts and stamps WHICH query's
+    * samples overlapped one (`codegen_fallback` in the per-query spread
+    * + a top-level name list), so a fallback becomes a named
+    * adjudication instead of an invisible slowdown. */
+  private val codegenFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def installCodegenMonitor(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val config = ctx.getConfiguration
+    val app = new AbstractAppender("graft-codegen-monitor", null, null,
+        true, Array.empty) {
+      override def append(event: LogEvent): Unit = {
+        val msg = String.valueOf(event.getMessage.getFormattedMessage)
+        if (msg.contains("failed to compile") ||
+            msg.contains("Whole-stage codegen disabled") ||
+            msg.contains("Cannot split the code"))
+          codegenFallbacks.incrementAndGet()
+      }
+    }
+    app.start()
+    config.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,6 +239,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installCodegenMonitor()
     Tables(spark, sfDir, "events").count() // warmup
 
     // ---- drift anchor (VERDICT r15 #2) ----------------------------------
@@ -218,8 +276,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val fellBack = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val cg0 = codegenFallbacks.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -229,6 +289,7 @@ object Bench {
           }
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (codegenFallbacks.get() > cg0) fellBack += name
       samples(name) = dt :: samples.getOrElse(name, Nil)
       // per-query load annotation: a slow sample next to a high load
       // reads as host interference; next to a quiet load it reads as a
@@ -331,8 +392,9 @@ object Bench {
     val spreadJson = samples.map { case (k, xs) =>
       val s = xs.sorted
       val ld = loads.getOrElse(k, -1.0)
-      jstr(k) + s""":{"min":${r3(s.head)},"med":${r3(s(s.size / 2))},"max":${r3(s.last)},"n":${s.size},"load":${f"$ld%.2f"}}"""
+      jstr(k) + s""":{"min":${r3(s.head)},"med":${r3(s(s.size / 2))},"max":${r3(s.last)},"n":${s.size},"load":${f"$ld%.2f"},"codegen_fallback":${fellBack(k)}}"""
     }.mkString("{", ",", "}")
+    val cgJson = fellBack.map(jstr).mkString("[", ",", "]")
     val moved = movers(prev, results)
     val movedJson = moved.map { case (k, r) => jstr(k) + ":" + f"$r%.2f" }
       .mkString("{", ",", "}")
@@ -351,10 +413,10 @@ object Bench {
     val driftJson =
       s""""anchor":{"samples":[${anchors.map(r3).mkString(",")}],"med":${r3(anchorMed)}},"anchor_med":${r3(anchorMed)}""" +
         drift.map(d =>
-          s""","prev_anchor_med":${r3(prevAnchor.get)},"drift":${f"$d%.3f"},"normalized_total":${f"${total / d}%.2f"},"normalized_production_total":${f"${productionTotal / d}%.2f"}""")
+          s""","prev_anchor_med":${r3(prevAnchor.get)},"drift":${f"$d%.3f"},"drift_high":${d > 2.0},"normalized_total":${f"${total / d}%.2f"},"normalized_production_total":${f"${productionTotal / d}%.2f"}""")
           .getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},$driftJson,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${f"$wallSec%.2f"},"n_reruns":$rerun,"queries":$qs,"r1_total":$r1Total,"production_total":${f"$productionTotal%.2f"},"anchors_total":${f"$anchorsTotal%.2f"},$driftJson,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"spread":$spreadJson,"codegen_fallbacks":$cgJson,"n_codegen_fallbacks":${fellBack.size},"prev_bench":${jstr(prevName)},"moved":$movedJson,"n_moved":${moved.size},"artifact_builds":$artJson,"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)}}"""
     Option(Paths.get(outFile).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outFile), json + "\n")
     // Full-precision history: a COMPLETE run (no query filter) appends its
@@ -386,7 +448,7 @@ object Bench {
     // thresholded variant — two names for one measurement).
     val driftCompact = s""""anchor_med":${r2(anchorMed)}""" +
       drift.map(d => s""","drift":${f"$d%.2f"},"normalized_total":${r2(total / d)}""").getOrElse("")
-    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},$driftCompact,"n_queries":${results.size},"n_errors":${errors.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},$driftCompact,"n_queries":${results.size},"n_errors":${errors.size},"n_codegen_fallbacks":${fellBack.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length
     val entries = sorted.map { case (k, v) => jstr(k) + ":" + r2(v) }
     var used = 0

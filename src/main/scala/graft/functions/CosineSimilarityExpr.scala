@@ -163,11 +163,27 @@ object GraftFunctions {
       (children: Seq[Expression]) => HttpBodyBytesExpr(children(0))),
     (FunctionIdentifier(UrlPartName),
       new ExpressionInfo(classOf[UrlPartExpr].getName, UrlPartName),
-      // part argument must be a string literal (folded at build time)
-      (children: Seq[Expression]) => UrlPartExpr(children(0),
-        children(1).eval(null)
-          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString)),
+      // part argument must be a string literal (folded at build time);
+      // a column ref / null / non-string literal used to surface as an
+      // unbound-attribute error or ClassCastException from eval(null)
+      // (ADVICE r16) — validate first and name the function in the error
+      (children: Seq[Expression]) => {
+        val part = children(1)
+        if (!part.foldable ||
+            part.dataType != org.apache.spark.sql.types.StringType)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" -> (s"$UrlPartName: the part argument " +
+              "must be a string literal (one of host/path/query/" +
+              "scheme), got " + part.sql)))
+        val v = part.eval(null)
+        if (v == null)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              s"$UrlPartName: the part argument must not be NULL"))
+        UrlPartExpr(children(0), v.toString)
+      }),
     (FunctionIdentifier(HtmlTextName),
       new ExpressionInfo(classOf[HtmlTextExpr].getName, HtmlTextName),
       (children: Seq[Expression]) => HtmlTextExpr(children(0))),

@@ -45,13 +45,13 @@ case class UrlPartExpr(child: Expression, part: String)
   override def nullable: Boolean = true
 
   protected override def nullSafeEval(input: Any): Any =
-    UrlPartExpr.part(input.asInstanceOf[UTF8String], code)
+    UrlPartExpr.extractPart(input.asInstanceOf[UTF8String], code)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.UrlPartExpr.part($c, $code);
+         |${ev.value} = graft.functions.UrlPartExpr.extractPart($c, $code);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -67,8 +67,16 @@ object UrlPartExpr {
 
   /** The selected part of the canonicalized URL; null on malformed
     * input or a null part (absent query). Public static (companion
-    * forwarder): generated code calls it by name. */
-  def part(s: UTF8String, code: Int): UTF8String = {
+    * forwarder): generated code calls it by name.
+    *
+    * Named `extractPart`, NOT `part`: the case class already has a
+    * `part()` field accessor, and Scala suppresses the companion's
+    * static forwarder when the class carries any same-named method —
+    * janino then saw only the accessor and the WHOLE STAGE fell back
+    * to the interpreted path on every crawl-census query (found by the
+    * r17 bench codegen-fallback monitor; the r16 driver tail's
+    * unattributed CodeGenerator stack was this). */
+  def extractPart(s: UTF8String, code: Int): UTF8String = {
     if (s == null) return null
     graft.ext.Urls.canonicalize(s.toString) match {
       case None => null

@@ -308,13 +308,34 @@ object Warc {
     * reach the per-file `FileSystem.open` exactly as they reach the
     * driver-side listing — a bare executor `new Configuration()` sees
     * only classpath site files and can fail to open what the listing
-    * just returned (ADVICE r15). */
+    * just returned (ADVICE r15).
+    *
+    * Cached ONE broadcast per SparkContext (ADVICE r16): a fresh
+    * broadcast per read call accumulated unbounded driver/block-manager
+    * state in per-batch readers (WarcArrivalSoak's 512 readWet calls,
+    * foreachBatch pipelines). Weak keys let the entry die with the
+    * context. Caveat: Hadoop settings changed on the session AFTER the
+    * first read in a context won't be re-broadcast — set credentials
+    * before the first archive read (the normal order). */
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration]]())
+
   private[sources] def sessionConf(spark: SparkSession)
       : org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.SerializableConfiguration] =
-    spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+        org.apache.spark.util.SerializableConfiguration] = {
+    val sc = spark.sparkContext
+    val cached = confCache.get(sc)
+    if (cached != null) cached
+    else {
+      val b = sc.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      confCache.put(sc, b)
+      b
+    }
+  }
 
   /** Driver-side file listing for per-file sources (one RPC per
     * directory, not per record); `_`-prefixed names (markers, Spark
@@ -505,7 +526,18 @@ object Warc {
     * directing to the batch path — its bytes are never read (length
     * pushdown), the stream never OOMs or fails (spec-armed).
     * `maxFilesPerTrigger` (default 16) bounds a trigger's work so a
-    * backlog drains in bounded batches instead of one giant one. */
+    * backlog drains in bounded batches instead of one giant one.
+    *
+    * Source-count note (ADVICE r16): the oversize gate makes this a
+    * UNION OF TWO binaryFile sources (under/over budget) — a checkpoint
+    * written by the pre-gate single-source shape (r15 and earlier)
+    * fails on restart with a source-count mismatch; start a fresh
+    * checkpoint when upgrading. Both sources list `dir` and track seen
+    * files independently, so the per-trigger FILE-TRACKING bound is up
+    * to 2×`maxFilesPerTrigger`; the bound on PARSED BYTES is unchanged
+    * (the over branch touches only (path, length) — its content column
+    * is pruned at the scan), which is why the rate is deliberately NOT
+    * halved per source. */
   /** Stream-ingest byte budget per archive (default 1 GiB): the file
     * stream source materializes whole files, so an oversize archive is
     * an executor-memory event, not a data event. */

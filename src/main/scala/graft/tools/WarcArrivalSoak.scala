@@ -165,7 +165,7 @@ object WarcArrivalSoak {
     try {
       (0 until waves).foreach { i =>
         java.nio.file.Files.write(java.nio.file.Paths.get(
-          s"$watch/wave-$i%05d.warc.wet.gz".format(i)), waveBytes(i))
+          f"$watch/wave-$i%05d.warc.wet.gz"), waveBytes(i))
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -177,7 +177,7 @@ object WarcArrivalSoak {
     val batchAdmitted = scala.collection.mutable.Set[Long]()
     val t1 = System.nanoTime()
     (0 until waves).foreach { i =>
-      val df = Warc.readWet(spark, s"$watch/wave-$i%05d.warc.wet.gz".format(i))
+      val df = Warc.readWet(spark, f"$watch/wave-$i%05d.warc.wet.gz")
         .select(regexp_extract(col("url"), "/docs/(\\d+)\\?", 1)
           .cast("long").as("doc_id"), col("text"))
       batchAdm.admit(df, i.toLong).select("doc_id").collect()

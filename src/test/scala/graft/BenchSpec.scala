@@ -97,5 +97,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.prevAnchorMed("/data/sf0.1", dir).contains(0.42))
     assert(Bench.prevAnchorMed("/data/sf0.01", dir).contains(9.90))
     assert(Bench.prevAnchorMed("/data/sf9", dir).isEmpty)
+    // Outlier guard (ADVICE r16): a single anomalously FAST anchor
+    // (>20% below the median of history) must NOT become the permanent
+    // denominator — 0.10 is discarded, the best PLAUSIBLE anchor wins.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/BENCH_HISTORY.jsonl"),
+      """{"anchor_med":0.10,"sf":"/data/sf0.1"}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Bench.prevAnchorMed("/data/sf0.1", dir).contains(0.42))
   }
 }
