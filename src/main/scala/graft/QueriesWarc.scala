@@ -139,15 +139,25 @@ object QueriesWarc {
 
     // Multimodal crawl flagship: `response` records with BINARY image
     // entities → byte-exact entity slice (Http.bodyBytes — the UTF-8
-    // twin would U+FFFD the PNGs into garbage) → mime gate → EXACT
-    // content dedup on the entity bytes → real PNG pixel decode of ONE
+    // twin would U+FFFD the images into garbage) → mime gate → EXACT
+    // content dedup on the entity bytes → real pixel decode of ONE
     // representative per group. Decode-after-dedup is the 100 TB shape:
     // the expensive pixel kernel runs once per DISTINCT image, not once
     // per copy, and the group-by's partial aggregation means the
     // shuffle carries one body per (sig, input partition), not every
-    // copy. The oracle restates the dedup census in closed form from
-    // the documents table ([[WarcFixtures.mediaPng]]'s geometry/value
-    // formulas), so a single corrupted entity byte flips the hash.
+    // copy.
+    //
+    // Since r17 the fixture is MIXED-FORMAT (VERDICT r16 #1: the r16
+    // form sys.error'd on the first undecodable entity — a task
+    // failure, not a census row, contradicting the source tier's own
+    // fail-closed-but-keep-going contract): PNG and WebP-VP8L groups
+    // decode (`ok`), a truncated PNG classes `corrupt`, an SVG classes
+    // `unsupported` — Multimodal.decodeStatus, the same frozen-taxonomy
+    // pattern as q_warc_quarantine. The oracle restates status AND
+    // pixel stats in closed form from the documents table
+    // ([[WarcFixtures.mediaEntity]]'s geometry/value formulas), so a
+    // single corrupted entity byte or a drifted status class flips the
+    // hash.
     QueryCase("q_warc_media",
       (s, dir) => {
         import s.implicits._
@@ -167,24 +177,32 @@ object QueriesWarc {
         groups.select(col("rep_doc_id"), col("n_copies"), col("body"))
           .as[(Long, Long, Array[Byte])]
           .mapPartitions(_.map { case (rep, n, bytes) =>
-            val img = graft.ext.Multimodal.imagePixels(bytes).getOrElse(
-              sys.error(s"undecodable image for rep_doc_id=$rep"))
-            var sum = 0L; var i = 0
-            while (i < img.pixels.length) {
-              sum += img.pixels(i) & 0xff; i += 1
+            graft.ext.Multimodal.decodeStatus(bytes) match {
+              case (status, Some(img)) =>
+                var sum = 0L; var i = 0
+                while (i < img.pixels.length) {
+                  sum += img.pixels(i) & 0xff; i += 1
+                }
+                (rep, n, status, Some(img.width), Some(img.height),
+                  Some(img.channels), Some(sum))
+              case (status, None) =>
+                (rep, n, status, None: Option[Int], None: Option[Int],
+                  None: Option[Int], None: Option[Long])
             }
-            (rep, n, img.width, img.height, img.channels, sum)
           })
-          .toDF("rep_doc_id", "n_copies", "width", "height", "channels",
-            "pixel_sum")
+          .toDF("rep_doc_id", "n_copies", "status", "width", "height",
+            "channels", "pixel_sum")
       },
       Some("""SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_copies,
-        |  CAST(j + 2 AS INTEGER) AS width,
-        |  CAST(j % 3 + 2 AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels,
-        |  CAST((j + 2) * (j % 3 + 2) * 3 * ((j * 37 + 11) % 256)
-        |    AS BIGINT) AS pixel_sum
+        |  CASE WHEN j <= 4 THEN 'ok' WHEN j = 5 THEN 'corrupt'
+        |       ELSE 'unsupported' END AS status,
+        |  CASE WHEN j <= 4 THEN CAST(j + 2 AS INTEGER) END AS width,
+        |  CASE WHEN j <= 4 THEN CAST(j % 3 + 2 AS INTEGER) END AS height,
+        |  CASE WHEN j <= 4 THEN CAST(3 AS INTEGER) END AS channels,
+        |  CASE WHEN j <= 4 THEN
+        |    CAST((j + 2) * (j % 3 + 2) * 3 * ((j * 37 + 11) % 256)
+        |      AS BIGINT) END AS pixel_sum
         |FROM (SELECT doc_id, doc_id % 7 AS j FROM documents)
         |GROUP BY j""".stripMargin)),
 
@@ -248,6 +266,37 @@ object QueriesWarc {
     // the splittable reader fans the single file across tasks by frame
     // group — no decompress-to-staging hop. Identical oracle to
     // q_jsonl_zst: the two read paths must land on the same answer.
+    // PUBLIC seekable-format splittability (VERDICT r16 #2): the same
+    // single-fat-shard export, but carrying the STANDARD zstd seekable
+    // seek table (skippable tail frame, magic 0x184D2A5E/0x8F92EAB1 —
+    // what third-party seekable-zstd tools emit) and NO engine sidecar.
+    // The reader must fan it out across tasks from the public table
+    // alone. Identical oracle to q_jsonl_zst: all three read paths
+    // (streaming, sidecar-split, seekable-split) land on one answer.
+    QueryCase("q_jsonl_zst_seekable",
+      (s, dir) => {
+        val out = zstSeekableFixture(s, dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val lines = graft.sources.CompressedText
+          .readLinesSplittable(s, out, splitBytes = 64L << 10)
+          .filter(col("error").isNull)
+        lines.select(from_json(col("line"), schema).as("j"))
+          .select(col("j.doc_id").as("doc_id"),
+            col("j.source").as("source"),
+            col("j.n_chars").as("n_chars"),
+            md5(col("j.text").cast("binary")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin)),
+
     QueryCase("q_jsonl_zst_splittable",
       (s, dir) => {
         val out = zstSplitFixture(s, dir)
@@ -286,6 +335,25 @@ object QueriesWarc {
         .coalesce(1) // ONE shard: the splittable path is the point
       graft.sources.CompressedText.writeJsonlZstdShards(docs, out,
         frameBytes = 32L << 10)
+      out
+    })
+
+  /** Export-once cache for the PUBLIC-seekable-format single-shard
+    * fixture: seek table in the file tail, NO sidecar — the foreign
+    * corpus shape. */
+  private val zstSeekableFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zstSeekableFixture(s: SparkSession, dir: String): String =
+    zstSeekableFixtures.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zstk_").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text", "n_chars")
+        .coalesce(1)
+      graft.sources.CompressedText.writeJsonlZstdShards(docs, out,
+        frameBytes = 32L << 10, sidecarIndex = false,
+        seekableFooter = true)
       out
     })
 

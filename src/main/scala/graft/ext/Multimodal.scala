@@ -114,6 +114,10 @@ object Multimodal {
       // compressed files whose pixels tiffPixels declines
       tiffInfo(bytes).filter(i => i.width > 0 && i.height > 0)
         .map(i => (i.width, i.height, i.spp))
+    } else if (Webp.isWebp(bytes)) {
+      // WebP (r17): VP8X canvas, VP8L header bits, or VP8 key frame —
+      // container walk + fixed header fields only, same O(header) cost
+      Webp.dims(bytes)
     } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       while (i + 9 < bytes.length) {
@@ -1158,8 +1162,9 @@ object Multimodal {
     Some(RawImage(info.width, info.height, channels, out))
   }
 
-  /** Container-dispatching full pixel decode: 8-bit PNG, baseline JPEG,
-    * GIF (first frame, RGB), uncompressed BMP, or uncompressed TIFF →
+  /** Container-dispatching full pixel decode: 8-bit PNG, baseline or
+    * progressive JPEG, GIF (first frame, RGB), uncompressed BMP,
+    * uncompressed/LZW TIFF, or lossless WebP (VP8L, r17) →
     * [[RawImage]]; anything else None. */
   def imagePixels(bytes: Array[Byte]): Option[RawImage] =
     pngPixels(bytes)
@@ -1169,6 +1174,66 @@ object Multimodal {
         .map(f => RawImage(f.width, f.height, 3, f.pixels)))
       .orElse(bmpPixels(bytes))
       .orElse(tiffPixels(bytes))
+      .orElse(Webp.pixels(bytes))
+
+  /** Container sniff by magic bytes alone (no pixel work): the basis of
+    * the `unsupported`-vs-`corrupt` split in [[decodeStatus]]. WebP
+    * splits by coded chunk — `webp-vp8l` (pixel-decodable) vs
+    * `webp-lossy`/`webp` (dims-only). */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length >= 8 && pngSig.indices.forall(i => u8(i) == pngSig(i)))
+      Some("png")
+    else if (bytes.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8)
+      Some("jpeg")
+    else if (bytes.length >= 6 &&
+        (bytes.take(6).map(_.toChar).mkString == "GIF87a" ||
+         bytes.take(6).map(_.toChar).mkString == "GIF89a"))
+      Some("gif")
+    else if (bytes.length >= 2 && u8(0) == 'B' && u8(1) == 'M')
+      Some("bmp")
+    else if (bytes.length >= 4 &&
+        ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
+      Some("tiff")
+    else if (Webp.isWebp(bytes)) {
+      val b = new String(bytes.drop(12).take(4), "ISO-8859-1")
+      // the coded chunk usually leads; scan a little for VP8X layouts
+      val s = new String(bytes.take(64), "ISO-8859-1")
+      if (s.contains("VP8L")) Some("webp-vp8l")
+      else if (s.contains("VP8 ") || b == "VP8X") Some("webp-lossy")
+      else Some("webp")
+    } else None
+  }
+
+  /** Formats whose PIXELS this tier decodes — a sniffed-but-undecodable
+    * member of these is damage (`corrupt`); anything else is a coding
+    * we do not implement (`unsupported`). Granularity is the container:
+    * an exotic in-container coding variant (say a JPEG2000-in-TIFF)
+    * classes as corrupt — acceptable for an ingest census whose point
+    * is "these bytes were claimed decodable and are not". */
+  private val pixelFormats = Set("png", "jpeg", "gif", "bmp", "tiff",
+    "webp-vp8l")
+
+  /** Fail-closed-but-keep-going decode classification (VERDICT r16 #1):
+    * the census class + the pixels when decodable. NEVER throws — the
+    * exact contract q_warc_media's representative decode needs so one
+    * truncated JPEG or WebP-lossy entity on a real crawl yields a
+    * census row instead of a task failure (the same taxonomy-freeze
+    * pattern as the WARC quarantine census).
+    *   - `ok`: pixels decoded;
+    *   - `corrupt`: a container this tier pixel-decodes, damaged;
+    *   - `unsupported`: everything else (lossy WebP, SVG, AVIF, ...).
+    */
+  def decodeStatus(bytes: Array[Byte]): (String, Option[RawImage]) =
+    imagePixels(bytes) match {
+      case Some(img) => ("ok", Some(img))
+      case None => sniffFormat(bytes) match {
+        case Some(f) if pixelFormats(f) => ("corrupt", None)
+        case _ => ("unsupported", None)
+      }
+    }
 
   /** One decoded GIF frame: geometry + frame delay (centiseconds, from
     * the preceding Graphic Control Extension; 0 if none) + RGB pixels

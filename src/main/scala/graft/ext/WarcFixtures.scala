@@ -136,14 +136,44 @@ object WarcFixtures {
       filters = Seq.fill(h)(0))
   }
 
+  /** The group's WebP twin of [[mediaPng]]: same closed-form geometry
+    * and value, REAL VP8L bytes (r17 — a crawl's image mimes are
+    * heavily WebP; the flagship must decode them, not die on them).
+    * Group 3 exercises the subtract-green transform, group 4 the
+    * palette path — both land on identical RGB stats. */
+  def mediaWebp(j: Int): Array[Byte] = {
+    val w = j + 2; val h = j % 3 + 2; val v = (j * 37 + 11) % 256
+    val px = Array.fill(w * h)(0xff000000 | (v << 16) | (v << 8) | v)
+    val tf: Seq[WebpFixtures.Tf] =
+      if (j % 2 == 1) Seq(WebpFixtures.SubGreen)
+      else Seq(WebpFixtures.PaletteTf)
+    WebpFixtures.buildVp8l(w, h, px, tf)
+  }
+
+  /** The mixed-format entity of a content group (VERDICT r16 #1: the
+    * flagship census must SURVIVE real-web formats, not assume PNG):
+    * groups 0-2 PNG, 3-4 WebP (`ok`); group 5 a TRUNCATED PNG
+    * (`corrupt`); group 6 an SVG (`unsupported` — a vector format this
+    * tier does not rasterize). Same closed forms, so the DuckDB oracle
+    * states the whole status census from the documents table. */
+  def mediaEntity(j: Int): (String, Array[Byte]) = j match {
+    case 5 => ("image/png", mediaPng(5).dropRight(20))
+    case 6 => ("image/svg+xml",
+      ("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\"8\" " +
+        "height=\"8\"><rect width=\"8\" height=\"8\"/></svg>")
+        .getBytes(UTF_8))
+    case 3 | 4 => ("image/webp", mediaWebp(j))
+    case _ => ("image/png", mediaPng(j))
+  }
+
   /** Full HTTP/1.1 message with a BINARY image entity — the raw-crawl
     * payload shape [[graft.sources.Warc.Http.bodyBytes]] must slice
     * byte-exactly (a UTF-8 decode would destroy it). */
   def httpImagePayload(docId: Long): Array[Byte] = {
-    val png = mediaPng(mediaGroup(docId))
-    (s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
-      s"Content-Length: ${png.length}\r\nServer: graft-fixture\r\n\r\n")
-      .getBytes(UTF_8) ++ png
+    val (mime, body) = mediaEntity(mediaGroup(docId))
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+      s"Content-Length: ${body.length}\r\nServer: graft-fixture\r\n\r\n")
+      .getBytes(UTF_8) ++ body
   }
 
   /** Every doc carries one image response; docs with `doc_id % 11 == 0`

@@ -288,7 +288,8 @@ object CompressedText {
     * temp. */
   def writeJsonlZstdShards(df: DataFrame, outDir: String,
       level: Int = 3, targetShardBytes: Long = Long.MaxValue,
-      frameBytes: Long = 0L): Unit = {
+      frameBytes: Long = 0L, sidecarIndex: Boolean = true,
+      seekableFooter: Boolean = false): Unit = {
     val hconf = Warc.sessionConf(df.sparkSession)
     val lines = df.select(to_json(struct(df.columns.map(col): _*))
       .as("line"))
@@ -306,7 +307,8 @@ object CompressedText {
         // frame index state (frameBytes > 0): every frame starts and
         // ends at a LINE boundary, so a reader can decode any frame
         // subset independently — see [[readLinesSplittable]]
-        val frames = scala.collection.mutable.ArrayBuffer[String]()
+        val frames =
+          scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
         var frameStart = 0L
         var frameFirstLine = 0L
         var frameLines = 0L
@@ -316,7 +318,11 @@ object CompressedText {
           path = new Path(s"$outDir/$fname")
           tmp = new Path(s"$outDir/_tmp-$fname-attempt-$attempt")
           cnt = new CountingOutputStream(fs.create(tmp, true))
-          out = new ZstdOutputStream(cnt, level)
+          // close shield: the seekable footer (a skippable frame in the
+          // PUBLIC seek-table format) appends to the raw stream after
+          // the codec closes — ZstdOutputStream.close() must free its
+          // native context without cascading into the FS stream
+          out = new ZstdOutputStream(new NonClosingOutputStream(cnt), level)
           // frame checksums (xxhash32): without them zstd cannot detect
           // some payload corruptions at all (probed — a flipped byte in
           // a checksum-less frame decodes to silently wrong text).
@@ -331,8 +337,8 @@ object CompressedText {
           frameLines = 0L; frameInBytes = 0L
         }
         def endFrame(): Unit = if (frameLines > 0) {
-          frames += s"$frameStart ${cnt.count - frameStart} " +
-            s"$frameFirstLine $frameLines"
+          frames += ((frameStart, cnt.count - frameStart,
+            frameFirstLine, frameLines, frameInBytes))
           frameStart = cnt.count
           frameFirstLine += frameLines
           frameLines = 0L; frameInBytes = 0L
@@ -340,18 +346,29 @@ object CompressedText {
         def commit(): Unit = {
           out.close()
           endFrame() // the shard-final frame (closed by out.close())
+          // the PUBLIC zstd seekable format (VERDICT r16 #2): a
+          // skippable frame at the tail carrying per-frame
+          // (compressed, decompressed) sizes — what third-party
+          // seekable-zstd tools write and read; see seekTableBytes
+          if (frameBytes > 0 && seekableFooter)
+            cnt.write(seekTableBytes(
+              frames.toSeq.map { case (_, clen, _, _, dlen) =>
+                (clen, dlen) }))
+          cnt.close()
           if (!fs.rename(tmp, path)) {
             fs.delete(tmp, false)
             if (!fs.exists(path)) throw new java.io.IOException(
               s"shard commit failed: cannot rename $tmp to $path")
           }
-          if (frameBytes > 0) { // sidecar index, same commit protocol
+          if (frameBytes > 0 && sidecarIndex) { // sidecar, same protocol
             val iname = s"$zidxPrefix${path.getName}"
             val itmp = new Path(s"$outDir/_tmp-$iname-attempt-$attempt")
             val ios = fs.create(itmp, true)
             try {
               val body = (s"v1 ${frames.size} $frameFirstLine" +:
-                frames.toSeq).mkString("", "\n", "\n")
+                frames.toSeq.map { case (off, clen, fl, nl, _) =>
+                  s"$off $clen $fl $nl" })
+                .mkString("", "\n", "\n")
               ios.write(body.getBytes(UTF_8))
             } finally ios.close()
             val ipath = new Path(s"$outDir/$iname")
@@ -382,9 +399,51 @@ object CompressedText {
             }
           }
           commit()
-        } finally out.close() // idempotent; frees the native cctx
+        } finally {
+          out.close() // idempotent; frees the native cctx
+          if (cnt != null) cnt.close()
+        }
       }
     }
+  }
+
+  /** Shields the FS stream from the codec's close cascade. */
+  private final class NonClosingOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = out.flush()
+  }
+
+  /** Magic numbers of the public zstd seekable format (the format's
+    * published spec in the zstd repository, contrib/seekable_format):
+    * the seek table rides in a SKIPPABLE frame — any conformant zstd
+    * decoder skips it; seekable-aware tools find it by the trailing
+    * magic and jump straight to any frame. */
+  private val SkippableMagic = 0x184D2A5EL
+  private val SeekableMagic = 0x8F92EAB1L
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** The seek-table skippable frame: header (magic + size), one
+    * (compressed, decompressed) u32le pair per frame, 9-byte footer
+    * (frame count, descriptor — no per-frame checksums; the data
+    * frames carry zstd's own xxhash32 —, seekable magic). */
+  private def seekTableBytes(frames: Seq[(Long, Long)]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(le32(SkippableMagic))
+    bo.write(le32(frames.size.toLong * 8 + 9)) // entries + footer
+    frames.foreach { case (clen, dlen) =>
+      require(clen <= 0xffffffffL && dlen <= 0xffffffffL,
+        "frame exceeds the seekable format's 32-bit entry fields")
+      bo.write(le32(clen)); bo.write(le32(dlen))
+    }
+    bo.write(le32(frames.size.toLong))
+    bo.write(0) // descriptor: checksum flag clear
+    bo.write(le32(SeekableMagic))
+    bo.toByteArray
   }
 
   /** Sidecar frame-index prefix: `_`-prefixed so plain data readers
@@ -392,7 +451,14 @@ object CompressedText {
     * looks it up by name. */
   private val zidxPrefix = "_zidx-"
 
-  /** One frame of a frame-indexed shard, as recorded in the sidecar. */
+  /** One frame of a frame-indexed shard. Sidecar-indexed frames carry
+    * exact line accounting (`firstLine` ordinal + `nLines` count);
+    * frames recovered from a PUBLIC seekable-format seek table have no
+    * line counts — `nLines = -1` marks them, and `firstLine` then
+    * holds the frame's cumulative DECOMPRESSED BYTE offset (line_no
+    * becomes the line's decompressed byte offset: still unique and
+    * order-preserving within the file, just not dense — documented on
+    * [[readLinesSplittable]]). */
   private final case class FrameEntry(offset: Long, len: Long,
       firstLine: Long, nLines: Long)
 
@@ -412,9 +478,18 @@ object CompressedText {
     * ordinals as [[readLines]], so the two paths are interchangeable
     * and spec-compared.
     *
-    * Shards WITHOUT an index (foreign files, or written with
-    * `frameBytes = 0`) fall back to one whole-file streaming task —
-    * graceful, never an error. Damage containment is per FRAME, and
+    * Shards WITHOUT a sidecar but CARRYING the public zstd
+    * seekable-format seek table (the skippable tail frame third-party
+    * seekable-zstd tools write — r17, VERDICT r16 #2) split by ITS
+    * entries, so foreign seekable corpora fan out exactly like
+    * engine-written shards. Two contract differences, both inherent to
+    * that format: `line_no` is the line's decompressed BYTE offset
+    * (unique and order-preserving, not dense — the table has no line
+    * counts) and damage containment rests on zstd's in-frame xxhash
+    * alone (no line-count cross-check).
+    *
+    * Shards with NEITHER index (or a truncated/foreign tail) fall back
+    * to one whole-file streaming task — graceful, never an error. Damage containment is per FRAME, and
     * STRICTLY fail-closed: each frame decodes fully — through its
     * zstd checksum — into an O(frame) buffer BEFORE any line is
     * emitted, so a corrupted frame yields exactly one error row and
@@ -431,10 +506,29 @@ object CompressedText {
     require(files.nonEmpty, s"no text shards match $pattern")
     val hconf = Warc.sessionConf(spark)
     val conf = spark.sessionState.newHadoopConf()
-    val (indexed, plain) = files.partition { f =>
+    val (indexed, rest) = files.partition { f =>
       val p = new Path(f)
       p.getFileSystem(conf).exists(
         new Path(p.getParent, s"$zidxPrefix${p.getName}"))
+    }
+    val seekTables: Map[String, Seq[FrameEntry]] = rest.flatMap { f =>
+      if (f.endsWith(".zst")) seekTableFrames(f, conf).map(f -> _)
+      else None
+    }.toMap
+    val (seekable, plain) = rest.partition(seekTables.contains)
+    def toSplits(f: String, frames: Seq[FrameEntry]): Seq[Split] = {
+      // merge consecutive frames into ~splitBytes splits
+      val out = scala.collection.mutable.ArrayBuffer[Split]()
+      var cur = scala.collection.mutable.ArrayBuffer[FrameEntry]()
+      var curLen = 0L
+      frames.foreach { fe =>
+        if (cur.nonEmpty && curLen >= splitBytes) {
+          out += Split(f, cur.toSeq); cur = cur.take(0); curLen = 0L
+        }
+        cur += fe; curLen += fe.len
+      }
+      if (cur.nonEmpty) out += Split(f, cur.toSeq)
+      out.toSeq
     }
     val groups = indexed.flatMap { f =>
       val p = new Path(f)
@@ -454,19 +548,8 @@ object CompressedText {
         val a = l.split(" ")
         FrameEntry(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
       }
-      // merge consecutive frames into ~splitBytes splits
-      val out = scala.collection.mutable.ArrayBuffer[Split]()
-      var cur = scala.collection.mutable.ArrayBuffer[FrameEntry]()
-      var curLen = 0L
-      frames.foreach { fe =>
-        if (cur.nonEmpty && curLen >= splitBytes) {
-          out += Split(f, cur.toSeq); cur = cur.take(0); curLen = 0L
-        }
-        cur += fe; curLen += fe.len
-      }
-      if (cur.nonEmpty) out += Split(f, cur.toSeq)
-      out.toSeq
-    }
+      toSplits(f, frames)
+    } ++ seekable.flatMap(f => toSplits(f, seekTables(f)))
     val parallelism = math.max(1, math.min(groups.size + plain.size,
       spark.sparkContext.defaultParallelism))
     val groupRows = spark.sparkContext
@@ -479,6 +562,60 @@ object CompressedText {
         .flatMap(f => fileLines(f, strict = false, hconf.value.value))
     spark.createDataFrame(groupRows.union(plainRows), lineSchema)
   }
+
+  /** Parse the public seekable-format seek table from a shard's tail,
+    * if present and plausible: trailing magic 0x8F92EAB1, a frame
+    * count whose entry block fits the file, and the skippable-frame
+    * header (magic 0x184D2A5E + size) exactly where the count says it
+    * starts. Returns frame entries with cumulative compressed offsets;
+    * `firstLine` carries the cumulative DECOMPRESSED byte offset and
+    * `nLines = -1` (no line counts in this format). Entries whose
+    * decompressed size is 0 (skippable frames inside the data area)
+    * are dropped. None on any mismatch — the caller falls back to the
+    * whole-file streaming path, never errors. */
+  private def seekTableFrames(file: String,
+      conf: Configuration): Option[Seq[FrameEntry]] =
+    try {
+      val p = new Path(file)
+      val fs = p.getFileSystem(conf)
+      val flen = fs.getFileStatus(p).getLen
+      if (flen < 17) return None // skippable header 8 + footer 9
+      val in = fs.open(p)
+      try {
+        def u32le(b: Array[Byte], i: Int): Long =
+          (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+            ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        val footer = new Array[Byte](9)
+        in.readFully(flen - 9, footer)
+        if (u32le(footer, 5) != SeekableMagic) return None
+        val nFrames = u32le(footer, 0)
+        val checksums = (footer(4) & 0x80) != 0
+        val entrySize = if (checksums) 12 else 8
+        val tableLen = 8 + nFrames * entrySize + 9
+        if (nFrames <= 0 || nFrames > (1L << 24) || tableLen > flen)
+          return None
+        val table = new Array[Byte](tableLen.toInt)
+        in.readFully(flen - tableLen, table)
+        if (u32le(table, 0) != SkippableMagic) return None
+        if (u32le(table, 4) != nFrames * entrySize + 9) return None
+        val entries = Seq.newBuilder[FrameEntry]
+        var off = 0L
+        var decompOff = 0L
+        var i = 0
+        while (i < nFrames) {
+          val base = 8 + i * entrySize
+          val clen = u32le(table, base.toInt)
+          val dlen = u32le(table, base.toInt + 4)
+          if (dlen > 0)
+            entries += FrameEntry(off, clen, decompOff, -1L)
+          off += clen; decompOff += dlen
+          i += 1
+        }
+        // the data frames must exactly fill the bytes before the table
+        if (off != flen - tableLen) return None
+        Some(entries.result())
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Decode one split, frame by frame — each frame fully buffered and
     * checksum-verified BEFORE its lines emit (see
@@ -519,13 +656,25 @@ object CompressedText {
           var l = r.readLine()
           while (l != null) { lines += l; l = r.readLine() }
         } finally r.close()
-        // reaching here means the zstd frame checksum verified; the
-        // line count closes the remaining hole (an index/frame pairing
-        // drift must never silently pass short or long)
-        if (lines.size.toLong != fe.nLines) throw new java.io.IOException(
-          s"frame decoded ${lines.size} lines, index says ${fe.nLines}")
-        lines.iterator.zipWithIndex.map { case (ln, i) =>
-          Row(split.file, fe.firstLine + i, ln, null)
+        // reaching here means the zstd frame checksum verified; for
+        // sidecar-indexed frames the line count closes the remaining
+        // hole (an index/frame pairing drift must never silently pass
+        // short or long). Seekable-format frames (nLines = -1) have no
+        // count to check — their line_no is the line's decompressed
+        // byte offset (firstLine = the frame's cumulative offset).
+        if (fe.nLines >= 0) {
+          if (lines.size.toLong != fe.nLines) throw new java.io.IOException(
+            s"frame decoded ${lines.size} lines, index says ${fe.nLines}")
+          lines.iterator.zipWithIndex.map { case (ln, i) =>
+            Row(split.file, fe.firstLine + i, ln, null)
+          }
+        } else {
+          var byteOff = fe.firstLine
+          lines.iterator.map { ln =>
+            val r = Row(split.file, byteOff, ln, null)
+            byteOff += ln.getBytes(UTF_8).length + 1
+            r
+          }
         }
       } catch {
         case e: java.io.IOException => errRow(fe, e.getMessage)

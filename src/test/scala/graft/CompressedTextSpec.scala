@@ -308,4 +308,134 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     val rows = CompressedText.readLinesSplittable(spark, dir).collect()
     assert(rows.length == 50 && rows.forall(_.getString(3) == null))
   }
+
+  test("public seekable format: sidecar-less shard splits from the tail table") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 400).map(i => (i.toLong, entropyBlob(i)))
+      .toDF("id", "t").coalesce(1)
+    CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 16 * 1024,
+      sidecarIndex = false, seekableFooter = true)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_zidx-")), "no sidecar expected")
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    // the tail carries the PUBLIC magics: skippable 0x184D2A5E at the
+    // table start, seekable 0x8F92EAB1 in the last 4 bytes
+    val bytes = Files.readAllBytes(shard.toPath)
+    val tail = bytes.takeRight(4).map(_ & 0xff)
+    assert(tail.sameElements(Array(0xb1, 0xea, 0x92, 0x8f)),
+      tail.mkString(","))
+    val split = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 32 * 1024)
+    assert(split.rdd.getNumPartitions > 1)
+    val a = split.collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(a.forall(_._3 == null) && a.length == 400)
+    // line CONTENT matches the streaming reader; line_no is the
+    // decompressed byte offset here (unique, order-preserving) — the
+    // ORDER by it must equal the streaming order
+    val b = CompressedText.readLines(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(a.sortBy(_._1).map(_._2).toSeq ==
+      b.sortBy(_._1).map(_._2).toSeq)
+    assert(a.map(_._1).distinct.length == 400, "line_no must be unique")
+  }
+
+  test("seekable format: per-frame checksum flag parses; sizes still split") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 200).map(i => (i.toLong, entropyBlob(i)))
+      .toDF("id", "t").coalesce(1)
+    CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 16 * 1024,
+      sidecarIndex = false, seekableFooter = true)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    // rewrite the tail table into the CHECKSUM-flagged variant some
+    // third-party writers emit (12-byte entries, descriptor bit 7) —
+    // the reader must parse it (it skips the checksums; zstd's
+    // in-frame xxhash is the verified integrity signal)
+    val bytes = Files.readAllBytes(shard.toPath)
+    def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val n = u32le(bytes, bytes.length - 9).toInt
+    val tableLen = 8 + n * 8 + 9
+    val dataLen = bytes.length - tableLen
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, dataLen)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(0x184D2A5EL); le32(n.toLong * 12 + 9)
+    (0 until n).foreach { i =>
+      val base = dataLen + 8 + i * 8
+      le32(u32le(bytes, base)); le32(u32le(bytes, base + 4))
+      le32(0xDEADBEEFL) // checksum field: present, unverified
+    }
+    le32(n.toLong); out.write(0x80); le32(0x8F92EAB1L)
+    Files.write(shard.toPath, out.toByteArray)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val rows = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 1).collect()
+    assert(rows.length == 200 && rows.forall(_.getString(3) == null))
+  }
+
+  test("seekable format: frame damage quarantines one frame; junk tail falls back") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = (1 to 300).map(i => (i.toLong, entropyBlob(i)))
+      .toDF("id", "t").coalesce(1)
+    CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 24 * 1024,
+      sidecarIndex = false, seekableFooter = true)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    val bytes = Files.readAllBytes(shard.toPath)
+    // flip a byte inside the SECOND frame (locate via the tail table)
+    def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val n = u32le(bytes, bytes.length - 9).toInt
+    assert(n >= 3, s"want >=3 frames, got $n")
+    val tableOff = bytes.length - (8 + n * 8 + 9)
+    val f0len = u32le(bytes, tableOff + 8)
+    val f1len = u32le(bytes, tableOff + 16)
+    val mid = (f0len + f1len / 2).toInt
+    bytes(mid) = (bytes(mid) ^ 0x55).toByte
+    Files.write(shard.toPath, bytes)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val rows = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 1).collect()
+    val errs = rows.filter(_.getString(3) != null)
+    assert(errs.length == 1 &&
+      errs.head.getString(3).contains(s"offset $f0len"),
+      errs.map(_.getString(3)).mkString("; "))
+    // healthy frames all survive (300 minus the damaged frame's lines)
+    assert(rows.count(_.getString(3) == null) > 0)
+    assert(rows.length < 300 + 2 && rows.length > n)
+
+    // a shard whose tail is NOT a valid table (foreign junk) must fall
+    // back to the whole-file path, not error at plan time
+    val dir2 = tmpDir()
+    CompressedText.writeJsonlZstdShards(df, dir2) // plain, no table
+    val shard2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    Files.write(shard2.toPath,
+      Files.readAllBytes(shard2.toPath) ++
+        "JUNKJUNKJUNKJUNK".getBytes(UTF_8))
+    new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // junk tail breaks zstd streaming too: the remainder (including
+    // any lines still in the codec buffer at the error point)
+    // quarantines as ONE error row — the streaming path's documented
+    // fail-closed posture — and plan time never crashes
+    val rows2 = CompressedText.readLinesSplittable(spark, dir2).collect()
+    val errs2 = rows2.filter(_.getString(3) != null)
+    assert(errs2.length == 1 && errs2.head.getString(3).startsWith("codec:"),
+      errs2.map(_.getString(3)).mkString("; "))
+    assert(rows2.count(_.getString(2) != null) >= 290)
+  }
 }

@@ -301,6 +301,27 @@ class WarcSpec extends AnyFunSuite with SparkTestSupport {
       graft.functions.HttpBodyBytesExpr.slice(msg), jpeg))
   }
 
+  test("WebP entity round-trips byte-exact through bodyBytes and decodes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val v = (3 * 37 + 11) % 256 // group-3 fixture value
+    val webp = graft.ext.WarcFixtures.mediaWebp(3)
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Type: image/webp\r\n" +
+      s"Content-Length: ${webp.length}\r\n\r\n").getBytes(UTF_8) ++ webp
+    val df = Seq((1L, msg)).toDF("id", "payload")
+      .select(graft.sources.Warc.Http.bodyBytes(col("payload")).as("bytes"))
+    val got = df.collect().head.getAs[Array[Byte]]("bytes")
+    assert(java.util.Arrays.equals(got, webp))
+    // the sliced bytes decode through the REAL VP8L pipeline to the
+    // fixture's closed-form stats (w=5, h=2, RGB solid value v)
+    val img = graft.ext.Multimodal.imagePixels(got)
+      .getOrElse(fail("webp entity did not decode"))
+    assert(img.width == 5 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.forall(b => (b & 0xff) == v))
+    // and the status census classes it ok
+    assert(graft.ext.Multimodal.decodeStatus(got)._1 == "ok")
+  }
+
   // ------------------------------------------------------ arrival stream
 
   test("streamWet ingests arriving archives exactly once per file") {

@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Multimodal, Webp, WebpFixtures}
+import graft.ext.WebpFixtures.{ColorTf, PaletteTf, Pred, SubGreen}
+
+/** VP8L (lossless WebP) decode pinned against the from-scratch fixture
+  * encoder: every bitstream feature round-trips — prefix-code forms,
+  * color cache, LZ77 backrefs via the plane-code table, meta prefix
+  * groups, and all four transforms in combination. Fuzz arms hold the
+  * fail-closed contract (None, never a throw) on random and bit-flipped
+  * bytes, matching the other decoders in MultimodalSpec. */
+class WebpSpec extends AnyFunSuite {
+
+  /** Deterministic pseudo-random ARGB pixels (opaque unless `alpha`). */
+  private def pattern(w: Int, h: Int, seed: Int,
+      alpha: Boolean = false, values: Int = 256): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      def mix(k: Int): Int = {
+        var x = i * 2654435761L + seed * 40503L + k * 97L
+        x ^= x >>> 13; x *= 0x5deece66dL; x ^= x >>> 17
+        (math.floorMod(x, values)).toInt
+      }
+      val a = if (alpha) mix(3) else 0xff
+      (a << 24) | (mix(0) << 16) | (mix(1) << 8) | mix(2)
+    }
+
+  private def decode(bytes: Array[Byte]): Multimodal.RawImage =
+    Webp.pixels(bytes).getOrElse(fail("vp8l decode returned None"))
+
+  private def assertPixels(img: Multimodal.RawImage, w: Int, h: Int,
+      argb: Array[Int], alpha: Boolean): Unit = {
+    assert(img.width == w && img.height == h)
+    assert(img.channels == (if (alpha) 4 else 3))
+    val ch = img.channels
+    var i = 0
+    while (i < w * h) {
+      val px = argb(i)
+      assert((img.pixels(i * ch) & 0xff) == ((px >> 16) & 0xff),
+        s"red at $i")
+      assert((img.pixels(i * ch + 1) & 0xff) == ((px >> 8) & 0xff),
+        s"green at $i")
+      assert((img.pixels(i * ch + 2) & 0xff) == (px & 0xff),
+        s"blue at $i")
+      if (alpha)
+        assert((img.pixels(i * ch + 3) & 0xff) == ((px >>> 24) & 0xff),
+          s"alpha at $i")
+      i += 1
+    }
+  }
+
+  private def roundTrip(w: Int, h: Int, argb: Array[Int],
+      transforms: Seq[WebpFixtures.Tf] = Nil, cacheBits: Int = 0,
+      metaBits: Int = 0, useBackrefs: Boolean = true): Unit = {
+    val alpha = argb.exists(p => (p >>> 24) != 0xff)
+    val bytes = WebpFixtures.buildVp8l(w, h, argb, transforms,
+      cacheBits, metaBits, useBackrefs)
+    assertPixels(decode(bytes), w, h, argb, alpha)
+  }
+
+  test("solid color: simple prefix codes, zero-bit trees") {
+    roundTrip(6, 3, Array.fill(18)(0xff4080c0))
+  }
+
+  test("two-value image: simple 2-symbol codes") {
+    roundTrip(5, 4, Array.tabulate(20)(i =>
+      if (i % 3 == 0) 0xff102030 else 0xffa0b0c0))
+  }
+
+  test("dense pattern: normal codes with code-length coding") {
+    roundTrip(17, 11, pattern(17, 11, seed = 1))
+  }
+
+  test("alpha channel round-trips when the hint is set") {
+    roundTrip(9, 7, pattern(9, 7, seed = 2, alpha = true))
+  }
+
+  test("backrefs: runs compress through the plane-code table") {
+    val px = Array.tabulate(64 * 3) { i =>
+      if ((i / 16) % 2 == 0) 0xff112233 else 0xff445566
+    }
+    roundTrip(64, 3, px, useBackrefs = true)
+  }
+
+  test("color cache: repeated colors hit the cache path") {
+    val palette = Array(0xff000000, 0xffff0000, 0xff00ff00, 0xff0000ff)
+    val px = Array.tabulate(16 * 16)(i => palette((i * 7 + i / 16) % 4))
+    // backrefs off so cache hits, not runs, carry the repetition
+    roundTrip(16, 16, px, cacheBits = 4, useBackrefs = false)
+  }
+
+  test("meta prefix groups: checkerboard 2-group entropy image") {
+    roundTrip(23, 14, pattern(23, 14, seed = 3), metaBits = 2)
+  }
+
+  test("subtract-green transform") {
+    roundTrip(12, 9, pattern(12, 9, seed = 4), Seq(SubGreen))
+  }
+
+  test("predictor transform: every mode 0..13 appears") {
+    // 4-px blocks over a 32x16 image = 8x4 = 32 blocks; cycle modes
+    roundTrip(32, 16, pattern(32, 16, seed = 5),
+      Seq(Pred(2, (bx, by) => (bx + by * 8) % 14)))
+  }
+
+  test("color transform: constant cross-channel element") {
+    roundTrip(13, 10, pattern(13, 10, seed = 6),
+      Seq(ColorTf(3, g2r = 0x35, g2b = 0xe2, r2b = 0x1b)))
+  }
+
+  test("palette: 4 colors bundle 4 pixels per byte") {
+    val palette = Array(0xff111111, 0xff222222, 0xff888888, 0xffeeeeee)
+    val px = Array.tabulate(21 * 6)(i => palette((i * 5 + 1) % 4))
+    roundTrip(21, 6, px, Seq(PaletteTf))
+  }
+
+  test("palette: 2 colors bundle 8 pixels per byte, odd width") {
+    val px = Array.tabulate(19 * 5)(i =>
+      if ((i ^ (i / 19)) % 2 == 0) 0xff000000 else 0xffffffff)
+    roundTrip(19, 5, px, Seq(PaletteTf))
+  }
+
+  test("palette: 200 colors, no bundling") {
+    val px = Array.tabulate(40 * 10)(i => 0xff000000 | ((i % 200) * 97 % 256 << 16) | (i % 200))
+    roundTrip(40, 10, px, Seq(PaletteTf))
+  }
+
+  test("stacked transforms: subtract-green + predictor + cache") {
+    roundTrip(24, 13, pattern(24, 13, seed = 7),
+      Seq(SubGreen, Pred(2, (bx, by) => (bx * 3 + by) % 14)),
+      cacheBits = 6)
+  }
+
+  test("stacked transforms: color + subtract-green + meta groups") {
+    roundTrip(20, 12, pattern(20, 12, seed = 8),
+      Seq(ColorTf(2, 0x10, 0x20, 0x30), SubGreen), metaBits = 3)
+  }
+
+  test("palette then predictor: transform sizing follows the bundled width") {
+    val palette = Array(0xff101010, 0xff505050, 0xff909090, 0xffd0d0d0)
+    val px = Array.tabulate(33 * 9)(i => palette((i * 11 + i / 33) % 4))
+    roundTrip(33, 9, px, Seq(PaletteTf, Pred(2, (_, _) => 2)))
+  }
+
+  test("1x1 and single-row/column edge geometries") {
+    roundTrip(1, 1, Array(0xff7f7f7f))
+    roundTrip(1, 9, pattern(1, 9, seed = 9))
+    roundTrip(9, 1, pattern(9, 1, seed = 10))
+  }
+
+  test("dims: VP8L header, VP8 lossy key frame, VP8X canvas") {
+    val lossless = WebpFixtures.buildVp8l(300, 77, Array.fill(300 * 77)(0xff000000))
+    assert(Webp.dims(lossless).contains((300, 77, 3)))
+    assert(Multimodal.imageDims(lossless).contains((300, 77, 3)))
+    val lossy = WebpFixtures.buildVp8LossyStub(640, 480)
+    assert(Webp.dims(lossy).contains((640, 480, 3)))
+    assert(Webp.pixels(lossy).isEmpty)
+    assert(Multimodal.imageDims(lossy).contains((640, 480, 3)))
+  }
+
+  test("decodeStatus taxonomy: ok / unsupported / corrupt") {
+    val good = WebpFixtures.buildVp8l(4, 4, Array.fill(16)(0xff336699))
+    assert(Multimodal.decodeStatus(good)._1 == "ok")
+    val lossy = WebpFixtures.buildVp8LossyStub(8, 8)
+    assert(Multimodal.decodeStatus(lossy)._1 == "unsupported")
+    val truncated = good.take(good.length - 3)
+    assert(Multimodal.decodeStatus(truncated)._1 == "corrupt")
+    val svg = "<svg xmlns='http://www.w3.org/2000/svg'/>".getBytes("UTF-8")
+    assert(Multimodal.decodeStatus(svg)._1 == "unsupported")
+    val png = graft.ext.MediaFixtures.buildPng(3, 2, colorType = 2,
+      rows = Seq.fill(2)(Seq.fill(9)(7)), filters = Seq.fill(2)(0))
+    assert(Multimodal.decodeStatus(png)._1 == "ok")
+    assert(Multimodal.decodeStatus(png.take(24))._1 == "corrupt")
+  }
+
+  test("fuzz: random bytes and bit flips never throw") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      Webp.pixels(b); Webp.dims(b) // must not throw
+    }
+    val real = WebpFixtures.buildVp8l(15, 11, pattern(15, 11, seed = 11),
+      Seq(SubGreen, Pred(2, (bx, by) => (bx + by) % 14)), cacheBits = 5)
+    (0 until 400).foreach { i =>
+      val b = real.clone()
+      val bit = (i * 2654435761L % (b.length * 8L)).toInt
+      b(bit / 8) = (b(bit / 8) ^ (1 << (bit % 8))).toByte
+      Webp.pixels(b) // any result is fine; throwing is not
+    }
+    // truncations at every prefix length
+    (0 until real.length by 7).foreach { n =>
+      Webp.pixels(real.take(n)); Webp.dims(real.take(n))
+    }
+  }
+
+  test("pixel budget: lying 14-bit dims do not over-allocate") {
+    // declared 16384x16384 = 256M pixels exceeds the 64M budget
+    val bw = new WebpFixtures.BitWriter
+    bw.writeBits(16383, 14); bw.writeBits(16383, 14)
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    val payload = Array(0x2f.toByte) ++ bw.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    val sz = 4 + 8 + payload.length
+    out.write(Array[Byte]((sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+      ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
+    out.write("WEBPVP8L".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]((payload.length & 0xff).toByte,
+      ((payload.length >> 8) & 0xff).toByte, 0, 0))
+    out.write(payload)
+    assert(Webp.pixels(out.toByteArray).isEmpty)
+  }
+}
