@@ -656,3 +656,25 @@ final class AdmissionRegistry(stateDir: String, schema: StructType,
     olds.size
   }
 }
+
+object AdmissionRegistry {
+
+  /** Run `body`'s actions under non-adaptive execution (saved and
+    * restored around it) when `adaptive` is false — the admission
+    * family's per-trigger plan mode (VERDICT r16 #5): admission plans
+    * are micro-batch-bounded and fixed-shape, and AQE's per-exchange
+    * re-plan materializes every stage as its own scheduler round —
+    * profiled at 18 vs 10 jobs and +24% per-trigger wall on 16-doc
+    * triggers (tools/TriggerProfile) with zero effect on results. The
+    * toggle is session-visible while `body` runs; the normal
+    * one-stream-per-session deployment never observes it. */
+  def withFixedPlans[T](spark: SparkSession, adaptive: Boolean)(
+      body: => T): T =
+    if (adaptive) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+}

@@ -47,7 +47,20 @@ import graft.ext.Dedup
 class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     numHashes: Int = 32, bands: Int = 8,
     compactEvery: Int = 64, shards: Int = 16,
-    targetShardBytes: Long = 16L << 20) extends Serializable {
+    targetShardBytes: Long = 16L << 20,
+    /** Run the admission's own plans under adaptive query execution.
+      * Default OFF (r17, VERDICT r16 #5): admission plans are
+      * micro-batch-bounded and FIXED-SHAPE (the shuffle width is the
+      * caller's `spark.sql.shuffle.partitions` decision), so AQE's
+      * per-exchange re-plan materializes each stage as its own job —
+      * profiled at 18 vs 10 jobs and +24% per-trigger wall on 16-doc
+      * triggers (tools/TriggerProfile), with zero effect on results.
+      * Opt back in for heavily skewed backlog-drain batches where
+      * AQE's skew-split pays for its scheduling rounds. The toggle is
+      * scoped to THIS admission's actions (saved/restored around each
+      * trigger) but is session-visible while one runs — the normal
+      * one-stream-per-session deployment never observes it. */
+    adaptiveExec: Boolean = false) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir, StructType(Seq(
     StructField("band", IntegerType), StructField("bucket", LongType))),
@@ -66,28 +79,48 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     * and appends their buckets to the registry under `batchId` (replay
     * of the same batchId recomputes identical decisions — history
     * excludes the batch's own earlier append). */
-  def admit(batch: DataFrame, batchId: Long): DataFrame = {
+  def admit(batch: DataFrame, batchId: Long): DataFrame =
+    admitInstrumented(batch, batchId, (_, _) => ())
+
+  /** [[admit]] with a phase probe for [[graft.tools.TriggerProfile]]:
+    * `probe(phaseName, elapsedMs)` fires after each internal phase —
+    * zero overhead on the production path (the default no-op). */
+  def admitInstrumented(batch: DataFrame, batchId: Long,
+      probe: (String, Long) => Unit): DataFrame = {
+    def timed[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      probe(phase, (System.nanoTime() - t0) / 1000000)
+      r
+    }
     val spark = batch.sparkSession
+    // Plan-mode scope (see `adaptiveExec` doc): every action below runs
+    // under the shared fixed-plans toggle.
+    AdmissionRegistry.withFixedPlans(spark, adaptiveExec) {
     // Committed-watermark compaction (every `compactEvery` batches):
     // when this batch is handed to the sink, batch `batchId-1`'s output
     // is durably committed, so folding the directories below it is
     // replay-safe — see [[AdmissionRegistry.maybeCompact]]. Keeps the
     // registry's directory count bounded on an unbounded stream.
-    registry.maybeCompact(spark, batchId, compactEvery)
+    timed("maybeCompact")(registry.maybeCompact(spark, batchId, compactEvery))
     // bf feeds four consumers (touched-shard job, history probe,
     // in-batch gate, registry append) — cache it for the trigger so the
     // minhash signatures are computed once per batch, not four times.
     val bf = buckets(batch).persist()
     try {
-      val tokens = registry.probeTokens(bf)
-      val vsHistory = bf.join(
-        registry.historyTouched(spark, batchId, tokens),
-        Seq("band", "bucket"), "left_semi").select(col("id")).distinct()
+      val tokens = timed("probeTokens")(registry.probeTokens(bf))
+      val history = timed("historyPlan")(
+        registry.historyTouched(spark, batchId, tokens))
+      // no per-branch distinct: the union's own distinct below covers
+      // both, and each inner distinct was a full extra exchange per
+      // trigger (TriggerProfile r17)
+      val vsHistory = bf.join(history,
+        Seq("band", "bucket"), "left_semi").select(col("id"))
       val lowestPerBucket = bf.groupBy("band", "bucket")
         .agg(min(col("id")).as("__keep"))
       val vsBatch = bf.join(lowestPerBucket, Seq("band", "bucket"))
         .filter(col("id") =!= col("__keep"))
-        .select(col("id")).distinct()
+        .select(col("id"))
       // Eagerly materialize the (batch-bounded) rejected-id set into
       // the cache: the returned `admitted` frame is consumed by the
       // caller AFTER bf is unpersisted, and without this the
@@ -98,14 +131,18 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
       // micro-batch — review r13); the ContextCleaner reclaims the
       // blocks once the trigger's plans are unreachable.
       val rejected = vsHistory.union(vsBatch).distinct().persist()
-      rejected.count()
+      timed("decide")(rejected.count())
       val admitted = batch.join(
         rejected.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      registry.append(
-        bf.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-          .select("band", "bucket"), batchId)
+      // admitted buckets = bf anti-join the CACHED rejected set — the
+      // earlier semi-join against admitted ids re-evaluated the whole
+      // batch-vs-rejected join a second time inside the append
+      timed("append")(registry.append(
+        bf.join(rejected, Seq("id"), "left_anti")
+          .select("band", "bucket"), batchId))
       admitted
     } finally bf.unpersist()
+    }
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one (see
@@ -117,5 +154,10 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     * downstream writer. */
   def step(forward: (DataFrame, Long) => Unit)(
       batch: DataFrame, batchId: Long): Unit =
-    forward(admit(batch, batchId), batchId)
+    // scope the plan-mode toggle over the DOWNSTREAM consumption too:
+    // the admitted frame the sink materializes is as micro-batch-
+    // bounded as the admission plans themselves
+    AdmissionRegistry.withFixedPlans(batch.sparkSession, adaptiveExec) {
+      forward(admit(batch, batchId), batchId)
+    }
 }

@@ -48,7 +48,11 @@ import graft.ext.{Dedup, Spans}
 class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     k: Int = 8, gatePct: Int = 20,
     compactEvery: Int = 64, shards: Int = 16,
-    targetShardBytes: Long = 16L << 20) extends Serializable {
+    targetShardBytes: Long = 16L << 20,
+    /** See [[NearDupAdmission]]'s `adaptiveExec` / [[AdmissionRegistry
+      * .withFixedPlans]]: micro-batch admission plans default to
+      * non-adaptive execution (profiled per-trigger fixed cost). */
+    adaptiveExec: Boolean = false) extends Serializable {
 
   private val registry = new AdmissionRegistry(stateDir,
     StructType(Seq(StructField("sh", LongType))),
@@ -59,6 +63,7 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     * registers their distinct span hashes under `batchId`. */
   def admit(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    AdmissionRegistry.withFixedPlans(spark, adaptiveExec) {
     // Committed-watermark compaction — same contract as
     // [[NearDupAdmission.admit]]: batches below `batchId` are durably
     // committed by the time the sink sees this one, so folding them is
@@ -97,6 +102,7 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
           .select("sh").distinct(), batchId)
       admitted
     } finally pos.unpersist()
+    }
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one (see
@@ -107,5 +113,7 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
   /** `foreachBatch` adapter. */
   def step(forward: (DataFrame, Long) => Unit)(
       batch: DataFrame, batchId: Long): Unit =
-    forward(admit(batch, batchId), batchId)
+    AdmissionRegistry.withFixedPlans(batch.sparkSession, adaptiveExec) {
+      forward(admit(batch, batchId), batchId)
+    }
 }
