@@ -4260,6 +4260,71 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 
+    // Lossless WebP (VP8L) decode — the format modern crawls serve
+    // most image responses in (r17): REAL bitstream bytes from the
+    // from-scratch fixture encoder (subtract-green coded, color cache
+    // on), decoded by the full VP8L pipeline; stats hand-derived from
+    // the fixture's value formulas (r=10+i, g=100+i, b=20+2i over 12
+    // px: sum 186+1266+372). A RIFF/WEBP container wrapping garbage
+    // gates out (fail-closed decode, never a crash).
+    QueryCase("q_multimodal_pixels_webp",
+      (s, _) => {
+        import s.implicits._
+        val px = Array.tabulate(12)(i =>
+          0xff000000 | ((10 + i) << 16) | ((100 + i) << 8) | (20 + 2 * i))
+        Multimodal.decodePixelStats(s, Seq(
+            (1L, graft.ext.WebpFixtures.buildVp8l(4, 3, px,
+              Seq(graft.ext.WebpFixtures.SubGreen), cacheBits = 4)),
+            (2L, graft.ext.WebpFixtures.buildVp8l(4, 3, px)
+              .take(20))) // truncated container: gated out
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 4, 3, 3, 36, 1824, 10, 111))
+        |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
+        |       px_min, px_max)""".stripMargin)),
+
+    // ANIMATED WebP frames (r17) — the GIF-shaped frame sequence in
+    // the modern container: VP8X+ANIM+ANMF parse, each frame's
+    // embedded VP8L bitstream fully decoded; per-frame geometry,
+    // native millisecond durations, and pixel stats all stated in
+    // closed form from the fixture formulas. A still VP8L image (no
+    // animation) gates out of the frame view.
+    QueryCase("q_multimodal_webp_frames",
+      (s, _) => {
+        import s.implicits._
+        val f0 = graft.ext.WebpFixtures.AnimFrame(0, 0, 3, 2, 40,
+          Array.fill(6)(0xff000000 | (50 << 16) | (50 << 8) | 50))
+        val f1 = graft.ext.WebpFixtures.AnimFrame(2, 2, 2, 2, 30,
+          Array.fill(4)(0xff000000 | (1 << 16) | (2 << 8) | 3))
+        Multimodal.webpFrameStats(s, Seq(
+            (1L, graft.ext.WebpFixtures.buildWebpAnim(5, 4, Seq(f0, f1))),
+            (2L, graft.ext.WebpFixtures.buildVp8l(2, 2, // still: gated
+              Array.fill(4)(0xff101010))))
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(frame_index AS INTEGER) AS frame_index,
+        |  CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(duration_ms AS INTEGER) AS duration_ms,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 0, 0, 0, 3, 2, 40, 18, 900, 50, 50),
+        |             (1, 1, 2, 2, 2, 2, 30, 12, 24, 1, 3))
+        |  AS t(media_id, frame_index, x, y, width, height, duration_ms,
+        |       n_px_bytes, px_sum, px_min, px_max)""".stripMargin)),
+
     // Uncompressed baseline TIFF decode — the scan/dataset-archive
     // format (both byte orders, multi-strip assembly, WhiteIsZero
     // inversion to the shared black-is-zero convention); fixtures and

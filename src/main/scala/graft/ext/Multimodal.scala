@@ -1446,6 +1446,41 @@ object Multimodal {
       }
   }
 
+  /** One row of per-frame statistics for ANIMATED WEBP blobs —
+    * [[FrameStats]]' container twin, with the WebP container's native
+    * millisecond durations (GIF's are centiseconds; a shared row type
+    * would mangle one or the other). Lossy (VP8-coded) frames carry
+    * geometry/duration with n_px_bytes = 0. */
+  final case class WebpFrameStats(media_id: Long, frame_index: Int,
+      x: Int, y: Int, width: Int, height: Int, duration_ms: Int,
+      n_px_bytes: Long, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Partition-batched animated-WebP frame decode → per-frame
+    * statistics ([[Webp.frames]]): the same kernel shape as
+    * [[decodeFrameStats]] (GIF). Still images and non-WebP blobs are
+    * gated out. */
+  def webpFrameStats(spark: SparkSession,
+      media: DataFrame): Dataset[WebpFrameStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Webp.frames(bytes).toSeq.flatten.map { fr =>
+            var sum = 0L; var mn = 255; var mx = 0
+            fr.pixels.foreach { b =>
+              val v = b & 0xFF
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            }
+            if (fr.pixels.isEmpty) { mn = 0; mx = 0 }
+            WebpFrameStats(id, fr.index, fr.x, fr.y, fr.width,
+              fr.height, fr.duration_ms, fr.pixels.length.toLong, sum,
+              mn, mx)
+          }
+        }
+      }
+  }
+
   /** One row of REAL per-blob pixel statistics. */
   final case class PixelStats(media_id: Long, width: Int, height: Int,
       channels: Int, n_px_bytes: Long, px_sum: Long, px_min: Int,

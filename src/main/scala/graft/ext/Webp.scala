@@ -126,6 +126,62 @@ object Webp {
       }.flatten
     }
 
+  /** One decoded animation frame: geometry on the canvas + duration +
+    * the frame's OWN pixels (row-major, `channels` per px). Like
+    * [[Multimodal.GifFrame]], disposal/blend compositing is
+    * deliberately not applied — each frame decodes independently (the
+    * per-frame feature-extraction shape). Lossy (VP8-coded) frames
+    * carry their real geometry/duration with EMPTY pixels — the
+    * coding this engine's decode scope excludes. */
+  final case class Frame(index: Int, x: Int, y: Int, width: Int,
+      height: Int, duration_ms: Int, channels: Int, pixels: Array[Byte])
+
+  /** Animated-WebP frame decode: VP8X (animation flag) + ANMF chunks,
+    * each frame's embedded VP8L bitstream decoded by the same core as
+    * [[pixels]]. None for still images (use [[pixels]]) and non-WebP
+    * bytes; a damaged FRAME fails the whole decode closed (None) —
+    * the ingest-gate contract, matching [[Multimodal.gifFrames]]. */
+  def frames(bytes: Array[Byte]): Option[Seq[Frame]] =
+    safely {
+      val cs = chunks(bytes)
+      val animated = cs.exists { case (cc, off, len) =>
+        cc == "VP8X" && len >= 1 && (bytes(off) & 0x02) != 0 }
+      if (!animated) None
+      else {
+        val anmfs = cs.filter(_._1 == "ANMF")
+        if (anmfs.isEmpty) sys.error("webp: animation without frames")
+        Some(anmfs.zipWithIndex.map { case ((_, off, len), idx) =>
+          if (len < 16) sys.error("webp: short ANMF header")
+          val x = u24le(bytes, off) * 2
+          val y = u24le(bytes, off + 3) * 2
+          val w = u24le(bytes, off + 6) + 1
+          val h = u24le(bytes, off + 9) + 1
+          val dur = u24le(bytes, off + 12)
+          // frame data: standard subchunks after the 16-byte header
+          var i = off + 16
+          val end = off + len
+          var frame: Option[Frame] = None
+          while (frame.isEmpty && i + 8 <= end) {
+            val cc = new String(bytes, i, 4, "ISO-8859-1")
+            val sz = u32le(bytes, i + 4)
+            if (sz < 0 || i + 8 + sz > end) sys.error("webp: ANMF subchunk")
+            if (cc == "VP8L") {
+              val img = decodeVp8l(bytes, i + 8, sz.toInt)
+                .getOrElse(sys.error("webp: damaged VP8L frame"))
+              if (img.width != w || img.height != h)
+                sys.error("webp: frame dims disagree with ANMF header")
+              frame = Some(Frame(idx, x, y, w, h, dur, img.channels,
+                img.pixels))
+            } else if (cc == "VP8 ") {
+              frame = Some(Frame(idx, x, y, w, h, dur, 3,
+                Array.emptyByteArray)) // lossy: geometry only
+            } else i += 8 + sz.toInt + (sz.toInt & 1) // ALPH etc.
+          }
+          frame.getOrElse(sys.error("webp: ANMF without image data"))
+        })
+      }
+    }
+
   // ---------------------------------------------------------- bit input
 
   /** LSB-first bit reader over the VP8L payload slice; reading past the

@@ -432,6 +432,16 @@ object WebpFixtures {
   def buildVp8l(w: Int, h: Int, argb: Array[Int],
       transforms: Seq[Tf] = Nil, cacheBits: Int = 0, metaBits: Int = 0,
       useBackrefs: Boolean = true,
+      alphaHint: Option[Boolean] = None): Array[Byte] =
+    wrapRiff("VP8L", vp8lPayload(w, h, argb, transforms, cacheBits,
+      metaBits, useBackrefs, alphaHint))
+
+  /** The bare VP8L chunk payload (signature byte + bitstream) — what
+    * [[buildVp8l]] wraps at top level and [[buildWebpAnim]] embeds
+    * inside each ANMF frame. */
+  def vp8lPayload(w: Int, h: Int, argb: Array[Int],
+      transforms: Seq[Tf] = Nil, cacheBits: Int = 0, metaBits: Int = 0,
+      useBackrefs: Boolean = true,
       alphaHint: Option[Boolean] = None): Array[Byte] = {
     require(argb.length == w * h, "pixel shape")
     require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384, "dims")
@@ -543,7 +553,47 @@ object WebpFixtures {
     encodeImageData(bw, px, xsize, h, isLevel0 = true,
       cacheBits = cacheBits, metaBits = metaBits,
       useBackrefs = useBackrefs)
-    wrapRiff("VP8L", Array(0x2f.toByte) ++ bw.bytes)
+    Array(0x2f.toByte) ++ bw.bytes
+  }
+
+  /** One animation frame for [[buildWebpAnim]]: VP8L-coded rectangle
+    * at (x, y) — x and y must be even (the ANMF header stores them
+    * halved, per the container spec). */
+  final case class AnimFrame(x: Int, y: Int, w: Int, h: Int,
+      durationMs: Int, argb: Array[Int])
+
+  /** Animated WebP: VP8X (animation flag + canvas) + ANIM (background,
+    * loop count) + one ANMF chunk per frame, each embedding a VP8L
+    * chunk from the same encoder core — the GIF-shaped multi-frame
+    * container modern crawls serve. */
+  def buildWebpAnim(canvasW: Int, canvasH: Int, frames: Seq[AnimFrame],
+      loops: Int = 0, background: Long = 0xFFFFFFFFL): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    def u24le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val alpha = frames.exists(_.argb.exists(p => (p >>> 24) != 0xff))
+    val vp8x = Array[Byte](
+      ((if (alpha) 0x10 else 0x00) | 0x02).toByte, // ANIM (+ALPHA) flags
+      0, 0, 0) ++ u24le(canvasW - 1) ++ u24le(canvasH - 1)
+    val anim = Array[Byte](
+      (background & 0xff).toByte, ((background >> 8) & 0xff).toByte,
+      ((background >> 16) & 0xff).toByte,
+      ((background >> 24) & 0xff).toByte,
+      (loops & 0xff).toByte, ((loops >> 8) & 0xff).toByte)
+    val anmfs = frames.map { f =>
+      require(f.x >= 0 && f.y >= 0 && (f.x & 1) == 0 && (f.y & 1) == 0,
+        "frame x/y must be even and non-negative")
+      require(f.x + f.w <= canvasW && f.y + f.h <= canvasH,
+        "frame exceeds the canvas")
+      val inner = chunkBytes("VP8L",
+        vp8lPayload(f.w, f.h, f.argb, alphaHint = Some(alpha)))
+      u24le(f.x / 2) ++ u24le(f.y / 2) ++
+        u24le(f.w - 1) ++ u24le(f.h - 1) ++
+        u24le(f.durationMs) ++ Array[Byte](0) ++ inner
+    }
+    wrapRiffChunks(Seq("VP8X" -> vp8x, "ANIM" -> anim) ++
+      anmfs.map("ANMF" -> _))
   }
 
   /** A dims-valid lossy-VP8 container: key-frame tag + start code +
@@ -561,20 +611,35 @@ object WebpFixtures {
     wrapRiff("VP8 ", payload.toByteArray)
   }
 
-  private def wrapRiff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+  private def wrapRiff(fourcc: String,
+      payload: Array[Byte]): Array[Byte] =
+    wrapRiffChunks(Seq(fourcc -> payload))
+
+  /** One framed chunk: fourcc + u32le size + payload + even padding. */
+  private def chunkBytes(fourcc: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(fourcc.getBytes("ISO-8859-1"))
+    out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff)
+    out.write((payload.length >> 24) & 0xff)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def wrapRiffChunks(
+      chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val framed = chunks.map { case (cc, p) => chunkBytes(cc, p) }
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    val padded = payload.length + (payload.length & 1)
     out.write("RIFF".getBytes("ISO-8859-1"))
-    le32(4 + 8 + padded)
+    le32(4 + framed.map(_.length).sum)
     out.write("WEBP".getBytes("ISO-8859-1"))
-    out.write(fourcc.getBytes("ISO-8859-1"))
-    le32(payload.length)
-    out.write(payload)
-    if ((payload.length & 1) == 1) out.write(0)
+    framed.foreach(out.write)
     out.toByteArray
   }
 }

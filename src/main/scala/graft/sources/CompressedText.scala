@@ -289,7 +289,16 @@ object CompressedText {
   def writeJsonlZstdShards(df: DataFrame, outDir: String,
       level: Int = 3, targetShardBytes: Long = Long.MaxValue,
       frameBytes: Long = 0L, sidecarIndex: Boolean = true,
-      seekableFooter: Boolean = false): Unit = {
+      seekableFooter: Boolean = false,
+      /** Emit per-frame checksums in the seekable table (the format's
+        * optional 12-byte-entry variant): the low 32 bits of XXH64
+        * (seed 0) over each frame's DECOMPRESSED bytes, exactly what
+        * third-party seekable-zstd writers record — [[readLinesSplittable]]
+        * verifies them, catching table/frame pairing drift zstd's own
+        * in-frame hash cannot (it validates the frame, not which frame
+        * the table says it is). Costs one frame-sized buffer while
+        * writing. */
+      seekableChecksums: Boolean = true): Unit = {
     val hconf = Warc.sessionConf(df.sparkSession)
     val lines = df.select(to_json(struct(df.columns.map(col): _*))
       .as("line"))
@@ -307,12 +316,15 @@ object CompressedText {
         // frame index state (frameBytes > 0): every frame starts and
         // ends at a LINE boundary, so a reader can decode any frame
         // subset independently — see [[readLinesSplittable]]
-        val frames =
-          scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+        val frames = scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
         var frameStart = 0L
         var frameFirstLine = 0L
         var frameLines = 0L
         var frameInBytes = 0L
+        val hashFrames = frameBytes > 0 && seekableFooter && seekableChecksums
+        val frameRaw =
+          if (hashFrames) new java.io.ByteArrayOutputStream() else null
         def openShard(): Unit = {
           val fname = f"part-$pid%05d-$seq%04d.jsonl.zst"
           path = new Path(s"$outDir/$fname")
@@ -337,8 +349,15 @@ object CompressedText {
           frameLines = 0L; frameInBytes = 0L
         }
         def endFrame(): Unit = if (frameLines > 0) {
+          val cs =
+            if (!hashFrames) -1L
+            else {
+              val raw = frameRaw.toByteArray
+              frameRaw.reset()
+              xxh64Low32(raw)
+            }
           frames += ((frameStart, cnt.count - frameStart,
-            frameFirstLine, frameLines, frameInBytes))
+            frameFirstLine, frameLines, frameInBytes, cs))
           frameStart = cnt.count
           frameFirstLine += frameLines
           frameLines = 0L; frameInBytes = 0L
@@ -352,8 +371,8 @@ object CompressedText {
           // seekable-zstd tools write and read; see seekTableBytes
           if (frameBytes > 0 && seekableFooter)
             cnt.write(seekTableBytes(
-              frames.toSeq.map { case (_, clen, _, _, dlen) =>
-                (clen, dlen) }))
+              frames.toSeq.map { case (_, clen, _, _, dlen, cs) =>
+                (clen, dlen, cs) }, seekableChecksums))
           cnt.close()
           if (!fs.rename(tmp, path)) {
             fs.delete(tmp, false)
@@ -366,7 +385,7 @@ object CompressedText {
             val ios = fs.create(itmp, true)
             try {
               val body = (s"v1 ${frames.size} $frameFirstLine" +:
-                frames.toSeq.map { case (off, clen, fl, nl, _) =>
+                frames.toSeq.map { case (off, clen, fl, nl, _, _) =>
                   s"$off $clen $fl $nl" })
                 .mkString("", "\n", "\n")
               ios.write(body.getBytes(UTF_8))
@@ -386,6 +405,7 @@ object CompressedText {
             val bytes = r.getString(0).getBytes(UTF_8)
             out.write(bytes)
             out.write('\n')
+            if (hashFrames) { frameRaw.write(bytes); frameRaw.write('\n') }
             frameLines += 1
             frameInBytes += bytes.length + 1
             // frame roll on UNCOMPRESSED bytes (writer-side exact and
@@ -427,21 +447,32 @@ object CompressedText {
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** Low 32 bits of standard XXH64 (seed 0) — the seekable format's
+    * per-frame checksum. Spark ships a conformant XXH64 (pinned
+    * against the published test vectors in CompressedTextSpec). */
+  private[sources] def xxh64Low32(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 0L) & 0xffffffffL
+
   /** The seek-table skippable frame: header (magic + size), one
-    * (compressed, decompressed) u32le pair per frame, 9-byte footer
-    * (frame count, descriptor — no per-frame checksums; the data
-    * frames carry zstd's own xxhash32 —, seekable magic). */
-  private def seekTableBytes(frames: Seq[(Long, Long)]): Array[Byte] = {
+    * (compressed, decompressed[, checksum]) u32le tuple per frame,
+    * 9-byte footer (frame count, descriptor — bit 7 = checksums
+    * present —, seekable magic). */
+  private def seekTableBytes(frames: Seq[(Long, Long, Long)],
+      checksums: Boolean): Array[Byte] = {
+    val entry = if (checksums) 12 else 8
     val bo = new java.io.ByteArrayOutputStream()
     bo.write(le32(SkippableMagic))
-    bo.write(le32(frames.size.toLong * 8 + 9)) // entries + footer
-    frames.foreach { case (clen, dlen) =>
+    bo.write(le32(frames.size.toLong * entry + 9)) // entries + footer
+    frames.foreach { case (clen, dlen, cs) =>
       require(clen <= 0xffffffffL && dlen <= 0xffffffffL,
         "frame exceeds the seekable format's 32-bit entry fields")
       bo.write(le32(clen)); bo.write(le32(dlen))
+      if (checksums) bo.write(le32(cs))
     }
     bo.write(le32(frames.size.toLong))
-    bo.write(0) // descriptor: checksum flag clear
+    bo.write(if (checksums) 0x80 else 0) // descriptor
     bo.write(le32(SeekableMagic))
     bo.toByteArray
   }
@@ -460,7 +491,7 @@ object CompressedText {
     * order-preserving within the file, just not dense — documented on
     * [[readLinesSplittable]]). */
   private final case class FrameEntry(offset: Long, len: Long,
-      firstLine: Long, nLines: Long)
+      firstLine: Long, nLines: Long, checksum: Long = -1L)
 
   /** One splittable unit: consecutive whole frames of one shard. */
   private final case class Split(file: String, frames: Seq[FrameEntry])
@@ -606,8 +637,9 @@ object CompressedText {
           val base = 8 + i * entrySize
           val clen = u32le(table, base.toInt)
           val dlen = u32le(table, base.toInt + 4)
+          val cs = if (checksums) u32le(table, base.toInt + 8) else -1L
           if (dlen > 0)
-            entries += FrameEntry(off, clen, decompOff, -1L)
+            entries += FrameEntry(off, clen, decompOff, -1L, cs)
           off += clen; decompOff += dlen
           i += 1
         }
@@ -648,9 +680,25 @@ object CompressedText {
             "EOF inside frame (truncated shard)")
           off += n
         }
+        // decompress fully first: the zstd in-frame checksum verifies
+        // on stream exhaustion, and the RAW bytes are what the optional
+        // seekable-table checksum (XXH64 low32 over decompressed data)
+        // is defined over
+        val zin = new ZstdInputStream(
+          new java.io.ByteArrayInputStream(buf))
+        val decompressed =
+          try {
+            val bo = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 << 10)
+            var n = zin.read(chunk)
+            while (n >= 0) { bo.write(chunk, 0, n); n = zin.read(chunk) }
+            bo.toByteArray
+          } finally zin.close()
+        if (fe.checksum >= 0 && xxh64Low32(decompressed) != fe.checksum)
+          throw new java.io.IOException(
+            "seek-table frame checksum mismatch (table/frame drift)")
         val r = new BufferedReader(new InputStreamReader(
-          new ZstdInputStream(new java.io.ByteArrayInputStream(buf)),
-          UTF_8))
+          new java.io.ByteArrayInputStream(decompressed), UTF_8))
         val lines = scala.collection.mutable.ArrayBuffer[String]()
         try {
           var l = r.readLine()

@@ -342,45 +342,70 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(a.map(_._1).distinct.length == 400, "line_no must be unique")
   }
 
-  test("seekable format: per-frame checksum flag parses; sizes still split") {
+  test("XXH64 matches the published test vectors (seekable checksums)") {
+    // the seekable format's per-frame checksum is XXH64-low32 (seed 0);
+    // this pins Spark's XXH64 (which the writer/reader use) to the
+    // algorithm's canonical vectors, so the emitted tables interop with
+    // third-party seekable-zstd tools
+    def h(s: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBytes(UTF_8), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        s.getBytes(UTF_8).length, 0L)
+    assert(h("") == 0xEF46DB3751D8E999L)
+    assert(h("abc") == 0x44BC2CF5AD770999L)
+  }
+
+  test("seekable format: checksummed tables verify; a forged checksum quarantines") {
     import spark.implicits._
     val dir = tmpDir()
     val df = (1 to 200).map(i => (i.toLong, entropyBlob(i)))
       .toDF("id", "t").coalesce(1)
     CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 16 * 1024,
-      sidecarIndex = false, seekableFooter = true)
+      sidecarIndex = false, seekableFooter = true) // checksums default ON
     val shard = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".jsonl.zst")).head
-    // rewrite the tail table into the CHECKSUM-flagged variant some
-    // third-party writers emit (12-byte entries, descriptor bit 7) —
-    // the reader must parse it (it skips the checksums; zstd's
-    // in-frame xxhash is the verified integrity signal)
     val bytes = Files.readAllBytes(shard.toPath)
+    // descriptor carries the checksum flag (12-byte entries)
+    assert((bytes(bytes.length - 5) & 0x80) != 0)
     def u32le(b: Array[Byte], i: Int): Long =
       (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
         ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
     val n = u32le(bytes, bytes.length - 9).toInt
-    val tableLen = 8 + n * 8 + 9
-    val dataLen = bytes.length - tableLen
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(bytes, 0, dataLen)
-    def le32(v: Long): Unit = {
-      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-    }
-    le32(0x184D2A5EL); le32(n.toLong * 12 + 9)
-    (0 until n).foreach { i =>
-      val base = dataLen + 8 + i * 8
-      le32(u32le(bytes, base)); le32(u32le(bytes, base + 4))
-      le32(0xDEADBEEFL) // checksum field: present, unverified
-    }
-    le32(n.toLong); out.write(0x80); le32(0x8F92EAB1L)
-    Files.write(shard.toPath, out.toByteArray)
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    assert(n >= 3)
+    // clean read verifies every frame's checksum
     val rows = CompressedText.readLinesSplittable(spark, dir,
       splitBytes = 1).collect()
     assert(rows.length == 200 && rows.forall(_.getString(3) == null))
+    // forge the SECOND frame's stored checksum: the zstd data is
+    // untouched (its in-frame hash still passes), so only the table
+    // verification can catch the drift — exactly one quarantine row
+    val tableOff = bytes.length - (8 + n * 12 + 9)
+    val csOff = tableOff + 8 + 12 + 8 // entry 1's checksum field
+    bytes(csOff) = (bytes(csOff) ^ 0x5a).toByte
+    Files.write(shard.toPath, bytes)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val rows2 = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 1).collect()
+    val errs = rows2.filter(_.getString(3) != null)
+    assert(errs.length == 1 &&
+      errs.head.getString(3).contains("checksum mismatch"),
+      errs.map(_.getString(3)).mkString("; "))
+    assert(rows2.count(_.getString(3) == null) < 200)
+
+    // the flag-OFF (8-byte-entry) variant some writers emit still
+    // parses and splits — no checksum to verify
+    val dir2 = tmpDir()
+    CompressedText.writeJsonlZstdShards(df, dir2, frameBytes = 16 * 1024,
+      sidecarIndex = false, seekableFooter = true,
+      seekableChecksums = false)
+    val shard2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".jsonl.zst")).head
+    val b2 = Files.readAllBytes(shard2.toPath)
+    assert((b2(b2.length - 5) & 0x80) == 0)
+    val rows3 = CompressedText.readLinesSplittable(spark, dir2,
+      splitBytes = 1).collect()
+    assert(rows3.length == 200 && rows3.forall(_.getString(3) == null))
   }
 
   test("seekable format: frame damage quarantines one frame; junk tail falls back") {
@@ -389,7 +414,8 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     val df = (1 to 300).map(i => (i.toLong, entropyBlob(i)))
       .toDF("id", "t").coalesce(1)
     CompressedText.writeJsonlZstdShards(df, dir, frameBytes = 24 * 1024,
-      sidecarIndex = false, seekableFooter = true)
+      sidecarIndex = false, seekableFooter = true,
+      seekableChecksums = false) // 8-byte entries: offsets below assume it
     val shard = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".jsonl.zst")).head
     val bytes = Files.readAllBytes(shard.toPath)

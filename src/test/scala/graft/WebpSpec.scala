@@ -174,6 +174,33 @@ class WebpSpec extends AnyFunSuite {
     assert(Multimodal.decodeStatus(png.take(24))._1 == "corrupt")
   }
 
+  test("animation: VP8X+ANIM+ANMF frames round-trip geometry, timing, pixels") {
+    val f0 = WebpFixtures.AnimFrame(0, 0, 5, 3, 120,
+      pattern(5, 3, seed = 20))
+    val f1 = WebpFixtures.AnimFrame(4, 2, 3, 2, 80,
+      pattern(3, 2, seed = 21))
+    val bytes = WebpFixtures.buildWebpAnim(9, 6, Seq(f0, f1), loops = 2)
+    // canvas dims come from VP8X
+    assert(Webp.dims(bytes).contains((9, 6, 3)))
+    val frames = Webp.frames(bytes).getOrElse(fail("no frames"))
+    assert(frames.map(f => (f.index, f.x, f.y, f.width, f.height,
+      f.duration_ms)) == Seq((0, 0, 0, 5, 3, 120), (1, 4, 2, 3, 2, 80)))
+    frames.zip(Seq(f0, f1)).foreach { case (got, want) =>
+      val img = Multimodal.RawImage(got.width, got.height,
+        got.channels, got.pixels)
+      assertPixels(img, want.w, want.h, want.argb, alpha = false)
+    }
+    // a still image has no frames; frames() of a GIF is None too
+    val still = WebpFixtures.buildVp8l(4, 4, Array.fill(16)(0xff224466))
+    assert(Webp.frames(still).isEmpty)
+    assert(Webp.pixels(still).isDefined)
+    // a damaged frame bitstream fails the WHOLE decode closed
+    val tampered = bytes.clone()
+    tampered(bytes.length - 5) = (tampered(bytes.length - 5) ^ 0x7).toByte
+    Webp.frames(tampered) // any result, no throw
+    (0 until bytes.length by 11).foreach(n => Webp.frames(bytes.take(n)))
+  }
+
   test("fuzz: random bytes and bit flips never throw") {
     val rnd = new scala.util.Random(42)
     (0 until 200).foreach { _ =>
