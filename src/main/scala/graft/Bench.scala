@@ -170,7 +170,7 @@ object Bench {
         // (the real series holds a 0.322/0.325 cluster next to 0.39/0.41
         // loaded samples — both 0.32s must survive the guard)
         val med = all.sorted.apply((all.size - 1) / 2)
-        all.filter(_ >= med * 0.8).minOption.orElse(Some(med))
+        Some(all.filter(_ >= med * 0.8).min) // med survives its own filter
       }
     } catch {
       case _: java.io.IOException => None

@@ -1197,14 +1197,13 @@ object Multimodal {
         ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
          (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
       Some("tiff")
-    else if (Webp.isWebp(bytes)) {
-      val b = new String(bytes.drop(12).take(4), "ISO-8859-1")
-      // the coded chunk usually leads; scan a little for VP8X layouts
-      val s = new String(bytes.take(64), "ISO-8859-1")
-      if (s.contains("VP8L")) Some("webp-vp8l")
-      else if (s.contains("VP8 ") || b == "VP8X") Some("webp-lossy")
-      else Some("webp")
-    } else None
+    else if (Webp.isWebp(bytes))
+      // classification by the ACTUAL chunk walk — substring scanning
+      // misclassified lossy payloads containing the "VP8L" byte
+      // sequence and VP8X layouts whose coded chunk sits late
+      // (r17 review)
+      Webp.codedFormat(bytes).orElse(Some("webp"))
+    else None
   }
 
   /** Formats whose PIXELS this tier decodes — a sniffed-but-undecodable

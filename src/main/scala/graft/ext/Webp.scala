@@ -67,19 +67,55 @@ object Webp {
   private def chunks(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
     if (!isWebp(bytes)) return Seq.empty
     val out = Seq.newBuilder[(String, Int, Int)]
-    var i = 12
+    // LONG walk index: a junk chunk declaring a size near 2^32 must
+    // advance past the end and STOP, not overflow Int back into range
+    // and throw away the valid chunks already collected (r17 review)
+    var i = 12L
     while (i + 8 <= bytes.length) {
-      val fourcc = new String(bytes, i, 4, "ISO-8859-1")
-      val sz = u32le(bytes, i + 4)
-      if (sz < 0 || sz > Int.MaxValue - 8) return out.result()
+      val fourcc = new String(bytes, i.toInt, 4, "ISO-8859-1")
+      val sz = u32le(bytes, i.toInt + 4)
       val off = i + 8
-      val len = math.min(sz, (bytes.length - off).toLong).toInt
+      val len = math.min(sz, bytes.length - off)
       if (len < 0) return out.result()
-      out += ((fourcc, off, len))
-      i = off + sz.toInt + (sz.toInt & 1) // chunks pad to even size
+      out += ((fourcc, off.toInt, len.toInt))
+      i = off + sz + (sz & 1) // chunks pad to even size
     }
     out.result()
   }
+
+  /** Container-level coding classification from the ACTUAL chunk walk
+    * (never substring sniffing — compressed payload bytes can contain
+    * any fourcc): `webp-vp8l` when a VP8L chunk is present (still or
+    * inside an ANMF frame's subchunks), `webp-lossy` when only
+    * VP8/VP8X-coded content exists, `webp` for a container with
+    * neither. None for non-WebP bytes. */
+  def codedFormat(bytes: Array[Byte]): Option[String] =
+    if (!isWebp(bytes)) None
+    else safely {
+      val cs = chunks(bytes)
+      def anmfHasVp8l: Boolean = cs.exists { case (cc, off, len) =>
+        cc == "ANMF" && len >= 24 && {
+          var i = off + 16
+          val end = off + len
+          var found = false
+          var guard = 0
+          while (!found && i + 8 <= end && guard < 64) {
+            val sub = new String(bytes, i, 4, "ISO-8859-1")
+            val sz = u32le(bytes, i + 4)
+            if (sub == "VP8L") found = true
+            else if (sz < 0 || i + 8 + sz > end) i = end
+            else i += 8 + sz.toInt + (sz.toInt & 1)
+            guard += 1
+          }
+          found
+        }
+      }
+      Some(
+        if (cs.exists(_._1 == "VP8L") || anmfHasVp8l) "webp-vp8l"
+        else if (cs.exists(c => c._1 == "VP8 " || c._1 == "VP8X"))
+          "webp-lossy"
+        else "webp")
+    }
 
   /** (width, height, channels) from whichever coded chunk is present.
     * VP8X wins (it declares the full canvas and the alpha flag); else
@@ -326,18 +362,32 @@ object Webp {
 
   /** The 120 near-neighborhood (dx, dy) plane codes, ordered by
     * increasing Euclidean distance (ties: larger dy first, then
-    * positive dx before negative) — the spec's close-neighbor table. */
+    * positive dx before negative) — the spec's close-neighbor table.
+    *
+    * Domain note (r17 review): the table is EXACTLY the spec LUT's
+    * addressable domain — dy in [0, 7], dx in [-7, 8] (each entry is
+    * one byte, (dy << 4) | (8 - dx)), dx > 0 on the dy = 0 row — which
+    * counts to precisely 8 + 7×16 = 120. The first cut of this
+    * generator drew from the wider dy ≤ 8 / dx ≥ -8 square and
+    * truncated to 120, which agreed on codes 1..96 but drifted for
+    * 97..120 — round trips could not catch it (the fixture encoder
+    * only emits code 2), a third-party file using far-neighborhood
+    * refs would have decoded wrong pixels. */
   private val Neighbors: Array[(Int, Int)] = {
     val cands = for {
-      y <- 0 to 8
-      x <- -8 to 8
+      y <- 0 to 7
+      x <- -7 to 8
       if !(y == 0 && x <= 0)
     } yield (x, y)
-    cands.sortBy { case (x, y) => (x * x + y * y, -y, -x) }
-      .take(120).toArray
+    val t = cands.sortBy { case (x, y) => (x * x + y * y, -y, -x) }.toArray
+    require(t.length == 120, s"plane-code table size ${t.length}")
+    t
   }
 
-  private def planeToDist(code: Int, xsize: Int): Int =
+  /** Spec-assertion hook (WebpSpec pins the table's domain/order). */
+  private[graft] def neighborTable: Array[(Int, Int)] = Neighbors
+
+  private[graft] def planeToDist(code: Int, xsize: Int): Int =
     if (code > 120) code - 120
     else {
       val (dx, dy) = Neighbors(code - 1)

@@ -237,11 +237,15 @@ object WebpFixtures {
         bw.writeBits(metaBits - 2, 3)
         metaW = subSize(w, metaBits)
         val metaH = subSize(h, metaBits)
-        numGroups = 2
         val meta = Array.tabulate(metaW * metaH) { i =>
           val g = ((i % metaW) + (i / metaW)) % 2 // checkerboard
           0xff000000 | (g << 8)
         }
+        // group count derives from the meta image's MAX index — the
+        // decoder's rule; a small image can have a single meta block,
+        // and writing a phantom second group would desync the stream
+        // (caught by the randomized round-trip arm)
+        numGroups = meta.map(m => (m >> 8) & 0xffff).max + 1
         encodeImageData(bw, meta, metaW, metaH, isLevel0 = false,
           cacheBits = 0, metaBits = 0, useBackrefs = false)
         groupOf = pos => {

@@ -493,8 +493,15 @@ object CompressedText {
   private final case class FrameEntry(offset: Long, len: Long,
       firstLine: Long, nLines: Long, checksum: Long = -1L)
 
-  /** One splittable unit: consecutive whole frames of one shard. */
-  private final case class Split(file: String, frames: Seq[FrameEntry])
+  /** One splittable unit: consecutive whole frames of one shard.
+    * Seekable-format splits carry boundary context: `prev` = the frame
+    * immediately before the split (None at file start; decoded once to
+    * learn whether the split's first bytes continue a line) and `tail`
+    * = the frames after it (decoded only as far as the split's last
+    * line needs to finish). Sidecar splits are line-aligned by writer
+    * contract and need neither. */
+  private final case class Split(file: String, frames: Seq[FrameEntry],
+      prev: Option[FrameEntry] = None, tail: Seq[FrameEntry] = Nil)
 
   /** SPLITTABLE read of frame-indexed `.jsonl.zst` shards — the
     * standing "compressed inputs aren't splittable" gap, closed for
@@ -542,24 +549,40 @@ object CompressedText {
       p.getFileSystem(conf).exists(
         new Path(p.getParent, s"$zidxPrefix${p.getName}"))
     }
-    val seekTables: Map[String, Seq[FrameEntry]] = rest.flatMap { f =>
-      if (f.endsWith(".zst")) seekTableFrames(f, conf).map(f -> _)
-      else None
-    }.toMap
+    // probe non-sidecar .zst tails CONCURRENTLY (r17 review: serial
+    // probes added O(files) blocking round-trips at plan time on
+    // object stores); each probe is 1 open + 2 positioned reads
+    val seekTables: Map[String, Seq[FrameEntry]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val probed = rest.map { f =>
+        if (!f.endsWith(".zst")) Future.successful(None)
+        else Future(seekTableFrames(f, conf).map(f -> _))
+      }
+      Await.result(Future.sequence(probed), Duration.Inf)
+        .flatten.toMap
+    }
     val (seekable, plain) = rest.partition(seekTables.contains)
-    def toSplits(f: String, frames: Seq[FrameEntry]): Seq[Split] = {
+    def toSplits(f: String, frames: Seq[FrameEntry],
+        withContext: Boolean): Seq[Split] = {
       // merge consecutive frames into ~splitBytes splits
-      val out = scala.collection.mutable.ArrayBuffer[Split]()
+      val gs = scala.collection.mutable.ArrayBuffer[Seq[FrameEntry]]()
       var cur = scala.collection.mutable.ArrayBuffer[FrameEntry]()
       var curLen = 0L
       frames.foreach { fe =>
         if (cur.nonEmpty && curLen >= splitBytes) {
-          out += Split(f, cur.toSeq); cur = cur.take(0); curLen = 0L
+          gs += cur.toSeq; cur = cur.take(0); curLen = 0L
         }
         cur += fe; curLen += fe.len
       }
-      if (cur.nonEmpty) out += Split(f, cur.toSeq)
-      out.toSeq
+      if (cur.nonEmpty) gs += cur.toSeq
+      if (!withContext) gs.toSeq.map(Split(f, _))
+      else gs.toSeq.zipWithIndex.map { case (g, i) =>
+        Split(f, g,
+          prev = if (i == 0) None else Some(gs(i - 1).last),
+          tail = gs.drop(i + 1).flatten.toSeq)
+      }
     }
     val groups = indexed.flatMap { f =>
       val p = new Path(f)
@@ -579,8 +602,9 @@ object CompressedText {
         val a = l.split(" ")
         FrameEntry(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
       }
-      toSplits(f, frames)
-    } ++ seekable.flatMap(f => toSplits(f, seekTables(f)))
+      toSplits(f, frames, withContext = false)
+    } ++ seekable.flatMap(f =>
+      toSplits(f, seekTables(f), withContext = true))
     val parallelism = math.max(1, math.min(groups.size + plain.size,
       spark.sparkContext.defaultParallelism))
     val groupRows = spark.sparkContext
@@ -651,7 +675,10 @@ object CompressedText {
 
   /** Decode one split, frame by frame — each frame fully buffered and
     * checksum-verified BEFORE its lines emit (see
-    * [[readLinesSplittable]]'s containment contract). */
+    * [[readLinesSplittable]]'s containment contract). Sidecar splits
+    * (line-aligned, line-counted) keep exact ordinal accounting;
+    * seekable-format splits run the carry-based line assembly of
+    * [[seekableRows]] (frames may cut lines anywhere). */
   private def splitRows(split: Split,
       conf: Configuration): Iterator[Row] = {
     val path = new Path(split.file)
@@ -661,42 +688,53 @@ object CompressedText {
     def close(): Unit = if (!closed) { closed = true; raw.close() }
     Option(TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-    def errRow(fe: FrameEntry, msg: String): Iterator[Row] =
-      Iterator(Row(split.file, fe.firstLine, null,
-        s"codec: $msg (frame at offset ${fe.offset}; " +
-          s"${fe.nLines} lines quarantined)"))
+
+    /** One frame's DECOMPRESSED bytes, fully integrity-checked (zstd
+      * in-frame hash via stream exhaustion + the optional seek-table
+      * XXH64); throws IOException on any damage. */
+    def readFrame(fe: FrameEntry): Array[Byte] = {
+      // a frame is writer-bounded (~frameBytes of input, compressed);
+      // a foreign index claiming gigabytes is damage, not data
+      if (fe.len <= 0 || fe.len > (1L << 30))
+        throw new java.io.IOException(s"implausible frame length ${fe.len}")
+      raw.seek(fe.offset)
+      val buf = new Array[Byte](fe.len.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val n = raw.read(buf, off, buf.length - off)
+        if (n < 0) throw new java.io.EOFException(
+          "EOF inside frame (truncated shard)")
+        off += n
+      }
+      val zin = new ZstdInputStream(new java.io.ByteArrayInputStream(buf))
+      val decompressed =
+        try {
+          val bo = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 << 10)
+          var n = zin.read(chunk)
+          while (n >= 0) { bo.write(chunk, 0, n); n = zin.read(chunk) }
+          bo.toByteArray
+        } finally zin.close()
+      if (fe.checksum >= 0 && xxh64Low32(decompressed) != fe.checksum)
+        throw new java.io.IOException(
+          "seek-table frame checksum mismatch (table/frame drift)")
+      decompressed
+    }
+
+    if (split.frames.forall(_.nLines >= 0))
+      sidecarRows(split, readFrame, close)
+    else seekableRows(split, readFrame, close)
+  }
+
+  /** Sidecar-indexed decode: frames are line-aligned and line-counted
+    * by writer contract — exact ordinal line_no, and a frame decoding
+    * the wrong line count vs the index fails closed. */
+  private def sidecarRows(split: Split,
+      readFrame: FrameEntry => Array[Byte],
+      close: () => Unit): Iterator[Row] = {
     def decodeFrame(fe: FrameEntry): Iterator[Row] =
       try {
-        // a frame is writer-bounded (~frameBytes of input, compressed);
-        // a foreign index claiming gigabytes is damage, not data
-        if (fe.len <= 0 || fe.len > (1L << 30))
-          throw new java.io.IOException(s"implausible frame length ${fe.len}")
-        raw.seek(fe.offset)
-        val buf = new Array[Byte](fe.len.toInt)
-        var off = 0
-        while (off < buf.length) {
-          val n = raw.read(buf, off, buf.length - off)
-          if (n < 0) throw new java.io.EOFException(
-            "EOF inside frame (truncated shard)")
-          off += n
-        }
-        // decompress fully first: the zstd in-frame checksum verifies
-        // on stream exhaustion, and the RAW bytes are what the optional
-        // seekable-table checksum (XXH64 low32 over decompressed data)
-        // is defined over
-        val zin = new ZstdInputStream(
-          new java.io.ByteArrayInputStream(buf))
-        val decompressed =
-          try {
-            val bo = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](64 << 10)
-            var n = zin.read(chunk)
-            while (n >= 0) { bo.write(chunk, 0, n); n = zin.read(chunk) }
-            bo.toByteArray
-          } finally zin.close()
-        if (fe.checksum >= 0 && xxh64Low32(decompressed) != fe.checksum)
-          throw new java.io.IOException(
-            "seek-table frame checksum mismatch (table/frame drift)")
+        val decompressed = readFrame(fe)
         val r = new BufferedReader(new InputStreamReader(
           new java.io.ByteArrayInputStream(decompressed), UTF_8))
         val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -704,28 +742,16 @@ object CompressedText {
           var l = r.readLine()
           while (l != null) { lines += l; l = r.readLine() }
         } finally r.close()
-        // reaching here means the zstd frame checksum verified; for
-        // sidecar-indexed frames the line count closes the remaining
-        // hole (an index/frame pairing drift must never silently pass
-        // short or long). Seekable-format frames (nLines = -1) have no
-        // count to check — their line_no is the line's decompressed
-        // byte offset (firstLine = the frame's cumulative offset).
-        if (fe.nLines >= 0) {
-          if (lines.size.toLong != fe.nLines) throw new java.io.IOException(
-            s"frame decoded ${lines.size} lines, index says ${fe.nLines}")
-          lines.iterator.zipWithIndex.map { case (ln, i) =>
-            Row(split.file, fe.firstLine + i, ln, null)
-          }
-        } else {
-          var byteOff = fe.firstLine
-          lines.iterator.map { ln =>
-            val r = Row(split.file, byteOff, ln, null)
-            byteOff += ln.getBytes(UTF_8).length + 1
-            r
-          }
+        if (lines.size.toLong != fe.nLines) throw new java.io.IOException(
+          s"frame decoded ${lines.size} lines, index says ${fe.nLines}")
+        lines.iterator.zipWithIndex.map { case (ln, i) =>
+          Row(split.file, fe.firstLine + i, ln, null)
         }
       } catch {
-        case e: java.io.IOException => errRow(fe, e.getMessage)
+        case e: java.io.IOException =>
+          Iterator(Row(split.file, fe.firstLine, null,
+            s"codec: ${e.getMessage} (frame at offset ${fe.offset}; " +
+              s"${fe.nLines} lines quarantined)"))
       }
     val frames = split.frames.iterator
     new Iterator[Row] {
@@ -733,6 +759,131 @@ object CompressedText {
       def hasNext: Boolean = {
         while (!cur.hasNext && frames.hasNext)
           cur = decodeFrame(frames.next())
+        val h = cur.hasNext
+        if (!h) close()
+        h
+      }
+      def next(): Row = { hasNext; cur.next() }
+    }
+  }
+
+  /** Seekable-format decode (r17 review): the PUBLIC format's frames
+    * cut at BYTE boundaries — third-party writers do not align frames
+    * to lines — so lines are assembled across frames with an O(line)
+    * carry buffer, and split boundaries follow the classic text-split
+    * convention: a line belongs to the split holding its FIRST byte.
+    * A split whose preceding frame does not end in a newline DROPS its
+    * head fragment (the owner split emits the whole line, extending
+    * into `tail` frames as far as its newline); `prev` is decoded once
+    * per split to learn that one boundary fact. line_no is the line's
+    * decompressed byte offset. Damage containment: a damaged frame
+    * yields one quarantine row; a line cut by the damage is dropped
+    * with it (unknowable content, fail-closed), and assembly resynes
+    * at the next newline. */
+  private def seekableRows(split: Split,
+      readFrame: FrameEntry => Array[Byte],
+      close: () => Unit): Iterator[Row] = {
+    val file = split.file
+    var owned = split.prev match {
+      case None => true
+      case Some(p) =>
+        try {
+          val b = readFrame(p)
+          b.nonEmpty && b(b.length - 1) == '\n'
+        } catch {
+          // damaged prev: the boundary is unknowable — drop the head
+          // fragment (prev's own split quarantines the damage)
+          case _: java.io.IOException => false
+        }
+    }
+    val carry = new java.io.ByteArrayOutputStream()
+    var carryStart = -1L
+
+    def emitLine(bytes: Array[Byte], startOff: Long): Row = {
+      // match readLines' readLine(): \r\n terminators lose the \r;
+      // offsets stay RAW byte positions (never recomputed from the
+      // trimmed string)
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      Row(file, startOff, new String(bytes, 0, n, UTF_8), null)
+    }
+
+    def processFrame(fe: FrameEntry): Seq[Row] =
+      try {
+        val bytes = readFrame(fe)
+        val rows = scala.collection.mutable.ArrayBuffer[Row]()
+        var i = 0
+        if (!owned) {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          if (i < bytes.length) { i += 1; owned = true }
+          // else: the whole frame sits inside a line we do not own
+        }
+        while (i < bytes.length) {
+          var j = i
+          while (j < bytes.length && bytes(j) != '\n') j += 1
+          if (carryStart < 0) carryStart = fe.firstLine + i
+          carry.write(bytes, i, j - i)
+          if (j < bytes.length) { // newline: the line is complete
+            rows += emitLine(carry.toByteArray, carryStart)
+            carry.reset(); carryStart = -1L
+            i = j + 1
+          } else i = j // frame ended mid-line; the carry holds it
+        }
+        rows.toSeq
+      } catch {
+        case e: java.io.IOException =>
+          val lost = carryStart >= 0
+          carry.reset(); carryStart = -1L
+          owned = false // resync at the next newline
+          Seq(Row(file, fe.firstLine, null,
+            s"codec: ${e.getMessage} (seekable frame at offset " +
+              s"${fe.offset} quarantined" +
+              (if (lost) "; one in-flight line dropped with it" else "") +
+              ")"))
+      }
+
+    /** Finish the split's last, frame-spanning line by reading ahead
+      * into the tail frames (only as far as its newline). */
+    def finish(): Seq[Row] =
+      if (!owned || carryStart < 0) Seq.empty
+      else {
+        val it = split.tail.iterator
+        var res: Seq[Row] = null
+        while (res == null) {
+          if (!it.hasNext) // clean EOF: final line without a newline
+            res = Seq(emitLine(carry.toByteArray, carryStart))
+          else {
+            try {
+              val bytes = readFrame(it.next())
+              var j = 0
+              while (j < bytes.length && bytes(j) != '\n') j += 1
+              carry.write(bytes, 0, j)
+              if (j < bytes.length)
+                res = Seq(emitLine(carry.toByteArray, carryStart))
+            } catch {
+              case e: java.io.IOException =>
+                // the continuation is unknowable; its own split also
+                // quarantines the damaged frame itself
+                res = Seq(Row(file, carryStart, null,
+                  "codec: line truncated (continuation frame damaged: " +
+                    s"${e.getMessage})"))
+            }
+          }
+        }
+        res
+      }
+
+    val frames = split.frames.iterator
+    new Iterator[Row] {
+      private var cur: Iterator[Row] = Iterator.empty
+      private var finished = false
+      def hasNext: Boolean = {
+        while (!cur.hasNext && frames.hasNext)
+          cur = processFrame(frames.next()).iterator
+        if (!cur.hasNext && !finished) {
+          finished = true
+          cur = finish().iterator
+        }
         val h = cur.hasNext
         if (!h) close()
         h

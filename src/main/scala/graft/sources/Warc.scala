@@ -310,29 +310,31 @@ object Warc {
     * only classpath site files and can fail to open what the listing
     * just returned (ADVICE r15).
     *
-    * Cached ONE broadcast per SparkContext (ADVICE r16): a fresh
+    * Cached ONE broadcast per SparkSession (ADVICE r16): a fresh
     * broadcast per read call accumulated unbounded driver/block-manager
     * state in per-batch readers (WarcArrivalSoak's 512 readWet calls,
-    * foreachBatch pipelines). Weak keys let the entry die with the
-    * context. Caveat: Hadoop settings changed on the session AFTER the
-    * first read in a context won't be re-broadcast — set credentials
-    * before the first archive read (the normal order). */
+    * foreachBatch pipelines). Keyed by SESSION, not context (r17
+    * review): sibling sessions carry their own `spark.hadoop.*`
+    * overrides — a context-keyed cache would serve session B's reads
+    * with session A's credentials. Weak keys let entries die with
+    * their session. Caveat: Hadoop settings changed on a session AFTER
+    * its first read won't be re-broadcast — set credentials before the
+    * first archive read (the normal order). */
   private val confCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+    new java.util.WeakHashMap[SparkSession,
       org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.SerializableConfiguration]]())
 
   private[sources] def sessionConf(spark: SparkSession)
       : org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.SerializableConfiguration] = {
-    val sc = spark.sparkContext
-    val cached = confCache.get(sc)
+    val cached = confCache.get(spark)
     if (cached != null) cached
     else {
-      val b = sc.broadcast(
+      val b = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()))
-      confCache.put(sc, b)
+      confCache.put(spark, b)
       b
     }
   }

@@ -132,7 +132,12 @@ final class ServingHttp(view: () => Option[DataFrame], port: Int = 0) {
 
   private def health(): Res =
     view() match {
-      case Some(v) => Res(200, s"""{"status":"ok","rows":${v.count()}}""")
+      // JOBLESS by design (r17 review): a liveness probe must never
+      // launch a Spark job (or block the single-threaded dispatcher
+      // behind one) — report view presence + schema width; row counts
+      // are a query, not a health check
+      case Some(v) =>
+        Res(200, s"""{"status":"ok","columns":${v.schema.size}}""")
       case None => Res(200, """{"status":"empty"}""")
     }
 }

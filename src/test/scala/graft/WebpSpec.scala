@@ -222,6 +222,66 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized round trips: 80 dim/transform/cache/meta combinations") {
+    val rnd = new scala.util.Random(1717)
+    (0 until 80).foreach { k =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(24)
+      val alpha = rnd.nextBoolean()
+      // palette path needs a bounded color count; others free-range
+      val usePalette = rnd.nextInt(4) == 0
+      val values = if (usePalette) 1 + rnd.nextInt(5) else 256
+      val px = pattern(w, h, seed = 1000 + k, alpha = alpha && !usePalette,
+        values = values)
+      val tfs = scala.collection.mutable.ArrayBuffer.empty[WebpFixtures.Tf]
+      if (usePalette) tfs += PaletteTf
+      else {
+        if (rnd.nextBoolean()) tfs += SubGreen
+        if (rnd.nextBoolean()) {
+          val modes = Array.tabulate(64)(_ => rnd.nextInt(14))
+          tfs += Pred(2 + rnd.nextInt(3),
+            (bx, by) => modes((bx * 7 + by * 3) % 64))
+        }
+        if (rnd.nextInt(3) == 0)
+          tfs += ColorTf(2 + rnd.nextInt(3), rnd.nextInt(256),
+            rnd.nextInt(256), rnd.nextInt(256))
+      }
+      val cacheBits = if (rnd.nextBoolean()) 1 + rnd.nextInt(8) else 0
+      val metaBits = if (rnd.nextInt(3) == 0) 2 + rnd.nextInt(3) else 0
+      withClue(s"combo $k: ${w}x$h tfs=${tfs.toList} cache=$cacheBits " +
+        s"meta=$metaBits") {
+        roundTrip(w, h, px, tfs.toSeq, cacheBits, metaBits,
+          useBackrefs = rnd.nextBoolean())
+      }
+    }
+  }
+
+  test("plane-code table: exact spec domain, order, and distance map") {
+    val t = Webp.neighborTable
+    // the spec LUT is one byte per entry, (dy << 4) | (8 - dx): the
+    // domain is EXACTLY dy in [0,7], dx in [-7,8] (dx > 0 when dy = 0)
+    // — which counts to precisely 120 (r17 review: a wider candidate
+    // square truncated to 120 drifted on codes 97..120)
+    assert(t.length == 120 && t.distinct.length == 120)
+    assert(t.forall { case (x, y) =>
+      y >= 0 && y <= 7 && x >= -7 && x <= 8 && !(y == 0 && x <= 0) })
+    // ordered by distance, ties dy desc then +dx before -dx
+    val keys = t.map { case (x, y) => (x * x + y * y, -y, -x) }
+    assert(keys.sameElements(keys.sorted))
+    // the spec table's opening row, literal
+    assert(t.take(8).toSeq == Seq((0, 1), (1, 0), (1, 1), (-1, 1),
+      (0, 2), (2, 0), (1, 2), (-1, 2)))
+    // distance mapping: code 1 = one row up, code 2 = one left,
+    // codes > 120 = direct distance - 120
+    assert(Webp.planeToDist(1, 100) == 100)
+    assert(Webp.planeToDist(2, 100) == 1)
+    assert(Webp.planeToDist(121, 100) == 1)
+    assert(Webp.planeToDist(130, 100) == 10)
+    // negative-dx offsets clamp at 1 minimum
+    assert(t.forall { case (x, y) =>
+      Webp.planeToDist(t.indexOf((x, y)) + 1, 4) >= 1 })
+  }
+
   test("pixel budget: lying 14-bit dims do not over-allocate") {
     // declared 16384x16384 = 256M pixels exceeds the 64M budget
     val bw = new WebpFixtures.BitWriter
