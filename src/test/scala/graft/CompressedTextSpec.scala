@@ -485,6 +485,52 @@ class CompressedTextSpec extends AnyFunSuite with SparkTestSupport {
     assert(good3.length >= lines.size - 12, s"lost ${lines.size - good3.length}")
   }
 
+  test("foreign seekable: damaged CONTINUATION frame truncates the line loudly") {
+    // exercise finish()'s read-ahead failure path: a line starting in
+    // split k whose newline lives in a damaged later frame must come
+    // back as a quarantine row, never a torn line
+    val dir = tmpDir()
+    val lines = (1 to 40).map(i => s"""{"id":$i,"v":"${"x" * 90}"}""")
+    val rawBytes = lines.mkString("", "\n", "\n").getBytes(UTF_8)
+    val chunks = rawBytes.grouped(331).toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    chunks.foreach { c =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bo, 3)
+      z.setChecksum(true); z.write(c); z.close()
+      out.write(bo.toByteArray)
+      entries += ((bo.toByteArray.length.toLong, c.length.toLong))
+    }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(0x184D2A5EL); le32(entries.size.toLong * 8 + 9)
+    entries.foreach { case (cl, dl) => le32(cl); le32(dl) }
+    le32(entries.size.toLong); out.write(0); le32(0x8F92EAB1L)
+    val bytes = out.toByteArray
+    // damage the LAST frame's payload (mid-frame, past the header)
+    val lastOff = entries.dropRight(1).map(_._1).sum +
+      entries.last._1 / 2
+    bytes(lastOff.toInt) = (bytes(lastOff.toInt) ^ 0x2d).toByte
+    val shard = new java.io.File(dir, "tailcut.jsonl.zst")
+    Files.write(shard.toPath, bytes)
+    val rows = CompressedText.readLinesSplittable(spark, dir,
+      splitBytes = 1).collect()
+    val errs = rows.filter(_.getString(3) != null).map(_.getString(3))
+    // the damaged frame's own row, plus (if a line straddled into it)
+    // the owner split's truncation row
+    assert(errs.exists(_.contains("quarantined")), errs.mkString("; "))
+    assert(errs.length <= 2)
+    if (errs.length == 2)
+      assert(errs.exists(_.contains("line truncated")), errs.mkString("; "))
+    // every emitted line is byte-correct
+    val want = lines.toSet
+    rows.filter(_.getString(3) == null).map(_.getString(2))
+      .foreach(l => assert(want(l), s"torn line: $l"))
+  }
+
   test("seekable format: frame damage quarantines one frame; junk tail falls back") {
     import spark.implicits._
     val dir = tmpDir()
