@@ -4291,6 +4291,40 @@ object QueriesExt {
         |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
         |       px_min, px_max)""".stripMargin)),
 
+    // LOSSY WebP (VP8 key frame) decode — the MAJORITY real-web WebP
+    // coding, decoded by the from-scratch RFC 6386 pipeline (r18:
+    // boolean decoder, intra prediction, iDCT/iWHT, loop filter —
+    // Vp8.scala, pinned bit-exact against libwebp's own YUV output in
+    // Vp8Spec). Fixture bytes are PINNED REAL STREAMS from the
+    // reference encoder (WebpFixtures.pinnedLossyWebp / pinnedAlpha-
+    // Webp — segments, token partitions, nonzero filter levels), NOT
+    // this repo's own constructions; stats are the pinned closed-form
+    // constants documented on those fixtures. The alpha case proves
+    // the extended-format ALPH plane (VP8L-coded, filtered) lands in
+    // channel 4. A truncated stream gates out, fail-closed.
+    QueryCase("q_multimodal_pixels_webp_lossy",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.decodePixelStats(s, Seq(
+            (1L, graft.ext.WebpFixtures.pinnedLossyWebp),
+            (2L, graft.ext.WebpFixtures.pinnedAlphaWebp),
+            (3L, graft.ext.WebpFixtures.pinnedLossyWebp
+              .take(30))) // truncated partitions: gated out
+          .toDF("media_id", "content")).toDF()
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_px_bytes AS BIGINT) AS n_px_bytes,
+        |  CAST(px_sum AS BIGINT) AS px_sum,
+        |  CAST(px_min AS INTEGER) AS px_min,
+        |  CAST(px_max AS INTEGER) AS px_max
+        |FROM (VALUES (1, 8, 8, 3, 192, 24508, 0, 248),
+        |             (2, 32, 20, 4, 2560, 275599, 0, 255))
+        |  AS t(media_id, width, height, channels, n_px_bytes, px_sum,
+        |       px_min, px_max)""".stripMargin)),
+
     // ANIMATED WebP frames (r17) — the GIF-shaped frame sequence in
     // the modern container: VP8X+ANIM+ANMF parse, each frame's
     // embedded VP8L bitstream fully decoded; per-frame geometry,

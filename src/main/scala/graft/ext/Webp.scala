@@ -23,10 +23,12 @@ package graft.ext
   *     add/subtract pair), cross-channel COLOR, SUBTRACT_GREEN, and
   *     COLOR_INDEXING (delta-coded palette + sub-byte pixel bundling).
   *
-  *   - VP8 (lossy) decodes DIMENSIONS only (frame-tag + start code +
-  *     14-bit width/height); its pixel path is the one coding this
-  *     engine does not implement — [[Multimodal.decodeStatus]] classes
-  *     such entities `unsupported`, never `corrupt`.
+  *   - FULL VP8 (lossy) key-frame pixel decode since r18 — delegated
+  *     to [[Vp8]] (RFC 6386: boolean decoder, intra prediction,
+  *     iDCT/iWHT, loop filter), bit-exact against libwebp's own YUV
+  *     output on pinned real streams — plus the extended format's
+  *     `ALPH` alpha plane (raw or headerless-VP8L coded, all four
+  *     prediction filters).
   *
   * Hardening contract matches every other decoder in the multimodal
   * tier ([[Multimodal.pngPixels]] doc): adversarial bytes (lying chunk
@@ -151,15 +153,130 @@ object Webp {
       }).filter(d => d._1 > 0 && d._2 > 0)
     }
 
-  /** Full pixel decode of the VP8L (lossless) coding; None for lossy
-    * VP8/animation-only containers or damaged streams. Output channels
-    * follow the header's alpha-hint bit: 3 (RGB) when the stream
-    * declares no alpha, 4 (RGBA) otherwise. */
+  /** Full pixel decode of a STILL image — VP8L (lossless) or, since
+    * r18, lossy VP8 key frames ([[Vp8]], RFC 6386) including the
+    * extended format's `ALPH` alpha plane; None for animation-only
+    * containers or damaged streams. Output channels: VP8L follows the
+    * header's alpha-hint bit; lossy is RGB, or RGBA when an ALPH
+    * chunk decodes. */
   def pixels(bytes: Array[Byte]): Option[RawImage] =
     safely {
       chunks(bytes).collectFirst {
         case ("VP8L", off, len) if len >= 5 => decodeVp8l(bytes, off, len)
       }.flatten
+    }.orElse(lossyPixels(bytes))
+
+  /** Lossy (VP8-coded) still pixels + optional ALPH alpha. */
+  private def lossyPixels(bytes: Array[Byte]): Option[RawImage] =
+    safely {
+      val cs = chunks(bytes)
+      cs.collectFirst { case ("VP8 ", off, len) if len >= 10 =>
+        Vp8.decodePlanes(bytes, off, len).map { yuv =>
+          val alpha = cs.collectFirst {
+            case ("ALPH", aOff, aLen) if aLen >= 1 =>
+              decodeAlph(bytes, aOff, aLen, yuv.width, yuv.height)
+          }.flatten
+          Vp8.toRgb(yuv, alpha)
+        }
+      }.flatten
+    }
+
+  /** Decoded planes of the lossy still coding (test hook: Vp8Spec
+    * compares these bit-exactly against libwebp's own YUV output on
+    * pinned real streams). */
+  private[graft] def lossyPlanes(bytes: Array[Byte]): Option[Vp8.Yuv] =
+    safely {
+      chunks(bytes).collectFirst { case ("VP8 ", off, len) if len >= 10 =>
+        Vp8.decodePlanes(bytes, off, len)
+      }.flatten
+    }
+
+  /** ALPH chunk decode (WebP container spec "Alpha"): header byte =
+    * (reserved:2, preprocessing:2, filtering:2, compression:2);
+    * compression 0 = raw w*h plane, 1 = a HEADERLESS VP8L stream whose
+    * green channel carries alpha; then the inverse of the per-row
+    * prediction filter (none/horizontal/vertical/gradient).
+    * Preprocessing (level reduction) needs no inverse per spec. */
+  private[ext] def decodeAlph(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[Array[Byte]] =
+    safely {
+      if (w.toLong * h > (1L << 26)) sys.error("alph: budget")
+      val hdr = bytes(off) & 0xff
+      val method = hdr & 3
+      val filter = (hdr >> 2) & 3
+      val plane: Array[Byte] = method match {
+        case 0 =>
+          if (len - 1 < w * h) sys.error("alph: short raw plane")
+          java.util.Arrays.copyOfRange(bytes, off + 1, off + 1 + w * h)
+        case 1 =>
+          val argb = decodeVp8lBody(
+            new Reader(bytes, off + 1, off + len), w, h)
+          val out = new Array[Byte](w * h)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((argb(i) >> 8) & 0xff).toByte; i += 1
+          }
+          out
+        case _ => sys.error("alph: reserved compression method")
+      }
+      // inverse filters, row-major in place (libwebp filters.c
+      // semantics: row 0 seeds horizontal from 0, later rows seed from
+      // the pixel above; vertical's row 0 degrades to horizontal)
+      def u(i: Int): Int = plane(i) & 0xff
+      filter match {
+        case 0 => ()
+        case 1 => // horizontal
+          var y = 0
+          while (y < h) {
+            var pred = if (y == 0) 0 else u((y - 1) * w)
+            var x = 0
+            while (x < w) {
+              plane(y * w + x) = ((pred + u(y * w + x)) & 0xff).toByte
+              pred = u(y * w + x)
+              x += 1
+            }
+            y += 1
+          }
+        case 2 => // vertical (row 0: horizontal)
+          var x = 1
+          var pred = 0
+          while (x < w) {
+            plane(x) = ((u(x - 1) + u(x)) & 0xff).toByte; x += 1
+          }
+          pred = 0
+          var y = 1
+          while (y < h) {
+            x = 0
+            while (x < w) {
+              plane(y * w + x) =
+                ((u((y - 1) * w + x) + u(y * w + x)) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+        case _ => // gradient (row 0: horizontal)
+          var x = 1
+          while (x < w) {
+            plane(x) = ((u(x - 1) + u(x)) & 0xff).toByte; x += 1
+          }
+          var y = 1
+          while (y < h) {
+            var topLeft = u((y - 1) * w)
+            var left = u((y - 1) * w) // seeds the row like libwebp
+            x = 0
+            while (x < w) {
+              val top = u((y - 1) * w + x)
+              val g = left + top - topLeft
+              val pred = if (g < 0) 0 else if (g > 255) 255 else g
+              left = (pred + u(y * w + x)) & 0xff
+              plane(y * w + x) = left.toByte
+              topLeft = top
+              x += 1
+            }
+            y += 1
+          }
+      }
+      Some(plane)
     }
 
   /** One decoded animation frame: geometry on the canvas + duration +
@@ -167,8 +284,8 @@ object Webp {
     * [[Multimodal.GifFrame]], disposal/blend compositing is
     * deliberately not applied — each frame decodes independently (the
     * per-frame feature-extraction shape). Lossy (VP8-coded) frames
-    * carry their real geometry/duration with EMPTY pixels — the
-    * coding this engine's decode scope excludes. */
+    * decode for real since r18 (the [[Vp8]] key-frame path, incl. a
+    * per-frame ALPH plane). */
   final case class Frame(index: Int, x: Int, y: Int, width: Int,
       height: Int, duration_ms: Int, channels: Int, pixels: Array[Byte])
 
@@ -194,9 +311,11 @@ object Webp {
           val h = u24le(bytes, off + 9) + 1
           val dur = u24le(bytes, off + 12)
           // frame data: standard subchunks after the 16-byte header
+          // (an ALPH subchunk, when present, precedes the VP8 one)
           var i = off + 16
           val end = off + len
           var frame: Option[Frame] = None
+          var alph: Option[(Int, Int)] = None
           while (frame.isEmpty && i + 8 <= end) {
             val cc = new String(bytes, i, 4, "ISO-8859-1")
             val sz = u32le(bytes, i + 4)
@@ -209,9 +328,20 @@ object Webp {
               frame = Some(Frame(idx, x, y, w, h, dur, img.channels,
                 img.pixels))
             } else if (cc == "VP8 ") {
-              frame = Some(Frame(idx, x, y, w, h, dur, 3,
-                Array.emptyByteArray)) // lossy: geometry only
-            } else i += 8 + sz.toInt + (sz.toInt & 1) // ALPH etc.
+              // lossy frames decode for real since r18 (RFC 6386)
+              val yuv = Vp8.decodePlanes(bytes, i + 8, sz.toInt)
+                .getOrElse(sys.error("webp: damaged VP8 frame"))
+              if (yuv.width != w || yuv.height != h)
+                sys.error("webp: frame dims disagree with ANMF header")
+              val alpha = alph.flatMap { case (aOff, aLen) =>
+                decodeAlph(bytes, aOff, aLen, w, h) }
+              val img = Vp8.toRgb(yuv, alpha)
+              frame = Some(Frame(idx, x, y, w, h, dur, img.channels,
+                img.pixels))
+            } else {
+              if (cc == "ALPH") alph = Some((i + 8, sz.toInt))
+              i += 8 + sz.toInt + (sz.toInt & 1)
+            }
           }
           frame.getOrElse(sys.error("webp: ANMF without image data"))
         })
@@ -222,7 +352,7 @@ object Webp {
 
   /** LSB-first bit reader over the VP8L payload slice; reading past the
     * end throws (caught by [[safely]] → None, the fail-closed gate). */
-  private final class Reader(bytes: Array[Byte], start: Int, end: Int) {
+  private[ext] final class Reader(bytes: Array[Byte], start: Int, end: Int) {
     private var pos = start
     private var cur = 0
     private var nbits = 0
@@ -430,7 +560,12 @@ object Webp {
         if (idx > mx) mx = idx
       }
       numGroups = mx + 1
-      if (numGroups > 1024) sys.error("vp8l: meta group count")
+      // the group index is (red << 8) | green — a full 16 bits; legal
+      // files can use all 65536 groups (r17 ADVICE: a 1024 cap here
+      // censused legitimate many-group files as corrupt). Memory stays
+      // bounded: the meta image itself and the 64M-px budget gate the
+      // group table.
+      if (numGroups > 65536) sys.error("vp8l: meta group count")
     }
     val groups = Array.fill(numGroups)(readGroup(r, cacheSize))
 
@@ -670,7 +805,30 @@ object Webp {
     val alphaHint = r.readBits(1) == 1
     if (r.readBits(3) != 0) return None // version must be 0
     if (w.toLong * h > (1L << 26)) return None // 64M-pixel sanity budget
+    val argb = decodeVp8lBody(r, w, h)
+    val channels = if (alphaHint) 4 else 3
+    val out = new Array[Byte](w * h * channels)
+    var i = 0
+    var o = 0
+    while (i < argb.length) {
+      val px = argb(i)
+      out(o) = ((px >> 16) & 0xff).toByte
+      out(o + 1) = ((px >> 8) & 0xff).toByte
+      out(o + 2) = (px & 0xff).toByte
+      if (channels == 4) out(o + 3) = ((px >>> 24) & 0xff).toByte
+      i += 1; o += channels
+    }
+    Some(RawImage(w, h, channels, out))
+  }
 
+  /** The VP8L bitstream BODY — transforms + entropy-coded image —
+    * with dims supplied by the caller: the shape the extended-format
+    * `ALPH` chunk's lossless mode embeds (a headerless VP8L stream
+    * whose dimensions are the canvas's — WebP container spec §
+    * "Alpha"). [[decodeVp8l]] wraps it with the 5-byte still-image
+    * header. Throws on damage (callers sit under [[safely]]). */
+  private[ext] def decodeVp8lBody(r: Reader, w: Int,
+      h: Int): Array[Int] = {
     // transforms, in bitstream order; COLOR_INDEXING reduces the coded
     // width for everything read after it
     var xsize = w
@@ -730,19 +888,6 @@ object Webp {
         xsize = t.fullWidth
     }
     if (xsize != w) sys.error("vp8l: width mismatch after transforms")
-
-    val channels = if (alphaHint) 4 else 3
-    val out = new Array[Byte](w * h * channels)
-    var i = 0
-    var o = 0
-    while (i < argb.length) {
-      val px = argb(i)
-      out(o) = ((px >> 16) & 0xff).toByte
-      out(o + 1) = ((px >> 8) & 0xff).toByte
-      out(o + 2) = (px & 0xff).toByte
-      if (channels == 4) out(o + 3) = ((px >>> 24) & 0xff).toByte
-      i += 1; o += channels
-    }
-    Some(RawImage(w, h, channels, out))
+    argb
   }
 }

@@ -600,10 +600,41 @@ object WebpFixtures {
       anmfs.map("ANMF" -> _))
   }
 
+  /** A PINNED real lossy-VP8 still (8x8, quality 80): encoded by the
+    * reference libwebp encoder and carried as a byte constant so the
+    * runtime fixtures (q_warc_media's lossy group,
+    * q_multimodal_pixels_webp_lossy) exercise a REAL foreign bitstream
+    * — segment data, token partitions, loop filter and all — not one
+    * of this object's own constructions. Decoded stats (via
+    * [[Vp8.toRgb]]'s documented BT.601 conversion) are closed-form
+    * constants: 8x8, 3 channels, 192 pixel bytes, sum 24508, min 0,
+    * max 248 — pinned bit-exactly (YUV planes) against libwebp's own
+    * decoder in Vp8Spec's vector file. */
+  val pinnedLossyWebp: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "UklGRoYAAABXRUJQVlA4IHoAAACwAgCdASoIAAgAAUAmJagCdDBAB9C/+SNmOvTW" +
+    "WgAAzj9LuVVptj1GPxeboPhW91NZOYC/5X9EqJ9EffIXh3CfevxDiknTkBVXkX/u" +
+    "33Lt3OFO8fUE7p2A6/mjFnc2phZ13/gh2ZcgnAU3G6GRq9/qTn64v3/+pXAAAA==")
+
+  /** A PINNED real extended-format lossy WebP WITH ALPHA (32x20,
+    * quality 75; VP8X + ALPH + VP8, the ALPH plane VP8L-coded): same
+    * provenance as [[pinnedLossyWebp]]. Closed-form RGBA stats: 4
+    * channels, 2560 pixel bytes, sum 275599, min 0, max 255. */
+  val pinnedAlphaWebp: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "UklGRhoBAABXRUJQVlA4WAoAAAAQAAAAHwAAEwAAQUxQSBwAAAABmQpE9D9gtG2b" +
+    "QPf/p4eHIiZgHQowwBwDk+8SVlA4INgAAABQBwCdASogABQAPpFAmkmlo6IhKAqo" +
+    "sBIJbACdMoR1B7pw5rhvGDzPQwMlG8m4KcC1/k1qubl/M7mhyto5XkmDGUNsAP7+" +
+    "vTxeTlNihDC3UsBE6/ECWA2phZeEFGZiTbpainiEYm1fLcZWSDMfQziN0kFnGva9" +
+    "2PjvJD2r1z2XL9dGoKfs507+L09lZQUClbuGyLM+f3RKrliuM/i9L78nfxfRkaqD" +
+    "5/wd38//6Fyxq4JL3Ex78df1WMoz0ygzgMzEY1QY/uo3acystPC3VoX1AyDxIqwA" +
+    "AAA=")
+
   /** A dims-valid lossy-VP8 container: key-frame tag + start code +
-    * 14-bit dims, filler coefficients. [[Webp.dims]] reads it;
-    * [[Webp.pixels]] returns None (the `unsupported` class — the lossy
-    * coding is out of decode scope by design). */
+    * 14-bit dims, filler coefficients. [[Webp.dims]] reads it without
+    * a full decode. Since r18 the filler ALSO decodes as pixels —
+    * arithmetic-coded bytes are never structurally invalid, so a real
+    * decoder (libwebp included) reconstructs SOME image from any
+    * payload whose partition framing is sound; fail-closed here means
+    * framing/dims damage → None, not content vetting. */
   def buildVp8LossyStub(w: Int, h: Int): Array[Byte] = {
     require(w >= 1 && w <= 16383 && h >= 1 && h <= 16383, "dims")
     val payload = new java.io.ByteArrayOutputStream()

@@ -68,8 +68,12 @@ object TriggerProfile {
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0)
     val jobStarts =
       new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val dumpJobs = sys.env.contains("SPARK_GRAFT_TPROF_JOBS")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        if (dumpJobs && jobCount.get() > 20 && jobCount.get() < 40)
+          println(s"[tprof-job] ${j.jobId} stages=${j.stageInfos.size} " +
+            j.properties.getProperty("callSite.short", "?"))
         jobStarts.put(j.jobId, System.nanoTime()); ()
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {

@@ -263,6 +263,78 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       "compacted history must still reject near-dups of admitted docs")
   }
 
+  test("driver shard/token hash ≡ the SQL pmod(xxhash64) (fast-append pin)") {
+    // the r18 driver-written small append and the small-trigger fast
+    // path route rows with a DRIVER-side xxhash64 replica; any drift
+    // vs the SQL function mis-shards appends → probe pruning silently
+    // misses history → duplicate admissions. Pin them equal over the
+    // registry's composite (int, long) key shape.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val schema2 = StructType(Seq(
+      StructField("band", org.apache.spark.sql.types.IntegerType),
+      StructField("bucket", LongType)))
+    val reg = new AdmissionRegistry(tmp("graft_hash_"), schema2,
+      Seq("band", "bucket"), shards = 13)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(_ => (rnd.nextInt(), rnd.nextLong()))
+    val sql = rows.toDF("band", "bucket")
+      .select(col("band"), col("bucket"),
+        xxhash64(col("band"), col("bucket")).as("h"),
+        pmod(xxhash64(col("band"), col("bucket")), lit(13)).cast("int")
+          .as("s"))
+      .collect()
+    sql.foreach { r =>
+      val row = org.apache.spark.sql.Row(r.getInt(0), r.getLong(1))
+      assert(reg.keyToken(row) == r.getLong(2),
+        s"token drift at ${(r.getInt(0), r.getLong(1))}")
+      assert(reg.driverShard(row, 13) == r.getInt(3))
+    }
+  }
+
+  test("small-trigger fast path ≡ job path: decisions, registry, layout") {
+    // same doc stream through two NearDupAdmissions — one on the r18
+    // driver fast path (plain DFs have no input files → small), one
+    // FORCED onto the distributed path — must admit identical ids per
+    // batch and leave row-identical registries.
+    val s = spark
+    import s.implicits._
+    def run(stateDir: String, fastPath: Boolean): Seq[Set[Long]] = {
+      if (!fastPath) s.conf.set("spark.graft.admissionFastPath", "off")
+      try {
+        val adm = new NearDupAdmission(stateDir, "text", "doc_id",
+          compactEvery = 3)
+        def text(seed: Long) =
+          (1 to 30).map(j => s"w${seed}t$j").mkString(" ")
+        val batches = Seq(
+          Seq(1L -> text(1), 2L -> text(2), 3L -> text(1)), // 3 dups 1
+          Seq(4L -> (text(2) + " tail"), 5L -> text(5)),    // 4 dups 2
+          Seq(6L -> text(6), 7L -> text(6), 8L -> text(6)), // in-batch
+          Seq(9L -> text(1))) // dup of batch 0 across compaction
+        batches.zipWithIndex.map { case (docs, b) =>
+          adm.admit(docs.toDF("doc_id", "text"), b.toLong)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+      } finally s.conf.unset("spark.graft.admissionFastPath")
+    }
+    val fastDir = tmp("graft_fastpath_")
+    val jobDir = tmp("graft_jobpath_")
+    val fast = run(fastDir, fastPath = true)
+    val job = run(jobDir, fastPath = false)
+    assert(fast == job, s"decisions diverged: $fast vs $job")
+    assert(fast == Seq(Set(1L, 2L), Set(5L), Set(6L), Set.empty[Long]))
+    // registries row-identical (batch + shard layout included)
+    def registryRows(dir: String): Set[(Long, Long, Int, Long)] =
+      s.read.parquet(dir)
+        .selectExpr("CAST(batch AS BIGINT)", "CAST(shard AS BIGINT)",
+          "band", "bucket")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    assert(registryRows(fastDir) == registryRows(jobDir))
+  }
+
   test("SpanAdmission auto-compacts and the folded span registry still gates") {
     val s = spark
     import s.implicits._

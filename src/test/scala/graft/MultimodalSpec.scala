@@ -964,6 +964,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(1L) == "b1fc786764a0dc4775ffff09e9fd4b04") // md5(000301 ++ px)
   }
 
+  test("AVIF: ispe geometry parses; coding stays unsupported (r18 #7)") {
+    val avif = graft.ext.MediaFixtures.buildAvifStub(9, 6)
+    assert(Multimodal.isAvif(avif))
+    assert(Multimodal.imageDims(avif).contains((9, 6, 3)))
+    assert(Multimodal.sniffFormat(avif).contains("avif"))
+    val (status, img) = Multimodal.decodeStatus(avif)
+    assert(status == "unsupported" && img.isEmpty)
+    // damaged box walk: geometry fails soft, classification holds
+    assert(Multimodal.imageDims(avif.take(20)).isEmpty)
+    assert(Multimodal.isAvif(avif.take(20)))
+    // an ISOBMFF file with a non-AVIF brand is not claimed
+    val mp4 = avif.clone()
+    System.arraycopy("mp42".getBytes("ISO-8859-1"), 0, mp4, 8, 4)
+    assert(!Multimodal.isAvif(mp4) && Multimodal.sniffFormat(mp4).isEmpty)
+  }
+
   test("decoders never throw on adversarial bytes: fuzz + bit-flipped fixtures") {
     // the ingest-gate contract: corrupt content (not just corrupt
     // structure) must yield None, never an exception that kills the

@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSupport {
     "q_multimodal_video_frames" -> 2,
     // r17 additions, same codec-kernel adjudication as the family
     "q_multimodal_pixels_webp" -> 2, "q_multimodal_webp_frames" -> 2,
+    "q_multimodal_pixels_webp_lossy" -> 2, // r18: same codec family
+
     // typed-op registry contracts (per-doc accounting columns)
     "q_text_fix_mojibake" -> 2, "q_text_html_extract" -> 2,
     "q_text_json_drift" -> 2, "q_text_json_profile" -> 2,

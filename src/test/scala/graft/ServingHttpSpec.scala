@@ -107,6 +107,48 @@ class ServingHttpSpec extends AnyFunSuite with SparkTestSupport {
     } finally http.stop()
   }
 
+  test("a slow data endpoint does not block /health (fixed pool, r17 #5)") {
+    // the slowness lives where it does in production: in the Spark
+    // JOB a data endpoint's collect() runs (a 2 s-per-row filter), NOT
+    // in the supplier. /health reads only the schema — jobless — and
+    // must answer from another pool thread while /games grinds.
+    val s = spark
+    import s.implicits._
+    val slowCheck = org.apache.spark.sql.functions.udf(
+      (x: String) => { Thread.sleep(2000); true })
+    val v = view.filter(slowCheck($"app_name"))
+    val http = new ServingHttp(() => Some(v))
+    http.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val slow = new Thread(() => get(c, http.boundPort, "/games"))
+      slow.setDaemon(true); slow.start()
+      Thread.sleep(200) // let /games occupy its dispatcher thread
+      val t0 = System.nanoTime()
+      val (hc, _) = get(c, http.boundPort, "/health")
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assert(hc == 200 && ms < 2000,
+        s"/health blocked ${ms} ms behind a slow data request")
+    } finally http.stop()
+  }
+
+  test("a request over the time budget answers 503, not a hang") {
+    val v = view
+    val http = new ServingHttp(() => { Thread.sleep(5000); Some(v) },
+      requestBudgetMs = 300)
+    http.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val t0 = System.nanoTime()
+      val (code, body) = get(c, http.boundPort, "/games")
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assert(code == 503 && body.contains("time budget"), s"$code $body")
+      assert(ms < 3000, s"budget overrun took ${ms} ms to answer")
+      // /health is budget-free and still fine
+      assert(get(c, http.boundPort, "/health")._1 == 200)
+    } finally http.stop()
+  }
+
   test("over a sharded-upsert serving view: requests see the newest merge") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Multimodal, Vp8, Webp}
+
+/** The from-scratch RFC 6386 (lossy WebP / VP8) key-frame decoder,
+  * gated BIT-EXACTLY against the reference implementation: the pinned
+  * vectors in `vp8_vectors.json` are real VP8 streams produced by the
+  * system libwebp encoder (across quality levels 5..95 — i.e. the full
+  * quantizer range — segmentation, odd dims, B_PRED-heavy noise, and
+  * extended-format alpha), each stored WITH libwebp's own
+  * `WebPDecodeYUV` output. The decoder must reproduce every Y/U/V
+  * plane byte for byte — intra prediction, dequant clamps, token
+  * trees, and the loop filter all have to be exactly right for even
+  * one vector to pass. Alpha vectors additionally pin the ALPH plane
+  * against libwebp's RGBA decode. */
+class Vp8Spec extends AnyFunSuite {
+
+  private final case class Vec(name: String, webp: Array[Byte], w: Int,
+      h: Int, y: Array[Byte], u: Array[Byte], v: Array[Byte],
+      a: Option[Array[Byte]])
+
+  private lazy val vectors: Seq[Vec] = {
+    val in = getClass.getResourceAsStream("/vp8_vectors.json")
+    assert(in != null, "vp8_vectors.json resource missing")
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(txt)
+    val b64 = java.util.Base64.getDecoder
+    (0 until root.size()).map { i =>
+      val n = root.get(i)
+      Vec(n.get("name").asText(), b64.decode(n.get("webp").asText()),
+        n.get("w").asInt(), n.get("h").asInt(),
+        b64.decode(n.get("y").asText()), b64.decode(n.get("u").asText()),
+        b64.decode(n.get("v").asText()),
+        Option(n.get("a")).map(a => b64.decode(a.asText())))
+    }
+  }
+
+  private def firstDiff(tag: String, got: Array[Byte],
+      want: Array[Byte], w: Int): String = {
+    val i = got.indices.find(i => got(i) != want(i)).getOrElse(-1)
+    if (i < 0) s"$tag: lengths ${got.length} vs ${want.length}"
+    else s"$tag: first diff at ($i = ${i % w},${i / w}): " +
+      s"got ${got(i) & 0xff}, want ${want(i) & 0xff}"
+  }
+
+  test("pinned libwebp streams: Y/U/V planes decode bit-exactly") {
+    assert(vectors.nonEmpty)
+    vectors.foreach { vec =>
+      val yuv = Webp.lossyPlanes(vec.webp)
+        .getOrElse(fail(s"${vec.name}: no decode"))
+      assert(yuv.width == vec.w && yuv.height == vec.h, vec.name)
+      val cw = (vec.w + 1) / 2
+      assert(java.util.Arrays.equals(yuv.y, vec.y),
+        s"${vec.name} ${firstDiff("Y", yuv.y, vec.y, vec.w)}")
+      assert(java.util.Arrays.equals(yuv.u, vec.u),
+        s"${vec.name} ${firstDiff("U", yuv.u, vec.u, cw)}")
+      assert(java.util.Arrays.equals(yuv.v, vec.v),
+        s"${vec.name} ${firstDiff("V", yuv.v, vec.v, cw)}")
+    }
+  }
+
+  test("extended-format alpha: ALPH plane matches libwebp's RGBA decode") {
+    val withAlpha = vectors.filter(_.a.isDefined)
+    assert(withAlpha.nonEmpty, "no alpha vectors pinned")
+    withAlpha.foreach { vec =>
+      val img = Webp.pixels(vec.webp)
+        .getOrElse(fail(s"${vec.name}: no pixels"))
+      assert(img.channels == 4, s"${vec.name}: expected RGBA")
+      val alpha = Array.tabulate(vec.w * vec.h)(i =>
+        img.pixels(i * 4 + 3))
+      assert(java.util.Arrays.equals(alpha, vec.a.get),
+        s"${vec.name} ${firstDiff("A", alpha, vec.a.get, vec.w)}")
+    }
+  }
+
+  test("decodeStatus: real lossy WebP classes ok; damage classes corrupt") {
+    val still = vectors.find(_.a.isEmpty).get
+    val (st, img) = Multimodal.decodeStatus(still.webp)
+    assert(st == "ok" && img.exists(i =>
+      i.width == still.w && i.height == still.h))
+    // structural damage (truncated partitions) fails closed
+    val cut = still.webp.take(24)
+    assert(Multimodal.decodeStatus(cut)._1 == "corrupt")
+  }
+
+  test("fuzz: random bytes, bit flips, truncations never throw") {
+    val rnd = new scala.util.Random(1812)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      Vp8.decodePlanes(b, 0, b.length) // must not throw
+    }
+    val real = vectors.head.webp
+    (0 until 300).foreach { i =>
+      val b = real.clone()
+      val bit = (i * 2654435761L % (b.length * 8L)).toInt
+      b(bit / 8) = (b(bit / 8) ^ (1 << (bit % 8))).toByte
+      Webp.pixels(b) // any result is fine; throwing is not
+    }
+    (0 until real.length by 5).foreach { n =>
+      Webp.pixels(real.take(n)); Webp.lossyPlanes(real.take(n))
+    }
+  }
+}

@@ -155,15 +155,21 @@ class WebpSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(lossless).contains((300, 77, 3)))
     val lossy = WebpFixtures.buildVp8LossyStub(640, 480)
     assert(Webp.dims(lossy).contains((640, 480, 3)))
-    assert(Webp.pixels(lossy).isEmpty)
     assert(Multimodal.imageDims(lossy).contains((640, 480, 3)))
+    // since r18 the lossy path DECODES; a filler payload with sound
+    // framing reconstructs to some image (arithmetic-coded bytes are
+    // never structurally invalid — libwebp behaves the same)
+    assert(Webp.pixels(lossy).exists(i => i.width == 640 && i.height == 480))
   }
 
   test("decodeStatus taxonomy: ok / unsupported / corrupt") {
     val good = WebpFixtures.buildVp8l(4, 4, Array.fill(16)(0xff336699))
     assert(Multimodal.decodeStatus(good)._1 == "ok")
-    val lossy = WebpFixtures.buildVp8LossyStub(8, 8)
-    assert(Multimodal.decodeStatus(lossy)._1 == "unsupported")
+    // real lossy VP8 is `ok` since r18 (Vp8Spec pins it bit-exactly);
+    // a lossy container whose partition framing is BROKEN is corrupt
+    val lossy = WebpFixtures.pinnedLossyWebp
+    assert(Multimodal.decodeStatus(lossy)._1 == "ok")
+    assert(Multimodal.decodeStatus(lossy.take(26))._1 == "corrupt")
     val truncated = good.take(good.length - 3)
     assert(Multimodal.decodeStatus(truncated)._1 == "corrupt")
     val svg = "<svg xmlns='http://www.w3.org/2000/svg'/>".getBytes("UTF-8")
@@ -172,6 +178,19 @@ class WebpSpec extends AnyFunSuite {
       rows = Seq.fill(2)(Seq.fill(9)(7)), filters = Seq.fill(2)(0))
     assert(Multimodal.decodeStatus(png)._1 == "ok")
     assert(Multimodal.decodeStatus(png.take(24))._1 == "corrupt")
+    // valid ANIMATED lossless is ok — decoded via the frame path (r17
+    // ADVICE: it sniffed webp-vp8l but the still path can't decode it,
+    // so undamaged animations were censused corrupt)
+    val anim = WebpFixtures.buildWebpAnim(6, 4, Seq(
+      WebpFixtures.AnimFrame(0, 0, 6, 4, 100,
+        Array.fill(24)(0xff5588bb))))
+    val (animStatus, animImg) = Multimodal.decodeStatus(anim)
+    assert(animStatus == "ok" &&
+      animImg.exists(i => i.width == 6 && i.height == 4))
+    // ...and a DAMAGED (truncated mid-frame) animation is corrupt,
+    // not unsupported
+    assert(Multimodal.decodeStatus(anim.take(anim.length - 4))._1
+      == "corrupt")
   }
 
   test("animation: VP8X+ANIM+ANMF frames round-trip geometry, timing, pixels") {
