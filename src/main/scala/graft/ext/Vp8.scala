@@ -171,22 +171,15 @@ object Vp8 {
   def decodePlanes(bytes: Array[Byte], off: Int, len: Int): Option[Yuv] =
     safely(decodeImpl(bytes, off, len))
 
-  /** Test/debug hook: per-MB (ymode, uvmode, segment, skip,
-    * hasCoeffs) after a decode. */
-  private[graft] def debugModes(bytes: Array[Byte], off: Int,
-      len: Int): Option[(Int, Int, Array[Byte], Array[Byte],
-        Array[Byte], Array[Boolean], Array[Boolean], Array[Byte])] = {
-    debugFrame = null
-    val r = safely(decodeImpl(bytes, off, len))
-    val f = debugFrame
-    debugFrame = null
-    if (r.isEmpty || f == null) None
-    else Some((f.mbW, f.mbH, f.ymode, f.uvmode, f.segment, f.skip,
-      f.hasCoeffs, f.bmodes))
-  }
-  @volatile private var debugFrame: Frame = null
-
-  // decoded state threaded through the helpers
+  // decoded state threaded through the helpers. Residual coefficients
+  // are deliberately NOT frame-wide: token decode and reconstruction
+  // interleave per MB ROW (the partition bool decoders advance
+  // independently of the mode partition, and reconstruction of row r
+  // needs only row r's residuals + already-reconstructed pixels), so
+  // the auxiliary buffer is one row of 25 × 16 shorts per MB — ~800 KB
+  // at the 16383-wide extreme instead of ~210 MB of whole-frame
+  // coefficients at the 64M-pixel budget (an adversarial-header
+  // allocation, not just a big-image one).
   private final class Frame(val mbW: Int, val mbH: Int) {
     val yStride: Int = mbW * 16
     val cStride: Int = mbW * 8
@@ -199,8 +192,8 @@ object Vp8 {
     val segment = new Array[Byte](mbW * mbH)
     val skip = new Array[Boolean](mbW * mbH)
     val bmodes = new Array[Byte](mbW * mbH * 16) // B_PRED sub-modes
-    // residuals: 25 blocks * 16 coeffs per MB (24 + Y2 at index 24)
-    val coeffs = new Array[Short](mbW * mbH * 25 * 16)
+    // residuals for the CURRENT row: 25 blocks * 16 coeffs per MB
+    val rowCoeffs = new Array[Short](mbW * 25 * 16)
     val hasCoeffs = new Array[Boolean](mbW * mbH)
   }
 
@@ -376,13 +369,8 @@ object Vp8 {
       mbY += 1
     }
 
-    debugFrame = fr
-
-    // ---- residuals (token partitions, §13)
-    decodeResiduals(fr, parts, probs, deq)
-
-    // ---- reconstruction (§12, §14)
-    reconstruct(fr)
+    // ---- residuals + reconstruction, row-interleaved (§12-§14)
+    decodeAndReconstruct(fr, parts, probs, deq)
 
     // ---- loop filter (§15)
     if (filterLevel > 0)
@@ -454,7 +442,7 @@ object Vp8 {
     16
   }
 
-  private def decodeResiduals(fr: Frame, parts: Array[Bool],
+  private def decodeAndReconstruct(fr: Frame, parts: Array[Bool],
       probs: Array[Int], deq: Array[Array[Int]]): Unit = {
     val mbW = fr.mbW
     // nonzero context rows (per plane, subblock granularity)
@@ -473,7 +461,9 @@ object Vp8 {
       while (mbX < mbW) {
         val mi = mbY * mbW + mbX
         val q = deq(fr.segment(mi))
-        val base = mi * 25 * 16
+        val base = mbX * 25 * 16
+        java.util.Arrays.fill(fr.rowCoeffs, base, base + 25 * 16,
+          0.toShort)
         val isB = fr.ymode(mi) == 4
         if (fr.skip(mi)) {
           // §13.1: skipped MBs zero their contexts; the Y2 context is
@@ -496,7 +486,7 @@ object Vp8 {
           if (!isB) { // Y2 block first
             val ctx = (if (aY2(mbX)) 1 else 0) + (if (lY2) 1 else 0)
             val nz = coeffBlock(bd, probs, 1, 0, ctx, q(2), q(3),
-              fr.coeffs, base + 24 * 16) > 0
+              fr.rowCoeffs, base + 24 * 16) > 0
             aY2(mbX) = nz; lY2 = nz; any ||= nz
             first = 1; yType = 0
           }
@@ -506,7 +496,7 @@ object Vp8 {
             val ctx = (if (aY(mbX * 4 + c)) 1 else 0) +
               (if (lY(r)) 1 else 0)
             val nz = coeffBlock(bd, probs, yType, first, ctx, q(0), q(1),
-              fr.coeffs, base + sb * 16) > first
+              fr.rowCoeffs, base + sb * 16) > first
             aY(mbX * 4 + c) = nz; lY(r) = nz; any ||= nz
             sb += 1
           }
@@ -519,7 +509,7 @@ object Vp8 {
               val ctx = (if (aC(mbX * 2 + c)) 1 else 0) +
                 (if (lC(r)) 1 else 0)
               val nz = coeffBlock(bd, probs, 2, 0, ctx, q(4), q(5),
-                fr.coeffs, base + (16 + pl * 4 + b) * 16) > 0
+                fr.rowCoeffs, base + (16 + pl * 4 + b) * 16) > 0
               aC(mbX * 2 + c) = nz; lC(r) = nz; any ||= nz
               b += 1
             }
@@ -527,6 +517,7 @@ object Vp8 {
           }
           fr.hasCoeffs(mi) = any
         }
+        reconstructMb(fr, mbX, mbY, base)
         mbX += 1
       }
       mbY += 1
@@ -639,65 +630,61 @@ object Vp8 {
     else if (x >= width) plane(y * stride + width - 1) & 0xff
     else plane(y * stride + x) & 0xff
 
-  private def reconstruct(fr: Frame): Unit = {
+  /** Reconstruct ONE macroblock from the current row's residuals
+    * (`base` = the MB's offset into [[Frame.rowCoeffs]]). Runs
+    * immediately after the MB's tokens decode — see the Frame doc for
+    * why reconstruction is row-interleaved. */
+  private def reconstructMb(fr: Frame, mbX: Int, mbY: Int,
+      base: Int): Unit = {
     val yS = fr.yStride
     val cS = fr.cStride
     val yW = fr.mbW * 16
     val cW = fr.mbW * 8
     val dcTmp = new Array[Int](16)
-    var mbY = 0
-    while (mbY < fr.mbH) {
-      var mbX = 0
-      while (mbX < fr.mbW) {
-        val mi = mbY * fr.mbW + mbX
-        val base = mi * 25 * 16
-        val x0 = mbX * 16
-        val y0 = mbY * 16
-        val ym = fr.ymode(mi)
+    val mi = mbY * fr.mbW + mbX
+    val x0 = mbX * 16
+    val y0 = mbY * 16
+    val ym = fr.ymode(mi)
 
-        if (ym == 4) {
-          // B_PRED: predict + add residual per subblock, raster order
-          var sb = 0
-          while (sb < 16) {
-            val bx = x0 + (sb & 3) * 4
-            val by = y0 + (sb >> 2) * 4
-            predictB(fr.yPlane, yS, yW, bx, by, x0,
-              fr.bmodes(mi * 16 + sb))
-            idctAdd(fr.coeffs, base + sb * 16, fr.yPlane, yS,
-              by * yS + bx)
-            sb += 1
-          }
-        } else {
-          predict16(fr.yPlane, yS, yW, x0, y0, ym, mbX, mbY)
-          // fold the Y2 (iWHT) DCs into the 16 Y blocks
-          iwht(fr.coeffs, base + 24 * 16, dcTmp)
-          var sb = 0
-          while (sb < 16) {
-            fr.coeffs(base + sb * 16) = dcTmp(sb).toShort
-            idctAdd(fr.coeffs, base + sb * 16, fr.yPlane, yS,
-              (y0 + (sb >> 2) * 4) * yS + x0 + (sb & 3) * 4)
-            sb += 1
-          }
-        }
-
-        val uvm = fr.uvmode(mi)
-        val cx0 = mbX * 8
-        val cy0 = mbY * 8
-        predict8(fr.uPlane, cS, cW, cx0, cy0, uvm, mbX, mbY)
-        predict8(fr.vPlane, cS, cW, cx0, cy0, uvm, mbX, mbY)
-        var b = 0
-        while (b < 4) {
-          val ox = cx0 + (b & 1) * 4
-          val oy = cy0 + (b >> 1) * 4
-          idctAdd(fr.coeffs, base + (16 + b) * 16, fr.uPlane, cS,
-            oy * cS + ox)
-          idctAdd(fr.coeffs, base + (20 + b) * 16, fr.vPlane, cS,
-            oy * cS + ox)
-          b += 1
-        }
-        mbX += 1
+    if (ym == 4) {
+      // B_PRED: predict + add residual per subblock, raster order
+      var sb = 0
+      while (sb < 16) {
+        val bx = x0 + (sb & 3) * 4
+        val by = y0 + (sb >> 2) * 4
+        predictB(fr.yPlane, yS, yW, bx, by, x0,
+          fr.bmodes(mi * 16 + sb))
+        idctAdd(fr.rowCoeffs, base + sb * 16, fr.yPlane, yS,
+          by * yS + bx)
+        sb += 1
       }
-      mbY += 1
+    } else {
+      predict16(fr.yPlane, yS, yW, x0, y0, ym, mbX, mbY)
+      // fold the Y2 (iWHT) DCs into the 16 Y blocks
+      iwht(fr.rowCoeffs, base + 24 * 16, dcTmp)
+      var sb = 0
+      while (sb < 16) {
+        fr.rowCoeffs(base + sb * 16) = dcTmp(sb).toShort
+        idctAdd(fr.rowCoeffs, base + sb * 16, fr.yPlane, yS,
+          (y0 + (sb >> 2) * 4) * yS + x0 + (sb & 3) * 4)
+        sb += 1
+      }
+    }
+
+    val uvm = fr.uvmode(mi)
+    val cx0 = mbX * 8
+    val cy0 = mbY * 8
+    predict8(fr.uPlane, cS, cW, cx0, cy0, uvm, mbX, mbY)
+    predict8(fr.vPlane, cS, cW, cx0, cy0, uvm, mbX, mbY)
+    var b = 0
+    while (b < 4) {
+      val ox = cx0 + (b & 1) * 4
+      val oy = cy0 + (b >> 1) * 4
+      idctAdd(fr.rowCoeffs, base + (16 + b) * 16, fr.uPlane, cS,
+        oy * cS + ox)
+      idctAdd(fr.rowCoeffs, base + (20 + b) * 16, fr.vPlane, cS,
+        oy * cS + ox)
+      b += 1
     }
   }
 
