@@ -729,8 +729,11 @@ object Dedup {
     * rewired edge set). Both steps are monotone-decreasing within the
     * component (comp(u) is always the id of a node reachable from u),
     * so the fixpoint is exactly the per-component minimum — unchanged
-    * labels, fewer rounds. The shortcut join rides in the SAME job as
-    * the hook (one deeper plan, no extra action); `localCheckpoint`
+    * labels, fewer rounds. The shortcut engages from ROUND 3 (dense
+    * dedup clusters and star∪delta incremental merges converge in ≤ 2
+    * hooks and must not pay the extra self-join — r18 bench) and
+    * rides in the SAME job as the hook (one deeper plan, no extra
+    * action); `localCheckpoint`
     * truncates the growing lineage so round N's plan doesn't replay
     * rounds 1..N−1. `maxIter` bounds the loop (log-scale: 20 covers
     * diameters to ~2^20); the driver-side per-round `count()` is the
@@ -769,12 +772,20 @@ object Dedup {
       // SHORTCUT: follow the label one more step — comp(comp(u)) is
       // reachable from comp(u), hence still inside u's component; the
       // left join covers nothing in practice (every comp value IS a
-      // node id) but keeps the step total under adversarial input
-      val jumped = hooked
-        .join(hooked.select(col("id").as("comp"), col("comp").as("jump")),
-          Seq("comp"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+      // node id) but keeps the step total under adversarial input.
+      // Engaged only from round 3 on: duplicate-class graphs (dense
+      // clusters, star∪delta incremental merges) converge in ≤ 2 hook
+      // rounds, and paying the extra self-join there made the common
+      // case ~30% slower for zero round savings (r18 bench); a graph
+      // still changing after two hooks has real chains, and the jump
+      // then cuts the remaining rounds to O(log diameter).
+      val jumped =
+        if (iter < 2) hooked
+        else hooked
+          .join(hooked.select(col("id").as("comp"), col("comp").as("jump")),
+            Seq("comp"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
       val (newLabels, newRdds) = Caches.localCheckpointTracked(jumped)
       changed = newLabels
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
@@ -787,6 +798,8 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] converged in $iter rounds")
     // the returned frame READS the final checkpoint (truncated lineage —
     // not recomputable): registered for release at the caller's next
     // Caches.releaseAll() batch boundary, after results materialize

@@ -149,7 +149,8 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 64 && got.forall(_._2 == 0L),
       got.filter(_._2 != 0L).take(5).mkString(","))
-    assert(rounds <= 9, s"took $rounds rounds for a 64-chain")
+    // 2 hook-only warmup rounds + O(log 64) jump rounds
+    assert(rounds <= 11, s"took $rounds rounds for a 64-chain")
   }
 
   test("assignComponentsIncremental: star(labels) ∪ delta ≡ whole-graph CC") {
