@@ -166,17 +166,23 @@ object Webp {
       }.flatten
     }.orElse(lossyPixels(bytes))
 
-  /** Lossy (VP8-coded) still pixels + optional ALPH alpha. */
+  /** Lossy (VP8-coded) still pixels + optional ALPH alpha. A PRESENT
+    * but undecodable ALPH chunk fails the whole decode (fail closed —
+    * silently dropping transparency would census damaged alpha as a
+    * clean RGB image). */
   private def lossyPixels(bytes: Array[Byte]): Option[RawImage] =
     safely {
       val cs = chunks(bytes)
       cs.collectFirst { case ("VP8 ", off, len) if len >= 10 =>
-        Vp8.decodePlanes(bytes, off, len).map { yuv =>
-          val alpha = cs.collectFirst {
-            case ("ALPH", aOff, aLen) if aLen >= 1 =>
+        Vp8.decodePlanes(bytes, off, len).flatMap { yuv =>
+          cs.collectFirst {
+            case ("ALPH", aOff, aLen) if aLen >= 1 => (aOff, aLen)
+          } match {
+            case Some((aOff, aLen)) =>
               decodeAlph(bytes, aOff, aLen, yuv.width, yuv.height)
-          }.flatten
-          Vp8.toRgb(yuv, alpha)
+                .map(a => Vp8.toRgb(yuv, Some(a)))
+            case None => Some(Vp8.toRgb(yuv, None))
+          }
         }
       }.flatten
     }
@@ -333,8 +339,11 @@ object Webp {
                 .getOrElse(sys.error("webp: damaged VP8 frame"))
               if (yuv.width != w || yuv.height != h)
                 sys.error("webp: frame dims disagree with ANMF header")
-              val alpha = alph.flatMap { case (aOff, aLen) =>
-                decodeAlph(bytes, aOff, aLen, w, h) }
+              // a present-but-damaged per-frame ALPH fails the whole
+              // decode closed, like a damaged frame bitstream
+              val alpha = alph.map { case (aOff, aLen) =>
+                decodeAlph(bytes, aOff, aLen, w, h)
+                  .getOrElse(sys.error("webp: damaged ALPH frame")) }
               val img = Vp8.toRgb(yuv, alpha)
               frame = Some(Frame(idx, x, y, w, h, dur, img.channels,
                 img.pixels))

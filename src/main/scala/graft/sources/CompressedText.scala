@@ -590,10 +590,22 @@ object CompressedText {
     val files = Warc.listFiles(spark, pattern)
     require(files.nonEmpty, s"no text shards match $pattern")
     val conf = spark.sessionState.newHadoopConf()
+    // sidecar detection by ONE listing per parent directory, not one
+    // exists() round trip per file (r18: same O(files)-blocking-
+    // round-trips disease at plan time the r17 review fixed for the
+    // seek-table probes — a 10k-shard corpus on an object store paid
+    // 10k serial HEADs here)
+    val sidecars: Map[Path, Set[String]] = files
+      .map(f => new Path(f).getParent).distinct
+      .map { parent =>
+        val names = parent.getFileSystem(conf).listStatus(parent)
+          .map(_.getPath.getName)
+          .filter(_.startsWith(zidxPrefix)).toSet
+        parent -> names
+      }.toMap
     val (indexed, rest) = files.partition { f =>
       val p = new Path(f)
-      p.getFileSystem(conf).exists(
-        new Path(p.getParent, s"$zidxPrefix${p.getName}"))
+      sidecars(p.getParent).contains(s"$zidxPrefix${p.getName}")
     }
     // probe non-sidecar .zst tails CONCURRENTLY (r17 review: serial
     // probes added O(files) blocking round-trips at plan time on

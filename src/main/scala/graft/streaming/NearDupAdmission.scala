@@ -157,10 +157,14 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     // Bytes of input, serializing the minhash work costs less than a
     // second job launch would
     val rows = timed("probeTokens")(buckets(batch).coalesce(1).collect())
-    // null ids (shouldn't occur, but the job path's join semantics
-    // keep them) and oversized key sets take the distributed path —
-    // the fast path never approximates
-    if (rows.exists(_.isNullAt(0)))
+    // the fast path never approximates: null ids (the job path's join
+    // semantics keep them), NON-INTEGRAL ids (Spark's min() over
+    // strings is binary UTF-8 order, which diverges from any cheap
+    // driver-side ordering on non-ASCII — a silent decision drift),
+    // and oversized key sets all take the distributed path
+    if (rows.exists(r => r.isNullAt(0) ||
+        !(r.get(0).isInstanceOf[java.lang.Long] ||
+          r.get(0).isInstanceOf[java.lang.Integer])))
       return admitJobs(batch, batchId, probe)
     val keys: Array[(Int, Long)] =
       rows.map(r => (r.getInt(1), r.getLong(2))).distinct
@@ -300,14 +304,17 @@ object NearDupAdmission {
     * semi join is the right shape. */
   val literalCap: Int = 4096
 
-  /** Driver twin of the SQL `min(id)` ordering for the id types the
-    * admission family meets (numeric or string). */
+  /** Driver twin of the SQL `min(id)` ordering. Only INTEGRAL ids
+    * reach here — the fast path falls back for anything else, because
+    * a driver-side ordering cannot cheaply match Spark's binary
+    * string/decimal orderings and a mismatch would silently change
+    * keep-lowest decisions. */
   private[streaming] def idLt(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: Long, y: Long) => x < y
-    case (x: Int, y: Int) => x < y
-    case (x: String, y: String) => x < y
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      x.doubleValue() < y.doubleValue()
-    case _ => String.valueOf(a) < String.valueOf(b)
+    case (x: java.lang.Long, y: java.lang.Long) =>
+      x.longValue() < y.longValue()
+    case (x: java.lang.Integer, y: java.lang.Integer) =>
+      x.intValue() < y.intValue()
+    case _ => throw new IllegalStateException(
+      s"non-integral ids on the fast path: ${a.getClass}")
   }
 }

@@ -86,6 +86,31 @@ class Vp8Spec extends AnyFunSuite {
     assert(Multimodal.decodeStatus(cut)._1 == "corrupt")
   }
 
+  test("present-but-damaged ALPH fails the decode closed (corrupt, not RGB)") {
+    // silently dropping a damaged alpha plane would census broken
+    // transparency as a clean RGB image
+    val vec = vectors.find(_.a.isDefined).get
+    val bytes = vec.webp.clone()
+    var i = 12
+    var alphOff = -1
+    while (alphOff < 0 && i + 8 <= bytes.length) {
+      val cc = new String(bytes, i, 4, "ISO-8859-1")
+      val sz = (bytes(i + 4) & 0xff) | ((bytes(i + 5) & 0xff) << 8) |
+        ((bytes(i + 6) & 0xff) << 16) | ((bytes(i + 7) & 0xff) << 24)
+      if (cc == "ALPH") alphOff = i + 8
+      else i += 8 + sz + (sz & 1)
+    }
+    assert(alphOff > 0, "vector lacks an ALPH chunk")
+    // wreck the lossless alpha stream beyond entropy-code recovery
+    (5 until 17).foreach(k =>
+      bytes(alphOff + k) = (bytes(alphOff + k) ^ 0xff).toByte)
+    assert(Webp.pixels(bytes).isEmpty,
+      "damaged ALPH must fail the decode, not drop to RGB")
+    assert(Multimodal.decodeStatus(bytes)._1 == "corrupt")
+    // the undamaged original still decodes RGBA, of course
+    assert(Webp.pixels(vec.webp).exists(_.channels == 4))
+  }
+
   test("fuzz: random bytes, bit flips, truncations never throw") {
     val rnd = new scala.util.Random(1812)
     (0 until 200).foreach { _ =>
