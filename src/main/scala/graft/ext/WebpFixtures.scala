@@ -628,6 +628,49 @@ object WebpFixtures {
     "5/wd38//6Fyxq4JL3Ex78df1WMoz0ygzgMzEY1QY/uo3acystPC3VoX1AyDxIqwA" +
     "AAA=")
 
+  /** Animated container whose frames embed the CODED CHUNKS of
+    * existing still images (r18): each frame is (x, y, durationMs,
+    * stillBytes) — the still's ALPH (if any) and VP8/VP8L chunks are
+    * re-framed verbatim inside an ANMF, the shape real muxers emit for
+    * lossy animations. Frame dims come from the still's own header. */
+  def buildWebpAnimFromStills(canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Array[Byte])]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    def u24le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def stillChunks(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val cc = new String(bytes, i, 4, "ISO-8859-1")
+        val sz = (bytes(i + 4) & 0xff) | ((bytes(i + 5) & 0xff) << 8) |
+          ((bytes(i + 6) & 0xff) << 16) | ((bytes(i + 7) & 0xff) << 24)
+        if (cc == "ALPH" || cc == "VP8 " || cc == "VP8L")
+          out += ((cc, bytes.slice(i + 8, i + 8 + sz)))
+        i += 8 + sz + (sz & 1)
+      }
+      out.result()
+    }
+    val anyAlpha = frames.exists(f => stillChunks(f._4).exists(_._1 == "ALPH"))
+    val vp8x = Array[Byte](
+      ((if (anyAlpha) 0x10 else 0x00) | 0x02).toByte, 0, 0, 0) ++
+      u24le(canvasW - 1) ++ u24le(canvasH - 1)
+    val anim = Array[Byte](-1, -1, -1, -1, 0, 0) // white bg, loop forever
+    val anmfs = frames.map { case (x, y, dur, still) =>
+      val dims = Webp.dims(still).getOrElse(sys.error("fixture: no dims"))
+      require((x & 1) == 0 && (y & 1) == 0, "frame x/y must be even")
+      val inner = stillChunks(still)
+        .map { case (cc, p) => chunkBytes(cc, p) }
+        .reduce(_ ++ _)
+      u24le(x / 2) ++ u24le(y / 2) ++
+        u24le(dims._1 - 1) ++ u24le(dims._2 - 1) ++
+        u24le(dur) ++ Array[Byte](0) ++ inner
+    }
+    wrapRiffChunks(Seq("VP8X" -> vp8x, "ANIM" -> anim) ++
+      anmfs.map("ANMF" -> _))
+  }
+
   /** A dims-valid lossy-VP8 container: key-frame tag + start code +
     * 14-bit dims, filler coefficients. [[Webp.dims]] reads it without
     * a full decode. Since r18 the filler ALSO decodes as pixels —

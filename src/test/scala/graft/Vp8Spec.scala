@@ -86,6 +86,38 @@ class Vp8Spec extends AnyFunSuite {
     assert(Multimodal.decodeStatus(cut)._1 == "corrupt")
   }
 
+  test("animated WebP with LOSSY frames decodes real pixels per frame") {
+    // real muxers re-frame a still's coded chunks inside ANMF; the r18
+    // lossy path must land the SAME pixels there as on the still path,
+    // including a per-frame ALPH plane
+    import graft.ext.WebpFixtures
+    val still = WebpFixtures.pinnedLossyWebp // 8x8 RGB
+    val alpha = WebpFixtures.pinnedAlphaWebp // 32x20 RGBA (ALPH + VP8)
+    val anim = WebpFixtures.buildWebpAnimFromStills(32, 28, Seq(
+      (0, 0, 40, still), (0, 8, 70, alpha)))
+    val frames = Webp.frames(anim).getOrElse(fail("no frames"))
+    assert(frames.map(f => (f.index, f.x, f.y, f.width, f.height,
+      f.duration_ms, f.channels)) ==
+      Seq((0, 0, 0, 8, 8, 40, 3), (1, 0, 8, 32, 20, 70, 4)))
+    val stillPx = Webp.pixels(still).get
+    assert(java.util.Arrays.equals(frames(0).pixels, stillPx.pixels))
+    val alphaPx = Webp.pixels(alpha).get
+    assert(java.util.Arrays.equals(frames(1).pixels, alphaPx.pixels))
+    // the mixed container sniffs lossy and censuses ok via the frame
+    // path (no top-level still chunk exists)
+    assert(Multimodal.sniffFormat(anim).contains("webp-lossy"))
+    assert(Multimodal.decodeStatus(anim)._1 == "ok")
+    // damage the SECOND frame's ALPH: whole decode fails closed
+    val bad = anim.clone()
+    val alphSig = "ALPH".getBytes("ISO-8859-1")
+    val alphAt = bad.indices.drop(30).find(i => i + 4 < bad.length &&
+      bad.slice(i, i + 4).sameElements(alphSig)).get
+    (12 until 22).foreach(k =>
+      bad(alphAt + 8 + k) = (bad(alphAt + 8 + k) ^ 0xff).toByte)
+    assert(Webp.frames(bad).isEmpty)
+    assert(Multimodal.decodeStatus(bad)._1 == "corrupt")
+  }
+
   test("present-but-damaged ALPH fails the decode closed (corrupt, not RGB)") {
     // silently dropping a damaged alpha plane would census broken
     // transparency as a clean RGB image
