@@ -751,6 +751,29 @@ object AdmissionRegistry {
     * × bands product, far below driver-memory relevance). */
   val smallAppendCap: Int = 1 << 15
 
+  /** Shared small-trigger gate for the admission families' driver
+    * fast paths (r18, judge #6): true when the batch's input bytes
+    * are plainly small, judged from its own file list with no Spark
+    * job. Unknown provenance (non-file source, listing error) or
+    * anything big answers false — the distributed path stays the
+    * semantics-defining implementation. `spark.graft.admissionFastPath
+    * = off` forces false (the equivalence specs' lever). */
+  def smallTrigger(batch: DataFrame, maxBytes: Long): Boolean =
+    batch.sparkSession.conf.getOption("spark.graft.admissionFastPath")
+      .forall(!_.equalsIgnoreCase("off")) &&
+    (try {
+      val files = batch.inputFiles
+      files.isEmpty || (files.length <= 64 && {
+        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        var total = 0L
+        files.foreach { f =>
+          val p = new Path(f)
+          total += p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+        total <= maxBytes
+      })
+    } catch { case scala.util.control.NonFatal(_) => false })
+
   /** Minimal parquet [[org.apache.parquet.hadoop.api.WriteSupport]]
     * for int32/int64-only registry payloads (the driver fast path of
     * [[AdmissionRegistry.append]]). Column stats are written as usual

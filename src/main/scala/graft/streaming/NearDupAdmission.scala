@@ -103,33 +103,12 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     // replay-safe — see [[AdmissionRegistry.maybeCompact]]. Keeps the
     // registry's directory count bounded on an unbounded stream.
     timed("maybeCompact")(registry.maybeCompact(spark, batchId, compactEvery))
-    if (smallTrigger(batch)) admitSmall(batch, batchId, probe)
+    if (AdmissionRegistry.smallTrigger(batch,
+        NearDupAdmission.fastPathMaxInputBytes))
+      admitSmall(batch, batchId, probe)
     else admitJobs(batch, batchId, probe)
     }
   }
-
-  /** True when the micro-batch's INPUT BYTES are plainly small — the
-    * steady state of an arrival stream — judged from the batch's own
-    * file list, no Spark job (r18, judge #6: the per-trigger gap vs
-    * the batch twin was fixed job-launch + commit overhead; a 16-doc
-    * trigger ran 9-10 jobs). Unknown provenance (non-file source,
-    * listing error) or anything big falls back to the distributed
-    * path, which remains the semantics-defining implementation. */
-  private def smallTrigger(batch: DataFrame): Boolean =
-    batch.sparkSession.conf.getOption("spark.graft.admissionFastPath")
-      .forall(!_.equalsIgnoreCase("off")) &&
-    (try {
-      val files = batch.inputFiles
-      files.isEmpty || (files.length <= 64 && {
-        val conf = batch.sparkSession.sessionState.newHadoopConf()
-        var total = 0L
-        files.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          total += p.getFileSystem(conf).getFileStatus(p).getLen
-        }
-        total <= NearDupAdmission.fastPathMaxInputBytes
-      })
-    } catch { case scala.util.control.NonFatal(_) => false })
 
   /** SMALL-TRIGGER fast path: ONE job collects the batch's bucket rows
     * (micro-batch-bounded by [[smallTrigger]]'s byte gate), then probe

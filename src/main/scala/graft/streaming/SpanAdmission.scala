@@ -44,7 +44,12 @@ import graft.ext.{Dedup, Spans}
   * registry outgrows that, instead of tracking registry size forever;
   * the plateau is higher than the near-dup family's (K is tokens-per-
   * trigger here, not bands-per-doc), which is this family's honest
-  * price at any layout. */
+  * price at any layout.
+  *
+  * Small triggers take the same driver fast path as
+  * [[NearDupAdmission]] (r18): one collect job, literal-IN history
+  * probe, driver-side coverage gate and append — decision-identical
+  * by spec (AdmissionRegistrySpec's span equivalence arm). */
 class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     k: Int = 8, gatePct: Int = 20,
     compactEvery: Int = 64, shards: Int = 16,
@@ -69,6 +74,77 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     // committed by the time the sink sees this one, so folding them is
     // replay-safe and bounds the registry's directory count.
     registry.maybeCompact(spark, batchId, compactEvery)
+    if (AdmissionRegistry.smallTrigger(batch, 4L << 20))
+      admitSmall(batch, batchId)
+    else admitJobs(batch, batchId)
+    }
+  }
+
+  /** SMALL-TRIGGER driver fast path (r18, judge #6 — the same shape
+    * as [[NearDupAdmission]]'s): ONE job collects the batch's
+    * (doc_id, pos, sh) span rows; the token-count each decision needs
+    * is derived exactly from them (positions = n−k+1 sliding spans, so
+    * n = maxPos + k − 1, and a doc with NO positions can never be
+    * rejected on either path — the job path's coverage join is inner);
+    * the history probe is a literal `sh IN (…)` filter; the coverage
+    * gate, decisions, and the distinct-hash append run driver-side.
+    * Null/non-integral ids or key sets past the literal cap fall back
+    * to [[admitJobs]], which stays the semantics-defining
+    * implementation; the fast≡job equivalence is spec-locked. */
+  private def admitSmall(batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val rows = Spans.positions(batch, textCol, idCol, k)
+      .coalesce(1).collect() // (doc_id, pos, sh)
+    if (rows.exists(r => r.isNullAt(0) ||
+        !(r.get(0).isInstanceOf[java.lang.Long] ||
+          r.get(0).isInstanceOf[java.lang.Integer])))
+      return admitJobs(batch, batchId)
+    val spanSet = rows.map(_.getLong(2)).distinct
+    if (spanSet.length > NearDupAdmission.literalCap)
+      return admitJobs(batch, batchId)
+    val tokens = spanSet
+      .map(sh => registry.keyToken(org.apache.spark.sql.Row(sh))).distinct
+    val history = registry.historyTouched(spark, batchId, Some(tokens))
+    val matched: Set[Long] =
+      if (spanSet.isEmpty) Set.empty
+      else history
+        .filter(col("sh").isin(spanSet.map(java.lang.Long.valueOf).toSeq: _*))
+        .select("sh").distinct().collect().map(_.getLong(0)).toSet
+    // driver twin of the coverage gate: covered token indices =
+    // union of [pos, pos+k-1] over this doc's HISTORY-matched spans;
+    // n = maxPos + k - 1 (exact for any doc that has positions)
+    val covered = scala.collection.mutable.Map.empty[Any,
+      scala.collection.mutable.BitSet]
+    val maxPos = scala.collection.mutable.Map.empty[Any, Long]
+    rows.foreach { r =>
+      val id = r.get(0)
+      val pos = r.getAs[Number](1).longValue() // posexplode emits int32
+      maxPos(id) = math.max(maxPos.getOrElse(id, 0L), pos)
+      if (matched(r.getLong(2))) {
+        val bits = covered.getOrElseUpdate(id,
+          new scala.collection.mutable.BitSet)
+        var j = pos
+        while (j < pos + k) { bits += j.toInt; j += 1 }
+      }
+    }
+    val rejected = covered.collect {
+      case (id, bits)
+          if bits.size.toLong * 100 >= (maxPos(id) + k - 1) * gatePct =>
+        id
+    }.toSeq
+    val admitted =
+      if (rejected.isEmpty) batch
+      else batch.filter(!col(idCol).isin(rejected: _*))
+    val rejectedSet = rejected.toSet
+    val appendRows = rows.collect {
+      case r if !rejectedSet.contains(r.get(0)) => r.getLong(2)
+    }.distinct.map(sh => org.apache.spark.sql.Row(sh))
+    registry.appendCollected(spark, appendRows, batchId)
+    admitted
+  }
+
+  private def admitJobs(batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
     // pos feeds three consumers (touched-shard job, coverage join,
     // registry append) — cache it for the trigger.
     val pos = Spans.positions(batch, textCol, idCol, k).persist()
@@ -102,7 +178,6 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
           .select("sh").distinct(), batchId)
       admitted
     } finally pos.unpersist()
-    }
   }
 
   /** Fold committed batch directories ≤ `uptoBatchId` into one (see

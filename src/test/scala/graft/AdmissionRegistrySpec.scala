@@ -335,6 +335,46 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     assert(registryRows(fastDir) == registryRows(jobDir))
   }
 
+  test("SpanAdmission fast path ≡ job path: decisions and registries") {
+    // same doc stream through two SpanAdmissions, one forced onto the
+    // distributed path — identical per-batch admissions and
+    // row-identical registries (r18, the span twin of the near-dup
+    // equivalence arm)
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")
+    def run(stateDir: String, fastPath: Boolean): Seq[Set[Long]] = {
+      if (!fastPath) s.conf.set("spark.graft.admissionFastPath", "off")
+      try {
+        val adm = new SpanAdmission(stateDir, "text", "doc_id",
+          k = 4, gatePct = 50, compactEvery = 2)
+        val batches = Seq(
+          Seq(1L -> (boiler + " first page body")),
+          Seq(2L -> "fresh unrelated prose entirely new words here",
+            3L -> (boiler + " tiny delta")), // covered by batch 0
+          Seq(4L -> "short", // < k tokens: zero spans, must admit
+            5L -> (boiler + " another rehash")), // across compaction
+          Seq(6L -> (boiler + " yet more chrome")))
+        batches.zipWithIndex.map { case (docs, b) =>
+          adm.admit(docs.toDF("doc_id", "text"), b.toLong)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        }
+      } finally s.conf.unset("spark.graft.admissionFastPath")
+    }
+    val fastDir = tmp("graft_spanfast_")
+    val jobDir = tmp("graft_spanjob_")
+    val fast = run(fastDir, fastPath = true)
+    val job = run(jobDir, fastPath = false)
+    assert(fast == job, s"decisions diverged: $fast vs $job")
+    assert(fast == Seq(Set(1L), Set(2L), Set(4L), Set.empty[Long]))
+    def registryRows(dir: String): Set[(Long, Long, Long)] =
+      s.read.parquet(dir)
+        .selectExpr("CAST(batch AS BIGINT)", "CAST(shard AS BIGINT)", "sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(registryRows(fastDir) == registryRows(jobDir))
+  }
+
   test("SpanAdmission auto-compacts and the folded span registry still gates") {
     val s = spark
     import s.implicits._
