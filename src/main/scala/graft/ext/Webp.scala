@@ -365,6 +365,28 @@ object Webp {
     private var pos = start
     private var cur = 0
     private var nbits = 0
+    /** Cumulative prefix-TREE materialization budget (ADVICE r18, low):
+      * the 65536 meta-group cap is spec-correct, but group count alone
+      * let a crafted file expand kilobytes of RLE-coded code lengths
+      * into hundreds of MB of tree entries (each rep-18 run costs ~10
+      * bits and yields 138 symbol slots). Real tables cost input BITS
+      * roughly in proportion to the entries they declare, so the budget
+      * is input-length-proportional with an absolute ceiling: 64
+      * entries per encoded byte (≈4× the densest KRAFT-COMPLETE
+      * expansion the wire format permits — rep-16 chains top out at 6
+      * lengths per 3 bits = 16 entries/byte, and the completeness check
+      * in buildTree forbids cheaper zero-runs from materializing), and
+      * at most 2²² entries total (≈50 MB of tree heap at this Tree's
+      * ~12 B/entry — well inside the decoder's existing 64M-px output
+      * budget, never an order above it). The charge is CUMULATIVE
+      * across every group and recursive sub-image decoded from this
+      * reader, so splitting the attack across groups buys nothing. */
+    private var symBudget: Long =
+      math.max(1L << 16, math.min(64L * (end - start), 1L << 22))
+    private[ext] def chargeTreeSymbols(n: Int): Unit = {
+      symBudget -= n
+      if (symBudget < 0) sys.error("vp8l: prefix-table budget")
+    }
     def readBit(): Int = {
       if (nbits == 0) {
         if (pos >= end) sys.error("vp8l: EOF")
@@ -471,8 +493,10 @@ object Webp {
           while (k < rep) { lens(sym) = value; sym += 1; k += 1 }
         }
       }
-      buildTree((0 until alphabetSize).map(s => (s, lens(s)))
-        .filter(_._2 > 0))
+      val used = (0 until alphabetSize).map(s => (s, lens(s)))
+        .filter(_._2 > 0)
+      r.chargeTreeSymbols(used.size) // cumulative budget, see Reader
+      buildTree(used)
     }
   }
 

@@ -753,17 +753,29 @@ object AdmissionRegistry {
 
   /** Shared small-trigger gate for the admission families' driver
     * fast paths (r18, judge #6): true when the batch's input bytes
-    * are plainly small, judged from its own file list with no Spark
-    * job. Unknown provenance (non-file source, listing error) or
-    * anything big answers false — the distributed path stays the
-    * semantics-defining implementation. `spark.graft.admissionFastPath
-    * = off` forces false (the equivalence specs' lever). */
-  def smallTrigger(batch: DataFrame, maxBytes: Long): Boolean =
-    batch.sparkSession.conf.getOption("spark.graft.admissionFastPath")
-      .forall(!_.equalsIgnoreCase("off")) &&
-    (try {
+    * are PROVABLY small, judged from its own non-empty file list with
+    * no Spark job. Unknown provenance answers FALSE — and that
+    * includes an EMPTY `inputFiles` (ADVICE r18, high): Kafka /
+    * socket / memory sources report no files for every micro-batch
+    * regardless of size, so "empty = small" routed the 100 TB/day
+    * ingest shape this class documents onto a single-task
+    * `coalesce(1).collect()` per trigger. Only a listed, ≤64-file,
+    * ≤`maxBytes` batch qualifies; the distributed path stays the
+    * semantics-defining implementation for everything else.
+    * `spark.graft.admissionFastPath = off` forces false;
+    * `= force` forces true — the equivalence specs' lever for
+    * in-memory frames, which have no file list to qualify on (the
+    * per-family row guards — literalCap, null/non-integral-id
+    * fallback — still apply under force, so even a forced oversized
+    * batch degrades to one bounded collect, not an OOM). */
+  def smallTrigger(batch: DataFrame, maxBytes: Long): Boolean = {
+    val mode = batch.sparkSession.conf
+      .getOption("spark.graft.admissionFastPath").getOrElse("auto")
+    if (mode.equalsIgnoreCase("off")) false
+    else if (mode.equalsIgnoreCase("force")) true
+    else (try {
       val files = batch.inputFiles
-      files.isEmpty || (files.length <= 64 && {
+      files.nonEmpty && files.length <= 64 && {
         val conf = batch.sparkSession.sessionState.newHadoopConf()
         var total = 0L
         files.foreach { f =>
@@ -771,8 +783,9 @@ object AdmissionRegistry {
           total += p.getFileSystem(conf).getFileStatus(p).getLen
         }
         total <= maxBytes
-      })
+      }
     } catch { case scala.util.control.NonFatal(_) => false })
+  }
 
   /** Minimal parquet [[org.apache.parquet.hadoop.api.WriteSupport]]
     * for int32/int64-only registry payloads (the driver fast path of

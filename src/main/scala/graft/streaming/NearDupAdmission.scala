@@ -195,7 +195,12 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
       registry.appendCollected(spark, appendRows, batchId)
     }
     if (rejected.isEmpty) batch
-    else batch.filter(!col(idCol).isin(rejected.toSeq: _*))
+    // null-SAFE keep predicate (ADVICE r18, medium): a null-id doc with
+    // tokenless text has no bucket row, so the null-id fallback above
+    // never sees it — and `!isin` alone would drop it via three-valued
+    // logic (`!NULL` = NULL) while the job path's left_anti keeps it.
+    else batch.filter(col(idCol).isNull ||
+      !col(idCol).isin(rejected.toSeq: _*))
   }
 
   private def admitJobs(batch: DataFrame, batchId: Long,

@@ -46,10 +46,14 @@ import graft.ops.Serving
   * handler on the one dispatcher thread, so a slow /ranking blocked
   * /health — undercutting the jobless-liveness intent): requests
   * dispatch on a small fixed pool (`poolSize`), and each DATA endpoint
-  * runs under a per-request time budget — overruns answer 503 and the
-  * in-flight Spark work is interrupted, so a pathological query cannot
-  * pin a pool thread forever. /health stays budget-free (it is jobless
-  * by construction) and keeps answering while data requests run. */
+  * runs under a per-request time budget on a pool bounded at
+  * `poolSize` — overruns answer 503, the in-flight thread is
+  * interrupted AND its Spark job group is cancelled (so the cluster
+  * work actually stops even when the action sits in a
+  * non-interruptible frame), and a pathological query cannot pin a
+  * pool thread or accumulate runaway threads. /health stays
+  * budget-free (it is jobless by construction) and keeps answering
+  * while data requests run. */
 final class ServingHttp(view: () => Option[DataFrame], port: Int = 0,
     poolSize: Int = 4, requestBudgetMs: Long = 30000) {
 
@@ -63,8 +67,18 @@ final class ServingHttp(view: () => Option[DataFrame], port: Int = 0,
     }
   private val dispatcher = java.util.concurrent.Executors
     .newFixedThreadPool(poolSize, daemonFactory("serving-http"))
+  // BOUNDED budget pool (ADVICE r18, low): the cached pool grew a new
+  // thread per stuck request — a Spark action blocked in a
+  // non-interruptible frame ignores task.cancel(true), so repeated
+  // pathological requests accumulated runaway threads and concurrent
+  // jobs behind prompt 503s. poolSize threads cap the concurrent data
+  // work; excess requests queue (their dispatcher thread still 503s on
+  // budget), and [[budgeted]]'s job-group cancel actually stops the
+  // underlying Spark jobs so a slot frees even when the interrupt alone
+  // would not.
   private val budgetPool = java.util.concurrent.Executors
-    .newCachedThreadPool(daemonFactory("serving-http-budget"))
+    .newFixedThreadPool(poolSize, daemonFactory("serving-http-budget"))
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/games", ex => handle(ex)(budgeted(games())))
@@ -101,15 +115,31 @@ final class ServingHttp(view: () => Option[DataFrame], port: Int = 0,
   }
 
   /** Run one data-endpoint body under the request time budget on the
-    * budget pool; 503 on overrun (the task is interrupted — a collect
-    * responds to interrupts via Spark's job cancellation checks). */
+    * (bounded) budget pool; 503 on overrun. The body runs inside its
+    * own Spark JOB GROUP with interrupt-on-cancel, and a timeout
+    * cancels the group as well as interrupting the thread (ADVICE
+    * r18): the interrupt alone only works when the action is parked in
+    * an interruptible frame, while the group cancel stops the
+    * scheduled jobs themselves — so a timed-out request cannot keep
+    * burning executor cores behind its 503. */
   private def budgeted(res: => Res): Res = {
-    val task = new java.util.concurrent.FutureTask[Res](() => res)
+    val group = s"serving-http-${groupSeq.incrementAndGet()}"
+    @volatile var sc: Option[org.apache.spark.SparkContext] = None
+    val task = new java.util.concurrent.FutureTask[Res](() => {
+      // job-group properties are thread-local: set them on the budget
+      // thread that will run the Spark actions, never the dispatcher
+      sc = view().map(_.sparkSession.sparkContext)
+      sc.foreach(_.setJobGroup(group, "graft serving-http request",
+        interruptOnCancel = true))
+      try res
+      finally sc.foreach(_.clearJobGroup())
+    })
     budgetPool.execute(task)
     try task.get(requestBudgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
         task.cancel(true)
+        sc.foreach(_.cancelJobGroup(group))
         Res(503, """{"error":"request exceeded time budget"}""")
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e) // handle()'s 400/500 mapping

@@ -134,7 +134,13 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     }.toSeq
     val admitted =
       if (rejected.isEmpty) batch
-      else batch.filter(!col(idCol).isin(rejected: _*))
+      // null-SAFE keep predicate (ADVICE r18, medium): a null-id doc
+      // shorter than k tokens yields no span row, so the null-id
+      // fallback above never sees it — `!isin` alone would drop it via
+      // three-valued logic while the job path's inner coverage join
+      // admits it.
+      else batch.filter(col(idCol).isNull ||
+        !col(idCol).isin(rejected: _*))
     val rejectedSet = rejected.toSet
     val appendRows = rows.collect {
       case r if !rejectedSet.contains(r.get(0)) => r.getLong(2)

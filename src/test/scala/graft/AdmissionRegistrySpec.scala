@@ -294,14 +294,17 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("small-trigger fast path ≡ job path: decisions, registry, layout") {
-    // same doc stream through two NearDupAdmissions — one on the r18
-    // driver fast path (plain DFs have no input files → small), one
-    // FORCED onto the distributed path — must admit identical ids per
-    // batch and leave row-identical registries.
+    // same doc stream through two NearDupAdmissions — one FORCED onto
+    // the r18 driver fast path (plain in-memory DFs have no file list,
+    // so since the r19 provenance fix they default to the job path —
+    // `force` is the specs' explicit opt-in), one forced onto the
+    // distributed path — must admit identical ids per batch and leave
+    // row-identical registries.
     val s = spark
     import s.implicits._
     def run(stateDir: String, fastPath: Boolean): Seq[Set[Long]] = {
-      if (!fastPath) s.conf.set("spark.graft.admissionFastPath", "off")
+      s.conf.set("spark.graft.admissionFastPath",
+        if (fastPath) "force" else "off")
       try {
         val adm = new NearDupAdmission(stateDir, "text", "doc_id",
           compactEvery = 3)
@@ -344,7 +347,8 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     import s.implicits._
     val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")
     def run(stateDir: String, fastPath: Boolean): Seq[Set[Long]] = {
-      if (!fastPath) s.conf.set("spark.graft.admissionFastPath", "off")
+      s.conf.set("spark.graft.admissionFastPath",
+        if (fastPath) "force" else "off")
       try {
         val adm = new SpanAdmission(stateDir, "text", "doc_id",
           k = 4, gatePct = 50, compactEvery = 2)
@@ -616,5 +620,84 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
       .toDF("doc_id", "text")
     assert(adm.admit(next, batchId = 1)
       .select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("smallTrigger: unknown provenance (no file list) is NOT small") {
+    // ADVICE r18 (high): Kafka/socket/memory batches report empty
+    // inputFiles for EVERY micro-batch — "empty = small" routed
+    // unbounded ingest onto the driver collect. The gate must qualify
+    // only on a listed, byte-bounded file set; `force`/`off` are the
+    // explicit spec levers.
+    val s = spark
+    import s.implicits._
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(mem.inputFiles.isEmpty) // precondition: in-memory = no files
+    assert(!AdmissionRegistry.smallTrigger(mem, maxBytes = 1L << 20),
+      "empty file list must not qualify as small")
+    // A listed small parquet batch still qualifies...
+    val dir = java.nio.file.Files.createTempDirectory("graft_smtrig_")
+      .toString
+    mem.coalesce(1).write.mode("overwrite").parquet(dir)
+    val filed = s.read.parquet(dir)
+    assert(filed.inputFiles.nonEmpty)
+    assert(AdmissionRegistry.smallTrigger(filed, maxBytes = 1L << 20))
+    // ...but not past the byte gate.
+    assert(!AdmissionRegistry.smallTrigger(filed, maxBytes = 1L))
+    // Conf levers dominate in both directions.
+    s.conf.set("spark.graft.admissionFastPath", "force")
+    try assert(AdmissionRegistry.smallTrigger(mem, maxBytes = 1L << 20))
+    finally s.conf.unset("spark.graft.admissionFastPath")
+    s.conf.set("spark.graft.admissionFastPath", "off")
+    try assert(!AdmissionRegistry.smallTrigger(filed, maxBytes = 1L << 20))
+    finally s.conf.unset("spark.graft.admissionFastPath")
+  }
+
+  test("fast path keeps null-id docs with tokenless text (3VL guard)") {
+    // ADVICE r18 (medium): a null-id doc whose text yields no tokens
+    // produces no bucket/span row, so the null-id job-path fallback
+    // never fires for it — and a bare `!isin(rejected)` filter would
+    // silently drop it (`!NULL` = NULL) whenever the rejected set is
+    // non-empty, while the job path's anti/inner joins keep it. Both
+    // families must admit it, identically on both paths.
+    val s = spark
+    import s.implicits._
+    def batchDf = Seq(
+      (java.lang.Long.valueOf(1L), (1 to 30).map(j => s"n$j").mkString(" ")),
+      (java.lang.Long.valueOf(2L), (1 to 30).map(j => s"n$j").mkString(" ")),
+      (null.asInstanceOf[java.lang.Long], "")) // tokenless null-id doc
+      .toDF("doc_id", "text")
+    def runNear(mode: String): Set[Option[Long]] = {
+      s.conf.set("spark.graft.admissionFastPath", mode)
+      try {
+        val adm = new NearDupAdmission(tmp("graft_nullfast_"),
+          "text", "doc_id")
+        adm.admit(batchDf, 0L).select("doc_id").collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      } finally s.conf.unset("spark.graft.admissionFastPath")
+    }
+    // doc 2 dups doc 1 in-batch → rejected set is non-empty, so the
+    // keep-filter actually runs; the null-id doc must survive it.
+    val expected = Set(Some(1L), None: Option[Long])
+    assert(runNear("force") == expected, "near-dup fast path")
+    assert(runNear("off") == expected, "near-dup job path")
+    def runSpan(mode: String): Set[Option[Long]] = {
+      s.conf.set("spark.graft.admissionFastPath", mode)
+      try {
+        val adm = new SpanAdmission(tmp("graft_nullspan_"),
+          "text", "doc_id", k = 4, gatePct = 50)
+        val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")
+        adm.admit(Seq((java.lang.Long.valueOf(1L), boiler + " page one"))
+          .toDF("doc_id", "text"), 0L).count()
+        val b1 = Seq(
+          (java.lang.Long.valueOf(2L), boiler + " tiny delta"), // covered
+          (null.asInstanceOf[java.lang.Long], "ab")) // < k tokens, null id
+          .toDF("doc_id", "text")
+        adm.admit(b1, 1L).select("doc_id").collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      } finally s.conf.unset("spark.graft.admissionFastPath")
+    }
+    val expectedSpan = Set(None: Option[Long])
+    assert(runSpan("force") == expectedSpan, "span fast path")
+    assert(runSpan("off") == expectedSpan, "span job path")
   }
 }

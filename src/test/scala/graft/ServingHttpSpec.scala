@@ -149,6 +149,38 @@ class ServingHttpSpec extends AnyFunSuite with SparkTestSupport {
     } finally http.stop()
   }
 
+  test("a timed-out request cancels its Spark jobs (ADVICE r18)") {
+    // The 503 alone is not enough: a Spark action that ignores the
+    // thread interrupt kept its jobs running on the old cached pool.
+    // Build a view whose scan sleeps 30 s per row — the request times
+    // out at 500 ms, and the job-group cancel must drain the active
+    // jobs within a few seconds, far below natural completion.
+    val s = spark
+    import org.apache.spark.sql.functions.{col, concat, lit, udf}
+    val slow = udf((x: Long) => { Thread.sleep(30000); s"g$x" })
+    val v = s.range(0, 4, 1, 4)
+      .withColumn("app_name", slow(col("id")))
+      .withColumn("A_value", col("id").cast("double"))
+      .select(concat(col("app_name")).as("app_name"), col("A_value"))
+    val http = new ServingHttp(() => Some(v), requestBudgetMs = 500)
+    http.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val t0 = System.nanoTime()
+      val (code, body) = get(c, http.boundPort, "/games")
+      assert(code == 503 && body.contains("time budget"), s"$code $body")
+      assert((System.nanoTime() - t0) / 1000000L < 5000)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var active = s.sparkContext.statusTracker.getActiveJobIds()
+      while (active.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        active = s.sparkContext.statusTracker.getActiveJobIds()
+      }
+      assert(active.isEmpty,
+        s"jobs still running after cancel: ${active.mkString(",")}")
+    } finally http.stop()
+  }
+
   test("over a sharded-upsert serving view: requests see the newest merge") {
     val s = spark
     import s.implicits._

@@ -318,4 +318,74 @@ class WebpSpec extends AnyFunSuite {
     out.write(payload)
     assert(Webp.pixels(out.toByteArray).isEmpty)
   }
+
+  test("prefix-table budget: meta-group tree bomb fails closed") {
+    // ADVICE r18 (low): the 65536 meta-group cap is spec-correct, but
+    // group count alone let a crafted file expand kilobytes of
+    // RLE-coded code lengths into an order of magnitude more heap than
+    // the encoded bytes. This fixture IS that attack: a 4×4 image whose
+    // 1×1 meta image declares group index 4351 (red=16, green=255), and
+    // 4352 groups each carrying four dense Kraft-complete 256-entry
+    // length-8 tables — ~4.46M tree entries (past the 2²² ceiling, so
+    // the charge trips ~250 groups early) from ~390 KB of input. The
+    // cumulative prefix-table budget (Reader.chargeTreeSymbols) must
+    // fail the decode closed instead of materializing them all.
+    val bw = new WebpFixtures.BitWriter
+    bw.writeBits(3, 14); bw.writeBits(3, 14) // 4×4
+    bw.writeBits(0, 1) // no alpha hint
+    bw.writeBits(0, 3) // version
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // level 0: no color cache
+    bw.writeBits(1, 1); bw.writeBits(0, 3) // meta groups on, metaBits=2
+    // meta sub-image (1×1): five single-symbol codes; the lone pixel
+    // decodes to (red=16, green=255) → numGroups = 4352, 0 data bits
+    def single(sym: Int): Unit = {
+      bw.writeBits(1, 1) // simple code
+      bw.writeBits(0, 1) // one symbol
+      bw.writeBits(1, 1) // 8-bit symbol
+      bw.writeBits(sym, 8)
+    }
+    bw.writeBits(0, 1) // sub-image: no color cache
+    single(255); single(16); single(0); single(255); single(0)
+    // one dense table: 256 symbols all length 8 (Kraft: 256·2⁷ = 2¹⁵),
+    // written as one literal + 43 rep-16 runs; alphabets wider than 256
+    // (green = 256+24) zero-fill the tail with rep-17 runs
+    def denseTable(alphabet: Int): Unit = {
+      bw.writeBits(0, 1) // normal code
+      bw.writeBits(8, 4) // numCl = 12: ClcOrder prefix reaches 16 and 8
+      // code-length-code lens by ClcOrder position
+      // [17,18,0,1,2,3,4,5,16,6,7,8] → 17↦2, 16↦1, 8↦2
+      Seq(2, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 2).foreach(bw.writeBits(_, 3))
+      bw.writeBits(0, 1) // no max-symbol cap
+      // canonical clc: 16 = 0₂, 8 = 10₂, 17 = 11₂ (MSB-first)
+      bw.writeBits(1, 1); bw.writeBits(0, 1) // literal len 8 (prev := 8)
+      (1 to 42).foreach { _ => // 42 × rep-16 of 6
+        bw.writeBits(0, 1); bw.writeBits(3, 2)
+      }
+      bw.writeBits(0, 1); bw.writeBits(0, 2) // rep-16 of 3 → 256 total
+      if (alphabet > 256) { // rep-17 zero runs: 10 + 10 + 4 = 24
+        bw.writeBits(1, 1); bw.writeBits(1, 1); bw.writeBits(7, 3)
+        bw.writeBits(1, 1); bw.writeBits(1, 1); bw.writeBits(7, 3)
+        bw.writeBits(1, 1); bw.writeBits(1, 1); bw.writeBits(1, 3)
+      }
+    }
+    (0 until 4352).foreach { _ =>
+      denseTable(256 + 24) // green+length (cache off)
+      denseTable(256); denseTable(256); denseTable(256) // red, blue, alpha
+      single(0) // distance
+    }
+    val payload = Array(0x2f.toByte) ++ bw.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    val sz = 4 + 8 + payload.length
+    out.write(Array[Byte]((sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+      ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
+    out.write("WEBPVP8L".getBytes("ISO-8859-1"))
+    out.write(Array[Byte]((payload.length & 0xff).toByte,
+      ((payload.length >> 8) & 0xff).toByte,
+      ((payload.length >> 16) & 0xff).toByte, 0))
+    out.write(payload)
+    assert(payload.length > 300000, s"bomb too small: ${payload.length}")
+    assert(Webp.pixels(out.toByteArray).isEmpty)
+  }
 }
