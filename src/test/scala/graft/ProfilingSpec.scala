@@ -79,6 +79,26 @@ class ProfilingSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows.head.getAs[Long]("med") == 10L)
   }
 
+  test("robustOutliers: high-cardinality domains take the prefix path " +
+      "(no single-partition window)") {
+    // VERDICT r18 #6: the median window is bounded by the VALUE DOMAIN
+    // — fine for doc lengths, a single-task corpus window for id-like
+    // columns. Past domainCap the medians must ride Census.prefix:
+    // identical answer, per-range windows only.
+    val s = spark
+    import s.implicits._
+    val d = ((1L to 200L) ++ Seq(100000L)).toDF("v") // 201 distinct values
+    val viaWindow = Profiling.robustOutliers(d, "v", k = 3)
+      .collect().map(_.getAs[Long]("v")).sorted.toSeq
+    val guarded = Profiling.robustOutliers(d, "v", k = 3, domainCap = 100)
+    assert(guarded.collect().map(_.getAs[Long]("v")).sorted.toSeq
+      == viaWindow, "prefix-path medians diverged from the window path")
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(__v#") &&
+      !plan.contains("windowspecdefinition(__d#"), plan.take(3000))
+  }
+
   test("keyHeat: top-k by count, integer-exact hot flag") {
     val s = spark
     import s.implicits._
