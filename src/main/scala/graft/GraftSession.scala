@@ -36,6 +36,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce post-shuffle partitions by TARGET BYTES
+      // (advisoryPartitionSizeInBytes), not down to the core count:
+      // with parallelismFirst (the Spark default) every KB-sized
+      // exchange still fans out one task per core — a pure scheduling
+      // tax on small stages — and REBALANCE writes can never produce
+      // fewer files than cores. Spark's own doc recommends false; sized
+      // partitions are also the 100 TB posture (guide §2.2).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // fixture parquet carries TIMESTAMP(NANOS) — see graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

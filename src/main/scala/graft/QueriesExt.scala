@@ -47,7 +47,14 @@ object QueriesExt {
         val t0 = System.nanoTime()
         val p = java.nio.file.Files
           .createTempDirectory("graft_mv_").toString
-        build.write.mode("overwrite").parquet(p)
+        // REBALANCE before write (guide: size output files by bytes, not
+        // by upstream task count): without it the artifact inherits one
+        // file per build task — 32 footer-dominated KB files at fixture
+        // scale, and every consumer scan pays one task per file; with
+        // AQE the rebalance coalesces to advisoryPartitionSizeInBytes,
+        // which is also the 100 TB posture (~64 MB files, not one file
+        // per map task).
+        build.hint("REBALANCE").write.mode("overwrite").parquet(p)
         buildSecs(key) = (System.nanoTime() - t0) / 1e9
         p
       })

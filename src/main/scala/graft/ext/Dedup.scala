@@ -754,7 +754,14 @@ object Dedup {
       .distinct().persist()
     // checkpoint storage lives outside the cache manager; capture each
     // round's backing RDDs so superseded rounds are unpersisted instead
-    // of accumulating O(iterations) cached copies of the labels table
+    // of accumulating O(iterations) cached copies of the labels table.
+    // localCheckpoint (not persist): each round's consumers then plan
+    // against a materialized LogicalRDD with real size stats — joins on
+    // top stay broadcast-eligible and AQE-coalescible, which a cached
+    // deep plan is not (spark.sql.optimizer.canChangeCachedPlanOutput-
+    // Partitioning=false pins cached subtrees to their static plan; the
+    // r19 persist() experiment measured 3× slower rounds from exactly
+    // that).
     var (labels, cpRdds) = Caches.localCheckpointTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
@@ -765,9 +772,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")),
           Seq("dst"))
         .groupBy("id").agg(min("nbrComp").as("nbrComp"))
+      // `__old` rides along so convergence is a column comparison on the
+      // round's own cached rows — one count job over cache, replacing
+      // the former per-round shuffle join against the previous round
+      // (2 actions + an exchange per round → 1 exchange-free action).
       val hooked = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
       // SHORTCUT: follow the label one more step — comp(comp(u)) is
       // reachable from comp(u), hence still inside u's component; the
@@ -784,16 +795,17 @@ object Dedup {
         else hooked
           .join(hooked.select(col("id").as("comp"), col("comp").as("jump")),
             Seq("comp"), "left")
-          .select(col("id"),
+          .select(col("id"), col("__old"),
             least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
-      val (newLabels, newRdds) = Caches.localCheckpointTracked(jumped)
-      changed = newLabels
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") < col("old")).count()
-      // the convergence count above was this round's last reader of the
-      // previous checkpoint — release it before advancing
+      val (flagged, newRdds) = Caches.localCheckpointTracked(jumped
+        .select(col("id"), col("comp"),
+          (col("comp") < col("__old")).as("__chg")))
+      // convergence = one exchange-free scan of the round's own
+      // checkpoint — the former encoding joined the new labels back
+      // against the previous round (an extra shuffle join per round)
+      changed = flagged.filter(col("__chg")).count()
       cpRdds.foreach(_.unpersist(false))
-      labels = newLabels
+      labels = flagged.select("id", "comp")
       cpRdds = newRdds
       iter += 1
     }

@@ -34,6 +34,11 @@ object Caches {
     ds.persist()
   }
 
+  /** Register an ALREADY-persisted Dataset for [[releaseAll]] without
+    * re-persisting (operators that manage round-by-round unpersists
+    * themselves hand over only the surviving frame). */
+  def trackLive(ds: Dataset[_]): Unit = live.add(ds)
+
   /** Register a checkpoint-backing RDD for [[releaseAll]]. Unlike
     * [[track]]'s Dataset persists, a localCheckpoint's storage lives
     * OUTSIDE the cache manager (`catalog.clearCache()` never drains it)
