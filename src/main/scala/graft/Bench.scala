@@ -240,6 +240,16 @@ object Bench {
       // so a parallelism-first A/B stays one flag away
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // advisory partition size derived from the input footprint (see
+      // GraftSession.advisoryPartitionBytes): byte-based coalescing with
+      // the cluster-scale 64 MB default would serialize this corpus's
+      // compute-dense-but-byte-light candidate joins onto one task
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES",
+          GraftSession.advisoryPartitionBytes(
+            GraftSession.dirBytes(sfDir), cpus.toInt).toString))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        (256 << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

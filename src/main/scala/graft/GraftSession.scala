@@ -61,4 +61,30 @@ object GraftSession {
       .master(s"local[$threads]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  /** Scale-adaptive AQE advisory partition size (guide §2: derive the
+    * partitioning from the input, never a constant tuned for one
+    * deployment): with byte-based coalescing
+    * (`parallelismFirst=false`), the advisory size decides how much
+    * post-shuffle PARALLELISM a given data footprint gets — Spark's
+    * 64 MB default is tuned for cluster-scale shuffles and collapses a
+    * benchmark-scale corpus (tens of MB, but compute-dense candidate
+    * joins) onto one task. Target ≥4 shuffle partitions per core over
+    * the input footprint, clamped to [1 MB, 64 MB]: at 100 TB on 10k
+    * cores this is the 64 MB ceiling (the sized-partition posture); on
+    * a 32-core box over a 20 MB fixture it floors at 1 MB so a 25 MB
+    * exploded join still fans out across the cores. */
+  def advisoryPartitionBytes(inputBytes: Long, cores: Int): Long =
+    math.max(1L << 20,
+      math.min(64L << 20, inputBytes / math.max(1L, cores.toLong * 4)))
+
+  /** Total byte footprint of the files under `dir` (recursive) — the
+    * input-size term of [[advisoryPartitionBytes]]; a driver-side
+    * directory walk, no Spark job. */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
 }

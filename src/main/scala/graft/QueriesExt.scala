@@ -488,6 +488,45 @@ object QueriesExt {
         ngramGramIndex(s, dir).filter(col("id") % 2 === 0))
     }
 
+  /** "Yesterday's" pairs artifacts for the MinHash / SimHash / embedding
+    * tiers — the [[ngramOldPairs]] posture extended to the other three
+    * families (r19): each incremental query READS yesterday's pairs
+    * instead of re-deriving them from the old slice's signatures on
+    * every run, so its body is exactly the ingest path its doc claims —
+    * artifact reads + slice-sized delta — and its bench number measures
+    * ingest cost, not a daily re-derivation no deployment would do. Same
+    * rows (the artifact IS the old-pairs relation), same whole-corpus
+    * oracles. */
+  private def minhashOldPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"minhash_old_pairs:$dir") {
+      Dedup.minhashDupPairsPortableFromSignatures(
+        minhashSigIndex(s, dir).filter(col("id") % 2 === 0),
+        numHashes = 32, bands = 8, threshold = 0.5)
+    }
+
+  private def simhashOldPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"simhash_old_pairs:$dir") {
+      Dedup.simhashDupPairsPortableFromFingerprints(
+        simhashFpIndex(s, dir).filter(col("id") % 2 === 0), maxHamming = 3)
+    }
+
+  private def embeddingOldPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Materialized(s, s"embedding_old_pairs:$dir") {
+      // bucket(vec) depends only on the vector and the fixed hyperplane
+      // family, so sketching the even slice directly equals filtering a
+      // whole-corpus bucket table to even ids
+      val oldV = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+        .filter(col("id") % 2 === 0)
+      Dedup.embeddingDupPairsFromBuckets(
+        Dedup.embeddingBucketTable(oldV, "embedding", "id",
+          planes = EmbPlanes, tables = EmbTables, dim = 64), oldV,
+        "embedding", threshold = 0.4)
+    }
+
   /** "Yesterday's" CC LABEL artifact for `dir` (labels over the even-id
     * half under the whole-corpus census blocking) — persisted once like
     * every other corpus artifact; q_dedup_cc_incremental READS it and
@@ -779,12 +818,20 @@ object QueriesExt {
     val deduped = Dedup.fingerprintDedup(kept, "text", "doc_id")
     val toks = deduped.select(col("doc_id"), col("text"),
       Dedup.tokens(col("text")).as("__toks"))
-    val scored = toks.select(col("doc_id"),
+    // track: Census.prefix's range sampling would otherwise re-evaluate
+    // the whole rule-filter → dedup → quality lineage a second time
+    // (for the WARC-fed twin that includes re-parsing the crawl bytes) —
+    // the Census.prefix caller contract
+    val scored = graft.ops.Caches.track(toks.select(col("doc_id"),
       TextStats.qualityExpr(col("text"), col("__toks")).as("quality"),
-      size(col("__toks")).cast("long").as("n_tokens"))
-    val budgeted = graft.ops.Budget.selectByBudget(scored, "n_tokens",
-      col("quality").desc, "doc_id", budget = 5000L,
-      partitions = censusParts(s, dir))
+      size(col("__toks")).cast("long").as("n_tokens"))).toDF()
+    // track again before the epoch shuffle: its census would re-run the
+    // budget census' range shuffle + windows per pass (tiny frame — the
+    // budget's survivors — so the cache is rows, not a corpus)
+    val budgeted = graft.ops.Caches.track(
+      graft.ops.Budget.selectByBudget(scored, "n_tokens",
+        col("quality").desc, "doc_id", budget = 5000L,
+        partitions = censusParts(s, dir))).toDF()
     graft.ops.Shuffling.deterministicShuffle(
         budgeted.select("doc_id", "cum_tokens"),
         "doc_id", seed = "ep1", partitions = 8)
@@ -1329,12 +1376,10 @@ object QueriesExt {
         // chunk index (chunkIdxOldPath) — the slice's chunk values pin a
         // bounded (ci, shard) partition set at the scan
         // (Dedup.simhashDeltaSharded). Same whole-corpus oracle.
-        val fps = simhashFpIndex(s, dir)
-        val oldFps = fps.filter(col("id") % 2 === 0)
-        val newFps = fps.filter(col("id") % 2 =!= 0)
-        val oldPairs = Dedup.simhashDupPairsPortableFromFingerprints(
-          oldFps, maxHamming = 3)
-        oldPairs.unionByName(Dedup.simhashDeltaSharded(s,
+        // r19: yesterday's pairs are READ (simhashOldPairs artifact) —
+        // see q_dedup_incremental.
+        val newFps = simhashFpIndex(s, dir).filter(col("id") % 2 =!= 0)
+        simhashOldPairs(s, dir).unionByName(Dedup.simhashDeltaSharded(s,
           chunkIdxOldPath(s, dir), newFps, bits = 60, maxHamming = 3,
           shards = 16))
       },
@@ -1470,12 +1515,12 @@ object QueriesExt {
         // (Dedup.minhashDeltaSharded; plan-locked in
         // ShardedArtifactsSpec). Semantics identical to the flat
         // minhashPairsIncrementalPortable — same whole-corpus oracle.
-        val sigs = minhashSigIndex(s, dir)
-        val oldSigs = sigs.filter(col("id") % 2 === 0)
-        val newSigs = sigs.filter(col("id") % 2 =!= 0)
-        val oldPairs = Dedup.minhashDupPairsPortableFromSignatures(oldSigs,
-          numHashes = 32, bands = 8, threshold = 0.5)
-        oldPairs.unionByName(Dedup.minhashDeltaSharded(s,
+        // r19: yesterday's pairs are READ (minhashOldPairs artifact, the
+        // ngramOldPairs posture) — the query body is the ingest path:
+        // artifact reads + slice-sized delta, never a per-run
+        // re-derivation of the old corpus's pairs from its signatures.
+        val newSigs = minhashSigIndex(s, dir).filter(col("id") % 2 =!= 0)
+        minhashOldPairs(s, dir).unionByName(Dedup.minhashDeltaSharded(s,
             bandIdxOldPath(s, dir), newSigs, numHashes = 32, bands = 8,
             threshold = 0.5, maxBucket = 1000, shards = 16))
           .withColumn("est_jaccard", round4(col("est_jaccard")))
@@ -1572,10 +1617,10 @@ object QueriesExt {
         // (Dedup.assignComponentsIncrementalSharded) — untouched labels
         // re-enter by one anti-join scan, never through the CC loop.
         val labels = labelsOldPath(s, dir)
-        val delta = Dedup.ngramJaccardCrossPairsFromGramsWithCensus(gOld,
-            gNew, census, threshold = 0.5, maxDf = cap)
-          .unionByName(Dedup.ngramJaccardPairsFromGramsWithCensus(gNew,
-            census, threshold = 0.5, maxDf = cap))
+        // r19: cross ∪ self through the shared-blocked delta (one census
+        // block + one cached slice gram table feed both branches)
+        val delta = Dedup.ngramJaccardDeltaFromGramsWithCensus(gOld,
+          gNew, census, threshold = 0.5, maxDf = cap)
         Dedup.assignComponentsIncrementalSharded(s, s"$labels/by_id",
           s"$labels/by_comp", docs.filter(col("doc_id") % 2 =!= 0),
           delta, "doc_id", shards = 16)
@@ -1643,17 +1688,16 @@ object QueriesExt {
         // the candidate-named old vectors from the id-sharded vector
         // table (vecsOldPath) — Dedup.embeddingDeltaSharded's two-phase
         // pruned fetch. Same whole-corpus oracle.
-        val embs = t(s, dir, "embeddings")
-        val vecs = embs.select(col("vec_id").as("id"), col("embedding"))
-        val buckets = Dedup.embeddingBucketTable(vecs, "embedding", "id",
+        // r19: yesterday's pairs are READ (embeddingOldPairs artifact) —
+        // see q_dedup_incremental; the slice sketches only ITS vectors
+        // (bucket(vec) is a pure function of the vector, so sketching
+        // the odd slice equals filtering a whole-corpus bucket table).
+        val newV = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+          .filter(col("id") % 2 =!= 0)
+        val newB = Dedup.embeddingBucketTable(newV, "embedding", "id",
           planes = EmbPlanes, tables = EmbTables, dim = 64)
-        val oldV = vecs.filter(col("id") % 2 === 0)
-        val newV = vecs.filter(col("id") % 2 =!= 0)
-        val oldB = buckets.filter(col("id") % 2 === 0)
-        val newB = buckets.filter(col("id") % 2 =!= 0)
-        val oldPairs = Dedup.embeddingDupPairsFromBuckets(oldB, oldV,
-          "embedding", threshold = 0.4)
-        oldPairs.unionByName(Dedup.embeddingDeltaSharded(s,
+        embeddingOldPairs(s, dir).unionByName(Dedup.embeddingDeltaSharded(s,
             bucketIdxOldPath(s, dir), vecsOldPath(s, dir), newB, newV,
             "embedding", threshold = 0.4, shards = 16))
           .withColumn("cos", round4(col("cos")))
@@ -3446,10 +3490,16 @@ object QueriesExt {
     QueryCase("q_span_incremental",
       (s, dir) => {
         val docs = Dedup.parallelize(t(s, dir, "documents"))
-        def half(m: Int) = docs.filter(col("doc_id") % 2 === m)
+        // r19: yesterday's partial census is READ (Materialized — the
+        // ngramOldPairs posture); only today's half is censused per run.
+        val oldCensus = Materialized(s, s"span_census_old:$dir") {
+          Spans.spanCensus(docs.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id", 8)
+        }
         val merged = graft.ops.Maintenance.mergePartialAggregates(
-            Seq(Spans.spanCensus(half(0), "text", "doc_id", 8),
-              Spans.spanCensus(half(1), "text", "doc_id", 8)),
+            Seq(oldCensus,
+              Spans.spanCensus(docs.filter(col("doc_id") % 2 === 1),
+                "text", "doc_id", 8)),
             Seq("sh"), Seq("n_docs", "n_occ"))
           .filter(col("n_docs") >= 2)
         Spans.reportFromKeys(docs, "text", "doc_id", 8, merged)

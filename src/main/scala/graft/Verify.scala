@@ -19,6 +19,12 @@ object Verify {
       // shape the bench times)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES",
+          GraftSession.advisoryPartitionBytes(
+            GraftSession.dirBytes(sfDir), cpus.toInt).toString))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        (256 << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

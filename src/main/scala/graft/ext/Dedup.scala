@@ -748,10 +748,15 @@ object Dedup {
   private[graft] def connectedComponentsWithStats(pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
     import graft.ops.Caches
+    // No distinct() on the edge set: duplicate edges are harmless under
+    // the per-node min aggregation below (idempotent), and the distinct
+    // was a full shuffle of the corpus-sized edge relation on a key
+    // (src,dst) no downstream join reuses — the per-round join keys on
+    // dst alone, so the edges were reshuffled anyway (r19, guide §2.4).
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .persist()
     // checkpoint storage lives outside the cache manager; capture each
     // round's backing RDDs so superseded rounds are unpersisted instead
     // of accumulating O(iterations) cached copies of the labels table.
@@ -1361,13 +1366,14 @@ object Dedup {
       .select("g", "df")
     val merged = graft.ops.Caches.track(
       mergeGramCensus(censusOld, ngramGramCensus(gramsNew)))
-    val cross = ngramJaccardCrossPairsFromGramsWithCensus(gramsOld,
-        gramsNew, merged, threshold, maxDf)
+    // r19: shared-blocked delta — one census block + one cached slice
+    // gram table feed cross AND self. Canonicalizing the whole union is
+    // identical to canonicalizing only the cross rows (self pairs
+    // already satisfy id_a < id_b).
+    ngramJaccardDeltaFromGramsWithCensus(gramsOld, gramsNew, merged,
+        threshold, maxDf)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
-    val newSelf = ngramJaccardPairsFromGramsWithCensus(gramsNew, merged,
-      threshold, maxDf)
-    cross.unionByName(newSelf)
   }
 
   /** Direct count-join exact-Jaccard pairs with the df blocking cap read
@@ -1380,6 +1386,31 @@ object Dedup {
     jaccardFromCounts(pairCountsBlocked(
       grams.join(census.filter(col("df") <= maxDf).select("g"), Seq("g"))),
       threshold)
+
+  /** Cross(old, new) ∪ self(new) exact-Jaccard delta with the census
+    * block applied ONCE per side: the slice's blocked gram table is
+    * computed and cached once and feeds both branches — the separate
+    * cross+self encoding read the slice grams and the census twice each
+    * (r19, guide §2.4: two operations keyed the same way share one
+    * pass). Row-identical to
+    * [[ngramJaccardCrossPairsFromGramsWithCensus]] ∪
+    * [[ngramJaccardPairsFromGramsWithCensus]] (cross side keeps its
+    * A→id_a orientation; callers canonicalize if they need to). */
+  def ngramJaccardDeltaFromGramsWithCensus(gramsOld: DataFrame,
+      gramsNew: DataFrame, census: DataFrame, threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val ok = census.filter(col("df") <= maxDf).select("g")
+    val blockedNew = graft.ops.Caches.track(gramsNew.join(ok, Seq("g")))
+    val cross = gramsOld.join(ok, Seq("g"))
+      .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(blockedNew.select(col("g"), col("id").as("id_b"),
+        col("nsz").as("nb")), Seq("g"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+    jaccardFromCounts(cross, threshold)
+      .unionByName(jaccardFromCounts(pairCountsBlocked(blockedNew.toDF()),
+        threshold))
+  }
 
   private def pairCountsBlocked(blocked: DataFrame): DataFrame = blocked
     .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))

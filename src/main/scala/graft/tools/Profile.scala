@@ -25,6 +25,12 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES",
+          graft.GraftSession.advisoryPartitionBytes(
+            graft.GraftSession.dirBytes(sfDir), cpus.toInt).toString))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        (256 << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
