@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
 import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: every registered query timed at
@@ -150,11 +151,21 @@ object Bench {
     * speed no longer reachable — raw totals ride alongside in every
     * line, and drift > 2 is flagged for manual reading (`drift_high`). */
   def prevAnchorMed(sfDir: String,
-      repoDir: String = "/root/repo"): Option[Double] = {
+      repoDir: String = "/root/repo"): Option[Double] =
+    prevAnchorKeyMed("anchor_med", sfDir, repoDir)
+
+  /** [[prevAnchorMed]] for the r19 mid-weight SHUFFLE anchor series
+    * (`anchor2_med`) — None until the first run that recorded one. */
+  def prevAnchor2Med(sfDir: String,
+      repoDir: String = "/root/repo"): Option[Double] =
+    prevAnchorKeyMed("anchor2_med", sfDir, repoDir)
+
+  private def prevAnchorKeyMed(key: String, sfDir: String,
+      repoDir: String): Option[Double] = {
     val hist = new java.io.File(s"$repoDir/BENCH_HISTORY.jsonl")
     if (!hist.isFile) return None
     val sfTag = "\"sf\":" + jstr(sfDir)
-    val re = java.util.regex.Pattern.compile("\"anchor_med\":([0-9.]+)")
+    val re = java.util.regex.Pattern.compile("\"" + key + "\":([0-9.]+)")
     try {
       val all = Files.readAllLines(hist.toPath).toArray.toSeq
         .map(_.toString)
@@ -278,9 +289,32 @@ object Bench {
         .selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // MID-WEIGHT SHUFFLE ANCHOR (VERDICT r18 #1): the sub-second
+    // CPU anchor above cannot distinguish "host slow" from
+    // "parallel-heavy spread slow" — r18's two same-evening runs agreed
+    // on ~84 s raw while reporting drift 0.96 vs 1.62. This anchor is a
+    // FIXED synthetic one-exchange aggregation (~1-2 s idle: 48M rows
+    // hash-repartitioned into 64 explicit partitions — AQE-exempt, so
+    // its task layout never varies) whose time moves with the host's
+    // shuffle+scheduling throughput, the resource the spread queries
+    // actually contend on. Reported as anchor2_med/drift2 NEXT TO the
+    // CPU anchor (anchor_med keeps its series semantics; history lines
+    // stay comparable).
+    def anchor2Sample(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48000000L, 1, cpus.toInt)
+        .selectExpr("pmod(xxhash64(id), 4096) AS k", "id")
+        .repartition(64, col("k"))
+        .groupBy("k").agg(expr("sum(id)"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     anchorSample() // JIT/codegen warm for the anchor's own plan
     val anchors = scala.collection.mutable.ListBuffer[Double]()
     anchors += anchorSample()
+    anchor2Sample() // warm
+    val anchors2 = scala.collection.mutable.ListBuffer[Double]()
+    anchors2 += anchor2Sample()
 
     val benchT0 = System.nanoTime()
     val rerunSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SEC", "3.0").toDouble
@@ -325,6 +359,7 @@ object Bench {
     }
     val best = scala.collection.mutable.LinkedHashMap(first.toSeq: _*)
     anchors += anchorSample() // mid-run host sample
+    anchors2 += anchor2Sample()
     // Passes 2-3: only queries still above the noise threshold (and not
     // failed — a broken query re-run twice is just a slower broken query).
     var rerun = 0
@@ -351,8 +386,12 @@ object Bench {
       }
     }
     anchors += anchorSample() // end-of-run host sample
+    anchors2 += anchor2Sample()
     val anchorMed = anchors.sorted.apply(anchors.size / 2)
+    val anchor2Med = anchors2.sorted.apply(anchors2.size / 2)
     val prevAnchor = prevAnchorMed(sfDir)
+    val prevAnchor2 = prevAnchor2Med(sfDir)
+    val drift2 = prevAnchor2.map(anchor2Med / _)
     // drift > 1 = host slower than last run; the normalized total is
     // what this run WOULD have cost at the previous run's host speed
     val drift = prevAnchor.map(anchorMed / _)
@@ -427,6 +466,10 @@ object Bench {
     // the raw total, so host swings stop being adjudication work.
     val driftJson =
       s""""anchor":{"samples":[${anchors.map(r3).mkString(",")}],"med":${r3(anchorMed)}},"anchor_med":${r3(anchorMed)}""" +
+        s""","anchor2":{"samples":[${anchors2.map(r3).mkString(",")}],"med":${r3(anchor2Med)}},"anchor2_med":${r3(anchor2Med)}""" +
+        drift2.map(d =>
+          s""","prev_anchor2_med":${r3(prevAnchor2.get)},"drift2":${f"$d%.3f"},"normalized2_total":${f"${total / d}%.2f"}""")
+          .getOrElse("") +
         drift.map(d =>
           s""","prev_anchor_med":${r3(prevAnchor.get)},"drift":${f"$d%.3f"},"drift_high":${d > 2.0},"normalized_total":${f"${total / d}%.2f"},"normalized_production_total":${f"${productionTotal / d}%.2f"}""")
           .getOrElse("")
@@ -462,6 +505,8 @@ object Bench {
     // stdout line said "min_of_retries" while history said the
     // thresholded variant — two names for one measurement).
     val driftCompact = s""""anchor_med":${r2(anchorMed)}""" +
+      s""","anchor2_med":${r2(anchor2Med)}""" +
+      drift2.map(d => s""","drift2":${f"$d%.2f"}""").getOrElse("") +
       drift.map(d => s""","drift":${f"$d%.2f"},"normalized_total":${r2(total / d)}""").getOrElse("")
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","method":"min_of_retries_gt_${rerunSec}s","wall_sec":${r2(wallSec)},"r1_total":${r2(r1Total)},"production_total":${r2(productionTotal)},"anchors_total":${r2(anchorsTotal)},$driftCompact,"n_queries":${results.size},"n_errors":${errors.size},"n_codegen_fallbacks":${fellBack.size},"n_moved":${moved.size},"moved":$movedCompact,"prev_bench":${jstr(prevName)},"loadavg":${jstr(loadavg)},"sf":${jstr(sfDir)},"detail":"bench_out.json","queries":{"""
     val budget = 1500 - prefix.length

@@ -1621,8 +1621,11 @@ object Dedup {
     // sketch buckets, vectors re-attached per distinct pair for the exact
     // cosine verification (don't shuffle 64-float payloads through the
     // pre-dedup candidate explosion).
+    // parallelize: the sign-sketch projection (tables × planes dot
+    // products per row) is CPU-dense and a single-file vector fixture
+    // plans to ONE scan task (no-op at corpus scale)
     val vecs = graft.ops.Caches.track(
-      df.select(col(idCol).as("id"), col(vecCol)))
+      parallelize(df).select(col(idCol).as("id"), col(vecCol)))
     embeddingDupPairsFromBuckets(
       embeddingBucketTable(vecs, vecCol, "id", planes, tables, dim, seed),
       vecs, vecCol, threshold)
@@ -1877,7 +1880,10 @@ object Dedup {
   def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[(Int, Array[Float])], threshold: Double,
       maxCell: Int = 10000): DataFrame = {
-    val cells = Similarity.ivfAssign(df, vecCol, centroids)
+    // parallelize: the argmax-over-centroids assignment is the CPU-dense
+    // stage and a single-file vector fixture plans to ONE scan task
+    // (same under-split guard as the text tiers; no-op at corpus scale)
+    val cells = Similarity.ivfAssign(parallelize(df), vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
       .pipe(graft.ops.Caches.track) // feeds the cell-size census and both join sides
     val okCells = cells.groupBy("cell").count()

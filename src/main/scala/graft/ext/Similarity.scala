@@ -235,8 +235,12 @@ object Similarity {
       nlist: Int, iterations: Int = 5): Array[(Int, Array[Float])] = {
     var cents = sampleCentroids(df, vecCol, idCol, nlist)
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    // parallelize once: every Lloyd iteration re-runs the CPU-dense
+    // argmax assignment + posexplode over the corpus, and a single-file
+    // vector fixture plans that to ONE task (no-op at corpus scale)
+    val pdf = graft.ext.Dedup.parallelize(df)
     for (_ <- 0 until iterations) {
-      val means = ivfAssign(df, vecCol, cents)
+      val means = ivfAssign(pdf, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg((sum(col("x").cast("decimal(27,10)")).cast("double")

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.ext.Sharded
@@ -767,15 +767,40 @@ object AdmissionRegistry {
     * in-memory frames, which have no file list to qualify on (the
     * per-family row guards — literalCap, null/non-integral-id
     * fallback — still apply under force, so even a forced oversized
-    * batch degrades to one bounded collect, not an OOM). */
-  def smallTrigger(batch: DataFrame, maxBytes: Long): Boolean = {
+    * batch degrades to one bounded collect, not an OOM).
+    *
+    * r19, closing the hole the ADVICE fix opened: the engine's own
+    * streaming sources (WARC arrival, and any V1/RDD-backed source)
+    * report an EMPTY `inputFiles` for every micro-batch, so the sound
+    * "empty = not small" rule routed THEIR genuinely tiny triggers onto
+    * the 9-job distributed path too (measured: 1.29 s/trigger on the
+    * TriggerProfile shape that ran 0.65 s in r18 — r18's number was
+    * powered by the unsound empty-is-small gate). When the caller
+    * passes `probeSize` (a per-row payload-size expression only the
+    * family knows), an empty file list falls back to ONE bounded probe
+    * job: collect at most [[probeRowCap]]+1 size values through a
+    * `limit` (the scan stops early on a big batch, and the driver
+    * receives longs, never payloads) and qualify iff the row count AND
+    * the summed payload bytes are under the gates. Sound for any
+    * source; costs one sub-batch-scan job only on the no-file-list
+    * path, which the fast path's 5-job saving dwarfs. */
+  def smallTrigger(batch: DataFrame, maxBytes: Long): Boolean =
+    smallTrigger(batch, maxBytes, None)
+
+  /** Probe-row ceiling for the no-file-list qualification: far above a
+    * sane micro-batch, far below driver-memory relevance (the probe
+    * collects one long per row). */
+  val probeRowCap: Int = 4096
+
+  def smallTrigger(batch: DataFrame, maxBytes: Long,
+      probeSize: Option[Column]): Boolean = {
     val mode = batch.sparkSession.conf
       .getOption("spark.graft.admissionFastPath").getOrElse("auto")
     if (mode.equalsIgnoreCase("off")) false
     else if (mode.equalsIgnoreCase("force")) true
     else (try {
       val files = batch.inputFiles
-      files.nonEmpty && files.length <= 64 && {
+      if (files.nonEmpty) files.length <= 64 && {
         val conf = batch.sparkSession.sessionState.newHadoopConf()
         var total = 0L
         files.foreach { f =>
@@ -783,6 +808,13 @@ object AdmissionRegistry {
           total += p.getFileSystem(conf).getFileStatus(p).getLen
         }
         total <= maxBytes
+      }
+      else probeSize.exists { sz =>
+        val sizes = batch
+          .select(coalesce(sz.cast("long"), lit(0L)).as("__sz"))
+          .limit(probeRowCap + 1).collect()
+        sizes.length <= probeRowCap &&
+          sizes.iterator.map(_.getLong(0)).sum <= maxBytes
       }
     } catch { case scala.util.control.NonFatal(_) => false })
   }

@@ -104,7 +104,10 @@ class NearDupAdmission(stateDir: String, textCol: String, idCol: String,
     // registry's directory count bounded on an unbounded stream.
     timed("maybeCompact")(registry.maybeCompact(spark, batchId, compactEvery))
     if (AdmissionRegistry.smallTrigger(batch,
-        NearDupAdmission.fastPathMaxInputBytes))
+        NearDupAdmission.fastPathMaxInputBytes,
+        // no-file-list sources qualify through the bounded size probe
+        // (one job, longs only) — the family knows its payload column
+        Some(org.apache.spark.sql.functions.length(col(textCol)))))
       admitSmall(batch, batchId, probe)
     else admitJobs(batch, batchId, probe)
     }

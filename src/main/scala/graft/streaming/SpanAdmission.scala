@@ -74,7 +74,9 @@ class SpanAdmission(stateDir: String, textCol: String, idCol: String,
     // committed by the time the sink sees this one, so folding them is
     // replay-safe and bounds the registry's directory count.
     registry.maybeCompact(spark, batchId, compactEvery)
-    if (AdmissionRegistry.smallTrigger(batch, 4L << 20))
+    if (AdmissionRegistry.smallTrigger(batch, 4L << 20,
+        Some(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col(textCol)))))
       admitSmall(batch, batchId)
     else admitJobs(batch, batchId)
     }

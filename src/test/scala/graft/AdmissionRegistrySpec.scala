@@ -652,6 +652,38 @@ class AdmissionRegistrySpec extends AnyFunSuite with SparkTestSupport {
     finally s.conf.unset("spark.graft.admissionFastPath")
   }
 
+  test("smallTrigger: no-file-list batches qualify through the size probe") {
+    // r19: the engine's own arrival sources (WARC, any RDD-backed V1
+    // source) report empty inputFiles for every micro-batch, so the
+    // sound empty-is-not-small rule exiled THEIR tiny triggers to the
+    // 9-job distributed path. With a caller-supplied per-row payload
+    // size expression the gate runs ONE bounded limit-collect of longs:
+    // qualify iff row count ≤ probeRowCap AND summed bytes ≤ maxBytes.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val mem = Seq((1L, "short doc"), (2L, "another short doc"))
+      .toDF("doc_id", "text")
+    assert(mem.inputFiles.isEmpty)
+    val probe = Some(length(col("text")))
+    // without a probe: still not small (the 2-arg contract is unchanged)
+    assert(!AdmissionRegistry.smallTrigger(mem, maxBytes = 1L << 20))
+    // with the probe: qualifies under the byte gate...
+    assert(AdmissionRegistry.smallTrigger(mem, 1L << 20, probe))
+    // ...fails past it...
+    assert(!AdmissionRegistry.smallTrigger(mem, 10L, probe))
+    // ...and null payloads count as zero bytes, not an error.
+    val withNull = Seq((1L, "short"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(AdmissionRegistry.smallTrigger(withNull, 1L << 20, probe))
+    // row-cap arm: a batch past probeRowCap rows must NOT qualify even
+    // when its bytes are tiny (the limit stops the scan early, so this
+    // is also the bounded-collect guarantee).
+    val wide = s.range(AdmissionRegistry.probeRowCap + 8L)
+      .selectExpr("id AS doc_id", "'x' AS text")
+    assert(!AdmissionRegistry.smallTrigger(wide, 1L << 20, probe))
+  }
+
   test("fast path keeps null-id docs with tokenless text (3VL guard)") {
     // ADVICE r18 (medium): a null-id doc whose text yields no tokens
     // produces no bucket/span row, so the null-id job-path fallback
