@@ -248,9 +248,11 @@ object Dedup {
         (sb, boundedBuckets(sb))
     }
 
-    val joined = boundedA
-      .select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(boundedB.select(col("band"), col("bucket"), col("id").as("id_b")),
+    val joined = pinned(boundedA
+      .select(col("band"), col("bucket"), col("id").as("id_a")),
+        col("band"), col("bucket"))
+      .join(pinned(boundedB.select(col("band"), col("bucket"),
+        col("id").as("id_b")), col("band"), col("bucket")),
         Seq("band", "bucket"))
     val pairs = (if (sigsB0.isEmpty) joined.filter(col("id_a") < col("id_b"))
       else joined)
@@ -1009,10 +1011,11 @@ object Dedup {
     val ca = chunked(fpA0)
     val cb = fpB0.map(chunked).getOrElse(ca)
 
-    val joined = ca
-      .select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
-      .join(cb.select(col("ci"), col("cv"), col("id").as("id_b"),
-        col("fp").as("fp_b")), Seq("ci", "cv"))
+    val joined = pinned(ca
+      .select(col("ci"), col("cv"), col("id").as("id_a"),
+        col("fp").as("fp_a")), col("ci"), col("cv"))
+      .join(pinned(cb.select(col("ci"), col("cv"), col("id").as("id_b"),
+        col("fp").as("fp_b")), col("ci"), col("cv")), Seq("ci", "cv"))
     (if (fpB0.isEmpty) joined.filter(col("id_a") < col("id_b")) else joined)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
@@ -1400,8 +1403,9 @@ object Dedup {
       gramsNew: DataFrame, census: DataFrame, threshold: Double,
       maxDf: Int = 1000): DataFrame = {
     val ok = census.filter(col("df") <= maxDf).select("g")
-    val blockedNew = graft.ops.Caches.track(gramsNew.join(ok, Seq("g")))
-    val cross = gramsOld.join(ok, Seq("g"))
+    val blockedNew = graft.ops.Caches.track(
+      pinned(gramsNew.join(ok, Seq("g")), col("g")))
+    val cross = pinned(gramsOld.join(ok, Seq("g")), col("g"))
       .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
       .join(blockedNew.select(col("g"), col("id").as("id_b"),
         col("nsz").as("nb")), Seq("g"))
@@ -1412,13 +1416,28 @@ object Dedup {
         threshold))
   }
 
-  private def pairCountsBlocked(blocked: DataFrame): DataFrame = blocked
-    .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
-    .join(blocked.select(col("g"), col("id").as("id_b"),
-      col("nsz").as("nb")), Seq("g"))
-    .filter(col("id_a") < col("id_b"))
-    .groupBy("id_a", "id_b", "na", "nb")
-    .agg(count(lit(1)).as("c"))
+  /** Exchange pin for the COMPUTE-DENSE candidate joins: their per-key
+    * work is quadratic in the posting-list length while their shuffle
+    * BYTES stay small, so AQE's byte-based coalescing would collapse
+    * exactly the stages that need the cores onto a handful of tasks
+    * (r19, measured: the cc-incremental delta's pair-count stage ran 3
+    * tasks × ~0.6 s). An explicit-numPartitions repartition is exempt
+    * from AQE coalescing; the count comes from the session's
+    * shuffle.partitions — the cluster-sized knob, not a constant. */
+  private def pinned(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*)
+
+  private def pairCountsBlocked(blocked0: DataFrame): DataFrame = {
+    val blocked = pinned(blocked0, col("g"))
+    blocked
+      .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(blocked.select(col("g"), col("id").as("id_b"),
+        col("nsz").as("nb")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+  }
 
   private def jaccardFromCounts(counted: DataFrame,
       threshold: Double): DataFrame = counted
@@ -1688,8 +1707,9 @@ object Dedup {
     * candidate join reads (id, t, bucket) rows, and only the exact-cosine
     * verify touches vectors (joined back by id from `vecs` = (id,
     * `vecCol`)). */
-  def embeddingDupPairsFromBuckets(buckets: DataFrame, vecs: DataFrame,
+  def embeddingDupPairsFromBuckets(buckets0: DataFrame, vecs: DataFrame,
       vecCol: String, threshold: Double): DataFrame = {
+    val buckets = pinned(buckets0, col("t"), col("bucket"))
     val pairs = buckets.select(col("t"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("t"), col("bucket"), col("id").as("id_b")),
         Seq("t", "bucket"))
@@ -1888,7 +1908,7 @@ object Dedup {
       .pipe(graft.ops.Caches.track) // feeds the cell-size census and both join sides
     val okCells = cells.groupBy("cell").count()
       .filter(col("count") <= maxCell).select("cell")
-    val bounded = cells.join(okCells, Seq("cell"))
+    val bounded = pinned(cells.join(okCells, Seq("cell")), col("cell"))
     bounded.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(bounded.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
         Seq("cell"))

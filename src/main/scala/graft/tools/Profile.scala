@@ -60,8 +60,11 @@ object Profile {
         stages.incrementAndGet()
         if (verbose) {
           val i = s.stageInfo
+          val ms = (for {
+            a <- i.submissionTime; b <- i.completionTime
+          } yield b - a).getOrElse(-1L)
           println(f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%3d " +
-            f"${i.name.take(90)}")
+            f"ms=$ms%5d ${i.name.take(80)}")
         }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
