@@ -58,7 +58,9 @@ object QueriesExt {
         buildSecs(key) = (System.nanoTime() - t0) / 1e9
         p
       })
-      s.read.parquet(path)
+      // memoized read: artifacts are write-once per JVM, and the old
+      // per-call read.parquet paid a schema-inference job per consumer
+      graft.sources.Pq.read(s, path)
     }
     def buildSeconds: Map[String, Double] = buildSecs.toMap
     def recordBuild(key: String, secs: Double): Unit = buildSecs(key) = secs

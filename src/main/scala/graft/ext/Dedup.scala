@@ -60,9 +60,25 @@ object Dedup {
     * task — at sf0.1 the whole signature build ran single-threaded). At
     * corpus scale inputs already have ≥|cores| splits and this is a no-op;
     * the guarded repartition only pays one raw-text shuffle when the
-    * source is under-split. */
+    * source is under-split.
+    *
+    * The fan-out target is SIZE-DERIVED, capped at the core count (r20,
+    * guide §2 "derive the partitioning from the input"): one partition
+    * per 64 KB of plan-estimated input. The divisor sits far below the
+    * scan's 128 MB split size because bytes deliberately UNDERSTATE
+    * per-row compute on these call sites (sign sketches, token votes,
+    * argmax over centroids) — anything ≥ cores·64 KB still gets the full
+    * core count, while a sub-MB under-split input stops paying |cores|
+    * near-empty tasks in every downstream stage (r19 shipped the flat
+    * |cores| target; the scaling block showed those stages are pure task
+    * overhead at fixture scale). */
   private[graft] def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // clamp in BigInt before narrowing: a join-estimate blowup must
+    // saturate at the core count, not overflow toLong
+    val target =
+      ((est / (64L << 10)) + 1).min(BigInt(cores)).max(BigInt(1)).toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
@@ -517,6 +533,7 @@ object Dedup {
         pmod(xxhash64(col("bk.bucket")), lit(shards)).as("shard"))
       .repartition(col("band"), col("shard")) // one file per directory
       .write.partitionBy("band", "shard").mode(mode).parquet(path)
+    graft.sources.Pq.invalidate(path)
   }
 
   /** Probe the sharded band index with a raw query signature: ONE scan
@@ -545,7 +562,7 @@ object Dedup {
       .select(qBuckets.map(bs =>
         pmod(xxhash64(lit(bs)), lit(shards))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
-    val index = spark.read.parquet(path)
+    val index = graft.sources.Pq.read(spark, path)
     val qLit = array(q.map(lit): _*)
     val candidates = index.filter((0 until bands).map { b =>
         col("band") === lit(b) && col("shard") === lit(qShards(b)) &&
@@ -579,7 +596,7 @@ object Dedup {
         probeShardedBandIndex(spark, path, row.getSeq[Long](0), numHashes,
           bands, threshold, shards, excludeId = None)
       case None =>
-        spark.read.parquet(path)
+        graft.sources.Pq.read(spark, path)
           .select(col("id").as("doc_id"), lit(0.0).as("est_jaccard"))
           .limit(0)
     }
@@ -621,7 +638,7 @@ object Dedup {
     val nb = graft.ops.Caches.track(nb0)
     val touched = nb.select("band", "shard").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
-    val pruned = spark.read.parquet(indexPath)
+    val pruned = graft.sources.Pq.read(spark, indexPath)
       .filter(touched.map { case (b, sh) =>
         col("band") === lit(b) && col("shard") === lit(sh)
       }.reduce(_ || _))
@@ -706,7 +723,7 @@ object Dedup {
       path: String, docId: Long, shards: Int = 16): DataFrame = {
     val qShard = spark.range(1)
       .select(Sharded.shardOf(lit(docId), shards)).head().getInt(0)
-    spark.read.parquet(path)
+    graft.sources.Pq.read(spark, path)
       .filter(col("shard") === lit(qShard) && col("doc_id") === lit(docId))
       .select("other", "score")
   }
@@ -755,9 +772,26 @@ object Dedup {
     // was a full shuffle of the corpus-sized edge relation on a key
     // (src,dst) no downstream join reuses — the per-round join keys on
     // dst alone, so the edges were reshuffled anyway (r19, guide §2.4).
+    // Symmetrize by EXPLODE, not union-of-two-selects (r20): the union
+    // form computed the whole `pairs` lineage twice in one stage AND
+    // persisted 2×|pairs partitions| cache blocks — every round's join
+    // then re-mapped all of them (measured on the incremental path: a
+    // 160-task map stage per round for a KB-sized delta graph). One
+    // explode pass = one computation, half the cached partitions.
+    // coalesce to the core count before persisting: `pairs` is typically a
+    // union of cached agg outputs whose partition counts ADD (measured 80
+    // KB-sized partitions on the incremental path), and every round's join
+    // re-maps every cached partition — coalesce merges them without a
+    // shuffle and is a no-op when the input already has ≤ cores splits;
+    // at cluster scale defaultParallelism is the cluster-core knob, so
+    // per-round scheduling stays bounded by the hardware, not by how many
+    // branches built the pairs relation.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .coalesce(pairs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     // checkpoint storage lives outside the cache manager; capture each
     // round's backing RDDs so superseded rounds are unpersisted instead
@@ -809,8 +843,13 @@ object Dedup {
           (col("comp") < col("__old")).as("__chg")))
       // convergence = one exchange-free scan of the round's own
       // checkpoint — the former encoding joined the new labels back
-      // against the previous round (an extra shuffle join per round)
-      changed = flagged.filter(col("__chg")).count()
+      // against the previous round (an extra shuffle join per round).
+      // Round 1's count is SKIPPED (r20): any edge (a,b), a≠b lowers
+      // max(a,b)'s label in round 1, so a first-round "no change" can
+      // only happen on an empty/self-loop-only graph — there the only
+      // cost of assuming change is one extra (empty-frame) round, while
+      // every real CC call saves one action per invocation.
+      changed = if (iter == 0) 1L else flagged.filter(col("__chg")).count()
       cpRdds.foreach(_.unpersist(false))
       labels = flagged.select("id", "comp")
       cpRdds = newRdds
@@ -920,7 +959,7 @@ object Dedup {
       .union(deltaIds.select(col(idCol))).distinct()
     val relabeled = assignComponents(affectedDocs,
       star.unionByName(delta), idCol)
-    val untouchedOld = spark.read.parquet(pathById).drop("shard")
+    val untouchedOld = graft.sources.Pq.read(spark, pathById).drop("shard")
       .join(touchedComps, Seq("component"), "left_anti")
       .select(col(idCol), col("component"))
     val sliceSingletons = sliceDocs.select(col(idCol))
@@ -1088,6 +1127,7 @@ object Dedup {
         Sharded.shardOf(col("chunk.cv"), shards).as("shard"))
       .repartition(col("ci"), col("shard")) // one file per directory
       .write.partitionBy("ci", "shard").mode(mode).parquet(path)
+    graft.sources.Pq.invalidate(path)
   }
 
   /** Point probe over a [[writeShardedChunkIndex]] artifact — the
@@ -1110,7 +1150,7 @@ object Dedup {
     val qShards = spark.range(1)
       .select(qcv.map { case (_, v) => Sharded.shardOf(lit(v), shards) }: _*)
       .head().toSeq.map(_.asInstanceOf[Int])
-    val cands = spark.read.parquet(path)
+    val cands = graft.sources.Pq.read(spark, path)
       .filter(qcv.zipWithIndex.map { case ((c, v), i) =>
         col("ci") === lit(c) && col("shard") === lit(qShards(i)) &&
           col("cv") === lit(v)
@@ -1146,7 +1186,7 @@ object Dedup {
         Sharded.shardOf(col("chunk.cv"), shards).as("shard")))
     val touched = nb.select("ci", "shard").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
-    val pruned = spark.read.parquet(indexPath)
+    val pruned = graft.sources.Pq.read(spark, indexPath)
       .filter(touched.map { case (ci, sh) =>
         col("ci") === lit(ci) && col("shard") === lit(sh)
       }.reduce(_ || _))
@@ -1405,15 +1445,31 @@ object Dedup {
     val ok = census.filter(col("df") <= maxDf).select("g")
     val blockedNew = graft.ops.Caches.track(
       pinned(gramsNew.join(ok, Seq("g")), col("g")))
-    val cross = pinned(gramsOld.join(ok, Seq("g")), col("g"))
+    // blockedNew is ALREADY pinned (and cached with that layout) — no
+    // further exchange on either self-join side (r20). Cross and self
+    // CO-AGGREGATE through one exchange: the two candidate streams'
+    // (id_a, id_b) key spaces are disjoint (cross pairs old×new ids,
+    // self pairs new×new — the corpora are id-disjoint by the merge-law
+    // contract), so one groupBy over their union is row-identical to
+    // unioning two separate groupBys, for one final-agg exchange + AQE
+    // stage instead of two (r20, guide §2.4).
+    val cols = Seq("id_a", "id_b", "na", "nb").map(col)
+    val crossPairs = pinned(gramsOld.join(ok, Seq("g")), col("g"))
       .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
       .join(blockedNew.select(col("g"), col("id").as("id_b"),
         col("nsz").as("nb")), Seq("g"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("c"))
-    jaccardFromCounts(cross, threshold)
-      .unionByName(jaccardFromCounts(pairCountsBlocked(blockedNew.toDF()),
-        threshold))
+      .select(cols: _*)
+    val selfPairs = blockedNew
+      .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
+      .join(blockedNew.select(col("g"), col("id").as("id_b"),
+        col("nsz").as("nb")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(cols: _*)
+    jaccardFromCounts(
+      crossPairs.unionByName(selfPairs)
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("c")),
+      threshold)
   }
 
   /** Exchange pin for the COMPUTE-DENSE candidate joins: their per-key
@@ -1422,14 +1478,31 @@ object Dedup {
     * exactly the stages that need the cores onto a handful of tasks
     * (r19, measured: the cc-incremental delta's pair-count stage ran 3
     * tasks × ~0.6 s). An explicit-numPartitions repartition is exempt
-    * from AQE coalescing; the count comes from the session's
-    * shuffle.partitions — the cluster-sized knob, not a constant. */
-  private def pinned(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-      keys: _*)
+    * from AQE coalescing.
+    *
+    * The pin count is SIZE-DERIVED (r20; r19 pinned flat
+    * numShufflePartitions, which put 32-task exchanges under KB-sized
+    * incremental delta frames — pure task tax, q_dedup_ngram_pairs 0.77×
+    * in the r19 verdict): one partition per 64 KB of plan-estimated
+    * input, capped at the session's shuffle.partitions — the
+    * cluster-sized knob. Bytes understate quadratic per-key work, which
+    * is why the divisor sits ~1000× below a normal shuffle-partition
+    * target: any input ≥ partitions·64 KB still pins the full cluster
+    * width, only genuinely tiny frames stop fanning out. */
+  private def pinned(df: DataFrame, keys: Column*): DataFrame = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((est / (64L << 10)) + 1).min(BigInt(cap)).max(BigInt(1)).toInt
+    df.repartition(n, keys: _*)
+  }
 
-  private def pairCountsBlocked(blocked0: DataFrame): DataFrame = {
-    val blocked = pinned(blocked0, col("g"))
+  private def pairCountsBlocked(blocked0: DataFrame): DataFrame =
+    pairCountsPrePinned(pinned(blocked0, col("g")))
+
+  /** [[pairCountsBlocked]] body for inputs the caller has ALREADY
+    * pinned/partitioned by `g` — both self-join sides read the same
+    * frame, so no further exchange is added here. */
+  private def pairCountsPrePinned(blocked: DataFrame): DataFrame =
     blocked
       .select(col("g"), col("id").as("id_a"), col("nsz").as("na"))
       .join(blocked.select(col("g"), col("id").as("id_b"),
@@ -1437,7 +1510,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("c"))
-  }
 
   private def jaccardFromCounts(counted: DataFrame,
       threshold: Double): DataFrame = counted
@@ -1766,7 +1838,7 @@ object Dedup {
       .select(col("t"), Sharded.shardOf(col("bucket"), shards).as("shard"))
       .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
       .sortBy(identity)
-    val pruned = spark.read.parquet(bucketIndexPath)
+    val pruned = graft.sources.Pq.read(spark, bucketIndexPath)
       .filter(touched.map { case (t, sh) =>
         col("t") === lit(t) && col("shard") === lit(sh)
       }.reduce(_ || _))
@@ -1902,13 +1974,19 @@ object Dedup {
       maxCell: Int = 10000): DataFrame = {
     // parallelize: the argmax-over-centroids assignment is the CPU-dense
     // stage and a single-file vector fixture plans to ONE scan task
-    // (same under-split guard as the text tiers; no-op at corpus scale)
-    val cells = Similarity.ivfAssign(parallelize(df), vecCol, centroids)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-      .pipe(graft.ops.Caches.track) // feeds the cell-size census and both join sides
+    // (same under-split guard as the text tiers; no-op at corpus scale).
+    // The cache is PINNED BY CELL up front (r20): the cell-size census
+    // (groupBy cell), the bound join, and both self-join sides then all
+    // reuse the cached hash(cell) layout — one exchange total where the
+    // r19 shape paid the census agg exchange plus a separate post-join
+    // pin.
+    val cells = graft.ops.Caches.track(pinned(
+      Similarity.ivfAssign(parallelize(df), vecCol, centroids)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell")),
+      col("cell")))
     val okCells = cells.groupBy("cell").count()
       .filter(col("count") <= maxCell).select("cell")
-    val bounded = pinned(cells.join(okCells, Seq("cell")), col("cell"))
+    val bounded = cells.join(okCells, Seq("cell"))
     bounded.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(bounded.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
         Seq("cell"))

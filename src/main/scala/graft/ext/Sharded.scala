@@ -60,6 +60,7 @@ object Sharded {
       .repartition(parts.map(col): _*)
       .write.partitionBy(parts: _*)
       .mode(mode).parquet(path)
+    graft.sources.Pq.invalidate(path) // memoized readers must re-list
   }
 
   /** The BOUNDED (≤ `shards`) distinct shard set touched by
@@ -75,7 +76,7 @@ object Sharded {
     * untouched directories before any task launches. */
   def readTouched(spark: SparkSession, path: String,
       shardVals: Seq[Int]): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.Pq.read(spark, path)
       .filter(col("shard").isin(shardVals.map(Integer.valueOf): _*))
 
   /** Pruned point/key fetch: rows of the artifact whose `keyCol` ∈
@@ -85,7 +86,11 @@ object Sharded {
   def fetchKeys(spark: SparkSession, path: String, keys: DataFrame,
       keyCol: String, shards: Int): DataFrame =
     readTouched(spark, path, touchedShards(keys, keyCol, shards))
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      // no distinct() on the probe side: LEFT SEMI output is invariant
+      // under right-side duplicates, and the distinct was a full
+      // exchange+aggregate of the key set per fetch (r20; callers pass
+      // already-distinct or near-distinct key frames)
+      .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi")
       .drop("shard")
 
   /** Execute `body` (AQE off) and return the summed

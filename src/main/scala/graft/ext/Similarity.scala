@@ -110,7 +110,7 @@ object Similarity {
       .select(qBuckets.map { case (_, b) =>
         Sharded.shardOf(lit(b), shards)
       }: _*).head().toSeq.map(_.asInstanceOf[Int])
-    val cands = spark.read.parquet(bucketIdxPath)
+    val cands = graft.sources.Pq.read(spark, bucketIdxPath)
       .filter(qBuckets.zipWithIndex.map { case ((t, b), i) =>
         col("t") === lit(t) && col("shard") === lit(qShards(i)) &&
           col("bucket") === lit(b)
@@ -197,9 +197,11 @@ object Similarity {
     * write (the repartition), so file count grows with ingest rounds,
     * not with parallelism. */
   def writeIvfIndex(index: DataFrame, path: String,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
     index.repartition(col("cell"))
       .write.partitionBy("cell").mode(mode).parquet(path)
+    graft.sources.Pq.invalidate(path)
+  }
 
   /** Deterministic centroid sample for IVF: the first `nlist` rows by id.
     * (k-means init and the SQL-oracle-reproducible centroid choice;
@@ -237,8 +239,13 @@ object Similarity {
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     // parallelize once: every Lloyd iteration re-runs the CPU-dense
     // argmax assignment + posexplode over the corpus, and a single-file
-    // vector fixture plans that to ONE task (no-op at corpus scale)
-    val pdf = graft.ext.Dedup.parallelize(df)
+    // vector fixture plans that to ONE task (no-op at corpus scale).
+    // PERSISTED for the loop (r19 regression: parallelize() is lazy, so
+    // every iteration re-executed the vector scan + repartition shuffle
+    // — the centroids are collected per iteration, nothing lazy escapes,
+    // so the cache is released right here after the loop). Projected to
+    // the vector column only: the iterations never read ids.
+    val pdf = graft.ext.Dedup.parallelize(df.select(col(vecCol))).persist()
     for (_ <- 0 until iterations) {
       val means = ivfAssign(pdf, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
@@ -254,6 +261,7 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    pdf.unpersist(false)
     cents
   }
 }

@@ -16,8 +16,19 @@ import scala.jdk.CollectionConverters._
   * same listing the scan planner already pays). */
 object ParquetMeta {
 
+  // Memoized per path: every scale-aware cap (scaledCap/cellCap/
+  // sizedPlanes) re-derives the corpus row count at query-build time, so
+  // a 188-query bench paid hundreds of redundant footer walks for a
+  // handful of immutable fixture files (r20 tail cut). Callers only ever
+  // pass corpus-snapshot paths, which are write-once per run.
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
   /** Total row count of a parquet file or directory of files. */
-  def rowCount(spark: SparkSession, path: String): Long = {
+  def rowCount(spark: SparkSession, path: String): Long =
+    cache.getOrElseUpdate(path, rowCountUncached(spark, path))
+
+  private def rowCountUncached(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
