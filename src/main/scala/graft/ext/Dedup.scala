@@ -246,8 +246,11 @@ object Dedup {
     // Persist the signature table(s): each feeds its band explode AND a
     // signature-attach join — without a barrier Spark recomputes it per
     // branch. Tracked: callers release via [[graft.ops.Caches.releaseAll]]
-    // once results are materialized.
-    val sigsA = graft.ops.Caches.track(sigTableA)
+    // once results are materialized. parallelize (r20): a signature
+    // INDEX artifact is a ~1-file parquet at fixture scale, so the band
+    // explode + bucket census otherwise run single-task (no-op at corpus
+    // scale, where the index has ≥ cores splits).
+    val sigsA = graft.ops.Caches.track(parallelize(sigTableA))
     def boundedBuckets(sigs: DataFrame): DataFrame = {
       val buckets = sigs
         .select(col("id"), explode(bandKeys(col("sig"))).as("bk"))
@@ -260,7 +263,7 @@ object Dedup {
     val (sigsB, boundedB) = sigsB0 match {
       case None     => (sigsA, boundedA)
       case Some(b0) =>
-        val sb = graft.ops.Caches.track(b0)
+        val sb = graft.ops.Caches.track(parallelize(b0))
         (sb, boundedBuckets(sb))
     }
 
@@ -629,7 +632,9 @@ object Dedup {
       bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 1000,
       shards: Int = 16): DataFrame = {
     val bk = portableBandKeys(numHashes, bands)
-    val newSigs = graft.ops.Caches.track(newSigs0)
+    // parallelize: the slice's signatures come off a ~1-file artifact at
+    // fixture scale (see bandedSigPairsCross note); no-op at corpus scale
+    val newSigs = graft.ops.Caches.track(parallelize(newSigs0))
     val nb0 = newSigs
       .select(col("id"), col("sig"), explode(bk(col("sig"))).as("bk"))
       .select(col("id"), col("sig"), col("bk.bucket").as("bucket"),
@@ -1040,7 +1045,10 @@ object Dedup {
       bits: Int, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = bits / chunks
-    def chunked(t: DataFrame): DataFrame = graft.ops.Caches.track(t)
+    // parallelize: fingerprint tables read off a ~1-file artifact at
+    // fixture scale (see bandedSigPairsCross note); no-op at corpus scale
+    def chunked(t: DataFrame): DataFrame =
+      graft.ops.Caches.track(parallelize(t))
       .withColumn("chunk", explode(transform(
         sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),
@@ -1175,7 +1183,9 @@ object Dedup {
       maxHamming: Int = 3, shards: Int = 16): DataFrame = {
     val chunks = maxHamming + 1
     val width = bits / chunks
-    val newFps = graft.ops.Caches.track(newFps0)
+    // parallelize: slice fingerprints off a ~1-file artifact at fixture
+    // scale (see bandedSigPairsCross note); no-op at corpus scale
+    val newFps = graft.ops.Caches.track(parallelize(newFps0))
     val nb = graft.ops.Caches.track(newFps
       .withColumn("chunk", explode(transform(
         sequence(lit(0), lit(chunks - 1)),
