@@ -45,6 +45,16 @@ object GraftSession {
       // partitions are also the 100 TB posture (guide §2.2).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // let AQE coalesce INSIDE cached plans too (r20): the engine
+      // persists many slice-sized intermediates (delta pairs, key sets,
+      // blocked gram tables), and with Spark's default every one of them
+      // materializes at the full static shuffle width — a KB-sized
+      // cached frame then costs |cores| near-empty cache partitions in
+      // every consumer stage. Explicit-numPartitions pins are exempt
+      // from coalescing either way, so the compute-dense candidate joins
+      // keep their width.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // fixture parquet carries TIMESTAMP(NANOS) — see graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,6 +25,10 @@ object Verify {
             GraftSession.dirBytes(sfDir), cpus.toInt).toString))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         (256 << 10).toString)
+      // match GraftSession: AQE coalescing applies inside cached plans
+      // (explicit-numPartitions pins stay exempt) — see GraftSession r20
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
