@@ -949,9 +949,12 @@ object Dedup {
       pathByComp: String, sliceDocs: DataFrame, deltaPairs: DataFrame,
       idCol: String, shards: Int = 16): DataFrame = {
     val delta = graft.ops.Caches.track(deltaPairs.select("id_a", "id_b"))
+    // explode, not union-of-two-selects: one pass over the cached delta
+    // instead of two map branches (r20; same rows — the union of the two
+    // endpoint columns IS the exploded endpoint array)
     val deltaIds = graft.ops.Caches.track(
-      delta.select(col("id_a").as(idCol))
-        .union(delta.select(col("id_b").as(idCol))).distinct())
+      delta.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+        .distinct())
     val touchedComps = graft.ops.Caches.track(
       Sharded.fetchKeys(spark, pathById, deltaIds, idCol, shards)
         .select("component").distinct())
@@ -1758,14 +1761,21 @@ object Dedup {
     * family once and gate terms on `p < width`. (Generating a fresh
     * `planes`-wide family instead would shift every table's planes —
     * `Array.fill(tables, planes, dim)` draws sequentially.) */
-  def embeddingBucketTableHyper(vecs: DataFrame, vecCol: String,
-      idCol: String, hyper: Array[Array[Array[Double]]]): DataFrame =
+  def embeddingBucketTableHyper(vecs0: DataFrame, vecCol: String,
+      idCol: String, hyper: Array[Array[Array[Double]]]): DataFrame = {
+    // parallelize: the sign-sketch projection (tables × planes dot
+    // products per row) is CPU-dense and a single-file vector input
+    // plans to ONE task (r20: applied at the sketch itself so every
+    // caller — pairs, sized, cross, incremental — gets the fan-out;
+    // no-op on already-split inputs and on pre-parallelized callers)
+    val vecs = parallelize(vecs0)
     vecs
       .withColumn("tb", explode(array(hyper.indices.map(t =>
         struct(lit(t).as("t"),
           Vectors.signBucketNative(vecs.sparkSession, col(vecCol), hyper, t)
             .as("bucket"))): _*)))
       .select(col(idCol).as("id"), col("tb.t"), col("tb.bucket"))
+  }
 
   /** Sign-sketch BUCKET TABLE (id, t, bucket) — the persisted artifact of
     * the embedding tier (the analog of the MinHash signature index):
@@ -1775,15 +1785,9 @@ object Dedup {
     * re-sketching the corpus. `vecs` must carry (`idCol`, `vecCol`). */
   def embeddingBucketTable(vecs: DataFrame, vecCol: String, idCol: String,
       planes: Int = 12, tables: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val hyper = Vectors.hyperplanes(seed, tables, planes, dim)
-    vecs
-      .withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          Vectors.signBucketNative(vecs.sparkSession, col(vecCol), hyper, t)
-            .as("bucket"))): _*)))
-      .select(col(idCol).as("id"), col("tb.t"), col("tb.bucket"))
-  }
+      seed: Long = 42L): DataFrame =
+    embeddingBucketTableHyper(vecs, vecCol, idCol,
+      Vectors.hyperplanes(seed, tables, planes, dim))
 
   /** [[embeddingDupPairs]] over a PRECOMPUTED bucket artifact — the
     * candidate join reads (id, t, bucket) rows, and only the exact-cosine
