@@ -652,12 +652,39 @@ object Dedup {
         .filter(col("count") <= maxBucket)
       buckets.join(ok.select("band", "bucket"), Seq("band", "bucket"))
     }
-    val cross = bounded(pruned.select("band", "bucket", "id", "sig"))
+    // r20: cross and self share ONE slice-side bounded bucket table
+    // (cached pinned by (band, bucket) so the cross probe and both
+    // self-join sides reuse the layout — the self arm previously
+    // re-exploded the slice signatures and re-ran the bucket census
+    // through bandedSigPairs), and their candidate streams co-dedup
+    // through ONE exchange: cross keys pair old×new ids, self keys pair
+    // new×new with id_a < id_b — id-disjoint corpora, so the key spaces
+    // never collide and per-stream dropDuplicates ∪ == one dropDuplicates
+    // over the union. The per-side maxBucket censuses are byte-identical
+    // to the separate-arm encoding (same slice bucket census both
+    // times), and self rows already satisfy id_a < id_b, so the final
+    // canonicalization is the identity on them.
+    val boundedNb = graft.ops.Caches.track(pinned(
+      bounded(nb.select("band", "bucket", "id", "sig")),
+      col("band"), col("bucket")))
+    val crossCands = pinned(bounded(
+        pruned.select("band", "bucket", "id", "sig")),
+        col("band"), col("bucket"))
       .select(col("band"), col("bucket"), col("id").as("id_a"),
         col("sig").as("sig_a"))
-      .join(bounded(nb.select("band", "bucket", "id", "sig"))
-        .select(col("band"), col("bucket"), col("id").as("id_b"),
-          col("sig").as("sig_b")), Seq("band", "bucket"))
+      .join(boundedNb.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "sig_a", "id_b", "sig_b")
+    val selfCands = boundedNb
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      .join(boundedNb.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "sig_a", "id_b", "sig_b")
+    crossCands.unionByName(selfCands)
       .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
@@ -665,9 +692,6 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("est_jaccard"))
-    val newSelf = minhashDupPairsPortableFromSignatures(newSigs, numHashes,
-      bands, threshold, maxBucket)
-    cross.unionByName(newSelf)
   }
 
   /** [[minhashProbeFromSignatures]] with the signatures computed inline
